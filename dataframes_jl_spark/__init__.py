@@ -1,0 +1,9 @@
+"""dataframes_jl_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of the reference DataFrames.jl fork,
+re-expressed Spark-first (DataFrame / SQL / Catalyst / Structured
+Streaming), plus large-scale training-data-pipeline operators.
+"""
+
+__version__ = "0.1.0"
+
+from .session import get_spark, load_tables  # noqa: F401

@@ -1,0 +1,423 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a
+named query over the driver's synthetic tables plus a DuckDB oracle SQL.
+
+The driver compares Spark result vs oracle at sf=0.01 with an
+order-insensitive value hash after sorting columns by name — so every
+computed column is aliased identically on both sides, and floating
+aggregates are rounded on both sides to absorb summation-order ulps.
+
+Each query callable has signature ``(spark, sf_dir) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core relational: filter + aggregate + sort  (SURVEY §2.2, §2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the reference's by(df, cols, expr) split-apply-combine
+    (reference src/grouping.jl:248-262) as groupBy().agg() — partial
+    aggregation map-side, single shuffle on the 6-value group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+scalar agg. All four predicates reach the
+    parquet scan (PushedFilters), projection pruned to 4 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (SURVEY §2.3 — join kinds, broadcast dims)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q03_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the big-side fact tables shuffle-join on their keys;
+    nation/region are broadcast (reference's distributed merge is exactly a
+    broadcast hash join, src/dataframe_blocks.jl:535-547)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, (nation.n_regionkey == region.r_regionkey) & (region.r_name == "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, COALESCE(cnt, 0) AS order_count
+    FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join(df1, df2; kind=:left) — reference src/merge.jl:129-165. Aggregate
+    before the join so the left join carries one row per customer."""
+    cust = _t(spark, sf_dir, "customer")
+    ocnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("order_count"),
+        )
+    )
+
+
+@register(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS segment, COUNT(*) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS segment, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins (free in Spark; reference lacks them,
+    SURVEY §2.3 'Not present')."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("segment"), "n")
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("segment"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / dedup / set ops  (SURVEY §2.2 duplicated/unique, §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique(df) / drop_duplicates! — reference src/dataframe.jl:1452-1483."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT name, acctbal, kind FROM (
+        SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vcat/rbind union-by-name semantics — reference src/dataframe.jl:1098-1131
+    maps to unionByName (SURVEY §2.7)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# Window functions  (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """within(gd, ex) per-group transform — reference src/grouping.jl:162-174
+    → Window.partitionBy (SURVEY §2.5). Deterministic tie-break on orderkey."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum over groups — reference cumulative ops src/operators.jl:60 →
+    running-total window frame (SURVEY §2.5)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / reshape  (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unstack(df, rowkey, colkey, value) — reference src/reshape.jl:35-63 →
+    groupBy().pivot().agg() with explicit value list (no extra distinct scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "q_melt_stack",
+    oracle="""
+    SELECT p_partkey, variable, value FROM (
+        SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+    )
+    """,
+)
+def q_melt_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack/melt wide→long — reference src/reshape.jl:16-27 → stack() expr
+    (generated, not materialized; SURVEY §2.8)."""
+    part = _t(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'p_size', CAST(p_size AS DOUBLE), 'p_retailprice', p_retailprice) AS (variable, value)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column stats  (SURVEY §2.4 colwise/describe, §2.9 reductions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_colwise_stats",
+    oracle="""
+    SELECT ROUND(MIN(l_quantity), 4) AS qty_min,
+           ROUND(MAX(l_quantity), 4) AS qty_max,
+           ROUND(AVG(l_quantity), 4) AS qty_mean,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_std,
+           ROUND(MIN(l_extendedprice), 4) AS price_min,
+           ROUND(MAX(l_extendedprice), 4) AS price_max,
+           ROUND(AVG(l_extendedprice), 4) AS price_mean,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_std,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colwise(fns, df) / colmins..colstds — reference src/grouping.jl:202-245,
+    src/operators.jl:231-245 → one agg pass over all columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.min("l_quantity"), 4).alias("qty_min"),
+        F.round(F.max("l_quantity"), 4).alias("qty_max"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.min("l_extendedprice"), 4).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 4).alias("price_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        F.count(F.lit(1)).alias("n"),
+    )

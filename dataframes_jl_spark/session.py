@@ -1,0 +1,104 @@
+"""SparkSession factory tuned for the local test harness while keeping
+cluster-scale defaults (AQE, skew-join handling, partition coalescing).
+
+On a real cluster the same config block applies unchanged; only
+``master`` and memory sizing come from spark-submit. Shuffle partitions
+default to 32 locally (matching local[32]); at 100 TB you would set
+``spark.sql.shuffle.partitions`` to ~2-3x total cores and let AQE
+coalesce, which is why AQE is always on here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive query execution: runtime re-planning, skew-join splitting,
+    # partition coalescing — essential at scale, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast joins for small dimension tables (region/nation/supplier).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas_udf / applyInPandas / toPandas crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Parquet: push filters + prune columns at the scan.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Timestamps in testdata are ns/ms; read them without rebasing drama.
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
+    # read as long nanos and normalize in load_table().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: reference semantics are permissive (NA, not errors).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "dataframes-jl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    b = SparkSession.builder.appName(app_name).master(master)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    for k, v in _DEFAULTS.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver-generated parquet table, normalizing types.
+
+    ``events.ts`` arrives as long nanoseconds (see nanosAsLong conf) and is
+    converted to a microsecond timestamp — lossless for this data, and the
+    conversion stays inside whole-stage codegen.
+    """
+    if name == "events":
+        # Must be set on whatever session the caller (driver) built.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES):
+    """Load the driver-generated parquet tables as a dict of DataFrames."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
