@@ -1,0 +1,174 @@
+"""Column statistics: col* reductions, describe, cor/cov/spearman
+(reference src/operators.jl:52-72,231-245; src/dataframe.jl:867-906,
+1514-1521).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
+
+
+def numeric_cols(df: DataFrame) -> list[str]:
+    return [c for c, t in df.dtypes if t.split("(")[0] in _NUMERIC]
+
+
+_COL_REDUCERS = {
+    "mins": F.min,
+    "maxs": F.max,
+    "sums": F.sum,
+    "means": F.avg,
+    "medians": F.median,
+    "stds": F.stddev_samp,
+    "vars": F.var_samp,
+    "prods": lambda c: F.exp(F.sum(F.log(F.abs(F.col(c)))))
+    * F.when(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)) % 2 == 1, -1.0).otherwise(1.0),
+    "norms": lambda c: F.sqrt(F.sum(F.col(c) * F.col(c))),
+}
+
+
+def col_reduce(df: DataFrame, which: str, cols: Sequence[str] | None = None) -> DataFrame:
+    """colmins/colmaxs/colsums/colmeans/colmedians/colstds/colvars/
+    colprods/colnorms (reference generator src/operators.jl:231-245):
+    one-row frame of per-column reductions, single agg pass."""
+    if which not in _COL_REDUCERS:
+        raise KeyError(f"unknown col-reduction {which!r}")
+    fn = _COL_REDUCERS[which]
+    cols = cols if cols is not None else numeric_cols(df)
+    return df.agg(*[fn(c).alias(c) for c in cols])
+
+
+def colmins(df, cols=None):
+    return col_reduce(df, "mins", cols)
+
+
+def colmaxs(df, cols=None):
+    return col_reduce(df, "maxs", cols)
+
+
+def colsums(df, cols=None):
+    return col_reduce(df, "sums", cols)
+
+
+def colmeans(df, cols=None):
+    return col_reduce(df, "means", cols)
+
+
+def colmedians(df, cols=None):
+    return col_reduce(df, "medians", cols)
+
+
+def colstds(df, cols=None):
+    return col_reduce(df, "stds", cols)
+
+
+def colvars(df, cols=None):
+    return col_reduce(df, "vars", cols)
+
+
+def colprods(df, cols=None):
+    return col_reduce(df, "prods", cols)
+
+
+def colnorms(df, cols=None):
+    return col_reduce(df, "norms", cols)
+
+
+def describe(df: DataFrame, exact_quantiles: bool = False) -> DataFrame:
+    """describe(df) (reference src/dataframe.jl:867-906): per numeric
+    column min/q1/median/mean/q3/max + NA count and share.
+
+    Default uses percentile_approx (Greenwald-Khanna — the scalable
+    choice; the reference's own distributed describe is a randomized
+    approximation too, src/dataframe_blocks.jl:263-356). ``exact_quantiles``
+    switches to exact percentiles for small-data parity (reference
+    single-node path computes exact, src/dataframe.jl:875)."""
+    cols = numeric_cols(df)
+    q = (
+        (lambda c, p: F.expr(f"percentile(`{c}`, {p})"))
+        if exact_quantiles
+        else (lambda c, p: F.percentile_approx(c, p))
+    )
+    n = F.count(F.lit(1))
+    aggs: list[Column] = [n.alias("__n__")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            q(c, 0.25).alias(f"{c}__q1"),
+            q(c, 0.5).alias(f"{c}__median"),
+            F.avg(c).alias(f"{c}__mean"),
+            q(c, 0.75).alias(f"{c}__q3"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nna"),
+        ]
+    row = df.agg(*aggs)
+    # one row per column: unpivot the single stats row with a stack expr
+    stats = ["min", "q1", "median", "mean", "q3", "max", "nna"]
+    pieces = []
+    for c in cols:
+        fields = ", ".join(
+            f"CAST(`{c}__{s}` AS DOUBLE) AS `{s}`" for s in stats
+        )
+        pieces.append(f"named_struct('col', '{c}', 's', struct({fields}))")
+    arr = f"array({', '.join(pieces)})"
+    exploded = row.selectExpr("__n__", f"inline({arr})")
+    return exploded.select(
+        F.col("col").alias("variable"),
+        F.col("s.min").alias("min"),
+        F.col("s.q1").alias("q1"),
+        F.col("s.median").alias("median"),
+        F.col("s.mean").alias("mean"),
+        F.col("s.q3").alias("q3"),
+        F.col("s.max").alias("max"),
+        F.col("s.nna").cast("bigint").alias("n_na"),
+        (F.col("s.nna") / F.col("__n__")).alias("na_share"),
+    )
+
+
+def cor(df: DataFrame, c1: str, c2: str) -> float:
+    """cor (reference src/dataframe.jl:1514-1521) → stat.corr."""
+    return df.stat.corr(c1, c2)
+
+
+def cov(df: DataFrame, c1: str, c2: str) -> float:
+    return df.stat.cov(c1, c2)
+
+
+def cor_matrix(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """cor(df) over numeric columns (reference src/dataframe.jl:1514-1521):
+    pairwise Pearson in ONE aggregation pass using corr() aggregates."""
+    cols = cols if cols is not None else numeric_cols(df)
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.corr(a, b).alias(f"{a}__{b}"))
+    row = df.agg(*aggs).collect()[0]
+    import itertools
+
+    data = []
+    vals = {}
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            vals[(a, b)] = row[f"{a}__{b}"]
+    for a, b in itertools.product(cols, cols):
+        v = vals.get((a, b), vals.get((b, a)))
+        data.append((a, b, v))
+    spark = df.sparkSession
+    return spark.createDataFrame(data, "col_a string, col_b string, corr double")
+
+
+def cor_spearman(df: DataFrame, c1: str, c2: str) -> float:
+    """cor_spearman (reference src/operators.jl:64): rank both columns via
+    window average-rank, then Pearson on the ranks."""
+    ranked = (
+        df.select(c1, c2)
+        .withColumn("rn1", F.row_number().over(Window.orderBy(c1)))
+        .withColumn("rn2", F.row_number().over(Window.orderBy(c2)))
+        .withColumn("r1", F.avg("rn1").over(Window.partitionBy(c1)))
+        .withColumn("r2", F.avg("rn2").over(Window.partitionBy(c2)))
+    )
+    return ranked.stat.corr("r1", "r2")

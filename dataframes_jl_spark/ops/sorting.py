@@ -1,0 +1,104 @@
+"""Multi-column sort with per-column direction and NA placement
+(reference sort/sort!/sortperm dispatch src/dataframe.jl:1829-1852,
+UserColOrdering src/dataframe.jl:1556-1562).
+
+The reference's algorithm selection (RadixSort/MergeSort/TimSort,
+src/dataframe.jl:1798-1818) is Tungsten's job — SortExec already picks
+radix vs Tim sort; a global sort plans a range-partitioned exchange
+which is the correct distributed strategy.
+
+NA placement: reference sorts NAs first (src/indexing.jl:45-50); Spark
+ascending default is nulls-first — matching. For descending the wrapper
+pins nulls_first to preserve reference behavior unless told otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class order:
+    """Per-column ordering spec (reference ``order(col, rev=true)``,
+    UserColOrdering src/dataframe.jl:1556-1562). ``by`` is an optional
+    Column expression to sort on instead of the raw column (the
+    reference's ``by=f`` computed-key sort)."""
+
+    col: str
+    rev: bool = False
+    nulls_first: bool = True
+    by: Column | None = None
+
+    def to_spark(self) -> Column:
+        c = self.by if self.by is not None else F.col(self.col)
+        if self.rev:
+            return c.desc_nulls_first() if self.nulls_first else c.desc_nulls_last()
+        return c.asc_nulls_first() if self.nulls_first else c.asc_nulls_last()
+
+
+def _resolve(cols, rev: bool) -> list[Column]:
+    specs = []
+    for c in cols:
+        if isinstance(c, order):
+            specs.append(c.to_spark())
+        elif isinstance(c, Column):
+            specs.append(c)
+        else:
+            specs.append(order(c, rev=rev).to_spark())
+    return specs
+
+
+def sort(
+    df: DataFrame,
+    cols: str | Sequence | None = None,
+    rev: bool = False,
+) -> DataFrame:
+    """sort(df; cols, rev) (reference src/dataframe.jl:1829-1852).
+    Default: all columns left-to-right, like the reference's whole-row
+    lexicographic sort."""
+    if cols is None:
+        cols = df.columns
+    elif isinstance(cols, (str, order, Column)):
+        cols = [cols]
+    return df.orderBy(*_resolve(cols, rev))
+
+
+def sortperm(df: DataFrame, cols: str | Sequence | None = None, rev: bool = False) -> DataFrame:
+    """sortperm (reference src/dataframe.jl:1851-1852): rank of each row
+    under the requested ordering, returned as a ``__perm__`` column.
+    Implemented as row_number over the sort ordering — one exchange."""
+    if cols is None:
+        cols = df.columns
+    elif isinstance(cols, (str, order, Column)):
+        cols = [cols]
+    w = Window.orderBy(*_resolve(cols, rev))
+    return df.withColumn("__perm__", F.row_number().over(w))
+
+
+def issorted(df: DataFrame, cols: str | Sequence | None = None, rev: bool = False) -> bool:
+    """issorted(df; cols) (reference src/dataframe.jl:1824-1825): verify
+    via a lag comparison over the claimed order — no collect."""
+    if cols is None:
+        cols = df.columns
+    elif isinstance(cols, (str, order, Column)):
+        cols = [cols]
+    # compare the claimed-physical order (row ids) to the sorted ranking
+    mono = F.monotonically_increasing_id()
+    w = Window.orderBy(mono)
+    with_pos = df.withColumn("__pos__", F.row_number().over(w))
+    ws = Window.orderBy(*_resolve(cols, rev), F.col("__pos__"))
+    ranked = with_pos.withColumn("__rank__", F.row_number().over(ws))
+    bad = ranked.filter(F.col("__pos__") != F.col("__rank__")).limit(1).count()
+    return bad == 0
+
+
+def top_k(df: DataFrame, cols, k: int, rev: bool = True) -> DataFrame:
+    """sort+head composition (SURVEY §2.6): Catalyst plans
+    TakeOrderedAndProject — no full sort, no full shuffle."""
+    if isinstance(cols, (str, order, Column)):
+        cols = [cols]
+    return df.orderBy(*_resolve(cols, rev)).limit(k)

@@ -421,3 +421,291 @@ def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Library-routed queries: exercise the wrapper ops end-to-end
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_join_outer_nullsafe",
+    oracle="""
+    WITH o AS (
+        SELECT CASE WHEN o_totalprice < 5000 THEN NULL ELSE o_custkey END AS k,
+               o_totalprice
+        FROM orders
+    ), c AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k,
+               c_acctbal
+        FROM customer
+    ), j AS (
+        SELECT COALESCE(o.k, c.k) AS k, o_totalprice, c_acctbal
+        FROM o FULL OUTER JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    )
+    SELECT CASE WHEN k IS NULL THEN -1 ELSE 1 END AS key_kind,
+           COUNT(*) AS n,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS sum_price,
+           ROUND(SUM(COALESCE(c_acctbal, 0)), 2) AS sum_bal
+    FROM j GROUP BY 1
+    """,
+)
+def q_join_outer_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with NA-matching keys (reference join_idx NA group,
+    src/merge.jl:8,30,82-84) via ops.join eqNullSafe + key coalescing."""
+    from .ops import join as jl_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") < 5000, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+        "c_acctbal",
+    )
+    j = jl_join(o, c, on="k", kind="outer", na_equal=True)
+    return (
+        j.withColumn("key_kind", F.when(F.col("k").isNull(), -1).otherwise(1))
+        .groupBy("key_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("sum_price"),
+            F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "q_na_propagating_agg",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN COUNT(CASE WHEN v IS NULL THEN 1 END) > 0 THEN NULL
+                ELSE ROUND(SUM(v), 2) END AS na_sum,
+           ROUND(SUM(v), 2) AS spark_sum
+    FROM (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    ) GROUP BY user_id
+    """,
+)
+def q_na_propagating_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference NA-propagating reduction vs Spark skip-null, side by side
+    (SURVEY §1.4.1; reference benchmarks/datavector.jl removeNA usage)."""
+    from .functions.na import na_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(na_agg(F.sum, "v"), 2).alias("na_sum"),
+        F.round(F.sum("v"), 2).alias("spark_sum"),
+    )
+
+
+@register(
+    "q_describe",
+    oracle="""
+    WITH s AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT col AS variable,
+           ROUND(mn, 4) AS min, ROUND(q1, 4) AS q1, ROUND(md, 4) AS median,
+           ROUND(mu, 4) AS mean, ROUND(q3, 4) AS q3, ROUND(mx, 4) AS max,
+           nna AS n_na
+    FROM (
+        SELECT 'l_quantity' AS col, MIN(l_quantity) AS mn,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS md,
+               AVG(l_quantity) AS mu,
+               quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3,
+               MAX(l_quantity) AS mx,
+               COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS nna
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', MIN(l_discount),
+               quantile_cont(CAST(l_discount AS DOUBLE), 0.25),
+               quantile_cont(CAST(l_discount AS DOUBLE), 0.5),
+               AVG(l_discount),
+               quantile_cont(CAST(l_discount AS DOUBLE), 0.75),
+               MAX(l_discount),
+               COUNT(CASE WHEN l_discount IS NULL THEN 1 END)
+        FROM lineitem
+    )
+    """,
+)
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe(df) (reference src/dataframe.jl:867-906) through the
+    library's single-pass agg + inline unpivot, exact-quantile mode."""
+    from .functions.stats import describe
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+    d = describe(li, exact_quantiles=True)
+    return d.select(
+        "variable",
+        F.round("min", 4).alias("min"),
+        F.round("q1", 4).alias("q1"),
+        F.round("median", 4).alias("median"),
+        F.round("mean", 4).alias("mean"),
+        F.round("q3", 4).alias("q3"),
+        F.round("max", 4).alias("max"),
+        "n_na",
+    )
+
+
+@register(
+    "q_cut_histogram",
+    oracle="""
+    SELECT CASE
+             WHEN l_quantity > 0  AND l_quantity <= 10 THEN '(0,10]'
+             WHEN l_quantity > 10 AND l_quantity <= 25 THEN '(10,25]'
+             WHEN l_quantity > 25 AND l_quantity <= 50 THEN '(25,50]'
+           END AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_cut_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cut(x, breaks) interval factor (reference test/extras.jl:17-33)
+    through ops.cut, then a grouped aggregate over the bins."""
+    from .ops import cut
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("bin", cut("l_quantity", [0, 10, 25, 50]))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_colwise_grouped",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(MIN(c_acctbal), 4) AS c_acctbal_min,
+           ROUND(MAX(c_acctbal), 4) AS c_acctbal_max,
+           ROUND(AVG(c_acctbal), 4) AS c_acctbal_mean,
+           COUNT(c_acctbal) AS c_acctbal_count
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_colwise_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colwise(fns, gd) with the reference's {col}_{fn} naming
+    (reference src/grouping.jl:202-245) via ops.colwise."""
+    from .ops import colwise
+
+    cust = _t(spark, sf_dir, "customer")
+    out = colwise(
+        cust,
+        ["min", "max", "mean", "count"],
+        cols=["c_acctbal"],
+        group_cols=["c_nationkey"],
+    )
+    return out.select(
+        "c_nationkey",
+        F.round("c_acctbal_min", 4).alias("c_acctbal_min"),
+        F.round("c_acctbal_max", 4).alias("c_acctbal_max"),
+        F.round("c_acctbal_mean", 4).alias("c_acctbal_mean"),
+        "c_acctbal_count",
+    )
+
+
+@register(
+    "q_pivot_table_lib",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS even,
+           ROUND(AVG(CASE WHEN user_id % 2 = 1 THEN value END), 4) AS odd
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pivot_table_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table(df, rows, cols, value, fun=mean) (reference
+    src/reshape.jl:78-103) via ops.pivot_table with explicit pivot values
+    (no discovery scan)."""
+    from .ops import pivot_table
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "parity", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    pt = pivot_table(
+        ev, "event_type", "parity", "value", "mean", colkey_values=["even", "odd"]
+    )
+    return pt.select(
+        "event_type",
+        F.round("even", 4).alias("even"),
+        F.round("odd", 4).alias("odd"),
+    )
+
+
+@register(
+    "q_cumulative_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER w, 2) AS cum_value,
+           ROUND(MAX(value) OVER w, 2) AS cum_max,
+           ROUND(value - LAG(value) OVER w2, 2) AS d_value
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum/cummax/diff (reference src/operators.jl:58-60) via
+    ops.window over per-user partitions — state per key, scales."""
+    from .ops.window import cummax, cumsum, diff
+
+    ev = _t(spark, sf_dir, "events")
+    ob, pb = ["ts", "event_id"], "user_id"
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(cumsum("value", ob, pb), 2).alias("cum_value"),
+        F.round(cummax("value", ob, pb), 2).alias("cum_max"),
+        F.round(diff("value", ob, pb), 2).alias("d_value"),
+    )
+
+
+@register(
+    "q_vcat_promote",
+    oracle="""
+    SELECT kind, ROUND(SUM(val), 2) AS total, COUNT(*) AS n,
+           COUNT(CASE WHEN extra IS NULL THEN 1 END) AS n_missing
+    FROM (
+        SELECT 'o' AS kind, o_totalprice AS val, o_orderpriority AS extra FROM orders
+        UNION ALL BY NAME
+        SELECT 'l' AS kind, CAST(l_quantity AS DOUBLE) AS val, NULL AS extra FROM lineitem
+    ) GROUP BY kind
+    """,
+)
+def q_vcat_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vcat union-by-name with NA-fill for missing columns (reference
+    src/dataframe.jl:1098-1131) via ops.vcat."""
+    from .ops import vcat
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("o").alias("kind"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderpriority").alias("extra"),
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.lit("l").alias("kind"), F.col("l_quantity").alias("val")
+    )
+    return (
+        vcat(o, l)
+        .groupBy("kind")
+        .agg(
+            F.round(F.sum("val"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )

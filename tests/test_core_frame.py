@@ -1,0 +1,100 @@
+"""JlDataFrame facade tests, metamorphic-style like the reference's
+test/data.jl (constructors, indexing, assignment, completeness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_jl_spark.core import Index, JlDataFrame, gennames, make_unique
+
+
+def test_make_unique():
+    assert make_unique(["a", "b", "a", "a"]) == ["a", "b", "a_1", "a_2"]
+    # suffix collision skipped
+    assert make_unique(["a", "a", "a_1"]) == ["a", "a_2", "a_1"]
+
+
+def test_gennames():
+    assert gennames(3) == ["x1", "x2", "x3"]
+
+
+def test_index_groups():
+    ix = Index(["a", "b", "c"])
+    ix.set_group("g", ["a", "c"])
+    assert ix.expand("g") == ["a", "c"]
+    assert ix.expand(["b", "g"]) == ["b", "a", "c"]
+    assert ix.expand([True, False, True]) == ["a", "c"]
+    assert ix.expand(slice(0, 2)) == ["a", "b"]
+    with pytest.raises(KeyError):
+        ix.expand("nope")
+
+
+@pytest.fixture()
+def jdf(spark):
+    sdf = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, None, "y"), (3, 30.0, "x"), (3, 30.0, "x")],
+        "a int, b double, c string",
+    )
+    return JlDataFrame(sdf)
+
+
+def test_basic_meta(jdf):
+    assert jdf.colnames == ["a", "b", "c"]
+    assert jdf.nrow() == 4
+    assert jdf.ncol() == 3
+
+
+def test_getitem_and_subset(jdf):
+    assert jdf["a"].colnames == ["a"]
+    assert jdf[["a", "c"]].colnames == ["a", "c"]
+    filtered = jdf[F.col("a") > 1, ["a"]]
+    assert filtered.nrow() == 3
+    pos = jdf[slice(1, 3), None]  # rows 1..2 by position
+    assert pos.nrow() == 2
+
+
+def test_mutation_facade(jdf):
+    jdf["d"] = F.col("a") * 2
+    assert "d" in jdf.colnames
+    assert [r.d for r in jdf.sdf.orderBy("a", "b").collect()] == [2, 4, 6, 6]
+    jdf["e"] = 5  # scalar broadcast (reference upgrade_scalar)
+    assert jdf[["e"]].unique().collect()[0].e == 5
+    del jdf["e"]
+    assert "e" not in jdf.colnames
+
+
+def test_within_based_on(jdf):
+    w = jdf.within(ab="a + coalesce(b, 0)")
+    assert "ab" in w.colnames
+    b = jdf.based_on(total=F.sum("a"))
+    assert b.collect()[0].total == 9
+
+
+def test_complete_cases(jdf):
+    assert jdf.drop_incomplete().nrow() == 3
+    marked = jdf.sdf.withColumn("cc", jdf.complete_cases())
+    assert sum(r.cc for r in marked.collect()) == 3
+
+
+def test_duplicated_unique(jdf):
+    dup = jdf.duplicated().collect()
+    assert [r.duplicated for r in dup].count(True) == 1
+    assert jdf.unique().nrow() == 3
+
+
+def test_rename_and_clean(spark):
+    sdf = spark.createDataFrame([(1, 2)], "`a col` int, b int")
+    j = JlDataFrame(sdf).clean_colnames()
+    assert j.colnames == ["a_col", "b"]
+
+
+def test_dedup_on_construction(spark):
+    sdf = spark.createDataFrame([(1, 2)], "a int, b int").toDF("a", "a")
+    j = JlDataFrame(sdf)
+    assert j.colnames == ["a", "a_1"]
+
+
+def test_flipud(jdf):
+    vals = [r.a for r in jdf.flipud().sdf.select("a").collect()]
+    assert vals == [3, 3, 2, 1]

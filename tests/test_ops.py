@@ -1,0 +1,231 @@
+"""Ops-layer tests: joins (NA-key semantics), grouping, sorting, setops,
+reshape, windows, NA aggregates — metamorphic style where possible."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_jl_spark.functions.na import all_na, any_na, na_agg, nareplace
+from dataframes_jl_spark.functions.stats import (
+    colmeans,
+    cor_spearman,
+    describe,
+)
+from dataframes_jl_spark.ops import (
+    by,
+    colwise,
+    cut,
+    hcat,
+    join,
+    melt,
+    pivot_table,
+    sort,
+    unstack,
+    vcat,
+)
+from dataframes_jl_spark.ops.sorting import issorted, order, sortperm, top_k
+from dataframes_jl_spark.ops.window import cumprod, cumsum, diff
+from dataframes_jl_spark.ops.setops import isequal_df
+
+
+@pytest.fixture()
+def left(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")], "k int, lv string"
+    )
+
+
+@pytest.fixture()
+def right(spark):
+    return spark.createDataFrame(
+        [(1, 10.0), (None, 30.0), (4, 40.0)], "k int, rv double"
+    )
+
+
+def test_join_na_keys_match(left, right):
+    """Reference join_idx matches NA keys to each other (src/merge.jl:8,30)."""
+    inner = join(left, right, on="k", kind="inner")
+    rows = {(r.k, r.lv, r.rv) for r in inner.collect()}
+    assert (None, "c", 30.0) in rows  # NA key matched
+    assert (1, "a", 10.0) in rows
+    # Spark-native mode drops NA keys
+    inner2 = join(left, right, on="k", kind="inner", na_equal=False)
+    assert all(r.k is not None for r in inner2.collect())
+
+
+def test_join_kinds(left, right):
+    assert join(left, right, on="k", kind="left").count() == 4
+    assert join(left, right, on="k", kind="right").count() == 3
+    assert join(left, right, on="k", kind="outer").count() == 5
+    assert join(left, right, on="k", kind="semi").count() == 2
+    assert join(left, right, on="k", kind="anti").count() == 2
+
+
+def test_join_outer_key_coalesced(left, right):
+    outer = join(left, right, on="k", kind="outer")
+    assert outer.columns == ["k", "lv", "rv"]
+    ks = {r.k for r in outer.collect()}
+    assert 4 in ks  # right-only key survives in the single key column
+
+
+def test_join_natural(spark, left, right):
+    nat = join(left, right)  # on=None → first common column
+    assert nat.count() == 2
+
+
+def test_by_dict_and_callable(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+    )
+    agg = by(df, "g", {"s": F.sum("v"), "n": F.count(F.lit(1))})
+    got = {(r.g, r.s, r.n) for r in agg.collect()}
+    assert got == {("a", 4.0, 2), ("b", 5.0, 1)}
+
+    def f(pdf):
+        return pdf.assign(v2=pdf.v * 2)[["v2"]]
+
+    applied = by(df, "g", f)  # schema inferred by sampling
+    assert {(r.g, r.v2) for r in applied.collect()} == {
+        ("a", 2.0),
+        ("a", 6.0),
+        ("b", 10.0),
+    }
+
+
+def test_colwise_matches_reference_naming(spark):
+    df = spark.createDataFrame([("a", 1.0), ("b", 3.0)], "g string, v double")
+    out = colwise(df, ["sum", "mean"], cols=["v"])
+    assert out.columns == ["v_sum", "v_mean"]
+    grouped = colwise(df, "max", cols=["v"], group_cols=["g"])
+    assert set(grouped.columns) == {"g", "v_max"}
+
+
+def test_sort_order_and_issorted(spark):
+    df = spark.createDataFrame(
+        [(2, None), (1, 5.0), (3, 1.0), (1, None)], "a int, b double"
+    )
+    s = sort(df, ["a", order("b", rev=True, nulls_first=False)])
+    rows = [(r.a, r.b) for r in s.collect()]
+    assert rows == [(1, 5.0), (1, None), (2, None), (3, 1.0)]
+    assert issorted(s, ["a"])
+    assert not issorted(df.orderBy(F.col("a").desc()), ["a"])
+
+
+def test_sortperm_topk(spark):
+    df = spark.createDataFrame([(10,), (30,), (20,)], "v int")
+    perm = {r.v: r["__perm__"] for r in sortperm(df, "v").collect()}
+    assert perm == {10: 1, 20: 2, 30: 3}
+    tk = top_k(df, "v", 2)
+    assert [r.v for r in tk.collect()] == [30, 20]
+
+
+def test_vcat_union_by_name_promotion(spark):
+    a = spark.createDataFrame([(1, "x")], "i int, s string")
+    b = spark.createDataFrame([(2.5,)], "i double")
+    out = vcat(a, b)
+    assert set(out.columns) == {"i", "s"}
+    rows = {(r.i, r.s) for r in out.collect()}
+    assert rows == {(1.0, "x"), (2.5, None)}  # NA-fill + int→double promotion
+
+
+def test_hcat_positional(spark):
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([("u",), ("v",)], "x string")
+    out = hcat(a, b)
+    assert out.columns == ["x", "x_1"]  # dedup like reference make_unique
+    assert [(r.x, r.x_1) for r in out.collect()] == [(1, "u"), (2, "v")]
+
+
+def test_isequal_df(spark):
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (1,)], "x int")
+    assert isequal_df(a, b)  # row order irrelevant
+    assert not isequal_df(a, spark.createDataFrame([(1,), (1,)], "x int"))
+
+
+def test_melt_unstack_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 20.0, 200.0)], "id int, m1 double, m2 double"
+    )
+    long = melt(wide, ["id"])
+    assert long.columns == ["id", "variable", "value"]
+    assert long.count() == 4
+    back = unstack(long, "id", "variable", "value", colkey_values=["m1", "m2"])
+    got = {(r.id, r.m1, r.m2) for r in back.collect()}
+    assert got == {(1, 10.0, 100.0), (2, 20.0, 200.0)}
+
+
+def test_pivot_table(spark):
+    df = spark.createDataFrame(
+        [("r1", "c1", 1.0), ("r1", "c1", 3.0), ("r1", "c2", 5.0)],
+        "r string, c string, v double",
+    )
+    pt = pivot_table(df, "r", "c", "v", "mean", colkey_values=["c1", "c2"])
+    row = pt.collect()[0]
+    assert row.c1 == 2.0 and row.c2 == 5.0
+
+
+def test_cut_labels(spark):
+    df = spark.createDataFrame([(0.5,), (1.0,), (3.0,), (99.0,)], "v double")
+    out = df.select(cut("v", [0, 1, 5]).alias("bin")).collect()
+    assert [r.bin for r in out] == ["(0,1]", "(0,1]", "(1,5]", None]
+
+
+def test_window_cums(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, -3.0), (3, 4.0)], "t int, v double"
+    )
+    out = df.select(
+        "t",
+        cumsum("v", "t").alias("cs"),
+        cumprod("v", "t").alias("cp"),
+        diff("v", "t").alias("d"),
+    ).orderBy("t")
+    rows = out.collect()
+    assert [r.cs for r in rows] == [2.0, -1.0, 3.0]
+    assert [round(r.cp, 9) for r in rows] == [2.0, -6.0, -24.0]
+    assert rows[0].d is None and rows[1].d == -5.0
+
+
+def test_na_agg_propagates(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
+    row = df.agg(
+        na_agg(F.sum, "v").alias("na_sum"),
+        F.sum("v").alias("spark_sum"),
+        F.sum(nareplace("v", 0.0)).alias("replaced"),
+    ).collect()[0]
+    assert row.na_sum is None  # reference semantics: NA propagates
+    assert row.spark_sum == 4.0  # Spark semantics: skip nulls
+    assert row.replaced == 4.0
+
+
+def test_tristate_any_all(spark):
+    df = spark.createDataFrame([(False,), (None,)], "b boolean")
+    row = df.agg(any_na("b").alias("a"), all_na("b").alias("l")).collect()[0]
+    assert row.a is None  # no true, some NA → NA (reference tri-state)
+    assert row.l is False  # a false is present → all() is definitively False
+    df2 = spark.createDataFrame([(True,), (None,)], "b boolean")
+    row2 = df2.agg(any_na("b").alias("a"), all_na("b").alias("l")).collect()[0]
+    assert row2.a is True  # a true is present → any() definitively True
+    assert row2.l is None  # no false, some NA → NA
+
+
+def test_describe_and_colmeans(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0)], "a double, b double"
+    )
+    d = {r.variable: r for r in describe(df, exact_quantiles=True).collect()}
+    assert d["a"].median == 2.0 and d["a"].n_na == 0
+    assert d["b"].n_na == 1 and math.isclose(d["b"].na_share, 1 / 3)
+    cm = colmeans(df).collect()[0]
+    assert cm.a == 2.0 and cm.b == 20.0
+
+
+def test_cor_spearman(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)], "x double, y double"
+    )
+    assert math.isclose(cor_spearman(df, "x", "y"), 1.0)
