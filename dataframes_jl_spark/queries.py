@@ -982,3 +982,65 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, k=3, num_planes=4, num_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# Streaming rollups + formula design matrices  (SURVEY §2.10, §2.11)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_windowed_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (streaming.windowed_event_counts,
+    batch mode — the same plan runs under readStream with a watermark)."""
+    from .streaming.datastream import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 day")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "q_model_matrix",
+    oracle="""
+    SELECT ROUND(SUM(o_totalprice), 2) AS sum_y,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END) AS sum_status_O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END) AS sum_status_P,
+           ROUND(SUM(o_totalprice * CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 2)
+               AS sum_interact
+    FROM orders
+    """,
+)
+def q_model_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula → design matrix (formula.model_matrix, reference
+    src/formula.jl): treatment contrasts for o_orderstatus (base 'F') and
+    a numeric×dummy interaction, checked via column sums."""
+    from .formula import model_matrix
+
+    orders = _t(spark, sf_dir, "orders")
+    mm = model_matrix("o_totalprice ~ o_orderstatus", orders)
+    interact = model_matrix("o_totalprice ~ o_totalprice & o_orderstatus", orders)
+    base = mm.df.agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_y"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("`o_orderstatus:O`").alias("sum_status_O"),
+        F.sum("`o_orderstatus:P`").alias("sum_status_P"),
+    )
+    inter = interact.df.agg(
+        F.round(F.sum("`o_totalprice&o_orderstatus:O`"), 2).alias("sum_interact")
+    )
+    return base.crossJoin(inter)

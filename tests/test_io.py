@@ -1,0 +1,127 @@
+"""CSV ingest conformance: a regenerated slice of the reference's
+csv-hazard corpus (FIXTURES.md §F8, reference test/data/ directories),
+driven through readtable like reference test/io.jl:8-47."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from dataframes_jl_spark.io import getseparator, readtable, writetable
+from dataframes_jl_spark.io.parquet import load_df, save
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv_hazards")
+
+    (d / "standard.csv").write_text(
+        "IntColumn,IntlikeColumn,FloatColumn,BoolColumn,StringColumn\n"
+        "1,1.0,0.1,true,\"a\"\n"
+        "-2,7.0,-3.1e8,false,\"b b\"\n"
+        "3,2.0,-3.1e-8,true,\"c,d\"\n"
+    )
+    (d / "blanklines.csv").write_text("a,b\n1,2\n\n\n3,4\n")
+    (d / "comments.csv").write_text("# leading comment\na,b\n1,2\n# mid comment\n3,4\n")
+    (d / "padding.csv").write_text("a, b\n 1 , 2 \n 3 ,4\n")
+    (d / "quoting.csv").write_text('a,b\n"x,y",2\n"he said ""hi""",4\n')
+    (d / "nastrings.csv").write_text("a,b\n1,NA\nNA,2\n3,\n")
+    (d / "seps.tsv").write_text("a\tb\n1\t2\n")
+    (d / "seps.wsv").write_text("a b\n1 2\n")
+    (d / "noheader.csv").write_text("1,2\n3,4\n")
+    (d / "utf8.csv").write_text("name,v\nmüller,1\n北京,2\n", encoding="utf-8")
+    with gzip.open(d / "gz.csv.gz", "wt") as f:
+        f.write("a,b\n1,2\n3,4\n")
+    (d / "windows.csv").write_bytes(b"a,b\r\n1,2\r\n3,4\r\n")
+    return str(d)
+
+
+def test_getseparator():
+    assert getseparator("x.csv") == ","
+    assert getseparator("x.tsv") == "\t"
+    assert getseparator("x.wsv") == " "
+    assert getseparator("x.csv.gz") == ","
+
+
+def test_type_inference_cascade(spark, corpus):
+    """Int→Float→Bool→String inference (reference src/io.jl:427-473)."""
+    df = readtable(spark, f"{corpus}/standard.csv")
+    t = dict(df.dtypes)
+    assert t["IntColumn"] == "int"
+    assert t["IntlikeColumn"] == "double"
+    assert t["FloatColumn"] == "double"
+    assert t["BoolColumn"] == "boolean"
+    assert t["StringColumn"] == "string"
+    assert df.count() == 3
+
+
+def test_blanklines_and_comments(spark, corpus):
+    assert readtable(spark, f"{corpus}/blanklines.csv").count() == 2
+    df = readtable(spark, f"{corpus}/comments.csv", allowcomments=True)
+    assert df.count() == 2
+    assert df.columns == ["a", "b"]
+
+
+def test_padding_and_quoting(spark, corpus):
+    df = readtable(spark, f"{corpus}/padding.csv", ignorepadding=True)
+    assert [r.a for r in df.collect()] == [1, 3]
+    q = readtable(spark, f"{corpus}/quoting.csv", allowescapes=False)
+    vals = [r.a for r in q.collect()]
+    assert "x,y" in vals
+
+
+def test_multiple_nastrings(spark, corpus):
+    df = readtable(spark, f"{corpus}/nastrings.csv", nastrings=["", "NA"])
+    rows = df.collect()
+    assert rows[0].b is None and rows[1].a is None and rows[2].b is None
+
+
+def test_separators_by_extension(spark, corpus):
+    assert readtable(spark, f"{corpus}/seps.tsv").collect()[0].a == 1
+    assert readtable(spark, f"{corpus}/seps.wsv").collect()[0].a == 1
+
+
+def test_noheader_gennames(spark, corpus):
+    df = readtable(spark, f"{corpus}/noheader.csv", header=False)
+    assert df.columns == ["x1", "x2"]
+    named = readtable(
+        spark, f"{corpus}/noheader.csv", header=False, colnames=["p", "q"]
+    )
+    assert named.columns == ["p", "q"]
+
+
+def test_utf8_and_gzip_and_crlf(spark, corpus):
+    utf = readtable(spark, f"{corpus}/utf8.csv")
+    assert {r.name for r in utf.collect()} == {"müller", "北京"}
+    gz = readtable(spark, f"{corpus}/gz.csv.gz")
+    assert gz.count() == 2
+    win = readtable(spark, f"{corpus}/windows.csv")
+    assert win.count() == 2 and win.columns == ["a", "b"]
+
+
+def test_nrows_limit(spark, corpus):
+    assert readtable(spark, f"{corpus}/blanklines.csv", nrows=1).count() == 1
+
+
+def test_decimal_mark(spark, tmp_path):
+    p = tmp_path / "locale.csv"
+    p.write_text("a;b\n1,5;x\n2,25;y\n")
+    df = readtable(spark, str(p), separator=";", decimal=",")
+    assert [r.a for r in df.collect()] == [1.5, 2.25]
+
+
+def test_write_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    out = str(tmp_path / "out_csv")
+    writetable(df, out, single_file=True)
+    back = readtable(spark, out)
+    assert {(r.a, r.b) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+    pq = str(tmp_path / "out_parquet")
+    save(df, pq)
+    assert load_df(spark, pq).count() == 2
+    part = str(tmp_path / "out_part")
+    save(df, part, partition_by=["b"])
+    assert os.path.isdir(f"{part}/b=x")

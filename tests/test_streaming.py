@@ -1,0 +1,94 @@
+"""Streaming tests mirroring reference test/datastream.jl: minibatch
+iteration counts + aggregate agreement, plus Structured Streaming
+incremental aggregation."""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import functions as F
+
+from dataframes_jl_spark.streaming import (
+    DataStream,
+    openstream,
+    read_minibatch,
+    stream_aggregate,
+)
+from dataframes_jl_spark.streaming.datastream import windowed_event_counts
+
+
+def test_minibatch_iteration_counts(spark, tmp_path):
+    p = tmp_path / "stream.csv"
+    lines = ["a,b"] + [f"{i},{i * 0.5}" for i in range(100)]
+    p.write_text("\n".join(lines) + "\n")
+    ds = openstream(spark, str(p), nrows=7)
+    chunks = list(ds)
+    assert sum(len(c) for c in chunks) == 100
+    assert all(len(c) <= 7 for c in chunks)
+    first = read_minibatch(ds)
+    assert len(first) == 7
+
+
+def test_streaming_aggregates_match_batch(spark, tables):
+    """Chunked-vs-whole agreement (reference test/datastream.jl:24-60,
+    test_ddataframe chunked colsums check)."""
+    li = tables["lineitem"].select("l_quantity", "l_extendedprice")
+    ds = DataStream(li, nrows=500)
+    means = ds.colmeans()
+    batch = li.agg(
+        F.avg("l_quantity").alias("q"), F.avg("l_extendedprice").alias("p")
+    ).collect()[0]
+    assert math.isclose(means["l_quantity"], batch.q, rel_tol=1e-9)
+    assert math.isclose(means["l_extendedprice"], batch.p, rel_tol=1e-9)
+    # chunk-accumulated mean agrees too (the reference's hand-rolled path)
+    tot = n = 0.0
+    for chunk in ds:
+        tot += chunk["l_quantity"].sum()
+        n += len(chunk)
+    assert math.isclose(tot / n, batch.q, rel_tol=1e-9)
+
+
+def test_structured_streaming_incremental(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "part1.csv").write_text("g,v\na,1.0\nb,2.0\n")
+    (d / "part2.csv").write_text("g,v\na,3.0\nb,4.0\n")
+    q = stream_aggregate(
+        spark,
+        str(d),
+        schema="g string, v double",
+        agg_exprs={"total": "sum(v)", "n": "count(1)"},
+        group_by=["g"],
+        query_name="t_stream_agg",
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            r.g: (r.total, r.n)
+            for r in spark.sql("SELECT * FROM t_stream_agg").collect()
+        }
+        assert out == {"a": (4.0, 2), "b": (6.0, 2)}
+        # late-arriving file is incrementally folded in
+        (d / "part3.csv").write_text("g,v\na,10.0\n")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            row = spark.sql(
+                "SELECT total FROM t_stream_agg WHERE g='a'"
+            ).collect()
+            if row and row[0].total == 14.0:
+                break
+            time.sleep(0.5)
+        assert row[0].total == 14.0
+    finally:
+        q.stop()
+
+
+def test_windowed_event_counts_batch(spark, tables):
+    """Event-time tumbling window as batch rollup on the events table."""
+    out = windowed_event_counts(tables["events"], window="1 day")
+    rows = out.collect()
+    assert all(r.n > 0 for r in rows)
+    total = sum(r.n for r in rows)
+    assert total == tables["events"].count()
