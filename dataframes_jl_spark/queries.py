@@ -1044,3 +1044,429 @@ def q_model_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("`o_totalprice&o_orderstatus:O`"), 2).alias("sum_interact")
     )
     return base.crossJoin(inter)
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: crosstab, set ops, sortperm, scalar surface, moments,
+# tri-state any/all, lag ops, positional rows, applyInPandas, rollup, ranks
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_crosstab",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xtab/xtabs/table cross-tabulation (reference exports
+    src/DataFrames.jl:153,162-163) via ops.crosstab → stat.crosstab."""
+    from .ops.reshape import crosstab
+
+    orders = _t(spark, sf_dir, "orders")
+    ct = crosstab(orders, "o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        F.col("F").cast("bigint").alias("F"),
+        F.col("O").cast("bigint").alias("O"),
+        F.col("P").cast("bigint").alias("P"),
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-set intersect/except (SURVEY §2.7 'free in Spark') via
+    ops.setops — both plan as aggregations, no driver collect."""
+    from .ops.setops import except_rows, intersect_rows
+
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    i = intersect_rows(cust, supp).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = except_rows(cust, supp).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return i.unionByName(e)
+
+
+@register(
+    "q_sortperm",
+    oracle="""
+    SELECT s_suppkey,
+           ROW_NUMBER() OVER (ORDER BY s_nationkey ASC,
+                              s_acctbal DESC, s_suppkey ASC) AS perm
+    FROM supplier
+    """,
+)
+def q_sortperm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortperm with mixed per-column directions (reference
+    src/dataframe.jl:1851-1852, UserColOrdering :1556-1562) via
+    ops.sorting.sortperm; suppkey tie-break for determinism."""
+    from .ops.sorting import order, sortperm
+
+    supp = _t(spark, sf_dir, "supplier")
+    out = sortperm(
+        supp,
+        [order("s_nationkey"), order("s_acctbal", rev=True), order("s_suppkey")],
+    )
+    return out.select("s_suppkey", F.col("__perm__").alias("perm"))
+
+
+@register(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(SQRT(l_quantity)), 2) AS sum_sqrt_qty,
+           ROUND(SUM(LN(l_extendedprice)), 2) AS sum_log_price,
+           ROUND(SUM(ABS(l_discount - 0.05)), 2) AS sum_abs_disc,
+           ROUND(SUM(POW(l_discount, 2)), 4) AS sum_disc_sq,
+           ROUND(SUM(MOD(l_quantity, 7)), 2) AS sum_qty_mod7,
+           SUM(CAST(FLOOR(l_quantity / 10) AS BIGINT)) AS sum_qty_fld10
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementary scalar surface (reference src/operators.jl:7-48 lifted
+    elementwise) via functions.scalar.lift — every op stays in
+    whole-stage codegen (no Python UDFs)."""
+    from .functions.scalar import lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(lift("sqrt", "l_quantity")), 2).alias("sum_sqrt_qty"),
+        F.round(F.sum(lift("log", "l_extendedprice")), 2).alias("sum_log_price"),
+        F.round(F.sum(lift("abs", F.col("l_discount") - 0.05)), 2).alias("sum_abs_disc"),
+        F.round(F.sum(lift("^", "l_discount", 2)), 4).alias("sum_disc_sq"),
+        F.round(F.sum(lift("mod", "l_quantity", 7)), 2).alias("sum_qty_mod7"),
+        F.sum(lift("fld", "l_quantity", 10)).alias("sum_qty_fld10"),
+    )
+
+
+@register(
+    "q_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           ROUND(CORR(l_discount, l_tax), 6) AS disc_tax_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cor/cov (reference src/dataframe.jl:1514-1521, src/operators.jl:64)
+    as grouped corr()/covar_samp() aggregates — one pass, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax_corr"),
+    )
+
+
+@register(
+    "q_moments",
+    oracle="""
+    WITH mu AS (SELECT l_returnflag AS rf, AVG(l_quantity) AS m FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT l_returnflag AS rf,
+                  AVG(POW(l_quantity - m, 2)) AS m2,
+                  AVG(POW(l_quantity - m, 3)) AS m3,
+                  AVG(POW(l_quantity - m, 4)) AS m4
+           FROM lineitem JOIN mu ON l_returnflag = mu.rf
+           GROUP BY 1
+         )
+    SELECT rf AS l_returnflag,
+           ROUND(m3 / POW(m2, 1.5), 4) AS qty_skew,
+           ROUND(m4 / POW(m2, 2) - 3, 4) AS qty_kurt,
+           ROUND(SQRT(m2), 4) AS qty_std_pop
+    FROM c
+    """,
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness/kurtosis/population-std (reference vector reductions
+    src/operators.jl:52-53) — Spark's one-pass central-moment aggregates
+    vs a two-pass centered oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurt"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("qty_std_pop"),
+    )
+
+
+@register(
+    "q_any_all_tristate",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN BOOL_OR(v) THEN TRUE
+                WHEN COUNT(CASE WHEN v IS NULL THEN 1 END) > 0 THEN NULL
+                ELSE FALSE END AS any_big,
+           CASE WHEN BOOL_OR(NOT v) THEN FALSE
+                WHEN COUNT(CASE WHEN v IS NULL THEN 1 END) > 0 THEN NULL
+                ELSE TRUE END AS all_big
+    FROM (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE value > 50 END AS v
+        FROM events
+    ) GROUP BY user_id
+    """,
+)
+def q_any_all_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NA-aware tri-state any/all (reference src/operators.jl:251-277)
+    via functions.na.any_na/all_na — single aggregation pass."""
+    from .functions.na import all_na, any_na
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("boolean"))
+        .otherwise(F.col("value") > 50)
+        .alias("v"),
+    )
+    return ev.groupBy("user_id").agg(
+        any_na("v").alias("any_big"),
+        all_na("v").alias("all_big"),
+    )
+
+
+@register(
+    "q_pct_change",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND((value - LAG(value) OVER w) / LAG(value) OVER w, 6) AS rel_diff,
+           ROUND(100.0 * (value - LAG(value) OVER w) / LAG(value) OVER w, 4)
+               AS pct_change
+    FROM events
+    WHERE value > 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reldiff / percent_change lag ops (reference src/operators.jl:58,
+    export src/DataFrames.jl:121) via ops.window — per-user partitions,
+    no global sort."""
+    from .ops.window import percent_change, reldiff
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    ob, pb = ["ts", "event_id"], "user_id"
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(reldiff("value", ob, pb), 6).alias("rel_diff"),
+        F.round(percent_change("value", ob, pb), 4).alias("pct_change"),
+    )
+
+
+@register(
+    "q_complete_cases",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN value IS NOT NULL AND props IS NOT NULL
+                 THEN 1 END) AS n_complete
+    FROM (
+        SELECT event_type,
+               CASE WHEN value < 10 THEN NULL ELSE value END AS value,
+               CASE WHEN user_id % 7 = 0 THEN NULL ELSE props END AS props
+        FROM events
+    ) GROUP BY event_type
+    """,
+)
+def q_complete_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """complete_cases / dropna accounting (reference
+    src/dataframe.jl:1412-1421): the boolean is the conjunction of
+    isNotNull — counted per event_type without materializing the mask."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("props")).alias("props"),
+    )
+    complete = F.col("value").isNotNull() & F.col("props").isNotNull()
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(complete.cast("bigint")).alias("n_complete"),
+    )
+
+
+@register(
+    "q_positional_rows",
+    oracle="""
+    SELECT pos, o_orderkey, o_totalprice FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos,
+               o_orderkey, o_totalprice
+        FROM orders
+    ) WHERE pos BETWEEN 101 AND 110
+    """,
+)
+def q_positional_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional row slice df[101:110, :] (reference
+    src/dataframe.jl:375-398; SURVEY §7 hard part #1): synthetic row_id
+    via row_number over an explicit order, lazily — only materialized
+    because a positional op was requested."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("pos", F.row_number().over(w))
+        .filter((F.col("pos") >= 101) & (F.col("pos") <= 110))
+        .select("pos", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_by_apply_topn",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 2
+    """,
+)
+def q_by_apply_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """by(df, cols, f) with an arbitrary multi-row pandas function
+    (reference src/grouping.jl:186-192,248-262) via ops.grouping.by →
+    applyInPandas with declared schema; Arrow-batched per group."""
+    from .ops.grouping import by
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+    def top2(pdf):
+        return pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+
+    return by(
+        orders,
+        "o_orderpriority",
+        top2,
+        schema="o_orderpriority string, o_orderkey bigint, o_totalprice double",
+    )
+
+
+@register(
+    "q_paste_columns",
+    oracle="""
+    SELECT n_nationkey,
+           CONCAT_WS('|', n_name, CAST(n_regionkey AS VARCHAR)) AS pasted
+    FROM nation
+    """,
+)
+def q_paste_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paste_columns row-wise string join (reference src/extras.jl:32-44)
+    via ops.reshape.paste_columns → concat_ws (codegen)."""
+    from .ops.reshape import paste_columns
+
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        paste_columns(nation, "|", ["n_name", "n_regionkey"]).alias("pasted"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (SURVEY §2.4 'Not present' — free in
+    Spark): partial aggregation handles all grouping-set levels in one
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_rank_windows",
+    oracle="""
+    SELECT c_custkey,
+           RANK() OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ROUND(c_acctbal, 0) DESC)
+    """,
+)
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile (SURVEY §2.5 'Not present' — free in
+    Spark). Rank windows use a rounded key so ties actually occur;
+    ntile ordering is made total with the custkey tie-break."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.round("c_acctbal", 0).desc())
+    wq = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(wq).alias("bal_quartile"),
+    )
+
+
+@register(
+    "q_join_natural_right",
+    oracle="""
+    SELECT r.regionkey, r_name, n_name
+    FROM (SELECT n_name, n_regionkey AS regionkey FROM nation
+          WHERE n_regionkey < 2) n
+    RIGHT JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
+      USING (regionkey)
+    """,
+)
+def q_join_natural_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural join (on=None → first common column, reference
+    src/merge.jl:133-136) with kind=:right via ops.join; unmatched right
+    rows carry NULL n_name."""
+    from .ops import join as jl_join
+
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2).select(
+        "n_name", F.col("n_regionkey").alias("regionkey")
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("regionkey"), "r_name"
+    )
+    j = jl_join(nation, region, on=None, kind="right")
+    return j.select("regionkey", "r_name", "n_name")
