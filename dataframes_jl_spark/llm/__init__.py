@@ -12,6 +12,7 @@ Design rules for 100 TB:
 """
 
 from .dedup import (  # noqa: F401
+    embedding_dup_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -20,7 +21,7 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
-from .similarity import brute_force_topk, lsh_topk  # noqa: F401
+from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
     language_id,

@@ -245,3 +245,69 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embedding_dup_pairs(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucketed: bool = False,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 6,
+):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold.
+
+    ``bucketed=False`` (default): exact all-pairs — O(n²) cross join,
+    correct baseline, only for modest n or a pre-blocked partition.
+    ``bucketed=True``: hyperplane-LSH blocking (llm.similarity) — only
+    pairs sharing a signature in >=1 of ``num_tables`` tables are
+    scored; recall < 1 by construction but work is bounded by bucket
+    occupancy, which is the 100 TB path.
+    """
+    from functools import reduce
+
+    from .similarity import _as_double, cosine, hyperplane_signature
+
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if not bucketed:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        parts = []
+        for t in range(num_tables):
+            parts.append(
+                base.select(
+                    "id",
+                    "v",
+                    F.lit(t).alias("table"),
+                    hyperplane_signature(
+                        F.col("v"), dim, num_planes, seed=11 + 17 * t
+                    ).alias("bucket"),
+                )
+            )
+        tabbed = reduce(lambda x, y: x.unionByName(y), parts)
+        a = tabbed.select(
+            "table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
+        )
+        b = tabbed.select(
+            "table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        )
+        pairs = (
+            a.join(b, on=["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 # typed metadata schema carried alongside every binary payload
 MEDIA_META_SCHEMA = (
-    "media_id bigint, kind string, mime string, n_bytes bigint, sha1 string"
+    "media_id bigint, kind string, mime string, n_bytes bigint, sha256 string"
 )
 
 IMAGE_FEATURES_SCHEMA = (
@@ -32,13 +32,14 @@ IMAGE_FEATURES_SCHEMA = (
 def attach_media_meta(
     df: DataFrame, id_col: str, payload_col: str, kind: str, mime: str
 ) -> DataFrame:
-    """Wrap a binary column with typed metadata (JVM-side: length + sha1)."""
+    """Wrap a binary column with typed metadata (JVM-side: length + sha256;
+    sha256 rather than sha1 so a SQL oracle can recompute it)."""
     return df.select(
         F.col(id_col).cast("bigint").alias("media_id"),
         F.lit(kind).alias("kind"),
         F.lit(mime).alias("mime"),
         F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
-        F.sha1(F.col(payload_col)).alias("sha1"),
+        F.sha2(F.col(payload_col), 256).alias("sha256"),
         F.col(payload_col).alias("payload"),
     )
 
@@ -48,15 +49,15 @@ def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, int, flo
 
     STUB: real implementation requires an image library not present in
     this container. ``fake=True`` produces a deterministic stand-in
-    derived from the payload hash so the distributed plumbing is
-    testable end-to-end.
+    derived from the payload sha256 so the distributed plumbing is
+    testable end-to-end and recomputable by a SQL oracle.
     """
     if not fake:
         raise NotImplementedError(
             "image decoding requires Pillow/libvips; run with fake=True "
             "or swap _decode_image_kernel in production"
         )
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     channels = 3

@@ -179,3 +179,77 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate self-join top-k.
+
+    Coarse quantizer: KMeans (Spark ML) over the corpus; every vector is
+    assigned to its nearest centroid (the "inverted list"). Each query
+    probes its ``n_probe`` nearest centroids and computes exact cosine
+    only against those lists.
+
+    Scale shape: the corpus shuffles ONCE on centroid id; queries fan
+    out n_probe× and join on centroid id — per-query work is bounded by
+    list occupancy (~N/n_centroids × n_probe), not N. The centroid
+    table itself is tiny (n_centroids × dim) and broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    feat = base.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    assigned = model.transform(feat).select(
+        "id", "v", F.col("prediction").alias("centroid")
+    )
+
+    # centroid table: tiny, shipped as a broadcast join side
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid int, cv array<double>",
+    )
+    # each query picks its n_probe nearest centroids (euclidean == cosine
+    # ordering here only approximately; euclidean matches the quantizer)
+    def sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    wq = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid"))
+    probes = (
+        base.crossJoin(F.broadcast(cents))
+        .select("id", "v", "centroid", sq_dist(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "centroid")
+    )
+    cand = (
+        probes.join(assigned, on="centroid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

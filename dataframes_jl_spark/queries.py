@@ -1470,3 +1470,77 @@ def q_join_natural_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = jl_join(nation, region, on=None, kind="right")
     return j.select("regionkey", "r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 3: embedding-cosine dedup, IVF ANN, multimodal decode
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.42
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (llm.dedup.embedding_dup_pairs,
+    exact mode) — the all-pairs baseline the LSH-bucketed mode is
+    measured against. JVM-side zip_with/aggregate dot products. The
+    synthetic embeddings are near-orthogonal (max cos ~0.51), so the
+    threshold sits where the corpus actually has pairs."""
+    from .llm import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate self-join top-3 (llm.similarity.ivf_topk):
+    KMeans coarse quantizer + n_probe inverted lists. Approximate by
+    design (and KMeans assignment is data-layout-dependent) → rows-only
+    check; recall vs brute force is unit-tested."""
+    from .llm import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_centroids=16, n_probe=3)
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS BIGINT) % 192 AS width,
+           64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS BIGINT) % 192 AS height,
+           ROUND(CAST(('0x' || substr(sha256(text), 5, 2)) AS BIGINT) / 255.0, 6)
+               AS mean_luma
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (llm.multimodal): text bytes as an
+    opaque binary payload → typed metadata (JVM sha256/length) →
+    Arrow-batched mapInPandas decode with the deterministic fake kernel.
+    The oracle recomputes the sha256-derived fake features in SQL,
+    proving the distributed schema/batching/UDF contract, not the codec."""
+    from .llm.multimodal import attach_media_meta, decode_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = attach_media_meta(docs, "doc_id", "payload", kind="image", mime="image/fake")
+    feats = decode_images(media, fake=True)
+    meta = media.select("media_id", "n_bytes")
+    return meta.join(feats, on="media_id").select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )

@@ -153,7 +153,7 @@ def test_multimodal_plumbing(spark):
     )
     media = attach_media_meta(df, "id", "payload", kind="image", mime="image/png")
     metas = media.collect()
-    assert all(m.n_bytes == 18 and len(m.sha1) == 40 for m in metas)
+    assert all(m.n_bytes == 18 and len(m.sha256) == 64 for m in metas)
     feats = decode_images(media, fake=True).collect()
     assert len(feats) == 2
     assert all(64 <= f.width < 256 and 0 <= f.mean_luma <= 1 for f in feats)
@@ -165,3 +165,44 @@ def test_multimodal_plumbing(spark):
         decode_images(media, fake=False).collect()
     plan = frame_sample_plan(media.withColumn("n_bytes", F.lit(90000)), every_n=30)
     assert plan.filter("media_id = 1").count() == 3  # frames 0,30,60
+
+
+def test_ivf_topk_recall_on_testdata(spark):
+    from dataframes_jl_spark.llm import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = brute_force_topk(emb, emb, k=1)
+    approx = ivf_topk(emb, k=1, n_centroids=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.6, f"IVF top-1 recall too low: {recall}"
+
+
+def test_embedding_dup_pairs_exact_vs_bucketed(spark):
+    import random
+
+    from dataframes_jl_spark.llm import embedding_dup_pairs
+
+    # planted near-dups: 20 random base vectors, 10 of them duplicated
+    # with tiny noise — those 10 pairs (i, i+100) are the ground truth
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i < 10:
+            rows.append((i + 100, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exact = embedding_dup_pairs(df, threshold=0.99)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert e == {(i, i + 100) for i in range(10)}
+    bucketed = embedding_dup_pairs(
+        df, threshold=0.99, bucketed=True, dim=16, num_planes=4, num_tables=8
+    )
+    b = {(r.id_a, r.id_b) for r in bucketed.collect()}
+    # bucketed mode returns a subset of the exact pair set (no false
+    # positives); near-identical vectors almost always share a bucket
+    assert b <= e
+    assert len(b) / len(e) >= 0.8, f"bucketed recall too low: {len(b)}/{len(e)}"
