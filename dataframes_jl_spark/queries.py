@@ -1544,3 +1544,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint").alias("height"),
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 21600 THEN 1
+                  ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), x AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM s
+    )
+    SELECT user_id, CAST(MAX(session_idx) AS INT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch mode (streaming.sessionize; the
+    same semantics run incrementally via applyInPandasWithState in
+    sessionize_stream). 6-hour gap; per-user session/event counts."""
+    from .streaming import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, gap_seconds=21600.0)
+    return s.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -92,3 +92,54 @@ def test_windowed_event_counts_batch(spark, tables):
     assert all(r.n > 0 for r in rows)
     total = sum(r.n for r in rows)
     assert total == tables["events"].count()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful applyInPandasWithState sessionization: state must carry
+    across micro-batches (maxFilesPerTrigger=1 → one batch per file)."""
+    from dataframes_jl_spark.streaming import sessionize, sessionize_stream
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    # user 1: events at 0h, 0.5h, 3h (gap>1h → new session), user 2: 0h, 2h
+    (d / "a.csv").write_text(
+        "user_id,ts\n"
+        "1,2024-01-01 00:00:00\n"
+        "1,2024-01-01 00:30:00\n"
+        "2,2024-01-01 00:00:00\n"
+    )
+    (d / "b.csv").write_text(
+        "user_id,ts\n"
+        "1,2024-01-01 03:00:00\n"
+        "2,2024-01-01 02:00:00\n"
+    )
+    schema = "user_id bigint, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=3600.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, str(r.ts)): r.session_idx
+            for r in spark.sql("SELECT * FROM t_sessions").collect()
+        }
+    finally:
+        q.stop()
+    batch_df = spark.read.schema(schema).option("header", True).csv(str(d))
+    expect = {
+        (r.user_id, str(r.ts)): r.session_idx
+        for r in sessionize(batch_df, gap_seconds=3600.0).collect()
+    }
+    assert got == expect
+    assert expect[(1, "2024-01-01 03:00:00")] == 2
+    assert expect[(2, "2024-01-01 02:00:00")] == 2
