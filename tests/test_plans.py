@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 promises —
+filters reach the parquet scan, projections prune columns, dimension
+joins broadcast, top-k avoids global sorts, heavy ops avoid cartesian
+products. Regressions here are performance bugs even when results stay
+correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from dataframes_jl_spark.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q06_filters_pushed_and_columns_pruned(spark):
+    plan = plan_of(QUERIES["q06_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters:" in plan
+    # range + comparison predicates reach the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # projection pruned to the 4 referenced columns, not the full table
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+    assert "l_discount" in read and "l_extendedprice" in read
+
+
+def test_q03_dims_broadcast_no_cartesian(spark):
+    plan = plan_of(QUERIES["q03_nation_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q01_partial_aggregation(spark):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, SF_DIR))
+    # map-side partial agg before the exchange, final after
+    assert "partial_sum" in plan or "Partial" in plan
+    assert plan.count("Exchange") >= 1
+
+
+def test_q10_take_ordered_not_global_sort(spark):
+    plan = plan_of(QUERIES["q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_no_cartesian_and_parallel(spark):
+    plan = plan_of(QUERIES["q_dedup_minhash_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the CPU-bound signature stage runs behind a hash repartition on id
+    assert "hashpartitioning(id" in plan
+
+
+def test_window_partitioned_not_global(spark):
+    plan = plan_of(QUERIES["q_cumulative_user_value"](spark, SF_DIR))
+    # per-user windows shuffle on user_id — no single-partition exchange
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
