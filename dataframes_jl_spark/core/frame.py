@@ -72,6 +72,11 @@ class JlDataFrame:
     def __repr__(self) -> str:
         return f"JlDataFrame[{self.ncol()} cols: {', '.join(self.colnames[:8])}...]"
 
+    def _repr_html_(self) -> str:
+        """HTML MIME output (reference writemime text/html,
+        src/io.jl:805-862): render the head only — never the table."""
+        return self._sdf.limit(10).toPandas()._repr_html_()
+
     # ------------------------------------------------------------- selection
     def __getitem__(self, key):
         """df[col] → JlDataFrame of one column; df[[cols]] / df[mask] /

@@ -180,3 +180,21 @@ def writetable(
         .option("quote", quotemark)
         .csv(path)
     )
+
+
+def read_rda(spark, path: str):
+    """R .rda/.RData reader (reference src/RDA.jl) — out of native Spark
+    scope; bridged through pyreadr when available (import-gated: the
+    library is not in this container)."""
+    try:
+        import pyreadr  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "read_rda requires the optional 'pyreadr' package; install it "
+            "and retry (reference parity: src/RDA.jl)"
+        ) from e
+    result = pyreadr.read_r(path)
+    out = {}
+    for name, pdf in result.items():
+        out[name] = spark.createDataFrame(pdf)
+    return out

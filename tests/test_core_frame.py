@@ -98,3 +98,34 @@ def test_dedup_on_construction(spark):
 def test_flipud(jdf):
     vals = [r.a for r in jdf.flipud().sdf.select("a").collect()]
     assert vals == [3, 3, 2, 1]
+
+
+def test_rep_gl_paste(spark):
+    from dataframes_jl_spark.functions.extras import gl, paste, rep
+
+    r = rep(spark, ["a", "b"], times=2, each=3)
+    rows = [x.value for x in r.orderBy("idx").collect()]
+    assert rows == ["a", "a", "a", "b", "b", "b"] * 2
+
+    g = gl(spark, n=2, k=3)
+    assert [x.level for x in g.orderBy("idx").collect()] == [1, 1, 1, 2, 2, 2]
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    got = [r.p for r in df.select(paste(["a", "b"], sep="-").alias("p")).collect()]
+    assert got == ["1-x", "2-y"]
+
+
+def test_read_rda_gated(spark):
+    import pytest as _pytest
+
+    from dataframes_jl_spark.io.readtable import read_rda
+
+    with _pytest.raises(NotImplementedError):
+        read_rda(spark, "/nonexistent.rda")
+
+
+def test_repr_html(tables):
+    from dataframes_jl_spark.core.frame import JlDataFrame
+
+    html = JlDataFrame(tables["region"])._repr_html_()
+    assert "<table" in html
