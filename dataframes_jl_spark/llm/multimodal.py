@@ -71,13 +71,18 @@ def decode_images(
     id_col: str = "media_id",
     fake: bool = False,
     batch_rows: int = 256,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Image decode / feature-extract over mapInPandas.
 
     Batch shape matters at scale: media payloads are large, so the
     iterator yields small slices (``batch_rows``) to bound executor
-    memory instead of one huge Arrow batch per partition.
+    memory instead of one huge Arrow batch per partition. The decode is
+    CPU-bound, so the input is repartitioned to at least the cluster
+    parallelism — a single-file source must not serialize the kernel
+    onto one core.
     """
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,7 +101,7 @@ def decode_images(
                     }
                 )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(id_col, payload_col).repartition(par).mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
     )
 

@@ -102,3 +102,47 @@ def top_k(df: DataFrame, cols, k: int, rev: bool = True) -> DataFrame:
     if isinstance(cols, (str, order, Column)):
         cols = [cols]
     return df.orderBy(*_resolve(cols, rev)).limit(k)
+
+
+def global_row_number(
+    df: DataFrame,
+    cols: str | Sequence | None = None,
+    rev: bool = False,
+    col_name: str = "__row_id__",
+) -> DataFrame:
+    """Distributed 1-based global rank under the given ordering — the
+    scale path for positional semantics (SURVEY §7 hard part #1).
+
+    ``row_number() OVER (ORDER BY …)`` plans a SinglePartition exchange:
+    every row through one task. Instead: range-repartition on the sort
+    key (parallel sampled shuffle), local sort, then per-partition
+    row_number + the cumulative row-count offset of all earlier
+    partitions (one tiny count job, #partitions rows collected). Total
+    order requires the ordering to be total — add a tie-break column.
+    """
+    if cols is None:
+        cols = df.columns
+    elif isinstance(cols, (str, order, Column)):
+        cols = [cols]
+    specs = _resolve(cols, rev)
+    parted = df.repartitionByRange(*specs).sortWithinPartitions(*specs)
+    with_pid = parted.withColumn("__pid__", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid__"], r["cnt"])
+        for r in with_pid.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid__").orderBy(*specs)
+    return (
+        with_pid.withColumn(
+            col_name,
+            (F.row_number().over(w) + F.coalesce(omap[F.col("__pid__")], F.lit(0))).cast("bigint"),
+        )
+        .drop("__pid__")
+    )

@@ -1320,17 +1320,16 @@ def q_complete_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_positional_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional row slice df[101:110, :] (reference
     src/dataframe.jl:375-398; SURVEY §7 hard part #1): synthetic row_id
-    via row_number over an explicit order, lazily — only materialized
-    because a positional op was requested."""
-    from pyspark.sql import Window
+    via ops.sorting.global_row_number — range-partitioned rank with
+    per-partition offsets, NOT a single-partition window, so positional
+    access stays distributed at scale."""
+    from .ops.sorting import global_row_number, order
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(orders, [order("o_orderkey")], col_name="pos")
     return (
-        orders.select("o_orderkey", "o_totalprice")
-        .withColumn("pos", F.row_number().over(w))
-        .filter((F.col("pos") >= 101) & (F.col("pos") <= 110))
-        .select("pos", "o_orderkey", "o_totalprice")
+        ranked.filter((F.col("pos") >= 101) & (F.col("pos") <= 110))
+        .select(F.col("pos").cast("int").alias("pos"), "o_orderkey", "o_totalprice")
     )
 
 

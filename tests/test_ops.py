@@ -229,3 +229,36 @@ def test_cor_spearman(spark):
         [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0)], "x double, y double"
     )
     assert math.isclose(cor_spearman(df, "x", "y"), 1.0)
+
+
+def test_global_row_number_matches_window(spark, tables):
+    """Distributed rank == single-partition window rank on a total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.sorting import global_row_number, order
+
+    supp = tables["supplier"]
+    got = global_row_number(
+        supp, [order("s_acctbal", rev=True), order("s_suppkey")], col_name="rid"
+    )
+    w = Window.orderBy(F.col("s_acctbal").desc_nulls_first(), F.col("s_suppkey"))
+    want = supp.withColumn("rid", F.row_number().over(w).cast("bigint"))
+    assert {(r.s_suppkey, r.rid) for r in got.collect()} == {
+        (r.s_suppkey, r.rid) for r in want.collect()
+    }
+
+
+def test_global_row_number_no_single_partition(spark, tables):
+    import contextlib
+    import io
+
+    from dataframes_jl_spark.ops.sorting import global_row_number, order
+
+    out = global_row_number(
+        tables["orders"], [order("o_orderkey")], col_name="rid"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
