@@ -1849,3 +1849,78 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS n
+    FROM (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT)
+                            * 43200) AS TIMESTAMP) AS ws, event_type
+        FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT)
+                            * 43200 - 43200) AS TIMESTAMP) AS ws, event_type
+        FROM events
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 day window, 12 h slide) via
+    streaming.windowed_event_counts — every event lands in exactly two
+    overlapping windows; the oracle replays the epoch-aligned window
+    arithmetic explicitly."""
+    from .streaming.datastream import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 day", slide="12 hours")
+    return out.select("window_start", "event_type", "n")
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two keys (SURVEY §2.4 'Not present' — free in
+    Spark); all 4 grouping sets in one shuffle via partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregates (SURVEY §2.4 'Not present' — free):
+    two distinct aggregates expand+re-aggregate in one plan. The
+    approx_count_distinct (HLL) variant is the 100 TB default; exact is
+    kept here because the oracle must match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
