@@ -293,3 +293,38 @@ class JlDataFrame:
     def unique(self) -> "JlDataFrame":
         """unique/drop_duplicates! (reference src/dataframe.jl:1472-1483)."""
         return JlDataFrame(self.sdf.dropDuplicates())
+
+    # ------------------------------------------------------------ conversion
+    def to_dict(self) -> dict:
+        """dict(df) — name → python list (reference
+        src/dataframe.jl:1982-1998). Driver materialization: head-guard
+        large frames yourself; this is the notebook escape hatch."""
+        pdf = self._sdf.toPandas()
+        return {c: pdf[c].tolist() for c in pdf.columns}
+
+    def to_numpy(self):
+        """array/matrix(df) → dense ndarray with promoted dtype
+        (reference src/dataframe.jl:1423-1450)."""
+        return self._sdf.toPandas().to_numpy()
+
+    def hash(self, order_cols=None) -> int:
+        """hash(df) (reference src/dataframe.jl:1965-1971): order-
+        sensitive when ``order_cols`` gives a total order (row rank is
+        mixed into each row hash), order-insensitive multiset hash
+        otherwise. Distributed: per-row xxhash64, one aggregation."""
+        from pyspark.sql import functions as F
+
+        df = self._sdf
+        if order_cols:
+            from ..ops.sorting import global_row_number
+
+            ranked = global_row_number(df, order_cols, col_name="__rid__")
+            row_h = F.xxhash64(*[F.col(c) for c in df.columns], F.col("__rid__"))
+            src = ranked
+        else:
+            row_h = F.xxhash64(*[F.col(c) for c in df.columns])
+            src = df
+        out = src.select(row_h.alias("h")).agg(
+            F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return hash((out.s, out.n))

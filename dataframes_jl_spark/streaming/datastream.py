@@ -157,3 +157,16 @@ def windowed_event_counts(
         "n",
         "total_value",
     )
+
+
+def select_row(ds: DataStream, i: int):
+    """Streaming ``select(ds, i)`` (reference src/datastream.jl:448-458):
+    scan minibatches until global row ``i`` (0-based) in stream order —
+    the same sequential-scan contract as the reference, driver-side by
+    construction."""
+    seen = 0
+    for chunk in ds:
+        if seen + len(chunk) > i:
+            return chunk.iloc[i - seen]
+        seen += len(chunk)
+    return None

