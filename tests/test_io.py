@@ -125,3 +125,40 @@ def test_write_roundtrip(spark, tmp_path):
     part = str(tmp_path / "out_part")
     save(df, part, partition_by=["b"])
     assert os.path.isdir(f"{part}/b=x")
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, tables, tmp_path):
+    """save(bucket_by=...) co-locates both sides on the join key: the
+    subsequent equi-join plans with NO Exchange on either side — the
+    shuffle-free-join lever for repeated 100 TB joins."""
+    import contextlib
+    import io as _io
+
+    from dataframes_jl_spark.io.parquet import save
+
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    save(orders, str(tmp_path / "o"), bucket_by=(4, ["o_orderkey"]),
+         table_name="t_bucket_orders")
+    save(li, str(tmp_path / "l"), bucket_by=(4, ["o_orderkey"]),
+         table_name="t_bucket_lineitem")
+    try:
+        a = spark.table("t_bucket_orders")
+        b = spark.table("t_bucket_lineitem")
+        # hint past the small-table broadcast so the bucketed SMJ path shows
+        j = a.hint("merge").join(b, on="o_orderkey")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        # no shuffle on either side: bucketing provides the partitioning
+        assert "Exchange" not in plan
+        # and results are right
+        assert j.count() == tables["lineitem"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_lineitem")
