@@ -186,9 +186,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # band rows carry ONLY (id, band, bucket): exploding 32 bands per doc
+    # with the shingle array attached would ship the payload 32x through
+    # the join exchange; shingles re-attach after pair dedup instead
     banded = hashed.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -197,22 +199,28 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sa"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verification over the materialized shingle arrays
+    # exact verification: join the (id, shingles) table back onto the
+    # deduped candidate pairs — each shingle array ships once per side
+    sh_tab = hashed.select("id", "sh")
+    pairs = (
+        cand.join(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), on="id_a")
+        .join(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), on="id_b")
+    )
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size("sa") + F.size("sb") - common
     jac = common / union
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
