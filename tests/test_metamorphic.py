@@ -1,0 +1,96 @@
+"""Metamorphic equivalences on randomized inputs — the reference's own
+test style (SURVEY §5: grouping checked against sort+unique,
+expression-vs-function agreement, sortperm invariants on random data),
+driven by hypothesis over small generated frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=40)
+vals = st.lists(
+    st.one_of(st.floats(-1e6, 1e6, allow_nan=False), st.none()),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(k=keys, v=vals)
+@SETTINGS
+def test_groupby_count_matches_sort_distinct(spark, k, v):
+    """groupBy keys == distinct keys; counts sum to nrows (reference
+    test/grouping.jl:12-15)."""
+    n = min(len(k), len(v))
+    pdf = pd.DataFrame({"k": k[:n], "v": v[:n]})
+    df = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                               "k string, v double")
+    agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {r.k for r in agg} == {r.k for r in df.select("k").distinct().collect()}
+    assert sum(r.n for r in agg) == n
+
+
+@given(v=vals)
+@SETTINGS
+def test_sortperm_is_permutation_and_sorted(spark, v):
+    """sortperm yields a 1..n permutation; gathering by it sorts
+    (reference test/sort.jl:12-45). NULLs first, ties broken by idx."""
+    from dataframes_jl_spark.ops.sorting import global_row_number, order
+
+    pdf = pd.DataFrame({"v": v, "idx": range(len(v))})
+    df = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                               "v double, idx bigint")
+    ranked = global_row_number(df, [order("v"), order("idx")], col_name="p")
+    rows = sorted((r.p, r.v) for r in ranked.collect())
+    assert [p for p, _ in rows] == list(range(1, len(v) + 1))
+    seq = [x for _, x in rows]
+    nn = [x for x in seq if x is not None]
+    assert all(x is None for x in seq[: len(seq) - len(nn)])  # nulls first
+    assert nn == sorted(nn)
+
+
+@given(k=keys, v=vals)
+@SETTINGS
+def test_na_agg_expression_vs_definition(spark, k, v):
+    """na_agg(sum) == NULL iff any NULL in group, else plain sum
+    (reference NA-propagation, SURVEY §1.4.1)."""
+    from dataframes_jl_spark.functions.na import na_agg
+
+    n = min(len(k), len(v))
+    pdf = pd.DataFrame({"k": k[:n], "v": v[:n]})
+    df = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                               "k string, v double")
+    got = {
+        r.k: r.s
+        for r in df.groupBy("k").agg(na_agg(F.sum, "v").alias("s")).collect()
+    }
+    for key, grp in pdf.groupby("k", dropna=False):
+        key = None if pd.isna(key) else key
+        if grp["v"].isna().any():
+            assert got[key] is None
+        elif len(grp):
+            assert got[key] is not None
+            assert abs(got[key] - grp["v"].sum()) < 1e-6 * max(1.0, abs(grp["v"].sum()))
+
+
+@given(v=vals)
+@SETTINGS
+def test_vcat_count_and_union_semantics(spark, v):
+    """vcat(a, b) has len(a)+len(b) rows and NA-fills missing columns
+    (reference test/data.jl:45-62)."""
+    from dataframes_jl_spark.ops.setops import vcat
+
+    pdf = pd.DataFrame({"v": v})
+    a = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None), "v double")
+    b = a.withColumn("extra", F.lit(1))
+    out = vcat(a, b)
+    assert out.count() == 2 * len(v)
+    assert out.filter(F.col("extra").isNull()).count() == len(v)
