@@ -172,3 +172,31 @@ def cor_spearman(df: DataFrame, c1: str, c2: str) -> float:
         .withColumn("r2", F.avg("rn2").over(Window.partitionBy(c2)))
     )
     return ranked.stat.corr("r1", "r2")
+
+
+def describe_strings(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """describe for non-numeric columns (reference src/dataframe.jl:895-906:
+    length / type / NA count / unique count) — one aggregation pass with
+    exact distinct counts per column."""
+    if cols is None:
+        cols = [c for c, t in df.dtypes if t == "string"]
+    n = F.count(F.lit(1))
+    aggs: list[Column] = [n.alias("__n__")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nna"),
+            F.countDistinct(c).alias(f"{c}__uniq"),
+        ]
+    row = df.agg(*aggs)
+    pieces = [
+        f"named_struct('col', '{c}', 'nna', CAST(`{c}__nna` AS BIGINT), "
+        f"'uniq', CAST(`{c}__uniq` AS BIGINT))"
+        for c in cols
+    ]
+    exploded = row.selectExpr("__n__", f"inline(array({', '.join(pieces)}))")
+    return exploded.select(
+        F.col("col").alias("variable"),
+        F.col("__n__").cast("bigint").alias("length"),
+        F.col("nna").alias("n_na"),
+        F.col("uniq").alias("n_unique"),
+    )

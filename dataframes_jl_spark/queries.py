@@ -1924,3 +1924,61 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_facade_pipeline",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+)
+def q_facade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the JlDataFrame mutable facade (reference's
+    df[col]=…, filter, by composition): column assignment rebinds the
+    lazy plan; the whole pipeline stays one Catalyst plan — the facade
+    adds zero execution overhead."""
+    from .core.frame import JlDataFrame
+    from .ops.grouping import by
+
+    jdf = JlDataFrame(_t(spark, sf_dir, "lineitem"))
+    jdf["disc_price"] = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    filtered = jdf.filter("l_quantity < 25")
+    return by(
+        filtered.sdf,
+        "l_returnflag",
+        {
+            "disc_revenue": F.round(F.sum("disc_price"), 2),
+            "n": F.count(F.lit(1)),
+        },
+    )
+
+
+@register(
+    "q_describe_strings",
+    oracle="""
+    SELECT col AS variable, n AS length, nna AS n_na, uniq AS n_unique
+    FROM (
+        SELECT 'o_orderstatus' AS col, COUNT(*) AS n,
+               COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nna,
+               COUNT(DISTINCT o_orderstatus) AS uniq
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+               COUNT(DISTINCT o_orderpriority)
+        FROM orders
+    )
+    """,
+)
+def q_describe_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe for non-numeric columns (reference src/dataframe.jl:895-906)
+    via functions.stats.describe_strings — one pass, exact uniques."""
+    from .functions.stats import describe_strings
+
+    orders = _t(spark, sf_dir, "orders")
+    return describe_strings(orders, ["o_orderstatus", "o_orderpriority"])
