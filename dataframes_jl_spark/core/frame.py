@@ -328,3 +328,15 @@ class JlDataFrame:
             F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
         return hash((out.s, out.n))
+
+    def map_rows(self, fn, schema: str) -> DataFrame:
+        """map(f, EachRow(df)) per-row UDF (reference
+        src/dataframe.jl:1926) — Arrow-batched mapInPandas, never
+        row-at-a-time Python."""
+        import pandas as pd
+
+        def run(batches):
+            for pdf in batches:
+                yield pd.DataFrame([fn(row) for _, row in pdf.iterrows()])
+
+        return self.sdf.mapInPandas(run, schema=schema)

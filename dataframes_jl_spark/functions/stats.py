@@ -200,3 +200,37 @@ def describe_strings(df: DataFrame, cols: Sequence[str] | None = None) -> DataFr
         F.col("nna").alias("n_na"),
         F.col("uniq").alias("n_unique"),
     )
+
+
+def colffts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """colffts (reference export src/DataFrames.jl:60, vestigial in the
+    snapshot): per-column FFT magnitudes. Arrow-batched numpy via
+    applyInPandas over a single group — FFT needs the whole column, so
+    this is inherently a gather; guard with a row-count ceiling at call
+    sites. Returns (variable, bin, magnitude)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = cols if cols is not None else numeric_cols(df)
+
+    def fft_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in cols:
+            v = pdf[c].to_numpy(dtype=float)
+            mag = np.abs(np.fft.rfft(v))
+            outs.append(
+                pd.DataFrame(
+                    {"variable": c, "bin": range(len(mag)), "magnitude": mag}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        df.select(*cols)
+        .withColumn("__g__", F.lit(1))
+        .groupBy("__g__")
+        .applyInPandas(
+            lambda _, pdf: fft_all(pdf),
+            schema="variable string, bin bigint, magnitude double",
+        )
+    )

@@ -153,3 +153,31 @@ def test_datastream_select_row(tables):
     row = select_row(ds, 3)
     assert row is not None and row["r_regionkey"] == 3
     assert select_row(ds, 10**6) is None
+
+
+def test_colffts_matches_numpy(spark):
+    import numpy as np
+
+    from dataframes_jl_spark.functions.stats import colffts
+
+    vals = [float(i % 5) for i in range(32)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    # single partition so column order == insertion order for the FFT
+    out = colffts(df.coalesce(1), ["x"]).collect()
+    got = {r.bin: r.magnitude for r in out}
+    want = np.abs(np.fft.rfft(np.array(vals)))
+    assert len(got) == len(want)
+    assert abs(got[0] - want[0]) < 1e-9
+    assert abs(got[1] - want[1]) < 1e-9
+
+
+def test_map_rows(tables):
+    from dataframes_jl_spark.core.frame import JlDataFrame
+
+    jdf = JlDataFrame(tables["region"])
+    out = jdf.map_rows(
+        lambda row: {"k": row["r_regionkey"], "n": len(row["r_name"])},
+        schema="k bigint, n int",
+    )
+    rows = {r.k: r.n for r in out.collect()}
+    assert len(rows) == 5 and all(n > 0 for n in rows.values())
