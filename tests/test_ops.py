@@ -262,3 +262,21 @@ def test_global_row_number_no_single_partition(spark, tables):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "SinglePartition" not in buf.getvalue()
+
+
+def test_salted_join_equals_plain_join(spark, tables):
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.skew import salted_join
+
+    orders = tables["orders"].select("o_custkey", "o_totalprice")
+    cust = tables["customer"].select("c_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, on="o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    salted = salted_join(orders, cust, on="o_custkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)

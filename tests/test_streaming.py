@@ -143,3 +143,58 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == expect
     assert expect[(1, "2024-01-01 03:00:00")] == 2
     assert expect[(2, "2024-01-01 02:00:00")] == 2
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation finalizes a window once the
+    watermark passes; a file arriving after that with an event inside
+    the finalized window is dropped, not double-counted."""
+    import time as _time
+
+    from dataframes_jl_spark.streaming.datastream import windowed_event_counts
+
+    d = tmp_path / "wm_in"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "ts,event_type,value\n"
+        "2024-01-01 00:10:00,click,1.0\n"
+        "2024-01-01 00:20:00,click,1.0\n"
+    )
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far past the first window + watermark,
+        # then send a LATE event back into the finalized 00:00 window
+        (d / "b.csv").write_text("ts,event_type,value\n2024-01-01 09:00:00,click,1.0\n")
+        q.processAllAvailable()
+        (d / "c.csv").write_text("ts,event_type,value\n2024-01-01 00:30:00,click,99.0\n")
+        q.processAllAvailable()
+        # one more on-time event so the engine emits anything still pending
+        (d / "d.csv").write_text("ts,event_type,value\n2024-01-01 10:00:00,click,1.0\n")
+        deadline = _time.time() + 30
+        rows = []
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM t_wm WHERE window_start = TIMESTAMP '2024-01-01 00:00:00'"
+            ).collect()
+            if rows:
+                break
+        assert rows, "finalized first window never emitted"
+        # the late 00:30 event (value 99) must NOT be in the finalized count
+        assert rows[0].n == 2 and rows[0].total_value == 2.0
+    finally:
+        q.stop()
