@@ -1982,3 +1982,67 @@ def q_describe_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return describe_strings(orders, ["o_orderstatus", "o_orderpriority"])
+
+
+@register(
+    "q_special_functions",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(SUM(gamma(1.0 + c_acctbal / 10000.0)), 6) AS sum_gamma,
+           ROUND(SUM(lgamma(2.0 + c_acctbal / 10000.0)), 6) AS sum_lgamma
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_nationkey
+    """,
+)
+def q_special_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gamma/lgamma through the Arrow-batched pandas_udf fallback
+    (reference elementary-math surface src/operators.jl:7-14 — the few
+    functions with no JVM builtin). Proves the Python slow path is
+    still numerically exact vs the oracle."""
+    from .functions.scalar import lift
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    g = lift("gamma", 1.0 + F.col("c_acctbal") / 10000.0)
+    lg = lift("lgamma", 2.0 + F.col("c_acctbal") / 10000.0)
+    return cust.groupBy("c_nationkey").agg(
+        F.round(F.sum(g), 6).alias("sum_gamma"),
+        F.round(F.sum(lg), 6).alias("sum_lgamma"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) hitting the quarter's max revenue —
+    the scalar-subquery max is a 1-row broadcast cross join against the
+    revenue aggregate (computed once, reused for both sides)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        supp.join(rev, supp.s_suppkey == rev.suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )
