@@ -2046,3 +2046,27 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_rev") == F.col("mx"))
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
     )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
+               AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (SURVEY §2.9 'Not present — free in
+    Spark'): schema-on-read over a JSON string column with from_json —
+    typed extraction stays in codegen, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
