@@ -71,9 +71,13 @@ def jaccard_pairs(
     inverted-index intersection) → count common shingles per pair →
     filter on |A∩B| / (|A|+|B|-|A∩B|).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+        .repartition(par, "id")  # parallelize shingling from 1-file sources
+        .select("id", shingles("__text__", n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
     ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
@@ -359,9 +363,14 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     if not bucketed:
-        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        par = df.sparkSession.sparkContext.defaultParallelism
+        # repartition the streamed side: a 1-partition source would run
+        # the whole quadratic loop in a single task
+        a = base.repartition(par, "id").select(
+            F.col("id").alias("id_a"), F.col("v").alias("va")
+        )
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
         parts = []
         for t in range(num_tables):
