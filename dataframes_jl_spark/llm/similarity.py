@@ -82,45 +82,36 @@ def brute_force_topk(
     )
 
 
+def _plane_normals(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic gaussian hyperplane normals (fixed seed → identical
+    buckets across runs/engines), shipped as plan literals."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
 def hyperplane_signature(
     vec: Column, dim: int, num_planes: int = 16, seed: int = 7
 ) -> Column:
     """Random-hyperplane sign signature as an int bucket id.
 
-    Hyperplane p's normal components are deterministic pseudo-randoms
-    derived from xxhash64(p, j, seed) mapped to (-1, 1) — reproducible
-    across runs/engines without shipping a matrix.
+    Normals are precomputed driver-side and inlined as literal arrays —
+    the per-row work is num_planes × dim multiplies in codegen, no
+    hashing. ``vec`` should be a materialized attribute (not an inlined
+    expression): it is referenced once per plane.
     """
-    def plane_dot(p: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<double>"),
-                lambda x, j: x
-                * (
-                    (
-                        F.xxhash64(p.cast("string"), j.cast("string"), F.lit(seed))
-                        % 1000
-                    ).cast("double")
-                    / 500.0
-                    - 1.0
-                ),
-            ),
+    planes = _plane_normals(dim, num_planes, seed)
+    sig: Column = F.lit(0).cast("bigint")
+    for plane in planes:
+        normal = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec, normal, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        lambda p: F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    # pack bits into an int by Horner's rule (variable shifts by a Column
-    # are unsupported; acc*2+bit is equivalent and stays in codegen)
-    return F.aggregate(
-        bits.cast("array<bigint>"),
-        F.lit(0).cast("bigint"),
-        lambda acc, bit: acc * 2 + bit,
-    )
+        sig = sig * 2 + F.when(d >= 0, 1).otherwise(0)
+    return sig
 
 
 def lsh_topk(
@@ -139,9 +130,10 @@ def lsh_topk(
     1000 executors each bucket's candidates co-locate via the
     (table, bucket) shuffle key — no broadcast of the corpus.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).repartition(par, "id")  # materialize v; parallelize the signature stage
     # one signature column per table (distinct seeds), unioned — keeps the
     # hyperplane math per-table-specialized inside codegen
     parts = []
@@ -160,18 +152,34 @@ def lsh_topk(
 
     tabbed = reduce(lambda a, b: a.unionByName(b), parts)
 
-    a = tabbed.select("table", "bucket", F.col("id").alias("query_id"), F.col("v").alias("qv"))
-    b = tabbed.select("table", "bucket", F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    # bucket join on bare ids (vectors would ship num_tables x through
+    # the exchange); vectors + norms re-attach after pair dedup so each
+    # pair is scored with one dot product and a divide
+    a = tabbed.select("table", "bucket", F.col("id").alias("query_id"))
+    b = tabbed.select("table", "bucket", F.col("id").alias("neighbor_id"))
     cand = (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    vt = base.withColumn("nrm", norm(F.col("v")))
+    scored = (
+        cand.join(
+            vt.select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                      F.col("nrm").alias("qn")),
+            on="query_id",
+        )
+        .join(
+            vt.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+                      F.col("nrm").alias("cn")),
+            on="neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -206,11 +214,22 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).repartition(par, "id")
     feat = base.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    # the coarse quantizer doesn't need every row: fit on a bounded
+    # sample (cluster geometry converges long before |corpus| rows),
+    # assign the full corpus with the fitted model
+    n_rows = feat.count()
+    cap = max(4096, 64 * n_centroids)
+    fit_src = (
+        feat.sample(fraction=min(1.0, cap / max(n_rows, 1)), seed=seed)
+        if n_rows > cap
+        else feat
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_src)
     assigned = model.transform(feat).select(
         "id", "v", F.col("prediction").alias("centroid")
     )
@@ -232,19 +251,28 @@ def ivf_topk(
 
     wq = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid"))
     probes = (
-        base.crossJoin(F.broadcast(cents))
-        .select("id", "v", "centroid", sq_dist(F.col("v"), F.col("cv")).alias("d"))
+        base.withColumn("nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id", "v", "nrm", "centroid", sq_dist(F.col("v"), F.col("cv")).alias("d")
+        )
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= n_probe)
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "centroid")
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "centroid",
+        )
     )
+    # norms carried on both sides: per-pair cost is one dot + one divide
     cand = (
-        probes.join(assigned, on="centroid")
+        probes.join(assigned.withColumn("cn", norm(F.col("v"))), on="centroid")
         .filter(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

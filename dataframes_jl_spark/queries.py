@@ -977,11 +977,17 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate self-join top-3 (llm.similarity.
     lsh_topk) — the bucket-bounded scale path. Approximate by design →
-    rows-only check; recall measured in tests against brute force."""
+    rows-only check; recall measured in tests against brute force.
+    Planes scale with corpus size (bucket occupancy ~64) so candidate
+    volume stays linear as sf grows."""
+    import math
+
     from .llm import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, k=3, num_planes=4, num_tables=8)
+    n = emb.count()
+    planes = max(4, int(math.ceil(math.log2(max(n, 1) / 64 + 1))))
+    return lsh_topk(emb, k=3, num_planes=planes, num_tables=8)
 
 
 # ---------------------------------------------------------------------------
