@@ -372,12 +372,13 @@ def embedding_dup_pairs(
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        mat = base.repartition(par, "id")  # materialize v for the signatures
         parts = []
         for t in range(num_tables):
             parts.append(
-                base.select(
+                mat.select(
                     "id",
-                    "v",
                     F.lit(t).alias("table"),
                     hyperplane_signature(
                         F.col("v"), dim, num_planes, seed=11 + 17 * t
@@ -385,16 +386,19 @@ def embedding_dup_pairs(
                 )
             )
         tabbed = reduce(lambda x, y: x.unionByName(y), parts)
-        a = tabbed.select(
-            "table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
-        )
-        b = tabbed.select(
-            "table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
-        )
-        pairs = (
+        # bucket-join bare ids; vectors re-attach after pair dedup
+        a = tabbed.select("table", "bucket", F.col("id").alias("id_a"))
+        b = tabbed.select("table", "bucket", F.col("id").alias("id_b"))
+        ids = (
             a.join(b, on=["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = ids.join(
+            mat.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a"
+        ).join(
+            mat.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), on="id_b"
         )
     return (
         pairs.select(
