@@ -1,5 +1,36 @@
 from .joins import join  # noqa: F401
 from .grouping import by, colwise, groupby  # noqa: F401
-from .sorting import order, sort  # noqa: F401
-from .setops import hcat, vcat  # noqa: F401
-from .reshape import cut, melt, paste_columns, pivot_table, stack, unstack  # noqa: F401
+from .sorting import (  # noqa: F401
+    global_row_number,
+    issorted,
+    order,
+    sort,
+    sortperm,
+    top_k,
+)
+from .setops import (  # noqa: F401
+    except_rows,
+    hcat,
+    intersect_rows,
+    isequal_df,
+    vcat,
+)
+from .reshape import (  # noqa: F401
+    crosstab,
+    cut,
+    melt,
+    paste_columns,
+    pivot_table,
+    stack,
+    unstack,
+)
+from .skew import salted_join  # noqa: F401
+from .window import (  # noqa: F401
+    cummax,
+    cummin,
+    cumprod,
+    cumsum,
+    diff,
+    percent_change,
+    reldiff,
+)
