@@ -2076,3 +2076,31 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p.k")).alias("sum_k"),
         F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest surface inside the correctness gate: writetable →
+    readtable with explicit schema (reference readtable/writetable,
+    src/io.jl:596-791) must round-trip nation bit-for-bit vs the
+    parquet-sourced oracle."""
+    import tempfile
+
+    from .io.readtable import readtable, writetable
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.gettempdir() + "/djs_csv_roundtrip.csv"
+    writetable(nation, path, single_file=True)
+    back = readtable(spark, path)
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
