@@ -45,12 +45,12 @@ def main() -> None:
     spark = get_spark(app_name="djs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: force JVM + codegen + parquet footer reads
-    QUERIES["q01_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
     names = [n for n in HEADLINE if n in QUERIES]
+    # warm-up pass: JVM, codegen caches, parquet footers, python workers —
+    # measured numbers are steady-state throughput, not cold-start
+    for name in names:
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         df = QUERIES[name](spark, SF_DIR)
