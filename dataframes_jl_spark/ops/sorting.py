@@ -70,13 +70,10 @@ def sort(
 def sortperm(df: DataFrame, cols: str | Sequence | None = None, rev: bool = False) -> DataFrame:
     """sortperm (reference src/dataframe.jl:1851-1852): rank of each row
     under the requested ordering, returned as a ``__perm__`` column.
-    Implemented as row_number over the sort ordering — one exchange."""
-    if cols is None:
-        cols = df.columns
-    elif isinstance(cols, (str, order, Column)):
-        cols = [cols]
-    w = Window.orderBy(*_resolve(cols, rev))
-    return df.withColumn("__perm__", F.row_number().over(w))
+    Delegates to :func:`global_row_number` — range-partitioned rank with
+    per-partition offsets, never a single-partition window (costs one
+    small eager count job for the offsets)."""
+    return global_row_number(df, cols, rev, col_name="__perm__")
 
 
 def issorted(df: DataFrame, cols: str | Sequence | None = None, rev: bool = False) -> bool:
