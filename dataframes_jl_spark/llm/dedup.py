@@ -408,3 +408,78 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------- cluster resolution
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into connected-component clusters:
+    (id, cluster) where cluster = min id reachable through the pair
+    graph. The step every dedup pipeline needs between pair generation
+    and choosing canonical documents.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round joins labels across edges and takes the min; converges in
+    graph-diameter rounds (near-dup components are shallow — dozens of
+    rounds covers pathological chains). Each round is one shuffle on
+    node id; lineage is cut with localCheckpoint every round so plans
+    stay flat. Memory is O(nodes), never O(pairs²).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # label candidates flowing across edges this round
+        flowed = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(flowed)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Canonical corpus after near-dup removal: keep every document
+    that is its cluster's representative (min id), plus all documents
+    that appear in no near-dup pair. One anti-join + one semi-join."""
+    clusters = dedup_clusters(pairs, max_iter=max_iter)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select("id")
+    return df.join(
+        losers, df[id_col] == losers.id, "left_anti"
+    )

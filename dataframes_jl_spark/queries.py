@@ -2104,3 +2104,36 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("int").alias("n_regionkey"),
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_SHINGLE_ORACLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """
+    , p AS (SELECT id_a, id_b FROM pairs WHERE jac >= 0.5),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    cc AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    resolved AS (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id)
+    SELECT cluster, COUNT(*) AS n_members
+    FROM resolved GROUP BY cluster
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → connected-component clusters
+    (llm.dedup.dedup_clusters, min-label propagation) vs a recursive-CTE
+    oracle — the pairs→clusters→canonical step of a dedup pipeline."""
+    from .llm import jaccard_pairs
+    from .llm.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    return clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))

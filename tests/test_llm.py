@@ -206,3 +206,23 @@ def test_embedding_dup_pairs_exact_vs_bucketed(spark):
     # positives); near-identical vectors almost always share a bucket
     assert b <= e
     assert len(b) / len(e) >= 0.8, f"bucketed recall too low: {len(b)}/{len(e)}"
+
+
+def test_dedup_clusters_and_corpus(spark):
+    from dataframes_jl_spark.llm.dedup import dedup_clusters, dedup_corpus
+
+    # two components: {1,2,3,4} via chain, {10,11}; 99 isolated (no pair)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r.id, r.cluster) for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 99]],
+        "doc_id bigint, text string",
+    )
+    kept = {r.doc_id for r in dedup_corpus(docs, pairs, "doc_id").collect()}
+    assert kept == {1, 10, 99}
