@@ -2137,3 +2137,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     clusters = dedup_clusters(pairs)
     return clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register("q_bpe_token_budget")
+def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget estimate per (lang, source)
+    (llm.text.bpe_ish_token_count — regex word-piece splits as a fast
+    budget estimator). The lookaround regex has no DuckDB equivalent →
+    rows-only check; semantics unit-tested on fixtures."""
+    from .llm.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.sum(bpe_ish_token_count("text")).alias("est_tokens"),
+        F.round(F.avg(bpe_ish_token_count("text")), 2).alias("avg_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
