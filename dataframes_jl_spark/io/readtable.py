@@ -50,6 +50,7 @@ def readtable(
     encoding: str = "utf8",
     allowescapes: bool = False,
     infer_schema: bool = True,
+    schema: str | None = None,
 ) -> DataFrame:
     """readtable(path; kwargs...) (reference src/io.jl:596-655).
 
@@ -63,8 +64,14 @@ def readtable(
         separator = getseparator(path)
     enc = {"utf8": "UTF-8", "latin1": "ISO-8859-1"}.get(encoding.lower(), encoding)
 
+    reader = spark.read
+    if schema is not None:
+        # declared schema (reference DataFrame(column_types, …) ingest,
+        # src/dataframe.jl:168-181): skips the inference sampling pass
+        reader = reader.schema(schema)
+        infer_schema = False
     reader = (
-        spark.read.option("header", header)
+        reader.option("header", header)
         .option("sep", separator)
         .option("quote", quotemark)
         .option("inferSchema", infer_schema)

@@ -162,3 +162,13 @@ def test_bucketed_write_enables_shuffle_free_join(spark, tables, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_orders")
         spark.sql("DROP TABLE IF EXISTS t_bucket_lineitem")
+
+
+def test_readtable_declared_schema(spark, tmp_path):
+    from dataframes_jl_spark.io.readtable import readtable
+
+    p = tmp_path / "declared.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = readtable(spark, str(p), schema="a bigint, b string")
+    assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
+    assert df.count() == 2
