@@ -2153,3 +2153,48 @@ def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(bpe_ish_token_count("text")), 2).alias("avg_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "q_grouped_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (describe's quantile
+    machinery, grouped — reference src/dataframe.jl:875). At 100 TB
+    swap `percentile` for percentile_approx (Greenwald-Khanna);
+    exact is kept here so the oracle matches bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "q_monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup via date_trunc (date/time functions —
+    SURVEY §2.9 'Not present in reference, free in Spark')."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
