@@ -2198,3 +2198,60 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_string_functions",
+    oracle="""
+    SELECT upper(substr(c_name, 1, 8)) AS name_prefix,
+           COUNT(*) AS n,
+           SUM(length(regexp_replace(c_name, '[^0-9]', '', 'g'))) AS total_digits,
+           SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS n_with_one
+    FROM customer GROUP BY 1
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (upper/substr/regexp_replace/LIKE —
+    SURVEY §2.9 'free in Spark'); all codegen, no UDF."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.length(F.regexp_replace("c_name", "[^0-9]", ""))
+            ).alias("total_digits"),
+            F.sum(F.when(F.col("c_name").like("%1%"), 1).otherwise(0)).alias(
+                "n_with_one"
+            ),
+        )
+    )
+
+
+@register(
+    "q_sortperm_nulls",
+    oracle="""
+    SELECT event_id,
+           ROW_NUMBER() OVER (ORDER BY v DESC NULLS FIRST, event_id) AS perm
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events WHERE event_id < 2000
+    )
+    """,
+)
+def q_sortperm_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference NA sort placement (§1.4.4: NAs first even descending,
+    src/indexing.jl:45-50) through the distributed sortperm."""
+    from .ops.sorting import order, sortperm
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000).select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = sortperm(ev, [order("v", rev=True, nulls_first=True), order("event_id")])
+    return out.select("event_id", F.col("__perm__").alias("perm"))
