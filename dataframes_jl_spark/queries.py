@@ -2255,3 +2255,48 @@ def q_sortperm_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sortperm(ev, [order("v", rev=True, nulls_first=True), order("event_id")])
     return out.select("event_id", F.col("__perm__").alias("perm"))
+
+
+@register(
+    "q_dedup_pipeline",
+    oracle=_SHINGLE_ORACLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """
+    , p AS (SELECT id_a, id_b FROM pairs WHERE jac >= 0.5),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    cc AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    losers AS (
+        SELECT id FROM (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id)
+        WHERE id != cluster
+    )
+    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    GROUP BY source
+    """,
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup pipeline in one plan: MinHash-LSH candidate
+    pairs (exact-verified) → connected-component clusters → canonical
+    corpus via anti-join (llm.dedup.minhash_lsh_pairs + dedup_corpus).
+    The oracle replays it with exact pairs + a recursive-CTE closure —
+    passing means the LSH path lost nothing at this threshold."""
+    from .llm import minhash_lsh_pairs
+    from .llm.dedup import dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=32, n=3, threshold=0.5
+    )
+    kept = dedup_corpus(docs, pairs, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
