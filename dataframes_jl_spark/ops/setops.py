@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.index import make_unique
@@ -58,16 +58,25 @@ def vcat(*dfs: DataFrame) -> DataFrame:
 
 
 def hcat(df1: DataFrame, df2: DataFrame) -> DataFrame:
-    """cbind/hcat by row position via row-id zip (SURVEY §2.7). The
-    explicit global row_number is only correct/affordable at notebook
-    scale; at cluster scale prefer a real join key."""
+    """cbind/hcat by row position via row-id zip (SURVEY §2.7).
+
+    Row position is taken in each frame's current (partition-major)
+    order via ``global_row_number`` over ``monotonically_increasing_id``
+    — a range-partitioned rank, NOT a single-partition window, so the
+    zip scales; the join on ``__rid__`` is then an ordinary shuffle
+    join. Positional zip is still semantically fragile after shuffling
+    ops — prefer a real join key when one exists."""
     names = make_unique([*df1.columns, *df2.columns])
     n1 = names[: len(df1.columns)]
     n2 = names[len(df1.columns):]
 
     def with_rid(df):
-        w = Window.orderBy(F.monotonically_increasing_id())
-        return df.withColumn("__rid__", F.row_number().over(w))
+        from .sorting import global_row_number
+
+        tmp = df.withColumn("__mono__", F.monotonically_increasing_id())
+        return global_row_number(tmp, cols=["__mono__"], col_name="__rid__").drop(
+            "__mono__"
+        )
 
     a = with_rid(df1.toDF(*n1))
     b = with_rid(df2.toDF(*n2))

@@ -83,12 +83,19 @@ def issorted(df: DataFrame, cols: str | Sequence | None = None, rev: bool = Fals
         cols = df.columns
     elif isinstance(cols, (str, order, Column)):
         cols = [cols]
-    # compare the claimed-physical order (row ids) to the sorted ranking
-    mono = F.monotonically_increasing_id()
-    w = Window.orderBy(mono)
-    with_pos = df.withColumn("__pos__", F.row_number().over(w))
-    ws = Window.orderBy(*_resolve(cols, rev), F.col("__pos__"))
-    ranked = with_pos.withColumn("__rank__", F.row_number().over(ws))
+    # compare the claimed-physical order (row ids) to the sorted ranking;
+    # both rankings via global_row_number — range-partitioned, never a
+    # SinglePartition window (costs two small count jobs)
+    with_pos = global_row_number(
+        df.withColumn("__mono__", F.monotonically_increasing_id()),
+        cols=["__mono__"],
+        col_name="__pos__",
+    ).drop("__mono__")
+    ranked = global_row_number(
+        with_pos,
+        cols=[*_resolve(cols, rev), F.col("__pos__").asc()],
+        col_name="__rank__",
+    )
     bad = ranked.filter(F.col("__pos__") != F.col("__rank__")).limit(1).count()
     return bad == 0
 

@@ -2300,3 +2300,191 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 / Q7 shapes + as-of / range joins  (SURVEY §2.3 extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the distinctive part is the
+    cross-table residual predicate c_nationkey = s_nationkey on top of the
+    equi-join chain. Facts shuffle once on their keys; supplier/nation/
+    region broadcast; the orderdate range predicate is pushed to the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, (nation.n_regionkey == region.r_regionkey) & (region.r_name == "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier
+    JOIN lineitem  ON s_suppkey = l_suppkey
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_2'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): two broadcast roles of the nation
+    dim with a disjunctive cross-role predicate; the two-nation filter is
+    applied on the broadcast sides BEFORE the fact joins, so the fact
+    stream is pre-pruned by the dimension filters (semi-join style)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ["NATION_2", "NATION_7"]
+    sn = F.broadcast(
+        nation.filter(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cn = F.broadcast(
+        nation.filter(F.col("n_name").isin(pair)).select(
+            F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("snk"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_clicks,
+           COUNT(p.value) AS n_matched,
+           ROUND(SUM(p.value), 2) AS matched_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value
+                    FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    GROUP BY c.user_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops.joins.asof_join): every click matched to the user's
+    most recent prior-or-simultaneous purchase via the union-merge
+    formulation — one shuffle on user_id, no range probe. Oracle is
+    DuckDB's native ASOF LEFT JOIN over the same event slices."""
+    from .ops.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("value").alias("n_matched"),
+        F.round(F.sum("value"), 2).alias("matched_value"),
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT DISTINCT p_size, 900.0 + p_size AS lo, 902.0 + p_size AS hi
+        FROM part
+    )
+    SELECT b.p_size, COUNT(*) AS n_parts, ROUND(SUM(p.p_retailprice), 2) AS price_sum
+    FROM bands b JOIN part p
+      ON p.p_retailprice >= b.lo AND p.p_retailprice <= b.hi
+    GROUP BY b.p_size
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (ops.joins.interval_join, bucketed): width-2 price bands
+    keyed by p_size, points = part retail prices. The bucket quantization
+    turns the theta-join into a hash equi-join on the bucket id + an exact
+    containment re-check — no nested loop, shuffles scale with matches."""
+    from .ops.joins import interval_join
+
+    part = _t(spark, sf_dir, "part")
+    bands = part.select("p_size").distinct().select(
+        "p_size",
+        (F.lit(900.0) + F.col("p_size")).alias("lo"),
+        (F.lit(902.0) + F.col("p_size")).alias("hi"),
+    )
+    pts = part.select("p_retailprice")
+    matched = interval_join(
+        pts, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi",
+        bucket_width=2.0,
+    )
+    return matched.groupBy("p_size").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+    )

@@ -280,3 +280,99 @@ def test_salted_join_equals_plain_join(spark, tables):
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
     ).collect()[0]
     assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+# ---------------------------------------------------------------------------
+# as-of join / interval join (ops.joins.asof_join / interval_join)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", 10.0, 1), ("A", 20.0, 2), ("B", 15.0, 3), ("B", 35.0, 4)],
+        "sym string, t double, trade_id int",
+    )
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", 5.0, 100.0), ("A", 10.0, 101.0), ("A", 18.0, 102.0),
+         ("B", 20.0, 200.0)],
+        "sym string, t double, px double",
+    )
+
+
+def test_asof_backward(trades, quotes):
+    from dataframes_jl_spark.ops import asof_join
+
+    out = {
+        r["trade_id"]: (r["t_matched"], r["px"])
+        for r in asof_join(trades, quotes, on="t", by="sym").collect()
+    }
+    # exact match at t=10 is taken; t=20 takes the t=18 quote
+    assert out[1] == (10.0, 101.0)
+    assert out[2] == (18.0, 102.0)
+    # B@15 has no quote at or before 15 -> nulls; B@35 takes t=20
+    assert out[3] == (None, None)
+    assert out[4] == (20.0, 200.0)
+
+
+def test_asof_forward_and_strict(trades, quotes):
+    from dataframes_jl_spark.ops import asof_join
+
+    fwd = {
+        r["trade_id"]: (r["t_matched"], r["px"])
+        for r in asof_join(trades, quotes, on="t", by="sym", direction="forward").collect()
+    }
+    assert fwd[1] == (10.0, 101.0)      # exact forward match
+    assert fwd[3] == (20.0, 200.0)      # next quote after 15
+    assert fwd[4] == (None, None)       # nothing after 35
+    strict = {
+        r["trade_id"]: (r["t_matched"], r["px"])
+        for r in asof_join(
+            trades, quotes, on="t", by="sym", allow_exact_matches=False
+        ).collect()
+    }
+    assert strict[1] == (5.0, 100.0)    # t=10 quote excluded when strict
+
+
+def test_asof_tolerance(trades, quotes):
+    from dataframes_jl_spark.ops import asof_join
+
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(trades, quotes, on="t", by="sym", tolerance=1.5).collect()
+    }
+    assert out[1] == 101.0              # distance 0 <= 1.5
+    assert out[2] is None               # nearest is 2.0 away -> nulled
+
+
+def test_interval_join_bucketed_matches_plain(spark):
+    from dataframes_jl_spark.ops import interval_join
+
+    pts = spark.createDataFrame([(float(x),) for x in range(0, 50)], "v double")
+    iv = spark.createDataFrame(
+        [(i, i * 3.0, i * 3.0 + 4.0) for i in range(12)],
+        "band int, lo double, hi double",
+    )
+    plain = interval_join(pts, iv, "v", "lo", "hi")
+    bucketed = interval_join(pts, iv, "v", "lo", "hi", bucket_width=5.0)
+    a = sorted((r["v"], r["band"]) for r in plain.collect())
+    b = sorted((r["v"], r["band"]) for r in bucketed.collect())
+    assert a == b and len(a) > 0
+
+
+def test_interval_join_with_keys(spark):
+    from dataframes_jl_spark.ops import interval_join
+
+    pts = spark.createDataFrame(
+        [("x", 5.0), ("y", 5.0)], "grp string, v double"
+    )
+    iv = spark.createDataFrame(
+        [("x", 0.0, 10.0)], "grp string, lo double, hi double"
+    )
+    got = interval_join(pts, iv, "v", "lo", "hi", keys=["grp"],
+                        bucket_width=4.0).collect()
+    assert [(r["grp"], r["v"]) for r in got] == [("x", 5.0)]
