@@ -170,3 +170,43 @@ def select_row(ds: DataStream, i: int):
             return chunk.iloc[i - seen]
         seen += len(chunk)
     return None
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+    how: str = "inner",
+):
+    """Event-time stream-stream join — beyond-reference Structured
+    Streaming surface (SURVEY §2.10 'Not present').
+
+    Joins each left row to right rows with the same key whose event time
+    falls in ``[left_ts - max_lag, left_ts]``. Both sides get a
+    watermark, and the time-interval condition bounds the join state the
+    engine must buffer: a right row can be dropped from state once the
+    left watermark passes ``right_ts + max_lag`` — without the interval
+    condition the state would grow forever. Also valid on batch frames
+    (the watermark is skipped), which is how the unit test proves
+    stream/batch agreement.
+
+    Column names of the two sides must be disjoint (rename before
+    calling); the key equality is part of the join condition so both
+    key columns survive, matching stream-stream join requirements.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns before joining: {sorted(overlap)}")
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_lag}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, how)

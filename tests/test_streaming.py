@@ -198,3 +198,79 @@ def test_watermark_drops_late_events(spark, tmp_path):
         assert rows[0].n == 2 and rows[0].total_value == 2.0
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Event-time stream-stream interval join: clicks joined to purchases
+    of the same user within the preceding 30 minutes. Stream result
+    (file source, one micro-batch per file) must equal the batch join on
+    the same data; a purchase outside the interval must not match."""
+    from dataframes_jl_spark.streaming import stream_stream_join
+
+    cd = tmp_path / "clicks"
+    pd_ = tmp_path / "purchases"
+    cd.mkdir(), pd_.mkdir()
+    (cd / "a.csv").write_text(
+        "c_user,c_ts\n"
+        "1,2024-01-01 00:20:00\n"
+        "2,2024-01-01 00:40:00\n"
+    )
+    (cd / "b.csv").write_text("c_user,c_ts\n1,2024-01-01 01:30:00\n")
+    (pd_ / "a.csv").write_text(
+        "p_user,p_ts,amount\n"
+        "1,2024-01-01 00:05:00,10.0\n"   # within 30m of click 00:20
+        "2,2024-01-01 00:00:00,20.0\n"   # 40m before click 00:40 -> no match
+    )
+    (pd_ / "b.csv").write_text("p_user,p_ts,amount\n1,2024-01-01 01:10:00,30.0\n")
+    cs = "c_user bigint, c_ts timestamp"
+    ps = "p_user bigint, p_ts timestamp, amount double"
+
+    def stream_of(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("header", True)
+            .csv(str(d))
+        )
+
+    joined = stream_stream_join(
+        stream_of(cd, cs), stream_of(pd_, ps),
+        left_key="c_user", right_key="p_user",
+        left_ts="c_ts", right_ts="p_ts",
+        watermark="10 minutes", max_lag="30 minutes",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName(
+        "t_ssj"
+    ).start()
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.c_user, str(r.c_ts), str(r.p_ts), r.amount)
+            for r in spark.sql("SELECT * FROM t_ssj").collect()
+        }
+    finally:
+        q.stop()
+    batch = stream_stream_join(
+        spark.read.schema(cs).option("header", True).csv(str(cd)),
+        spark.read.schema(ps).option("header", True).csv(str(pd_)),
+        left_key="c_user", right_key="p_user",
+        left_ts="c_ts", right_ts="p_ts",
+        watermark="10 minutes", max_lag="30 minutes",
+    )
+    expect = {
+        (r.c_user, str(r.c_ts), str(r.p_ts), r.amount) for r in batch.collect()
+    }
+    assert got == expect
+    assert (1, "2024-01-01 00:20:00", "2024-01-01 00:05:00", 10.0) in got
+    # user 2's purchase is outside the 30-minute interval
+    assert not any(t[0] == 2 for t in got)
+
+
+def test_stream_stream_join_rejects_overlap(spark):
+    from dataframes_jl_spark.streaming import stream_stream_join
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlapping"):
+        stream_stream_join(df, df, "k", "k", "k", "k")
