@@ -63,3 +63,28 @@ def test_window_partitioned_not_global(spark):
     # per-user windows shuffle on user_id — no single-partition exchange
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q05_q07_no_cartesian_broadcast_dims(spark):
+    for name in ("q05_local_supplier_volume", "q07_volume_shipping"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_keyed_shuffle(spark):
+    plan = plan_of(QUERIES["q_asof_join"](spark, SF_DIR))
+    # the union-merge as-of is ONE hash shuffle on the by-key, never a
+    # single-partition window or a range probe
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    plan = plan_of(QUERIES["q_range_join"](spark, SF_DIR))
+    # bucket quantization turns the theta join into a hash-joinable
+    # equi-join; a nested loop here is the regression this test catches
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
