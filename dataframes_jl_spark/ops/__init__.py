@@ -24,6 +24,7 @@ from .reshape import (  # noqa: F401
     stack,
     unstack,
 )
+from .sampling import sample, sample_by, systematic_sample  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .window import (  # noqa: F401
     cummax,

@@ -2488,3 +2488,32 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
     )
+
+
+@register(
+    "q_systematic_sample",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_value
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    GROUP BY o_orderpriority
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/10 systematic sample keyed on o_orderkey
+    (ops.sampling.systematic_sample) — the modulus filter depends only
+    on the row, so it is engine-reproducible and oracle-checkable, and
+    it is a plain pushable predicate on the scan."""
+    from .ops import systematic_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        systematic_sample(orders, "o_orderkey", every=10, offset=3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
+        )
+    )

@@ -376,3 +376,42 @@ def test_interval_join_with_keys(spark):
     got = interval_join(pts, iv, "v", "lo", "hi", keys=["grp"],
                         bucket_width=4.0).collect()
     assert [(r["grp"], r["v"]) for r in got] == [("x", 5.0)]
+
+
+# ---------------------------------------------------------------------------
+# sampling (ops.sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_seeded_and_sized(spark):
+    from dataframes_jl_spark.ops import sample
+
+    df = spark.range(10_000)
+    a = sample(df, 0.1, seed=7).count()
+    b = sample(df, 0.1, seed=7).count()
+    assert a == b                      # same seed, same partitioning -> same rows
+    assert 800 <= a <= 1200            # ~Binomial(10000, 0.1), +-4 sigma
+
+
+def test_sample_by_stratified(spark):
+    from dataframes_jl_spark.ops import sample_by
+
+    df = spark.range(10_000).withColumn(
+        "grp", (F.col("id") % 2 == 0).cast("string")
+    )
+    got = sample_by(df, "grp", {"true": 0.5, "false": 0.05}, seed=7)
+    counts = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert 2200 <= counts["true"] <= 2800      # ~2500
+    assert 150 <= counts["false"] <= 350       # ~250 - dominant stratum downsampled
+
+
+def test_systematic_sample_partition_invariant(spark):
+    from dataframes_jl_spark.ops import systematic_sample
+
+    df = spark.range(1000)
+    a = sorted(r["id"] for r in systematic_sample(df, "id", 7, 2).collect())
+    b = sorted(
+        r["id"]
+        for r in systematic_sample(df.repartition(13), "id", 7, 2).collect()
+    )
+    assert a == b == [x for x in range(1000) if x % 7 == 2]
