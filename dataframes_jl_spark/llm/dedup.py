@@ -277,11 +277,15 @@ def simhash_pairs(
     thresholds are best-effort) — then verify the exact Hamming
     distance on the joined signatures.
 
-    Physical plan mirrors minhash_lsh_pairs: repartition(id) both
-    parallelizes the token-hash stage and materializes the per-token
-    binary-hash array, so the 64 bit-majority expressions (2 uses each:
-    signature + bucket) scan a shuffled attribute instead of re-hashing
-    the tokens 128 times per row.
+    Hot path is all integer bit arithmetic: one pass over the token
+    hashes accumulates 64 per-bit counters (zip_with merge), the
+    signature is packed into ONE bigint, band buckets are 16-bit integer
+    slices of it (shift+mask), and the verify step is
+    ``bit_count(sig_a XOR sig_b)`` — no 64-char binary strings anywhere.
+    Each expensive intermediate (token hashes, bit counters, signature)
+    is materialized behind a tiny repartition(id) exchange so Catalyst's
+    projection collapse cannot inline it into its many downstream
+    references (see the HOF-inlining note in minhash_lsh_pairs).
     """
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
@@ -292,20 +296,32 @@ def simhash_pairs(
     hashed = base.select(
         "id",
         F.size("t").alias("n_tok"),
-        F.transform("t", lambda x: F.lpad(F.bin(F.xxhash64(x)), 64, "0")).alias("binhs"),
+        F.transform("t", lambda x: F.xxhash64(x)).alias("hs"),
     ).repartition(par, "id")
 
-    def bit_char(p_: int) -> Column:
-        ones = F.size(
-            F.filter(F.col("binhs"), lambda s_: s_.substr(p_, 1) == "1")
+    def bitvec(h: Column) -> Column:
+        # static unroll: shift amounts must be Python ints
+        return F.array(
+            *[F.shiftright(h, p).bitwiseAND(F.lit(1)).cast("int") for p in range(64)]
         )
-        return F.when(ones * 2 > F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
 
-    bits = [bit_char(p_) for p_ in range(1, 65)]
-    # materialize the signature behind a (tiny: id + 64 chars) exchange so
-    # the band-bucket substrings read an attribute instead of inlining all
-    # 64 bit-majority expressions four more times
-    sigs = hashed.select("id", F.concat(*bits).alias("sig")).repartition(par, "id")
+    ones = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
+    )
+    counted = hashed.select("id", "n_tok", ones.alias("ones")).repartition(par, "id")
+
+    sig: Column | None = None
+    for p in range(64):
+        bit = F.when(
+            F.element_at(F.col("ones"), p + 1) * 2 > F.col("n_tok"),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, p)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sigs = counted.select("id", sig.alias("sig")).repartition(par, "id")
+
     chunked = sigs.select(
         "id",
         "sig",
@@ -314,7 +330,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.substring("sig", i * 16 + 1, 16).alias("bucket"),
+                        F.shiftright("sig", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
                     )
                     for i in range(4)
                 ]
@@ -329,7 +347,9 @@ def simhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming(F.col("sig_a"), F.col("sig_b")))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
