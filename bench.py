@@ -35,6 +35,9 @@ HEADLINE = [
     "q_ann_bruteforce",
     "q_multimodal_decode",
     "q_sessionize",
+    "q05_local_supplier_volume",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 

@@ -226,3 +226,15 @@ def test_dedup_clusters_and_corpus(spark):
     )
     kept = {r.doc_id for r in dedup_corpus(docs, pairs, "doc_id").collect()}
     assert kept == {1, 10, 99}
+
+
+def test_jaccard_hashed_matches_exact(docs):
+    from dataframes_jl_spark.llm.dedup import jaccard_pairs
+
+    exact = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+             jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    hashed = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+              jaccard_pairs(docs, "doc_id", "text", threshold=0.3,
+                            hash_shingles=True).collect()}
+    # 64-bit shingle hashing must not change any pair at test scale
+    assert exact == hashed and len(exact) > 0
