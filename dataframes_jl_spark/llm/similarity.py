@@ -206,64 +206,78 @@ def ivf_topk(
     probes its ``n_probe`` nearest centroids and computes exact cosine
     only against those lists.
 
-    Scale shape: the corpus shuffles ONCE on centroid id; queries fan
-    out n_probe× and join on centroid id — per-query work is bounded by
-    list occupancy (~N/n_centroids × n_probe), not N. The centroid
-    table itself is tiny (n_centroids × dim) and broadcast.
+    Scale shape: the coarse quantizer is fit DRIVER-SIDE on a bounded
+    sample (cluster geometry converges long before |corpus| rows — one
+    sample-collect job, numpy Lloyd iterations in milliseconds, no
+    iterative cluster jobs), then the centroids are embedded as literal
+    expressions so both corpus assignment and query probing are MAP-ONLY
+    (array_min / array_sort over an n_centroids-element struct array —
+    no crossJoin, no per-id window shuffle). The corpus then shuffles
+    ONCE on centroid id; queries fan out n_probe× and join on centroid
+    id — per-query work is bounded by list occupancy
+    (~N/n_centroids × n_probe), not N.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).repartition(par, "id")
-    feat = base.withColumn("features", array_to_vector("v"))
-    # the coarse quantizer doesn't need every row: fit on a bounded
-    # sample (cluster geometry converges long before |corpus| rows),
-    # assign the full corpus with the fitted model
-    n_rows = feat.count()
+    # bounded sample -> driver; Lloyd's with k-means++-style seeded init
+    n_rows = base.count()
     cap = max(4096, 64 * n_centroids)
     fit_src = (
-        feat.sample(fraction=min(1.0, cap / max(n_rows, 1)), seed=seed)
+        base.sample(fraction=min(1.0, cap / max(n_rows, 1)), seed=seed)
         if n_rows > cap
-        else feat
+        else base
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_src)
-    assigned = model.transform(feat).select(
-        "id", "v", F.col("prediction").alias("centroid")
-    )
+    X = np.array([r["v"] for r in fit_src.select("v").collect()])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newC = np.stack(
+            [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(len(C))]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
 
-    # centroid table: tiny, shipped as a broadcast join side
-    spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "centroid int, cv array<double>",
-    )
-    # each query picks its n_probe nearest centroids (euclidean == cosine
-    # ordering here only approximately; euclidean matches the quantizer)
-    def sq_dist(a: Column, b: Column) -> Column:
+    def sq_dist_lit(v: Column, center) -> Column:
+        cv = F.array(*[F.lit(float(x)) for x in center])
         return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    wq = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid"))
+    # (distance, centroid) structs; struct ordering = min distance,
+    # centroid id as tie-break — argmin and top-n_probe are pure
+    # expressions over this array, map-side, whole-stage codegen
+    dist_structs = F.array(
+        *[
+            F.struct(
+                sq_dist_lit(F.col("v"), C[j]).alias("d"),
+                F.lit(j).alias("centroid"),
+            )
+            for j in range(len(C))
+        ]
+    )
+    assigned = base.select(
+        "id", "v", F.array_min(dist_structs)["centroid"].alias("centroid")
+    )
     probes = (
         base.withColumn("nrm", norm(F.col("v")))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "id", "v", "nrm", "centroid", sq_dist(F.col("v"), F.col("cv")).alias("d")
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
         .select(
             F.col("id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            "centroid",
+            F.explode(
+                F.slice(F.array_sort(dist_structs), 1, n_probe)
+            ).alias("__pc__"),
         )
+        .select("query_id", "qv", "qn", F.col("__pc__.centroid").alias("centroid"))
     )
     # norms carried on both sides: per-pair cost is one dot + one divide
     cand = (
