@@ -28,3 +28,4 @@ from .text import (  # noqa: F401
     quality_score,
     token_count,
 )
+from .packing import pack_greedy, pack_offset  # noqa: F401

@@ -2517,3 +2517,37 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
         )
     )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH packed AS (
+        SELECT source, n_chars,
+               CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 4096) AS BIGINT) AS bin
+        FROM documents
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS bin_chars
+    FROM packed
+    GROUP BY source, bin
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (llm.packing.pack_offset): docs packed into
+    4096-char training bins per source shard via the closed-form
+    exclusive-cumsum bin id — one keyed shuffle, no sequential state.
+    The exact next-fit variant (pack_greedy, applyInPandas) is
+    unit-tested; this gate checks the SQL-expressible path."""
+    from .llm.packing import pack_offset
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_offset(docs, "n_chars", 4096, by="source", order_col="doc_id")
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bin_chars"),
+    )

@@ -238,3 +238,33 @@ def test_jaccard_hashed_matches_exact(docs):
                             hash_shingles=True).collect()}
     # 64-bit shingle hashing must not change any pair at test scale
     assert exact == hashed and len(exact) > 0
+
+
+def test_pack_offset_matches_manual(spark):
+    from dataframes_jl_spark.llm import pack_offset
+
+    df = spark.createDataFrame(
+        [("s", i, sz) for i, sz in enumerate([30, 30, 30, 30, 30])],
+        "source string, doc_id bigint, n_chars bigint",
+    )
+    bins = {r.doc_id: r.bin for r in pack_offset(df, "n_chars", 100, by="source").collect()}
+    # start offsets 0,30,60,90,120 -> bins 0,0,0,0,1
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_pack_greedy_never_overflows(spark):
+    from dataframes_jl_spark.llm import pack_greedy
+
+    import random
+    rng = random.Random(7)
+    rows = [("s%d" % (i % 3), i, rng.randint(10, 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_chars bigint")
+    packed = pack_greedy(df, "n_chars", 100, by="source").collect()
+    fills = {}
+    for r in packed:
+        fills.setdefault((r.source, r.bin), 0)
+        fills[(r.source, r.bin)] += r.n_chars
+    assert all(v <= 100 for v in fills.values())
+    assert len(packed) == 200
+    # greedy fills at least as tightly as one-item-per-bin
+    assert len(fills) < 200
