@@ -2551,3 +2551,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("bin_chars"),
     )
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT doc_id, shuffle_pos FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+               ) AS shuffle_pos
+        FROM documents
+    ) WHERE shuffle_pos <= 100
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: rank under an
+    affine-hash key ((doc_id * Knuth-constant) mod 2^31 — engine-
+    reproducible, unlike rand()) via ops.sorting.global_row_number —
+    range-partitioned distributed rank, no SinglePartition window.
+    Product stays < 2^62 for doc_id < 2^31, ANSI-overflow-safe."""
+    from .ops.sorting import global_row_number, order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+    ranked = global_row_number(
+        docs.withColumn("__shufkey__", key),
+        cols=[order("__shufkey__"), order("doc_id")],
+        col_name="shuffle_pos",
+    )
+    return ranked.filter(F.col("shuffle_pos") <= 100).select(
+        "doc_id", "shuffle_pos"
+    )
