@@ -5,4 +5,5 @@ from .datastream import (  # noqa: F401
     stream_aggregate,
     stream_stream_join,
 )
+from .datastream import dedup_stream  # noqa: F401
 from .sessionize import sessionize, sessionize_stream  # noqa: F401

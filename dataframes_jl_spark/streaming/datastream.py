@@ -210,3 +210,23 @@ def stream_stream_join(
         & (r[right_ts] <= l[left_ts])
     )
     return l.join(r, cond, how)
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Exactly-once ingest dedup — drop repeated deliveries of the same
+    key (e.g. an event id re-sent by an at-least-once source).
+
+    On a stream with ``ts_col``: ``dropDuplicatesWithinWatermark`` — the
+    engine keeps per-key state only until the watermark passes, so state
+    is bounded by the lateness budget instead of growing with the
+    stream. On batch frames: plain ``dropDuplicates`` over the keys.
+    """
+    keys = list(keys)
+    if df.isStreaming and ts_col is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -94,3 +94,41 @@ def test_vcat_count_and_union_semantics(spark, v):
     out = vcat(a, b)
     assert out.count() == 2 * len(v)
     assert out.filter(F.col("extra").isNull()).count() == len(v)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Metamorphic: union-merge as-of must equal the brute-force
+    definition (max right time <= left time per key) on random data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops import asof_join
+
+    rng = random.Random(11)
+    left = [(rng.randrange(4), float(rng.randrange(100)), i) for i in range(120)]
+    right = [(rng.randrange(4), float(rng.randrange(100)), float(i)) for i in range(80)]
+    ldf = spark.createDataFrame(left, "k int, t double, lid int")
+    rdf = spark.createDataFrame(right, "k int, t double, payload double")
+
+    got = {
+        (r["lid"]): (r["t_matched"], r["payload"])
+        for r in asof_join(ldf, rdf, on="t", by="k").collect()
+    }
+
+    # brute force: per left row, the right row with max t <= left t
+    # (ties broken by max payload to make the expectation deterministic
+    #  only when unique; so compare matched time, and payload set-wise)
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, p in right:
+        by_key[k].append((t, p))
+    for k, t, lid in left:
+        cands = [(rt, rp) for rt, rp in by_key[k] if rt <= t]
+        if not cands:
+            assert got[lid] == (None, None)
+        else:
+            best_t = max(rt for rt, _ in cands)
+            assert got[lid][0] == best_t
+            assert got[lid][1] in {rp for rt, rp in cands if rt == best_t}

@@ -274,3 +274,46 @@ def test_stream_stream_join_rejects_overlap(spark):
 
     with _pytest.raises(ValueError, match="overlapping"):
         stream_stream_join(df, df, "k", "k", "k", "k")
+
+
+def test_dedup_stream_bounded_state_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered event ids within the
+    watermark are dropped; stream output equals batch dropDuplicates."""
+    from dataframes_jl_spark.streaming import dedup_stream
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "event_id,ts,value\n"
+        "1,2024-01-01 00:00:00,10.0\n"
+        "2,2024-01-01 00:01:00,20.0\n"
+    )
+    (d / "b.csv").write_text(
+        "event_id,ts,value\n"
+        "1,2024-01-01 00:02:00,10.0\n"   # re-delivery of id 1 -> dropped
+        "3,2024-01-01 00:03:00,30.0\n"
+    )
+    schema = "event_id bigint, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], ts_col="ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.event_id for r in spark.sql("SELECT * FROM t_dedup").collect()}
+    finally:
+        q.stop()
+    batch = dedup_stream(
+        spark.read.schema(schema).option("header", True).csv(str(d)),
+        ["event_id"],
+    )
+    assert got == {r.event_id for r in batch.collect()} == {1, 2, 3}
