@@ -7,4 +7,4 @@ Streaming), plus large-scale training-data-pipeline operators.
 __version__ = "0.1.0"
 
 from .core.frame import JlDataFrame  # noqa: F401
-from .session import get_spark, load_table, load_tables  # noqa: F401
+from .session import get_spark, load_table, load_tables, register_tables  # noqa: F401

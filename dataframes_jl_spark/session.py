@@ -102,3 +102,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 def load_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES):
     """Load the driver-generated parquet tables as a dict of DataFrames."""
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES):
+    """Register the synthetic tables as temp views so the pure-SQL
+    entry point works: ``register_tables(spark, sf); spark.sql(...)``.
+    Returns the same dict as :func:`load_tables`."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs

@@ -181,3 +181,17 @@ def test_map_rows(tables):
     )
     rows = {r.k: r.n for r in out.collect()}
     assert len(rows) == 5 and all(n > 0 for n in rows.values())
+
+
+def test_register_tables_sql_entrypoint(spark):
+    """A reference user can go pure-SQL: register views, run spark.sql."""
+    from conftest import SF_DIR
+
+    from dataframes_jl_spark.session import register_tables
+
+    register_tables(spark, SF_DIR, names=["region", "nation"])
+    got = spark.sql(
+        "SELECT r_name, COUNT(*) AS n FROM region JOIN nation "
+        "ON n_regionkey = r_regionkey GROUP BY r_name"
+    ).collect()
+    assert len(got) == 5 and all(r.n > 0 for r in got)
