@@ -120,3 +120,64 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, payload binary"
+)
+
+
+def _resize_image_kernel(
+    payload: bytes, width: int, height: int, fake: bool
+) -> bytes:
+    """Resize one image payload to (width, height).
+
+    STUB: the real implementation needs an image library; ``fake=True``
+    returns a deterministic payload (sha256-seeded, length scaled to the
+    target pixel count) so batch shape and schema are testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires Pillow/libvips; run with fake=True "
+            "or swap _resize_image_kernel in production"
+        )
+    seed = hashlib.sha256(payload).digest()
+    out_len = max(1, (width * height) // 64)
+    return (seed * (out_len // len(seed) + 1))[:out_len]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+    batch_rows: int = 128,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Image resize over mapInPandas — same scale contract as
+    decode_images: small Arrow slices bound executor memory (both the
+    input and the resized output payloads are in flight per batch), and
+    the CPU-bound kernel runs behind a repartition to cluster
+    parallelism."""
+    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].values,
+                        "width": width,
+                        "height": height,
+                        "payload": [
+                            _resize_image_kernel(p, width, height, fake)
+                            for p in chunk[payload_col]
+                        ],
+                    }
+                )
+
+    return df.select(id_col, payload_col).repartition(par).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

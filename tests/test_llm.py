@@ -268,3 +268,24 @@ def test_pack_greedy_never_overflows(spark):
     assert len(packed) == 200
     # greedy fills at least as tightly as one-item-per-bin
     assert len(fills) < 200
+
+
+def test_resize_images_plumbing(spark):
+    from dataframes_jl_spark.llm.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(i, bytes([i]) * 100) for i in range(10)],
+        "media_id bigint, payload binary",
+    )
+    out = resize_images(df, 32, 16, fake=True).collect()
+    assert len(out) == 10
+    assert all(r.width == 32 and r.height == 16 for r in out)
+    assert all(len(r.payload) == (32 * 16) // 64 for r in out)
+    # deterministic: same input payload -> same resized payload
+    a = resize_images(df, 32, 16, fake=True).collect()
+    assert {r.media_id: bytes(r.payload) for r in a} == {
+        r.media_id: bytes(r.payload) for r in out
+    }
+    import pytest as _p
+    with _p.raises(Exception, match="NotImplementedError|Pillow"):
+        resize_images(df, 8, 8, fake=False).collect()
