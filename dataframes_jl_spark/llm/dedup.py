@@ -194,13 +194,10 @@ def minhash_lsh_pairs(
     # one projection: 64 sig slots → 32 band buckets; hs is a shuffled
     # attribute here, so each slot is arithmetic over a materialized array
     slots = [_sig_slot(F.col("hs"), i) for i in range(num_hashes)]
+    # bucket = one JVM hash over the band's signature slots directly —
+    # no per-band string materialization
     buckets = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                *[s.cast("string") for s in slots[b * rows_per_band : (b + 1) * rows_per_band]],
-            )
-        )
+        F.xxhash64(*slots[b * rows_per_band : (b + 1) * rows_per_band])
         for b in range(bands)
     ]
     # band rows carry ONLY (id, band, bucket): exploding 32 bands per doc
