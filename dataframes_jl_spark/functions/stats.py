@@ -100,7 +100,11 @@ def describe(df: DataFrame, exact_quantiles: bool = False) -> DataFrame:
             F.min(c).alias(f"{c}__min"),
             q(c, 0.25).alias(f"{c}__q1"),
             q(c, 0.5).alias(f"{c}__median"),
-            F.avg(c).alias(f"{c}__mean"),
+            # decimal-exact mean: order-independent (plain AVG accumulates
+            # doubles in partition order and can flip a rounded digit)
+            (F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count(c)).alias(
+                f"{c}__mean"
+            ),
             q(c, 0.75).alias(f"{c}__q3"),
             F.max(c).alias(f"{c}__max"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nna"),

@@ -22,9 +22,33 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, GroupedData
 from pyspark.sql import functions as F
 
+def _stable_mean(c: str) -> Column:
+    """Order-independent mean: exact decimal summation, then one double
+    division. A plain F.avg accumulates doubles in partition order, so its
+    low bits (and a rounded digit at a .xx5 boundary) vary run-to-run;
+    the decimal sum is exact and the double->decimal cast is tie-free."""
+    col = F.col(c)
+    return (F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(col))
+
+
+def _prod(c: str) -> Column:
+    """Group product via exp-sum-log with an explicit zero guard: log(0)
+    would be NULL (skipped by SUM), silently dropping the zero factor.
+    Zeros are mapped to log(1)=0 per-row (also keeps ANSI mode happy),
+    and the whole result is forced to 0 when any zero is present."""
+    col = F.col(c)
+    a = F.abs(col)
+    safe_log = F.log(F.when(a == 0, F.lit(1.0)).otherwise(a))
+    magnitude = F.exp(F.sum(safe_log))
+    sign = F.when(
+        F.sum(F.when(col < 0, 1).otherwise(0)) % 2 == 1, -1.0
+    ).otherwise(1.0)
+    return F.when(F.min(a) == 0, F.lit(0.0)).otherwise(magnitude * sign)
+
+
 AGG_FUNCS: dict[str, Callable[[str], Column]] = {
     "sum": F.sum,
-    "mean": F.avg,
+    "mean": _stable_mean,
     "min": F.min,
     "max": F.max,
     "count": F.count,
@@ -33,8 +57,7 @@ AGG_FUNCS: dict[str, Callable[[str], Column]] = {
     "median": F.median,
     "first": F.first,
     "last": F.last,
-    "prod": lambda c: F.exp(F.sum(F.log(F.abs(F.col(c)))))
-    * F.when(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)) % 2 == 1, -1).otherwise(1),
+    "prod": _prod,
     "skewness": F.skewness,
     "kurtosis": F.kurtosis,
 }

@@ -38,20 +38,60 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Order-independent floating-point aggregation
+# ---------------------------------------------------------------------------
+# SUM/AVG over doubles accumulate in partition/merge order, so their low
+# bits — and, when the exact result sits at a .xx5 boundary, the ROUND
+# digit — vary run-to-run and engine-to-engine (this is what flipped
+# q_scalar_math/q_text_stats in the round-1 driver gate despite a green
+# local replay). The fix: cast each row to DECIMAL before summing. Decimal
+# addition is exact and order-independent, and a double->decimal cast is
+# tie-free (a decimal tie at scale>=1 has a factor of 5 in its reduced
+# denominator, so no binary double ever equals one), hence the cast is
+# deterministic given identical per-row doubles — which IEEE +,-,*,/,sqrt
+# guarantee across engines. Transcendentals (ln, gamma) may differ by an
+# ulp between libms; the per-row quantization shrinks that risk to
+# ~ulp/10^-scale per row. The final CAST back to DOUBLE keeps both
+# engines' result schemas identical.
+
+
+def dsum(col, scale: int = 4):
+    """Exact, order-independent sum of a double column (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col, scale: int = 4):
+    """Deterministic mean: exact decimal sum / non-null count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB mirror of :func:`dsum` for oracle SQL."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB mirror of :func:`davg` for oracle SQL."""
+    return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
+
+
+# ---------------------------------------------------------------------------
 # Core relational: filter + aggregate + sort  (SURVEY §2.2, §2.4, §2.6)
 # ---------------------------------------------------------------------------
 
 @register(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           ROUND({dsum_sql('l_extendedprice', 2)}, 2)                   AS sum_base_price,
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS sum_disc_price,
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
+           ROUND({davg_sql('l_quantity', 2)}, 4)                        AS avg_qty,
+           ROUND({davg_sql('l_extendedprice', 2)}, 4)                   AS avg_price,
+           ROUND({davg_sql('l_discount', 2)}, 4)                        AS avg_disc,
            COUNT(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -69,12 +109,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(dsum("l_extendedprice", 2), 2).alias("sum_base_price"),
+            F.round(dsum(disc_price, 4), 2).alias("sum_disc_price"),
+            F.round(dsum(disc_price * (1 + F.col("l_tax")), 6), 2).alias("sum_charge"),
+            F.round(davg("l_quantity", 2), 4).alias("avg_qty"),
+            F.round(davg("l_extendedprice", 2), 4).alias("avg_price"),
+            F.round(davg("l_discount", 2), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -82,8 +122,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_forecast_revenue",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+    SELECT ROUND({dsum_sql('l_extendedprice * l_discount', 4)}, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -103,7 +143,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(F.round(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2).alias("revenue"))
     )
 
 
@@ -113,9 +153,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q03_nation_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue,
            COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -142,7 +182,7 @@ def q03_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, (nation.n_regionkey == region.r_regionkey) & (region.r_name == "ASIA"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -393,32 +433,48 @@ def q_melt_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_colwise_stats",
-    oracle="""
+    oracle=f"""
     SELECT ROUND(MIN(l_quantity), 4) AS qty_min,
            ROUND(MAX(l_quantity), 4) AS qty_max,
-           ROUND(AVG(l_quantity), 4) AS qty_mean,
-           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_std,
+           ROUND({davg_sql('l_quantity', 2)}, 4) AS qty_mean,
+           ROUND(SQRT(({dsum_sql('l_quantity * l_quantity', 2)}
+                       - {dsum_sql('l_quantity', 2)} * {dsum_sql('l_quantity', 2)}
+                         / COUNT(l_quantity))
+                      / (COUNT(l_quantity) - 1)), 4) AS qty_std,
            ROUND(MIN(l_extendedprice), 4) AS price_min,
            ROUND(MAX(l_extendedprice), 4) AS price_max,
-           ROUND(AVG(l_extendedprice), 4) AS price_mean,
-           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_std,
+           ROUND({davg_sql('l_extendedprice', 2)}, 4) AS price_mean,
+           ROUND(SQRT(({dsum_sql('l_extendedprice * l_extendedprice', 4)}
+                       - {dsum_sql('l_extendedprice', 2)} * {dsum_sql('l_extendedprice', 2)}
+                         / COUNT(l_extendedprice))
+                      / (COUNT(l_extendedprice) - 1)), 4) AS price_std,
            COUNT(*) AS n
     FROM lineitem
     """,
 )
 def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """colwise(fns, df) / colmins..colstds — reference src/grouping.jl:202-245,
-    src/operators.jl:231-245 → one agg pass over all columns."""
+    src/operators.jl:231-245 → one agg pass over all columns. Mean and
+    sample-std are computed from exact decimal power sums so the rounded
+    values are accumulation-order- and engine-independent."""
     li = _t(spark, sf_dir, "lineitem")
+
+    def _std(c: str, scale_x: int, scale_xx: int):
+        col = F.col(c)
+        s1 = dsum(col, scale_x)
+        s2 = dsum(col * col, scale_xx)
+        n = F.count(col)
+        return F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+
     return li.agg(
         F.round(F.min("l_quantity"), 4).alias("qty_min"),
         F.round(F.max("l_quantity"), 4).alias("qty_max"),
-        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(davg("l_quantity", 2), 4).alias("qty_mean"),
+        F.round(_std("l_quantity", 2, 2), 4).alias("qty_std"),
         F.round(F.min("l_extendedprice"), 4).alias("price_min"),
         F.round(F.max("l_extendedprice"), 4).alias("price_max"),
-        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        F.round(davg("l_extendedprice", 2), 4).alias("price_mean"),
+        F.round(_std("l_extendedprice", 2, 4), 4).alias("price_std"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -429,7 +485,7 @@ def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_outer_nullsafe",
-    oracle="""
+    oracle=f"""
     WITH o AS (
         SELECT CASE WHEN o_totalprice < 5000 THEN NULL ELSE o_custkey END AS k,
                o_totalprice
@@ -444,8 +500,8 @@ def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CASE WHEN k IS NULL THEN -1 ELSE 1 END AS key_kind,
            COUNT(*) AS n,
-           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS sum_price,
-           ROUND(SUM(COALESCE(c_acctbal, 0)), 2) AS sum_bal
+           ROUND({dsum_sql('COALESCE(o_totalprice, 0)', 2)}, 2) AS sum_price,
+           ROUND({dsum_sql('COALESCE(c_acctbal, 0)', 2)}, 2) AS sum_bal
     FROM j GROUP BY 1
     """,
 )
@@ -472,8 +528,8 @@ def q_join_outer_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key_kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("sum_price"),
-            F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("sum_bal"),
+            F.round(dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2), 2).alias("sum_price"),
+            F.round(dsum(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2), 2).alias("sum_bal"),
         )
     )
 
@@ -483,11 +539,12 @@ def q_join_outer_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CASE WHEN COUNT(CASE WHEN v IS NULL THEN 1 END) > 0 THEN NULL
-                ELSE ROUND(SUM(v), 2) END AS na_sum,
-           ROUND(SUM(v), 2) AS spark_sum
+                ELSE ROUND(CAST(SUM(v) AS DOUBLE), 2) END AS na_sum,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS spark_sum
     FROM (
         SELECT user_id,
-               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+               CAST(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                    AS DECIMAL(18,6)) AS v
         FROM events
     ) GROUP BY user_id
     """,
@@ -501,17 +558,18 @@ def q_na_propagating_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(F.col("event_type") == "error", F.lit(None))
         .otherwise(F.col("value"))
+        .cast("decimal(18,6)")
         .alias("v"),
     )
     return ev.groupBy("user_id").agg(
-        F.round(na_agg(F.sum, "v"), 2).alias("na_sum"),
-        F.round(F.sum("v"), 2).alias("spark_sum"),
+        F.round(na_agg(F.sum, "v").cast("double"), 2).alias("na_sum"),
+        F.round(F.sum("v").cast("double"), 2).alias("spark_sum"),
     )
 
 
 @register(
     "q_describe",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT COUNT(*) AS n FROM lineitem)
     SELECT col AS variable,
            ROUND(mn, 4) AS min, ROUND(q1, 4) AS q1, ROUND(md, 4) AS median,
@@ -521,7 +579,7 @@ def q_na_propagating_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'l_quantity' AS col, MIN(l_quantity) AS mn,
                quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
                quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS md,
-               AVG(l_quantity) AS mu,
+               {davg_sql('l_quantity', 6)} AS mu,
                quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3,
                MAX(l_quantity) AS mx,
                COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS nna
@@ -530,7 +588,7 @@ def q_na_propagating_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'l_discount', MIN(l_discount),
                quantile_cont(CAST(l_discount AS DOUBLE), 0.25),
                quantile_cont(CAST(l_discount AS DOUBLE), 0.5),
-               AVG(l_discount),
+               {davg_sql('l_discount', 6)},
                quantile_cont(CAST(l_discount AS DOUBLE), 0.75),
                MAX(l_discount),
                COUNT(CASE WHEN l_discount IS NULL THEN 1 END)
@@ -559,14 +617,14 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cut_histogram",
-    oracle="""
+    oracle=f"""
     SELECT CASE
              WHEN l_quantity > 0  AND l_quantity <= 10 THEN '(0,10]'
              WHEN l_quantity > 10 AND l_quantity <= 25 THEN '(10,25]'
              WHEN l_quantity > 25 AND l_quantity <= 50 THEN '(25,50]'
            END AS bin,
            COUNT(*) AS n,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price
+           ROUND({davg_sql('l_extendedprice', 2)}, 4) AS avg_price
     FROM lineitem GROUP BY 1
     """,
 )
@@ -581,18 +639,18 @@ def q_cut_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(davg("l_extendedprice", 2), 4).alias("avg_price"),
         )
     )
 
 
 @register(
     "q_colwise_grouped",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
            ROUND(MIN(c_acctbal), 4) AS c_acctbal_min,
            ROUND(MAX(c_acctbal), 4) AS c_acctbal_max,
-           ROUND(AVG(c_acctbal), 4) AS c_acctbal_mean,
+           ROUND({davg_sql('c_acctbal', 6)}, 4) AS c_acctbal_mean,
            COUNT(c_acctbal) AS c_acctbal_count
     FROM customer GROUP BY c_nationkey
     """,
@@ -620,10 +678,10 @@ def q_colwise_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pivot_table_lib",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           ROUND(AVG(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS even,
-           ROUND(AVG(CASE WHEN user_id % 2 = 1 THEN value END), 4) AS odd
+           ROUND({davg_sql('CASE WHEN user_id % 2 = 0 THEN value END', 6)}, 4) AS even,
+           ROUND({davg_sql('CASE WHEN user_id % 2 = 1 THEN value END', 6)}, 4) AS odd
     FROM events GROUP BY event_type
     """,
 )
@@ -677,8 +735,8 @@ def q_cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_vcat_promote",
-    oracle="""
-    SELECT kind, ROUND(SUM(val), 2) AS total, COUNT(*) AS n,
+    oracle=f"""
+    SELECT kind, ROUND({dsum_sql('val', 2)}, 2) AS total, COUNT(*) AS n,
            COUNT(CASE WHEN extra IS NULL THEN 1 END) AS n_missing
     FROM (
         SELECT 'o' AS kind, o_totalprice AS val, o_orderpriority AS extra FROM orders
@@ -704,7 +762,7 @@ def q_vcat_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
         vcat(o, l)
         .groupBy("kind")
         .agg(
-            F.round(F.sum("val"), 2).alias("total"),
+            F.round(dsum("val", 2), 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0)).alias("n_missing"),
         )
@@ -808,16 +866,21 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
-           ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+           ROUND(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_tokens,
            SUM(n_chars) AS total_chars,
-           ROUND(AVG(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                     / n_chars), 4) AS avg_alpha_ratio
+           ROUND(CAST(SUM(CAST((CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                     AS DOUBLE) / n_chars) AS DECIMAL(18,8)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_alpha_ratio
     FROM documents GROUP BY source
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + character-class ratios per source (llm.text) —
-    pure codegen string ops, the cheap text-quality pre-pass."""
+    pure codegen string ops, the cheap text-quality pre-pass. Averages
+    are exact-integer-sum / count (tokens) and decimal-sum / count
+    (ratios) so the rounded digits are accumulation-order-independent
+    — the round-1 driver flip came from ROUND(AVG(double)) here."""
     from .llm import token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -825,11 +888,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
         / F.col("n_chars")
     )
+    n = F.count(F.lit(1))
     return docs.groupBy("source").agg(
         F.sum(token_count("text")).alias("total_tokens"),
-        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.sum(token_count("text")).cast("double") / n, 4).alias("avg_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg(alpha_ratio), 4).alias("avg_alpha_ratio"),
+        F.round(dsum(alpha_ratio, 8) / n, 4).alias("avg_alpha_ratio"),
     )
 
 
@@ -920,18 +984,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         , 6) AS q
       FROM q
     )
-    SELECT source, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n
+    SELECT source,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(18,8))) AS DOUBLE) / COUNT(q), 4)
+               AS avg_quality,
+           COUNT(*) AS n
     FROM s GROUP BY source
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality-score heuristic (llm.text.quality_score)
-    aggregated per source."""
+    aggregated per source (decimal-exact mean — order-independent)."""
     from .llm import quality_score
 
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.round(F.avg(quality_score("text")), 4).alias("avg_quality"),
+        F.round(davg(quality_score("text"), 8), 4).alias("avg_quality"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -996,11 +1063,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_windowed_rollup",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           ROUND({dsum_sql('value', 6)}, 2) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1021,12 +1088,12 @@ def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_model_matrix",
-    oracle="""
-    SELECT ROUND(SUM(o_totalprice), 2) AS sum_y,
+    oracle=f"""
+    SELECT ROUND({dsum_sql('o_totalprice', 2)}, 2) AS sum_y,
            COUNT(*) AS n,
            SUM(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END) AS sum_status_O,
            SUM(CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END) AS sum_status_P,
-           ROUND(SUM(o_totalprice * CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 2)
+           ROUND({dsum_sql("o_totalprice * CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END", 2)}, 2)
                AS sum_interact
     FROM orders
     """,
@@ -1041,13 +1108,13 @@ def q_model_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = model_matrix("o_totalprice ~ o_orderstatus", orders)
     interact = model_matrix("o_totalprice ~ o_totalprice & o_orderstatus", orders)
     base = mm.df.agg(
-        F.round(F.sum("o_totalprice"), 2).alias("sum_y"),
+        F.round(dsum("o_totalprice", 2), 2).alias("sum_y"),
         F.count(F.lit(1)).alias("n"),
         F.sum("`o_orderstatus:O`").alias("sum_status_O"),
         F.sum("`o_orderstatus:P`").alias("sum_status_P"),
     )
     inter = interact.df.agg(
-        F.round(F.sum("`o_totalprice&o_orderstatus:O`"), 2).alias("sum_interact")
+        F.round(dsum(F.col("`o_totalprice&o_orderstatus:O`"), 2), 2).alias("sum_interact")
     )
     return base.crossJoin(inter)
 
@@ -1139,12 +1206,12 @@ def q_sortperm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scalar_math",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           ROUND(SUM(SQRT(l_quantity)), 2) AS sum_sqrt_qty,
-           ROUND(SUM(LN(l_extendedprice)), 2) AS sum_log_price,
-           ROUND(SUM(ABS(l_discount - 0.05)), 2) AS sum_abs_disc,
-           ROUND(SUM(POW(l_discount, 2)), 4) AS sum_disc_sq,
+           ROUND({dsum_sql('SQRT(l_quantity)', 6)}, 2) AS sum_sqrt_qty,
+           ROUND({dsum_sql('LN(l_extendedprice)', 6)}, 2) AS sum_log_price,
+           ROUND({dsum_sql('ABS(l_discount - 0.05)', 6)}, 2) AS sum_abs_disc,
+           ROUND({dsum_sql('POW(l_discount, 2)', 8)}, 4) AS sum_disc_sq,
            ROUND(SUM(MOD(l_quantity, 7)), 2) AS sum_qty_mod7,
            SUM(CAST(FLOOR(l_quantity / 10) AS BIGINT)) AS sum_qty_fld10
     FROM lineitem GROUP BY l_returnflag
@@ -1153,15 +1220,18 @@ def q_sortperm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elementary scalar surface (reference src/operators.jl:7-48 lifted
     elementwise) via functions.scalar.lift — every op stays in
-    whole-stage codegen (no Python UDFs)."""
+    whole-stage codegen (no Python UDFs). Double sums go through the
+    per-row decimal quantization (dsum) so the rounded totals are
+    accumulation-order- and libm-independent — this query's round-1
+    driver hash flip was ROUND(SUM(double)) at a .xx5 boundary."""
     from .functions.scalar import lift
 
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(lift("sqrt", "l_quantity")), 2).alias("sum_sqrt_qty"),
-        F.round(F.sum(lift("log", "l_extendedprice")), 2).alias("sum_log_price"),
-        F.round(F.sum(lift("abs", F.col("l_discount") - 0.05)), 2).alias("sum_abs_disc"),
-        F.round(F.sum(lift("^", "l_discount", 2)), 4).alias("sum_disc_sq"),
+        F.round(dsum(lift("sqrt", "l_quantity"), 6), 2).alias("sum_sqrt_qty"),
+        F.round(dsum(lift("log", "l_extendedprice"), 6), 2).alias("sum_log_price"),
+        F.round(dsum(lift("abs", F.col("l_discount") - 0.05), 6), 2).alias("sum_abs_disc"),
+        F.round(dsum(lift("^", "l_discount", 2), 8), 4).alias("sum_disc_sq"),
         F.round(F.sum(lift("mod", "l_quantity", 7)), 2).alias("sum_qty_mod7"),
         F.sum(lift("fld", "l_quantity", 10)).alias("sum_qty_fld10"),
     )
@@ -1169,22 +1239,52 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corr_cov",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_cov,
-           ROUND(CORR(l_discount, l_tax), 6) AS disc_tax_corr
+           ROUND((COUNT(*) * {dsum_sql('l_quantity * l_extendedprice', 2)}
+                  - {dsum_sql('l_quantity', 2)} * {dsum_sql('l_extendedprice', 2)})
+                 / SQRT((COUNT(*) * {dsum_sql('l_quantity * l_quantity', 2)}
+                         - {dsum_sql('l_quantity', 2)} * {dsum_sql('l_quantity', 2)})
+                        * (COUNT(*) * {dsum_sql('l_extendedprice * l_extendedprice', 4)}
+                           - {dsum_sql('l_extendedprice', 2)} * {dsum_sql('l_extendedprice', 2)})),
+                 6) AS qty_price_corr,
+           ROUND(({dsum_sql('l_quantity * l_extendedprice', 2)}
+                  - {dsum_sql('l_quantity', 2)} * {dsum_sql('l_extendedprice', 2)} / COUNT(*))
+                 / (COUNT(*) - 1), 2) AS qty_price_cov,
+           ROUND((COUNT(*) * {dsum_sql('l_discount * l_tax', 6)}
+                  - {dsum_sql('l_discount', 2)} * {dsum_sql('l_tax', 2)})
+                 / SQRT((COUNT(*) * {dsum_sql('l_discount * l_discount', 6)}
+                         - {dsum_sql('l_discount', 2)} * {dsum_sql('l_discount', 2)})
+                        * (COUNT(*) * {dsum_sql('l_tax * l_tax', 6)}
+                           - {dsum_sql('l_tax', 2)} * {dsum_sql('l_tax', 2)})),
+                 6) AS disc_tax_corr
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cor/cov (reference src/dataframe.jl:1514-1521, src/operators.jl:64)
-    as grouped corr()/covar_samp() aggregates — one pass, one shuffle."""
+    computed from exact decimal power sums (one pass, one shuffle): the
+    built-in CORR/COVAR merge partial co-moments in partition order, so
+    the rounded digits can flip run-to-run; the power-sum formula over
+    exact sums is fully deterministic on both engines."""
     li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    d, t = F.col("l_discount"), F.col("l_tax")
+    n = F.count(F.lit(1))
+
+    def _corr(a, b, sa, sb, sab):
+        s_a, s_b = dsum(a, sa), dsum(b, sb)
+        s_ab = dsum(a * b, sab)
+        s_aa, s_bb = dsum(a * a, min(sa * 2, 8)), dsum(b * b, min(sb * 2, 8))
+        return (n * s_ab - s_a * s_b) / F.sqrt(
+            (n * s_aa - s_a * s_a) * (n * s_bb - s_b * s_b)
+        )
+
+    cov = (dsum(x * y, 2) - dsum(x, 2) * dsum(y, 2) / n) / (n - 1)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
-        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax_corr"),
+        F.round(_corr(x, y, 2, 2, 2), 6).alias("qty_price_corr"),
+        F.round(cov, 2).alias("qty_price_cov"),
+        F.round(_corr(d, t, 2, 2, 6), 6).alias("disc_tax_corr"),
     )
 
 
@@ -1593,11 +1693,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q08_market_share",
-    oracle="""
+    oracle=f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(CASE WHEN sn.n_name = 'CHINA'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+           ROUND({dsum_sql("CASE WHEN sn.n_name = 'CHINA' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+                 / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 6) AS mkt_share
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN orders   ON l_orderkey = o_orderkey
@@ -1632,7 +1731,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("s_nation") == "CHINA", rev).otherwise(0.0)) / F.sum(rev),
+                dsum(F.when(F.col("s_nation") == "CHINA", rev).otherwise(0.0), 4)
+                / dsum(rev, 4),
                 6,
             ).alias("mkt_share")
         )
@@ -1641,9 +1741,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1670,7 +1770,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue")
         )
     )
     return top_k(agg, [order("revenue", rev=True), order("c_custkey", rev=False)], 20)
@@ -1701,10 +1801,9 @@ def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    oracle=f"""
+    SELECT ROUND(100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+                 / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-02-01'
@@ -1723,7 +1822,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                100.0 * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), 4)
+                / dsum(rev, 4),
                 4,
             ).alias("promo_revenue")
         )
@@ -1732,8 +1832,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle=f"""
+    SELECT ROUND({dsum_sql('l_extendedprice', 2)} / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS qlim
@@ -1754,7 +1854,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(qlim, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qlim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(dsum("l_extendedprice", 2) / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -1796,8 +1896,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_bracket_revenue",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 21)
@@ -1823,16 +1923,17 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return j.filter(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue")
     )
 
 
 @register(
     "q22_idle_balances",
-    oracle="""
-    WITH pos AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+    oracle=f"""
+    WITH pos AS (SELECT {davg_sql('c_acctbal', 2)} AS ab
+                 FROM customer WHERE c_acctbal > 0)
     SELECT c_nationkey, COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           ROUND({dsum_sql('c_acctbal', 2)}, 2) AS totacctbal
     FROM customer, pos
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1844,7 +1945,7 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast as a 1-row cross join) + anti join against orders."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", 2).alias("ab"))
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
@@ -1852,7 +1953,7 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(dsum("c_acctbal", 2), 2).alias("totacctbal"),
         )
     )
 
@@ -1934,9 +2035,9 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_facade_pipeline",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue,
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS disc_revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_quantity < 25
@@ -1958,7 +2059,7 @@ def q_facade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.sdf,
         "l_returnflag",
         {
-            "disc_revenue": F.round(F.sum("disc_price"), 2),
+            "disc_revenue": F.round(dsum("disc_price", 4), 2),
             "n": F.count(F.lit(1)),
         },
     )
@@ -1992,10 +2093,10 @@ def q_describe_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_special_functions",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
-           ROUND(SUM(gamma(1.0 + c_acctbal / 10000.0)), 6) AS sum_gamma,
-           ROUND(SUM(lgamma(2.0 + c_acctbal / 10000.0)), 6) AS sum_lgamma
+           ROUND({dsum_sql('gamma(1.0 + c_acctbal / 10000.0)', 8)}, 6) AS sum_gamma,
+           ROUND({dsum_sql('lgamma(2.0 + c_acctbal / 10000.0)', 8)}, 6) AS sum_lgamma
     FROM customer
     WHERE c_acctbal > 0
     GROUP BY c_nationkey
@@ -2012,17 +2113,17 @@ def q_special_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lift("gamma", 1.0 + F.col("c_acctbal") / 10000.0)
     lg = lift("lgamma", 2.0 + F.col("c_acctbal") / 10000.0)
     return cust.groupBy("c_nationkey").agg(
-        F.round(F.sum(g), 6).alias("sum_gamma"),
-        F.round(F.sum(lg), 6).alias("sum_lgamma"),
+        F.round(dsum(g, 8), 6).alias("sum_gamma"),
+        F.round(dsum(lg, 8), 6).alias("sum_lgamma"),
     )
 
 
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT l_suppkey AS suppkey,
-               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -2043,7 +2144,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
@@ -2180,10 +2281,10 @@ def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_monthly_revenue",
-    oracle="""
+    oracle=f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           ROUND({dsum_sql('o_totalprice', 2)}, 2) AS revenue
     FROM orders GROUP BY 1
     """,
 )
@@ -2195,7 +2296,7 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(dsum("o_totalprice", 2), 2).alias("revenue"),
         )
     )
 
@@ -2308,8 +2409,8 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q05_local_supplier_volume",
-    oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT n_name, ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -2350,7 +2451,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
     )
@@ -2358,10 +2459,10 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q07_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS revenue
     FROM supplier
     JOIN lineitem  ON s_suppkey = l_suppkey
     JOIN orders    ON o_orderkey = l_orderkey
@@ -2413,7 +2514,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
     )
@@ -2421,11 +2522,11 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_asof_join",
-    oracle="""
+    oracle=f"""
     SELECT c.user_id,
            COUNT(*) AS n_clicks,
            COUNT(p.value) AS n_matched,
-           ROUND(SUM(p.value), 2) AS matched_value
+           ROUND({dsum_sql('p.value', 6)}, 2) AS matched_value
     FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN (SELECT user_id, ts, value
                     FROM events WHERE event_type = 'purchase') p
@@ -2449,18 +2550,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("value").alias("n_matched"),
-        F.round(F.sum("value"), 2).alias("matched_value"),
+        F.round(dsum("value", 6), 2).alias("matched_value"),
     )
 
 
 @register(
     "q_range_join",
-    oracle="""
+    oracle=f"""
     WITH bands AS (
         SELECT DISTINCT p_size, 900.0 + p_size AS lo, 902.0 + p_size AS hi
         FROM part
     )
-    SELECT b.p_size, COUNT(*) AS n_parts, ROUND(SUM(p.p_retailprice), 2) AS price_sum
+    SELECT b.p_size, COUNT(*) AS n_parts, ROUND({dsum_sql('p.p_retailprice', 2)}, 2) AS price_sum
     FROM bands b JOIN part p
       ON p.p_retailprice >= b.lo AND p.p_retailprice <= b.hi
     GROUP BY b.p_size
@@ -2486,16 +2587,16 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return matched.groupBy("p_size").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+        F.round(dsum("p_retailprice", 2), 2).alias("price_sum"),
     )
 
 
 @register(
     "q_systematic_sample",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_sampled,
-           ROUND(SUM(o_totalprice), 2) AS sampled_value
+           ROUND({dsum_sql('o_totalprice', 2)}, 2) AS sampled_value
     FROM orders
     WHERE o_orderkey % 10 = 3
     GROUP BY o_orderpriority
@@ -2514,7 +2615,7 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
+            F.round(dsum("o_totalprice", 2), 2).alias("sampled_value"),
         )
     )
 

@@ -149,7 +149,8 @@ def windowed_event_counts(
         src = events.withWatermark(ts_col, watermark)
     return src.groupBy(w.alias("win"), *group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("total_value"),
+        # decimal-exact sum: partition-order-independent double total
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     ).select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
