@@ -239,16 +239,18 @@ class JlDataFrame:
         order. Lazy positional discipline (SURVEY §7 hard part #1).
 
         Uses monotonically_increasing_id (partition-local, sparse) made
-        dense via a global row_number — one shuffle, only paid when a
-        positional op is used. At 100 TB you simply don't call this on
-        the full table; positional access is a small-data affordance.
+        dense via ops.sorting.global_row_number — a range-partitioned
+        rank with per-partition offsets, NOT a single-partition window,
+        so positional ops stay distributed at scale.
         """
         if ROW_ID in self._sdf.columns:
             return self
-        mono = F.monotonically_increasing_id()
-        w = Window.orderBy(mono)
+        from ..ops.sorting import global_row_number
+
+        tmp = self._sdf.withColumn("__mono__", F.monotonically_increasing_id())
+        ranked = global_row_number(tmp, cols=["__mono__"], col_name=ROW_ID)
         out = JlDataFrame.__new__(JlDataFrame)
-        out._sdf = self._sdf.withColumn(ROW_ID, F.row_number().over(w) - 1)
+        out._sdf = ranked.withColumn(ROW_ID, F.col(ROW_ID) - 1).drop("__mono__")
         out.index = self.index
         return out
 

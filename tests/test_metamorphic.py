@@ -132,3 +132,26 @@ def test_asof_join_matches_bruteforce(spark):
             best_t = max(rt for rt, _ in cands)
             assert got[lid][0] == best_t
             assert got[lid][1] in {rp for rt, rp in cands if rt == best_t}
+
+
+def test_colwise_prod_zero_and_negative(spark):
+    """AGG_FUNCS['prod'] (exp-sum-log trick): a zero factor must zero the
+    group product, odd negative counts must flip the sign — the naive
+    formulation drops zeros because log(0) is NULL and SUM skips NULLs."""
+    import math
+
+    from dataframes_jl_spark.ops.grouping import colwise
+
+    rows = [
+        ("z", 2.0), ("z", 0.0), ("z", 5.0),          # contains a zero -> 0
+        ("n", -2.0), ("n", 3.0),                      # one negative -> -6
+        ("p", 1.5), ("p", 4.0), ("p", -2.0), ("p", -1.0),  # two negatives -> 12
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: r["v_prod"]
+        for r in colwise(df, ["prod"], cols=["v"], group_cols=["k"]).collect()
+    }
+    assert got["z"] == 0.0
+    assert math.isclose(got["n"], -6.0, rel_tol=1e-9)
+    assert math.isclose(got["p"], 12.0, rel_tol=1e-9)

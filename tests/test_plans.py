@@ -88,3 +88,15 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     # equi-join; a nested loop here is the regression this test catches
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+def test_facade_row_id_not_single_partition(spark):
+    """flipud/duplicated/positional access route through the facade's
+    with_row_id — must be the range-partitioned rank, never a global
+    row_number() window (SinglePartition = every row through one task)."""
+    from dataframes_jl_spark.core.frame import JlDataFrame
+    from dataframes_jl_spark.session import load_table
+
+    jdf = JlDataFrame(load_table(spark, SF_DIR, "orders"))
+    for df in (jdf.flipud().sdf, jdf.duplicated().sdf):
+        plan = plan_of(df)
+        assert "SinglePartition" not in plan
