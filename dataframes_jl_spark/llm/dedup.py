@@ -187,6 +187,12 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
         .repartition(par, "id")
         .select("id", shingles("__text__", n).alias("sh"))
+        # docs shorter than n tokens have no shingles: every signature
+        # slot would be NULL, so ALL such docs share identical band
+        # buckets (quadratic all-shorts candidate blowup) and the verify
+        # step divides 0/0. The exact jaccard_pairs path drops them
+        # implicitly (explode of an empty array); drop them here too.
+        .filter(F.size("sh") > 0)
     )
     hashed = base.select("id", "sh", _shingle_hashes(F.col("sh")).alias("hs")).repartition(
         par, "id"
@@ -454,10 +460,13 @@ def dedup_clusters(
     graph. The step every dedup pipeline needs between pair generation
     and choosing canonical documents.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round joins labels across edges and takes the min; converges in
-    graph-diameter rounds (near-dup components are shallow — dozens of
-    rounds covers pathological chains). Each round is one shuffle on
+    Min-label propagation with pointer doubling: every node starts
+    labeled with itself; each round (1) flows labels across edges and
+    takes the min, then (2) jumps label -> label-of-label. The jump
+    makes convergence O(log diameter) instead of O(diameter), so
+    max_iter=20 covers components of diameter ~2^20 — and if the loop
+    still exhausts without converging the function RAISES instead of
+    silently returning split components. Each round is two shuffles on
     node id; lineage is cut with localCheckpoint every round so plans
     stay flat. Memory is O(nodes), never O(pairs²).
     """
@@ -473,17 +482,31 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
-        # label candidates flowing across edges this round
+        # (1) label candidates flowing across edges this round
         flowed = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        new_labels = (
+        propagated = (
             labels.select("id", "label")
             .unionByName(flowed)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer doubling: label := min(label, label-of-label)
+        jump = propagated.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            propagated.join(jump, propagated.label == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -495,7 +518,13 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds; "
+            "raise max_iter (components deeper than ~2^max_iter)"
+        )
     return labels.select("id", F.col("label").alias("cluster"))
 
 

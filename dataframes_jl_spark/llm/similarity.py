@@ -34,7 +34,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, NULL for zero-norm inputs. The guard matters:
+    0/0 is NaN, and Spark orders NaN LARGER than any number, so an
+    unguarded zero vector would rank above every real neighbor and pass
+    >=threshold filters."""
+    return safe_cos_div(dot(a, b), norm(a) * norm(b))
+
+
+def safe_cos_div(num: Column, denom: Column) -> Column:
+    """num/denom with NULL (not NaN/Inf) when denom is zero."""
+    return F.when(denom != 0, num / denom)
 
 
 def _as_double(c: Column) -> Column:
@@ -178,7 +187,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            safe_cos_div(
+                dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -286,7 +297,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            safe_cos_div(
+                dot(F.col("qv"), F.col("v")), F.col("qn") * F.col("cn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -95,7 +95,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer floor-division: ts/1000 via `/` goes through double,
+        # and epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so
+        # roughly half the timestamps would land 1 us early. `div` stays
+        # in int64 end-to-end.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
