@@ -95,15 +95,26 @@ def readtable(
         # columns as strings and post-convert (locale CSV parity).
         reader = reader.option("inferSchema", False)
     if skipstart:
-        # no native skip-N-rows: filter by position via a zipped index on
-        # the raw text lines would break distribution; emulate for the
-        # header-offset case only.
-        raise NotImplementedError(
-            "skipstart: pre-slice the file or use allowcomments/comment "
-            "markers; distributed skip-N is not supported"
-        )
+        # skip-N-preamble-lines (reference ParseOptions skipstart,
+        # src/io.jl:11-31): read raw text lines, rank them with the
+        # distributed global_row_number (monotonically_increasing_id
+        # follows file order: partitions of a file are ordered by byte
+        # range), drop the first N, re-parse the remainder as CSV. One
+        # extra pass over the text — only paid when skipstart is used.
+        from ..ops.sorting import global_row_number
 
-    df = reader.csv(path)
+        text = spark.read.text(path).withColumn(
+            "__mono__", F.monotonically_increasing_id()
+        )
+        kept = (
+            global_row_number(text, cols=["__mono__"], col_name="__line__")
+            .filter(F.col("__line__") > skipstart)
+            .orderBy("__line__")
+            .select("value")
+        )
+        df = reader.csv(kept.rdd.map(lambda r: r[0]))
+    else:
+        df = reader.csv(path)
 
     if colnames is not None:
         df = df.toDF(*make_unique(list(colnames)))
@@ -123,14 +134,38 @@ def readtable(
                 )
     ts, fs = set(truestrings), set(falsestrings)
     if ts != {"T", "t", "TRUE", "true"} or fs != {"F", "f", "FALSE", "false"}:
-        for c, t in df.dtypes:
-            if t == "string":
-                df = df.withColumn(
-                    c,
-                    F.when(F.col(c).isin(list(ts)), F.lit(True))
-                    .when(F.col(c).isin(list(fs)), F.lit(False))
-                    .otherwise(F.col(c)),
-                )
+        # A column becomes boolean only if EVERY non-null value is a
+        # declared true/false token (one probe agg, like the decimal
+        # cascade below). The old per-value CASE silently widened the
+        # branches back to string, so matched values became the literal
+        # strings 'true'/'false' and the column never turned boolean.
+        str_cols = [c for c, t in df.dtypes if t == "string"]
+        if str_cols:
+            tokens = list(ts | fs)
+            probe = df.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col(c).isNotNull() & ~F.col(c).isin(tokens), 1
+                        ).otherwise(0)
+                    ).alias(f"{c}__bad")
+                    for c in str_cols
+                ],
+                *[
+                    F.sum(
+                        F.when(F.col(c).isNotNull(), 1).otherwise(0)
+                    ).alias(f"{c}__nn")
+                    for c in str_cols
+                ],
+            ).collect()[0]
+            for c in str_cols:
+                if probe[f"{c}__bad"] == 0 and probe[f"{c}__nn"] > 0:
+                    df = df.withColumn(
+                        c,
+                        F.when(F.col(c).isin(list(ts)), F.lit(True)).when(
+                            F.col(c).isin(list(fs)), F.lit(False)
+                        ),
+                    )
     if decimal != ".":
         # per-column inference decision like the reference's cascade: a
         # column becomes double only if EVERY non-null value parses after

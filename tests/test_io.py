@@ -172,3 +172,30 @@ def test_readtable_declared_schema(spark, tmp_path):
     df = readtable(spark, str(p), schema="a bigint, b string")
     assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
     assert df.count() == 2
+
+
+def test_skipstart_drops_preamble(spark, tmp_path):
+    """readtable(skipstart=N) (reference ParseOptions src/io.jl:11-31):
+    junk preamble lines are dropped before header detection."""
+    p = tmp_path / "pre.csv"
+    p.write_text("junk line 1\njunk line 2\na,b\n1,x\n2,y\n")
+    df = readtable(spark, str(p), skipstart=2)
+    assert df.columns == ["a", "b"]
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_custom_truestrings_yield_boolean(spark, tmp_path):
+    """Custom true/false token sets produce a real boolean column when
+    every non-null value is a token; mixed columns stay strings."""
+    p = tmp_path / "bool.csv"
+    p.write_text("flag,mixed\nyes,yes\nno,other\nyes,no\n")
+    df = readtable(
+        spark, str(p), truestrings=["yes"], falsestrings=["no"]
+    )
+    types = dict(df.dtypes)
+    assert types["flag"] == "boolean"
+    assert types["mixed"] == "string"
+    assert [r["flag"] for r in df.orderBy("mixed").collect()] == [
+        True, False, True,
+    ]
