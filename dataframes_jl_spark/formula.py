@@ -27,6 +27,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# hard ceiling on distinct levels collected to the driver for contrast
+# coding; beyond this, exact treatment contrasts are the wrong tool
+MAX_FACTOR_LEVELS = 10_000
+
 
 @dataclass
 class Formula:
@@ -119,11 +123,21 @@ class ModelMatrix:
         encodings: dict[str, list[tuple[str, Column]]] = {}
         for v in f.variables():
             if dtypes[v] == "string" or dtypes[v] == "boolean":
-                levels = [
-                    r[v]
-                    for r in src.select(v).distinct().orderBy(v).collect()
-                    if r[v] is not None
-                ]
+                # bounded driver collect: a high-cardinality factor would
+                # OOM the driver and produce a uselessly wide matrix —
+                # fail loudly instead (cap mirrors practical contrast
+                # coding; use hashing/target encoding beyond it)
+                cap = MAX_FACTOR_LEVELS
+                rows = (
+                    src.select(v).distinct().orderBy(v).limit(cap + 1).collect()
+                )
+                if len(rows) > cap:
+                    raise ValueError(
+                        f"factor {v!r} has more than {cap} distinct levels; "
+                        "refusing to build contrasts (would OOM the driver). "
+                        "Bucket/hash the column or raise MAX_FACTOR_LEVELS."
+                    )
+                levels = [r[v] for r in rows if r[v] is not None]
                 encodings[v] = [
                     (
                         f"{v}:{lvl}",

@@ -32,6 +32,23 @@ def _scalar_map(fn):
     return impl
 
 
+def _vectorized(scipy_name: str, math_fn):
+    """Prefer the scipy vectorized kernel (C loop over the whole Arrow
+    batch); fall back to the per-element math.* map only when scipy is
+    absent. Null-safe: scipy kernels propagate NaN, which round-trips to
+    NULL through Arrow, matching the map fallback."""
+    mapped = _scalar_map(math_fn)
+
+    def impl(s: pd.Series) -> pd.Series:
+        try:
+            import scipy.special as sp  # gated import
+        except ImportError:  # pragma: no cover
+            return mapped(s)
+        return pd.Series(getattr(sp, scipy_name)(s.astype(float)))
+
+    return impl
+
+
 def _digamma_impl(s: pd.Series) -> pd.Series:
     try:
         from scipy.special import digamma as dg  # gated import
@@ -42,10 +59,10 @@ def _digamma_impl(s: pd.Series) -> pd.Series:
 
 
 _UDF_IMPLS = {
-    "gamma": _scalar_map(math.gamma),
-    "lgamma": _scalar_map(math.lgamma),
-    "erf": _scalar_map(math.erf),
-    "erfc": _scalar_map(math.erfc),
+    "gamma": _vectorized("gamma", math.gamma),
+    "lgamma": _vectorized("gammaln", math.lgamma),
+    "erf": _vectorized("erf", math.erf),
+    "erfc": _vectorized("erfc", math.erfc),
     "digamma": _digamma_impl,
 }
 

@@ -69,3 +69,16 @@ def test_categorical_interaction(mdf):
     assert mm.coefnames == ["(Intercept)", "x&c:green", "x&c:red"]
     rows = {r.y: r for r in mm.df.collect()}
     assert rows[2.0]["x&c:green"] == 3.0
+
+
+def test_factor_level_cap_fails_fast(spark, monkeypatch):
+    """High-cardinality factors must fail loudly instead of collecting
+    unbounded distinct levels to the driver."""
+    import dataframes_jl_spark.formula as fmod
+
+    df = spark.range(50).selectExpr(
+        "CAST(id AS DOUBLE) AS y", "CAST(id AS STRING) AS c"
+    )
+    monkeypatch.setattr(fmod, "MAX_FACTOR_LEVELS", 10)
+    with pytest.raises(ValueError, match="distinct levels"):
+        model_matrix("y ~ c", df)
