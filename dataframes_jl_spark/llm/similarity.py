@@ -37,8 +37,11 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, NULL for zero-norm inputs. The guard matters:
     0/0 is NaN, and Spark orders NaN LARGER than any number, so an
     unguarded zero vector would rank above every real neighbor and pass
-    >=threshold filters."""
-    return safe_cos_div(dot(a, b), norm(a) * norm(b))
+    >=threshold filters. nanvl evaluates the quotient ONCE — a when()
+    guard on the denominator would re-run both norm aggregates per row."""
+    return F.nanvl(
+        dot(a, b) / (norm(a) * norm(b)), F.lit(None).cast("double")
+    )
 
 
 def safe_cos_div(num: Column, denom: Column) -> Column:

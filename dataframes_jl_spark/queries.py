@@ -44,32 +44,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # bits — and, when the exact result sits at a .xx5 boundary, the ROUND
 # digit — vary run-to-run and engine-to-engine (this is what flipped
 # q_scalar_math/q_text_stats in the round-1 driver gate despite a green
-# local replay). The fix: cast each row to DECIMAL before summing. Decimal
-# addition is exact and order-independent, and a double->decimal cast is
-# tie-free (a decimal tie at scale>=1 has a factor of 5 in its reduced
-# denominator, so no binary double ever equals one), hence the cast is
-# deterministic given identical per-row doubles — which IEEE +,-,*,/,sqrt
-# guarantee across engines. Transcendentals (ln, gamma) may differ by an
-# ulp between libms; the per-row quantization shrinks that risk to
-# ~ulp/10^-scale per row. The final CAST back to DOUBLE keeps both
-# engines' result schemas identical.
+# local replay). The fix: quantize each row to an INTEGER number of
+# 10^-scale units (floor(x*10^scale + 0.5) — IEEE multiply/add/floor are
+# bit-identical across engines given identical doubles) and sum LONGs:
+# integer addition is exact and order-independent, and long sums stay in
+# whole-stage codegen (a DECIMAL-typed sum drops the aggregate onto a
+# BigDecimal accumulator — measured ~3x slower on the TPC-H Q1 shape).
+# Transcendentals (ln, gamma) may differ by an ulp between libms; the
+# quantization shrinks that risk to ~ulp/10^-scale per row. The final
+# divide returns DOUBLE so both engines' result schemas are identical.
+#
+# Magnitude contract: |x|*10^scale and the group total must fit int64 —
+# fine for every column here (max is price^2 sums at scale 4: ~6e14 at
+# sf0.1, vs 9.2e18); ANSI long-overflow raises loudly, never wraps.
 
 
 def dsum(col, scale: int = 4):
     """Exact, order-independent sum of a double column (Spark side)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    m = F.lit(float(10**scale))
+    return F.sum(F.floor(c * m + F.lit(0.5))) / m
 
 
 def davg(col, scale: int = 4):
-    """Deterministic mean: exact decimal sum / non-null count."""
+    """Deterministic mean: exact quantized sum / non-null count."""
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, scale) / F.count(c)
 
 
 def dsum_sql(expr: str, scale: int = 4) -> str:
     """DuckDB mirror of :func:`dsum` for oracle SQL."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1e{scale} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / 1e{scale})"
+    )
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
@@ -444,7 +452,7 @@ def q_melt_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(l_extendedprice), 4) AS price_min,
            ROUND(MAX(l_extendedprice), 4) AS price_max,
            ROUND({davg_sql('l_extendedprice', 2)}, 4) AS price_mean,
-           ROUND(SQRT(({dsum_sql('l_extendedprice * l_extendedprice', 4)}
+           ROUND(SQRT(({dsum_sql('l_extendedprice * l_extendedprice', 2)}
                        - {dsum_sql('l_extendedprice', 2)} * {dsum_sql('l_extendedprice', 2)}
                          / COUNT(l_extendedprice))
                       / (COUNT(l_extendedprice) - 1)), 4) AS price_std,
@@ -474,7 +482,7 @@ def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 4).alias("price_min"),
         F.round(F.max("l_extendedprice"), 4).alias("price_max"),
         F.round(davg("l_extendedprice", 2), 4).alias("price_mean"),
-        F.round(_std("l_extendedprice", 2, 4), 4).alias("price_std"),
+        F.round(_std("l_extendedprice", 2, 2), 4).alias("price_std"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1285,7 +1293,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - {dsum_sql('l_quantity', 2)} * {dsum_sql('l_extendedprice', 2)})
                  / SQRT((COUNT(*) * {dsum_sql('l_quantity * l_quantity', 2)}
                          - {dsum_sql('l_quantity', 2)} * {dsum_sql('l_quantity', 2)})
-                        * (COUNT(*) * {dsum_sql('l_extendedprice * l_extendedprice', 4)}
+                        * (COUNT(*) * {dsum_sql('l_extendedprice * l_extendedprice', 2)}
                            - {dsum_sql('l_extendedprice', 2)} * {dsum_sql('l_extendedprice', 2)})),
                  6) AS qty_price_corr,
            ROUND(({dsum_sql('l_quantity * l_extendedprice', 2)}
@@ -1312,19 +1320,21 @@ def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, t = F.col("l_discount"), F.col("l_tax")
     n = F.count(F.lit(1))
 
-    def _corr(a, b, sa, sb, sab):
+    def _corr(a, b, sa, sb, sab, saa, sbb):
+        # scales must match the oracle SQL exactly: the quantization is
+        # part of the compared value, not just an implementation detail
         s_a, s_b = dsum(a, sa), dsum(b, sb)
         s_ab = dsum(a * b, sab)
-        s_aa, s_bb = dsum(a * a, min(sa * 2, 8)), dsum(b * b, min(sb * 2, 8))
+        s_aa, s_bb = dsum(a * a, saa), dsum(b * b, sbb)
         return (n * s_ab - s_a * s_b) / F.sqrt(
             (n * s_aa - s_a * s_a) * (n * s_bb - s_b * s_b)
         )
 
     cov = (dsum(x * y, 2) - dsum(x, 2) * dsum(y, 2) / n) / (n - 1)
     return li.groupBy("l_returnflag").agg(
-        F.round(_corr(x, y, 2, 2, 2), 6).alias("qty_price_corr"),
+        F.round(_corr(x, y, 2, 2, 2, 2, 2), 6).alias("qty_price_corr"),
         F.round(cov, 2).alias("qty_price_cov"),
-        F.round(_corr(d, t, 2, 2, 6), 6).alias("disc_tax_corr"),
+        F.round(_corr(d, t, 2, 2, 6, 6, 6), 6).alias("disc_tax_corr"),
     )
 
 
@@ -2475,21 +2485,26 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the distinctive part is the
     cross-table residual predicate c_nationkey = s_nationkey on top of the
-    equi-join chain. Facts shuffle once on their keys; supplier/nation/
-    region broadcast; the orderdate range predicate is pushed to the scan."""
+    equi-join chain.
+
+    Join order is the standard Q5 plan: lineitem joins date-FILTERED
+    orders first (the selective predicate prunes the big fact stream
+    before anything else touches it), customer joins the reduced stream
+    after; supplier/nation/region broadcast. The round-1 plan joined
+    customer x orders first, which at 100x shuffles the two smaller
+    facts together before the dominant one — pinned by a plan test."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
     li = _t(spark, sf_dir, "lineitem")
     supp = F.broadcast(_t(spark, sf_dir, "supplier"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             supp,
             (F.col("l_suppkey") == supp.s_suppkey)

@@ -100,3 +100,14 @@ def test_facade_row_id_not_single_partition(spark):
     for df in (jdf.flipud().sdf, jdf.duplicated().sdf):
         plan = plan_of(df)
         assert "SinglePartition" not in plan
+
+def test_q05_lineitem_streams_first(spark):
+    """Q5 join order: the dominant fact (lineitem) must be the streamed
+    side of the innermost join, with date-filtered orders joined to it
+    before customer — not customer x orders shuffled together first."""
+    plan = plan_of(QUERIES["q05_local_supplier_volume"](spark, SF_DIR))
+    import re
+
+    first_scan = re.search(r"\(1\) Scan parquet.*?(?=\(\d+\))", plan, re.S)
+    assert first_scan and "lineitem" in first_scan.group(0)
+    assert "CartesianProduct" not in plan
