@@ -51,6 +51,8 @@ def readtable(
     allowescapes: bool = False,
     infer_schema: bool = True,
     schema: str | None = None,
+    linesep: str | None = None,
+    allowquotednewlines: bool = False,
 ) -> DataFrame:
     """readtable(path; kwargs...) (reference src/io.jl:596-655).
 
@@ -86,6 +88,17 @@ def readtable(
         reader = reader.option("nullValue", nastrings[0])
     if skipblanks:
         reader = reader.option("ignoreEmptyLines", "true")
+    if linesep is not None:
+        # classic-Mac '\r'-only files (reference newlines corpus,
+        # test/data/newlines/os9.csv): the default reader recognizes only
+        # \n and \r\n record ends
+        reader = reader.option("lineSep", linesep)
+    if allowquotednewlines:
+        # record separators inside quoted fields (reference embedded_*
+        # newlines corpus). multiLine makes each FILE one split — a
+        # deliberate trade: correctness for embedded newlines vs scan
+        # parallelism, so it's opt-in, not default.
+        reader = reader.option("multiLine", "true")
     if allowcomments:
         reader = reader.option("comment", commentmark)
     if allowescapes:
@@ -225,18 +238,8 @@ def writetable(
 
 
 def read_rda(spark, path: str):
-    """R .rda/.RData reader (reference src/RDA.jl) — out of native Spark
-    scope; bridged through pyreadr when available (import-gated: the
-    library is not in this container)."""
-    try:
-        import pyreadr  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_rda requires the optional 'pyreadr' package; install it "
-            "and retry (reference parity: src/RDA.jl)"
-        ) from e
-    result = pyreadr.read_r(path)
-    out = {}
-    for name, pdf in result.items():
-        out[name] = spark.createDataFrame(pdf)
-    return out
+    """R .rda/.RData reader (reference src/RDA.jl): pure-Python XDR
+    decode, no optional dependencies. See :mod:`.rda`."""
+    from .rda import read_rda as _read_rda
+
+    return _read_rda(spark, path)

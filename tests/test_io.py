@@ -199,3 +199,103 @@ def test_custom_truestrings_yield_boolean(spark, tmp_path):
     assert [r["flag"] for r in df.orderBy("mixed").collect()] == [
         True, False, True,
     ]
+
+
+def test_os9_carriage_return_only(spark, tmp_path):
+    """Classic-Mac '\r'-only record ends (reference
+    test/data/newlines/os9.csv) parse via linesep='\r'."""
+    p = tmp_path / "os9.csv"
+    p.write_bytes(b"a,b\r1,2\r3,4\r")
+    df = readtable(spark, str(p), linesep="\r")
+    assert df.columns == ["a", "b"]
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, 2), (3, 4)]
+
+
+def test_embedded_newlines_in_quoted_fields(spark, tmp_path):
+    """Record separators inside quoted fields (reference
+    test/data/newlines/embedded_{osx,windows}.csv) need
+    allowquotednewlines=True (multiLine scan)."""
+    osx = tmp_path / "embedded_osx.csv"
+    osx.write_text('a,b\n"line one\nline two",1\n"plain",2\n')
+    df = readtable(spark, str(osx), allowquotednewlines=True)
+    rows = {r.b: r.a for r in df.collect()}
+    assert rows == {1: "line one\nline two", 2: "plain"}
+
+    win = tmp_path / "embedded_windows.csv"
+    win.write_bytes(b'a,b\r\n"line one\r\nline two",1\r\n"plain",2\r\n')
+    dfw = readtable(spark, str(win), allowquotednewlines=True)
+    rowsw = {r.b: r.a for r in dfw.collect()}
+    assert rowsw[2] == "plain" and "line one" in rowsw[1]
+
+
+def test_corrupt_utf8_does_not_crash(spark, tmp_path):
+    """Invalid UTF-8 bytes must not abort the read (reference
+    test/data/utf8/corrupt_utf8.csv via PERMISSIVE mode)."""
+    p = tmp_path / "corrupt.csv"
+    p.write_bytes(b"name,v\nok,1\nbad\xff\xfe,2\n")
+    df = readtable(spark, str(p))
+    assert df.count() == 2
+    assert {r.v for r in df.collect()} == {1, 2}
+
+
+def test_quoted_whitespace_space_separator(spark, tmp_path):
+    """Space-separated file with quoted fields containing spaces
+    (reference test/data/quoting/quotedwhitespace.txt)."""
+    p = tmp_path / "qws.txt"
+    p.write_text('a b\n"x y" 1\n"z w" 2\n')
+    df = readtable(spark, str(p), separator=" ")
+    assert sorted(r.a for r in df.collect()) == ["x y", "z w"]
+
+
+def test_empty_quoted_fields(spark, tmp_path):
+    """Empty quoted strings (reference test/data/quoting/empty.csv):
+    '' parses as null under the default nastrings ('' is first)."""
+    p = tmp_path / "empty.csv"
+    p.write_text('a,b\n"",1\n"x",2\n')
+    df = readtable(spark, str(p))
+    rows = {r.b: r.a for r in df.collect()}
+    assert rows[2] == "x" and rows[1] is None
+
+
+RDA_DIR = "/root/reference/test/data/RDA"
+
+
+@pytest.mark.skipif(not os.path.isdir(RDA_DIR), reason="reference RDA fixtures absent")
+def test_read_rda_reference_fixtures(spark):
+    """Pure-Python RData decode vs the reference's own fixtures
+    (reference test/RDA.jl: minimal/types/NAs, R generator in comments)."""
+    from dataframes_jl_spark.io import read_rda
+
+    dfs = read_rda(spark, f"{RDA_DIR}/minimal.rda")
+    assert list(dfs) == ["df"]
+    assert [r.num for r in dfs["df"].collect()] == [1.1, 2.2]
+
+    t = read_rda(spark, f"{RDA_DIR}/types.rda")["df"]
+    assert t.columns == ["num", "int", "logi", "chr", "factor"]
+    assert dict(t.dtypes) == {
+        "num": "double",
+        "int": "int",
+        "logi": "boolean",
+        "chr": "string",
+        "factor": "string",
+    }
+    rows = t.orderBy("int").collect()
+    assert [tuple(r) for r in rows] == [
+        (1.1, 1, True, "ab", "ab"),
+        (2.2, 2, False, "c", "c"),
+    ]
+
+    na = read_rda(spark, f"{RDA_DIR}/NAs.rda")["df"]
+    assert na.columns == ["num", "int", "logi", "factor"]
+    got = sorted(([tuple(r) for r in na.collect()]), key=lambda x: (x[0] is None, x))
+    assert got[0] == (1.1, 1, True, "ab")
+    assert got[1] == (None, None, None, None)
+
+
+def test_read_rda_rejects_garbage(spark, tmp_path):
+    from dataframes_jl_spark.io.rda import parse_rda
+
+    p = tmp_path / "x.rda"
+    p.write_bytes(b"NOPE!")
+    with pytest.raises(ValueError):
+        parse_rda(str(p))
