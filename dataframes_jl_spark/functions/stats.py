@@ -17,6 +17,19 @@ def numeric_cols(df: DataFrame) -> list[str]:
     return [c for c, t in df.dtypes if t.split("(")[0] in _NUMERIC]
 
 
+def _col_prod(c: str) -> Column:
+    # zero-guarded exp-sum-log, same shape as ops.grouping._prod: log(0)
+    # is NULL and SUM skips NULLs, so an unguarded column with a zero
+    # would return the product of the non-zero elements
+    col = F.col(c)
+    a = F.abs(col)
+    magnitude = F.exp(F.sum(F.log(F.when(a == 0, F.lit(1.0)).otherwise(a))))
+    sign = F.when(
+        F.sum(F.when(col < 0, 1).otherwise(0)) % 2 == 1, -1.0
+    ).otherwise(1.0)
+    return F.when(F.min(a) == 0, F.lit(0.0)).otherwise(magnitude * sign)
+
+
 _COL_REDUCERS = {
     "mins": F.min,
     "maxs": F.max,
@@ -25,8 +38,7 @@ _COL_REDUCERS = {
     "medians": F.median,
     "stds": F.stddev_samp,
     "vars": F.var_samp,
-    "prods": lambda c: F.exp(F.sum(F.log(F.abs(F.col(c)))))
-    * F.when(F.sum(F.when(F.col(c) < 0, 1).otherwise(0)) % 2 == 1, -1.0).otherwise(1.0),
+    "prods": _col_prod,
     "norms": lambda c: F.sqrt(F.sum(F.col(c) * F.col(c))),
 }
 
@@ -76,6 +88,93 @@ def colprods(df, cols=None):
 
 def colnorms(df, cols=None):
     return col_reduce(df, "norms", cols)
+
+
+def _row_exprs(which: str, cols: Sequence[str]) -> Column:
+    """One row-wise reduction as a pure Column expression over the
+    non-null values of ``cols`` (NA-skip semantics, matching the col*
+    family). Arrays are ncol-sized — per-row higher-order functions here
+    are cheap and stay in codegen; no UDF, no shuffle."""
+    arr = F.filter(
+        F.array(*[F.col(c).cast("double") for c in cols]),
+        lambda x: x.isNotNull(),
+    )
+    n = F.size(arr)
+    s = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    ss = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    nonempty = lambda e: F.when(n > 0, e)  # noqa: E731 - reductions of no values are NA
+    if which == "mins":
+        return F.array_min(arr)
+    if which == "maxs":
+        return F.array_max(arr)
+    if which == "sums":
+        return nonempty(s)
+    if which == "means":
+        return nonempty(s / n)
+    if which == "prods":
+        # direct per-row product: ncol factors, exact — the col* family
+        # needs the exp-sum-log trick only because SUM is its combiner
+        return nonempty(F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * x))
+    if which == "medians":
+        srt = F.array_sort(arr)
+        lo = F.element_at(srt, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(srt, (n / 2).cast("int") + 1)
+        return nonempty((lo + hi) / 2)
+    if which == "vars":
+        return F.when(n > 1, (ss - s * s / n) / (n - 1))
+    if which == "stds":
+        return F.when(n > 1, F.sqrt((ss - s * s / n) / (n - 1)))
+    if which == "norms":
+        return nonempty(F.sqrt(ss))
+    raise KeyError(f"unknown row-reduction {which!r}")
+
+
+def row_reduce(
+    df: DataFrame, which: str, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """rowmins/rowmaxs/rowsums/rowmeans/rowmedians/rowstds/rowvars/
+    rowprods/rownorms (reference export list src/DataFrames.jl:135-145;
+    the generator src/operators.jl:231-245 computes the names at
+    src/operators.jl:66-68 but never emits bodies — implemented here for
+    real). Appends a ``row{which[:-1]}`` column; map-only, no shuffle."""
+    cols = cols if cols is not None else numeric_cols(df)
+    return df.withColumn(f"row{which[:-1]}", _row_exprs(which, cols))
+
+
+def rowmins(df, cols=None):
+    return row_reduce(df, "mins", cols)
+
+
+def rowmaxs(df, cols=None):
+    return row_reduce(df, "maxs", cols)
+
+
+def rowsums(df, cols=None):
+    return row_reduce(df, "sums", cols)
+
+
+def rowmeans(df, cols=None):
+    return row_reduce(df, "means", cols)
+
+
+def rowmedians(df, cols=None):
+    return row_reduce(df, "medians", cols)
+
+
+def rowstds(df, cols=None):
+    return row_reduce(df, "stds", cols)
+
+
+def rowvars(df, cols=None):
+    return row_reduce(df, "vars", cols)
+
+
+def rowprods(df, cols=None):
+    return row_reduce(df, "prods", cols)
+
+
+def rownorms(df, cols=None):
+    return row_reduce(df, "norms", cols)
 
 
 def describe(df: DataFrame, exact_quantiles: bool = False) -> DataFrame:

@@ -487,6 +487,85 @@ def q_colwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_row_reductions",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_returnflag,
+               LEAST(l_quantity, l_discount, l_tax)                    AS rmin,
+               GREATEST(l_quantity, l_discount, l_tax)                 AS rmax,
+               l_quantity + l_discount + l_tax                         AS rsum,
+               (l_quantity + l_discount + l_tax) / 3                   AS rmean,
+               list_sort([l_quantity, l_discount, l_tax])[2]           AS rmed,
+               l_quantity * l_discount * l_tax                         AS rprod,
+               SQRT(l_quantity * l_quantity + l_discount * l_discount
+                    + l_tax * l_tax)                                   AS rnorm,
+               ((l_quantity * l_quantity + l_discount * l_discount
+                 + l_tax * l_tax)
+                - (l_quantity + l_discount + l_tax)
+                  * (l_quantity + l_discount + l_tax) / 3) / 2         AS rvar
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND({dsum_sql('rmin', 4)}, 2)  AS sum_rowmin,
+           ROUND({dsum_sql('rmax', 4)}, 2)  AS sum_rowmax,
+           ROUND({dsum_sql('rsum', 4)}, 2)  AS sum_rowsum,
+           ROUND({dsum_sql('rmean', 4)}, 2) AS sum_rowmean,
+           ROUND({dsum_sql('rmed', 4)}, 2)  AS sum_rowmedian,
+           ROUND({dsum_sql('rprod', 4)}, 2) AS sum_rowprod,
+           ROUND({dsum_sql('rnorm', 4)}, 2) AS sum_rownorm,
+           ROUND({dsum_sql('rvar', 4)}, 2)  AS sum_rowvar,
+           COUNT(*) AS n
+    FROM r
+    GROUP BY l_returnflag
+    """,
+)
+def q_row_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise reduction family (reference export list
+    src/DataFrames.jl:135-145; generator src/operators.jl:66-68 names
+    them but never emits bodies — implemented for real in
+    functions/stats.py). Map-only array expressions per row — no UDF, no
+    shuffle until the summarizing groupBy; the oracle mirrors each
+    per-row formula term-for-term (same association order) so the
+    quantized sums are engine-exact."""
+    from .functions.stats import (
+        rowmaxs,
+        rowmeans,
+        rowmedians,
+        rowmins,
+        rownorms,
+        rowprods,
+        rowsums,
+        rowvars,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    df = li.select("l_returnflag", *cols)
+    for fn in (
+        rowmins,
+        rowmaxs,
+        rowsums,
+        rowmeans,
+        rowmedians,
+        rowprods,
+        rownorms,
+        rowvars,
+    ):
+        df = fn(df, cols)
+    return df.groupBy("l_returnflag").agg(
+        F.round(dsum("rowmin", 4), 2).alias("sum_rowmin"),
+        F.round(dsum("rowmax", 4), 2).alias("sum_rowmax"),
+        F.round(dsum("rowsum", 4), 2).alias("sum_rowsum"),
+        F.round(dsum("rowmean", 4), 2).alias("sum_rowmean"),
+        F.round(dsum("rowmedian", 4), 2).alias("sum_rowmedian"),
+        F.round(dsum("rowprod", 4), 2).alias("sum_rowprod"),
+        F.round(dsum("rownorm", 4), 2).alias("sum_rownorm"),
+        F.round(dsum("rowvar", 4), 2).alias("sum_rowvar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Library-routed queries: exercise the wrapper ops end-to-end
 # ---------------------------------------------------------------------------
@@ -2819,7 +2898,9 @@ _PRIORITY = [
     "q_multimodal_decode",
     "q_pack_sequences",
     "q_corpus_shuffle",
-    "q_dedup_pipeline",
+    # row-wise reduction family gate; q_dedup_pipeline (a composite of
+    # the three individually-gated dedup stages above) yields its slot
+    "q_row_reductions",
 ]
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

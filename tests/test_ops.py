@@ -415,3 +415,96 @@ def test_systematic_sample_partition_invariant(spark):
         for r in systematic_sample(df.repartition(13), "id", 7, 2).collect()
     )
     assert a == b == [x for x in range(1000) if x % 7 == 2]
+
+
+def test_row_reductions_values_and_na_skip(spark):
+    """Row-wise family: NA-skip semantics, zeros, negatives, all-null
+    rows -> NA (generator src/operators.jl:66-68 named these but never
+    emitted bodies; this is the real contract)."""
+    from dataframes_jl_spark.functions.stats import (
+        row_reduce,
+        rowmaxs,
+        rowmeans,
+        rowmedians,
+        rowmins,
+        rownorms,
+        rowprods,
+        rowstds,
+        rowsums,
+        rowvars,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 2.0, 3.0),
+            (2, -4.0, 0.0, 2.0),
+            (3, 5.0, None, 1.0),
+            (4, None, None, None),
+        ],
+        "id int, a double, b double, c double",
+    )
+    cols = ["a", "b", "c"]
+    out = df
+    for fn in (
+        rowmins,
+        rowmaxs,
+        rowsums,
+        rowmeans,
+        rowmedians,
+        rowprods,
+        rowstds,
+        rowvars,
+        rownorms,
+    ):
+        out = fn(out, cols)
+    rows = {r.id: r for r in out.collect()}
+
+    r1 = rows[1]
+    assert (r1.rowmin, r1.rowmax, r1.rowsum) == (1.0, 3.0, 6.0)
+    assert r1.rowmean == 2.0 and r1.rowmedian == 2.0 and r1.rowprod == 6.0
+    assert r1.rowvar == 1.0 and r1.rowstd == 1.0
+    assert abs(r1.rownorm - math.sqrt(14.0)) < 1e-12
+
+    r2 = rows[2]
+    assert (r2.rowmin, r2.rowmax, r2.rowprod) == (-4.0, 2.0, 0.0)
+    assert r2.rowmedian == 0.0 and r2.rowsum == -2.0
+
+    r3 = rows[3]  # NA skipped: reduces over {5.0, 1.0}
+    assert (r3.rowmin, r3.rowmax, r3.rowsum) == (1.0, 5.0, 6.0)
+    assert r3.rowmean == 3.0 and r3.rowmedian == 3.0
+    assert r3.rowvar == 8.0
+
+    r4 = rows[4]  # nothing to reduce
+    assert all(
+        getattr(r4, f) is None
+        for f in (
+            "rowmin",
+            "rowmax",
+            "rowsum",
+            "rowmean",
+            "rowmedian",
+            "rowprod",
+            "rowstd",
+            "rowvar",
+            "rownorm",
+        )
+    )
+
+    with pytest.raises(KeyError):
+        row_reduce(df, "bogus", cols)
+    # single-value rows: var/std need n>1 -> NA
+    one = spark.createDataFrame([(1.0, None)], "a double, b double")
+    r = rowvars(rowstds(one, ["a", "b"]), ["a", "b"]).collect()[0]
+    assert r.rowstd is None and r.rowvar is None
+
+
+def test_colprods_zero_guard(spark):
+    """A column containing 0 must product to 0, not to the product of
+    the non-zero elements (log(0)=NULL is skipped by SUM)."""
+    from dataframes_jl_spark.functions.stats import colprods
+
+    df = spark.createDataFrame(
+        [(2.0, 3.0), (0.0, -4.0), (5.0, 1.0)], "z double, n double"
+    )
+    r = colprods(df).collect()[0]
+    assert r.z == 0.0 and abs(r.n - (-12.0)) < 1e-9
