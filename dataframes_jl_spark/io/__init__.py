@@ -1,2 +1,2 @@
-from .readtable import getseparator, readtable, writetable  # noqa: F401
+from .readtable import getseparator, read_rda, readtable, writetable  # noqa: F401
 from .parquet import load_df, save  # noqa: F401
