@@ -950,15 +950,14 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_stats",
-    oracle=r"""
+    oracle=rf"""
     SELECT source,
            SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
            ROUND(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_tokens,
            SUM(n_chars) AS total_chars,
-           ROUND(CAST(SUM(CAST((CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                                     AS DOUBLE) / n_chars) AS DECIMAL(18,8)))
-                      AS DOUBLE) / COUNT(*), 4) AS avg_alpha_ratio
+           ROUND({dsum_sql("CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars", 8)}
+                 / COUNT(*), 4) AS avg_alpha_ratio
     FROM documents GROUP BY source
     """,
 )

@@ -115,12 +115,12 @@ def test_rep_gl_paste(spark):
     assert got == ["1-x", "2-y"]
 
 
-def test_read_rda_gated(spark):
+def test_read_rda_missing_file(spark):
     import pytest as _pytest
 
     from dataframes_jl_spark.io.readtable import read_rda
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(FileNotFoundError):
         read_rda(spark, "/nonexistent.rda")
 
 
