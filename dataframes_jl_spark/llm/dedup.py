@@ -206,10 +206,14 @@ def minhash_lsh_pairs(
     # Docs shorter than n tokens have NO shingles — every signature slot
     # NULL, so all of them would share identical buckets (quadratic
     # all-shorts blowup) and the verify step would divide 0/0 (an ANSI
-    # error). Guard INSIDE the projection (explode of an empty array
-    # drops them) — an explicit .filter would be predicate-pushed below
-    # the parallelizing repartition and re-run shingling serially on the
-    # single-file scan.
+    # error). Guard INSIDE the projection (explode of NULL drops the
+    # row) — an explicit .filter would be predicate-pushed below the
+    # parallelizing repartition and re-run shingling serially on the
+    # single-file scan. `when` WITHOUT `otherwise` matters: an
+    # `.otherwise(empty-slice-of-bb_arr)` duplicates the 32-band bucket
+    # expression tree into the second branch, overflowing the generated
+    # method and dropping the stage out of whole-stage codegen
+    # (measured 2.7x slower at sf0.1).
     bb_arr = F.array(
         *[
             F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
@@ -218,9 +222,7 @@ def minhash_lsh_pairs(
     )
     banded = hashed.select(
         "id",
-        F.explode(
-            F.when(F.size("sh") > 0, bb_arr).otherwise(F.slice(bb_arr, 1, 0))
-        ).alias("bb"),
+        F.explode(F.when(F.size("sh") > 0, bb_arr)).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.select("band", "bucket", F.col("id").alias("id_a"))

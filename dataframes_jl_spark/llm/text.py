@@ -105,3 +105,99 @@ def doc_fingerprint(col: str | Column, n: int = 3) -> Column:
         )
     )
     return F.xxhash64(F.concat_ws(",", F.transform(grams, lambda g: g.cast("string"))))
+
+
+def bigrams(col: str | Column) -> Column:
+    """Consecutive word bigrams (space-joined) — [] for <2 tokens."""
+    t = tokens(col)
+    return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+    )
+
+
+def dup_token_fraction(col: str | Column) -> Column:
+    """Fraction of tokens that repeat an earlier token:
+    1 - distinct/total. 0.0 for empty text."""
+    t = tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(t))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(t)).cast("double") / n
+    )
+
+
+def dup_line_fraction(col: str | Column) -> Column:
+    """Fraction of newline-separated lines that duplicate an earlier
+    line (Gopher-style boilerplate signal). 0.0 for single-line text."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n")
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n
+    )
+
+
+def top_bigram_fraction(col: str | Column) -> Column:
+    """Fraction of all bigram slots occupied by the single most frequent
+    bigram — the Gopher top-2-gram repetition signal. O(d·n) per doc via
+    higher-order functions (d = distinct bigrams); whole-stage codegen,
+    no shuffle, no UDF. 0.0 for <2 tokens."""
+    bg = bigrams(col)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+        )
+    )
+    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        top.cast("double") / F.size(bg)
+    )
+
+
+# PII patterns: kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) so oracle SQL can mirror the counts 1:1. Intentionally simple
+# — recall-oriented pre-filters, not validators.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{7,14}[0-9]",
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (email / ipv4 / phone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: str | Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``. Pure regexp_replace chain
+    — codegen, linear scan, safe at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def ngram_top_k(docs: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-wide top-k bigrams by occurrence count.
+
+    explode → two-phase count aggregate (map-side partial combine) →
+    TakeOrderedAndProject for the top-k: no global sort, one shuffle on
+    the bigram key. Count ties broken by bigram text so the result set
+    is deterministic. At 100 TB the partial aggregate collapses each
+    partition to its distinct bigrams before the exchange — the shuffle
+    carries (bigram, count) pairs, not token streams.
+    """
+    return (
+        docs.select(F.explode(bigrams(col)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -48,3 +48,63 @@ def systematic_sample(
         raise ValueError("every must be positive")
     k = F.col(key) if isinstance(key, str) else key
     return df.filter(F.pmod(k, F.lit(every)) == F.lit(offset % every))
+
+
+# Multiplier for the bucketing hash below: a 31-bit odd constant
+# (Knuth's 2654435761 truncated into the modulus field) applied mod the
+# Mersenne-ish prime 1e9+7. (key % P) * MULT stays < 2^61, so the
+# arithmetic never overflows int64 under ANSI mode and is expressible
+# identically in any engine with 64-bit integer math.
+_SPLIT_P = 1_000_000_007
+_SPLIT_MULT = 2_654_435_761 % _SPLIT_P
+
+
+def split_bucket(key: str | Column, buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    Pure int64 arithmetic (no engine-specific hash), so an external
+    system — or the DuckDB oracle — can reproduce the assignment
+    bit-for-bit: bucket = ((key mod P) * MULT mod P) mod buckets.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.pmod(F.pmod(k, F.lit(_SPLIT_P)) * F.lit(_SPLIT_MULT), F.lit(_SPLIT_P))
+    return F.pmod(h, F.lit(buckets)).cast("int")
+
+
+def split_bucket_sql(key: str, buckets: int = 1000) -> str:
+    """DuckDB mirror of :func:`split_bucket` for oracle SQL."""
+    return (
+        f"CAST((((({key}) % {_SPLIT_P}) * {_SPLIT_MULT}) % {_SPLIT_P})"
+        f" % {buckets} AS INT)"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    weights: Mapping[str, float],
+    buckets: int = 1000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test …) by hashing a
+    stable key — the standard leakage-safe corpus split: membership
+    depends only on the key, so re-runs, new shards, and incremental
+    appends land every row in the same split; no shuffle, no state.
+
+    ``weights`` maps split name -> fraction; fractions must sum to ~1.
+    Rows are routed by contiguous bucket ranges over ``split_bucket``.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = split_bucket(key, buckets)
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(round(w * buckets))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    # any residue from rounding joins the last named split
+    last = list(weights)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))

@@ -2828,6 +2828,152 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_repetition_signals",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS l FROM documents
+    ), bgs AS (
+      SELECT source, l,
+             CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+             END AS bg
+      FROM toks
+    ), sig AS (
+      SELECT source,
+             CASE WHEN len(l) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l)
+             END AS dup_tok,
+             CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE CAST(list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+             END AS top_bg
+      FROM bgs
+    )
+    SELECT source,
+           ROUND((CAST(SUM(CAST(FLOOR(dup_tok * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)
+                 / COUNT(*), 4) AS avg_dup_token_frac,
+           ROUND((CAST(SUM(CAST(FLOOR(top_bg * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8)
+                 / COUNT(*), 4) AS avg_top_bigram_frac,
+           COUNT(CASE WHEN top_bg > 0.18 THEN 1 END) AS n_repetitive
+    FROM sig GROUP BY source
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per source: duplicate-
+    token fraction and top-bigram coverage fraction, plus a count of
+    docs over a repetition threshold. Pure higher-order-function
+    expressions (no UDF, no extra shuffle beyond the final group-by);
+    the per-doc O(distinct·n) bigram count stays inside codegen."""
+    from .llm.text import dup_token_fraction, top_bigram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "source",
+        dup_token_fraction("text").alias("dup_tok"),
+        top_bigram_fraction("text").alias("top_bg"),
+    )
+    n = F.count(F.lit(1))
+    return sig.groupBy("source").agg(
+        F.round(dsum("dup_tok", 8) / n, 4).alias("avg_dup_token_frac"),
+        F.round(dsum("top_bg", 8) / n, 4).alias("avg_top_bigram_frac"),
+        F.count(F.when(F.col("top_bg") > 0.18, 1)).alias("n_repetitive"),
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle=r"""
+    SELECT lang,
+           SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_email,
+           SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS n_ipv4,
+           SUM(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,14}[0-9]'))) AS n_phone,
+           SUM(CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g'),
+                     '\+?[0-9][0-9()\- ]{7,14}[0-9]', '[PII]', 'g') <> text
+                    THEN 1 ELSE 0 END) AS n_redacted
+    FROM documents GROUP BY lang
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-filter accounting per language: regex match counts for
+    email/IPv4/phone plus how many documents a redaction pass would
+    change. Patterns restricted to the Java-regex ∩ RE2 subset so the
+    DuckDB oracle mirrors them byte-for-byte; the scan itself is a
+    single codegen'd regexp pass, embarrassingly parallel at 100 TB."""
+    from .llm.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    return docs.groupBy("lang").agg(
+        F.sum(counts["email"]).alias("n_email"),
+        F.sum(counts["ipv4"]).alias("n_ipv4"),
+        F.sum(counts["phone"]).alias("n_phone"),
+        F.sum(
+            F.when(redact_pii("text") != F.col("text"), 1).otherwise(0)
+        ).alias("n_redacted"),
+    )
+
+
+@register(
+    "q_ngram_topk",
+    oracle=r"""
+    SELECT bg AS ngram, COUNT(*) AS n
+    FROM (
+      SELECT l[i] || ' ' || l[i+1] AS bg
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS l FROM documents),
+           UNNEST(range(1, len(l))) AS t(i)
+    )
+    GROUP BY bg
+    ORDER BY n DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-20 bigrams by count. Two-phase
+    aggregate (map-side combine shrinks the exchange to distinct
+    bigrams) + TakeOrderedAndProject — no global sort."""
+    from .llm.text import ngram_top_k
+
+    return ngram_top_k(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
+def _split_oracle() -> str:
+    from .ops.sampling import split_bucket_sql
+
+    b = split_bucket_sql("doc_id", 1000)
+    return f"""
+    SELECT CASE WHEN {b} < 800 THEN 'train'
+                WHEN {b} < 900 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS n_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY 1
+    """
+
+
+@register("q_hash_split", oracle=_split_oracle())
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split (80/10/10) keyed
+    on doc_id: membership is a pure function of the key (stable across
+    re-runs and shard appends), assignment is a map-only projection —
+    the only shuffle here is the accounting group-by. The bucket hash is
+    plain int64 arithmetic, reproduced exactly by the DuckDB oracle."""
+    from .ops.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
