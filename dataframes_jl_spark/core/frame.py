@@ -296,6 +296,59 @@ class JlDataFrame:
         """unique/drop_duplicates! (reference src/dataframe.jl:1472-1483)."""
         return JlDataFrame(self.sdf.dropDuplicates())
 
+    # ------------------------------------------------------------- factors
+    def pool(self, cols=None) -> "JlDataFrame":
+        """pool/pool! factor semantics (reference src/dataframe.jl:
+        2011-2032, PooledDataArray): register the sorted distinct levels
+        of the given (default: all string) columns as wrapper-level
+        metadata. Spark/Parquet already dictionary-encode at rest, so
+        pooling is purely the *levels registry* used for factor
+        semantics (contrasts, level iteration) — a bounded distinct
+        collect per column, loud error past the cap."""
+        from ..formula import MAX_FACTOR_LEVELS
+
+        if cols is None:
+            cols = [c for c, t in self.coltypes.items() if t == "string"]
+        elif isinstance(cols, str):
+            cols = [cols]
+        out = JlDataFrame(self._sdf, self.index.copy())
+        out._levels = dict(getattr(self, "_levels", {}))
+        for c in cols:
+            rows = (
+                self.sdf.select(c)
+                .distinct()
+                .orderBy(c)
+                .limit(MAX_FACTOR_LEVELS + 1)
+                .collect()
+            )
+            if len(rows) > MAX_FACTOR_LEVELS:
+                raise ValueError(
+                    f"column {c!r} has more than {MAX_FACTOR_LEVELS} "
+                    "distinct levels; refusing to pool (would OOM the "
+                    "driver). Bucket/hash the column instead."
+                )
+            out._levels[c] = [r[c] for r in rows if r[c] is not None]
+        return out
+
+    def levels(self, col: str) -> list:
+        """Registered factor levels of a pooled column (reference
+        levels(PooledDataArray)); raises if the column was never
+        pooled."""
+        lv = getattr(self, "_levels", {})
+        if col not in lv:
+            raise KeyError(f"column {col!r} is not pooled; call .pool()")
+        return list(lv[col])
+
+    def is_pooled(self, col: str) -> bool:
+        return col in getattr(self, "_levels", {})
+
+    def drop_unused_levels(self) -> "JlDataFrame":
+        """dropUnusedLevels! (reference src/formula.jl:172-177):
+        recompute every pooled column's levels from the CURRENT rows —
+        after filters, stale levels would otherwise survive in the
+        registry."""
+        return self.pool(list(getattr(self, "_levels", {}).keys()) or [])
+
     # ------------------------------------------------------------ conversion
     def to_dict(self) -> dict:
         """dict(df) — name → python list (reference

@@ -67,6 +67,11 @@ class Index:
         self._groups: dict[str, list[str]] = {}
 
     # -- basic ops ---------------------------------------------------------
+    def copy(self) -> "Index":
+        new = Index(list(self.names))
+        new._groups = {g: list(cols) for g, cols in self._groups.items()}
+        return new
+
     def __len__(self) -> int:
         return len(self.names)
 

@@ -29,3 +29,15 @@ from .text import (  # noqa: F401
     token_count,
 )
 from .packing import pack_greedy, pack_offset  # noqa: F401
+from .decontam import (  # noqa: F401
+    contamination_report,
+    decontaminate,
+    ngram_overlap,
+)
+from .cluster import (  # noqa: F401
+    cluster_embeddings,
+    cluster_profile,
+    fit_kmeans_driver,
+    kmeans_assign,
+)
+from .mixture import domain_stats, mixture_weights  # noqa: F401

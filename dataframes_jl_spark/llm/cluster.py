@@ -1,0 +1,142 @@
+"""Embedding clustering for corpus curation: k-means assignment and
+cluster profiling at scale.
+
+Semantic clustering is the workhorse of training-data curation —
+near-duplicate pruning across paraphrases, topic balancing, and
+cluster-based quality filtering all start from "assign every embedding
+to a centroid, then reason per cluster".
+
+Scale shape (same contract as llm.similarity.ivf_topk's coarse
+quantizer):
+
+- **Fit is driver-side on a bounded sample.** Cluster geometry
+  converges long before |corpus| rows; one sample-collect job, numpy
+  Lloyd iterations in milliseconds, no iterative Spark jobs over the
+  full corpus.
+- **Assignment is map-only.** Centroids are inlined as literal arrays,
+  the argmin over k squared distances is an ``array_min`` over a
+  k-element struct array — no crossJoin, no shuffle; a 100 TB corpus is
+  assigned in a single scan.
+- **Profiling is one hash aggregate** on the cluster id.
+
+Distances are quantized PER DIMENSION (``floor(diff^2 * 10^scale +
+0.5)`` as long, then an integer sum) before the argmin, so the distance
+— and therefore the assignment — is independent of summation order and
+bit-identical across engines; ties broken by lowest centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double
+
+
+def fit_kmeans_driver(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_cap: int | None = None,
+) -> list[list[float]]:
+    """Driver-side Lloyd's k-means over a bounded sample; returns the
+    centroids as plain Python lists ready to inline as literals."""
+    import numpy as np
+
+    base = df.select(_as_double(F.col(vec_col)).alias("v"))
+    n_rows = base.count()
+    cap = sample_cap or max(4096, 64 * k)
+    fit_src = (
+        base.sample(fraction=min(1.0, cap / max(n_rows, 1)), seed=seed)
+        if n_rows > cap
+        else base
+    )
+    X = np.array([r["v"] for r in fit_src.collect()])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newC = np.stack(
+            [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(len(C))]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [[float(x) for x in row] for row in C]
+
+
+def _qdist_lit(v: Column, center: list[float], scale: int) -> Column:
+    """Quantized squared L2 distance to a literal centroid: per-dim
+    ``floor(diff^2 * 10^scale + 0.5)`` longs, summed with exact integer
+    addition (order-independent, engine-reproducible)."""
+    cv = F.array(*[F.lit(float(x)) for x in center])
+    m = F.lit(float(10**scale))
+    return F.aggregate(
+        F.zip_with(
+            v,
+            cv,
+            lambda x, y: F.floor((x - y) * (x - y) * m + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Map-only nearest-centroid assignment against literal centroids.
+
+    Output: (id_col, cluster, qdist2) where qdist2 is the squared L2
+    distance in ``10^-scale`` units (long, per-dimension quantized) —
+    exact integer comparisons make the argmin and any downstream
+    aggregation order-independent and engine-reproducible.
+    """
+    v = _as_double(F.col(vec_col))
+    structs = F.array(
+        *[
+            F.struct(
+                _qdist_lit(v, c, scale).alias("qd"),
+                F.lit(j).alias("cluster"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(structs)
+    return df.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        best["qd"].alias("qdist2"),
+    )
+
+
+def cluster_profile(assigned: DataFrame, scale: int = 6) -> DataFrame:
+    """Per-cluster curation stats: size and mean squared distance to the
+    centroid (a dispersion signal — tight clusters are near-duplicate
+    candidates, loose ones are topically diffuse)."""
+    m = float(10**scale)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("qdist2") / (F.count(F.lit(1)) * F.lit(m))).alias("avg_dist2"),
+    )
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Fit (driver-side, bounded) + assign (map-only): the one-call
+    semantic clustering entry point."""
+    centroids = fit_kmeans_driver(df, k, vec_col, seed, max_iter)
+    return kmeans_assign(df, centroids, id_col, vec_col)

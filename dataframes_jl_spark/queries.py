@@ -2974,6 +2974,143 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_decontaminate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i+1:i+3], ' ')
+                            for i in range(0, len(t)-2)]) AS shl
+      FROM tok WHERE len(t) >= 3
+    ), tr AS (
+      SELECT doc_id AS train_id, unnest(shl) AS shingle
+      FROM sh WHERE source <> 'src0'
+    ), ev AS (
+      SELECT doc_id AS eval_id, len(shl) AS n_eval_sh, unnest(shl) AS shingle
+      FROM sh WHERE source = 'src0'
+    ), ov AS (
+      SELECT train_id, eval_id, ANY_VALUE(n_eval_sh) AS n_eval_sh,
+             COUNT(*) AS common
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY train_id, eval_id
+    ), fl AS (
+      SELECT train_id, common,
+             CAST(common AS DOUBLE) / n_eval_sh AS coverage
+      FROM ov WHERE CAST(common AS DOUBLE) / n_eval_sh >= 0.2
+    )
+    SELECT train_id, COUNT(*) AS n_eval_hits, MAX(common) AS max_common,
+           ROUND(MAX(coverage), 6) AS max_coverage
+    FROM fl GROUP BY train_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm.decontam.contamination_report):
+    docs from source 'src0' play the eval benchmark; every other doc is
+    training data. Word-3-gram overlap via a BROADCAST inverted-index
+    join (the eval side is always the small one), so the train corpus is
+    scanned map-only — the only shuffle is over actual hits. A train doc
+    is flagged when it covers >= 20% of some eval doc's n-grams."""
+    from .llm import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    tr = docs.filter(F.col("source") != "src0")
+    out = contamination_report(tr, ev, "doc_id", "text", n=3, threshold=0.2)
+    return out.select(
+        F.col("train_id"),
+        "n_eval_hits",
+        "max_common",
+        F.round("max_coverage", 6).alias("max_coverage"),
+    )
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ), d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum([CAST(FLOOR(
+                 (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) for i in range(1, 65)]) AS qd
+      FROM embeddings e CROSS JOIN cent c
+    ), a AS (
+      SELECT vec_id, MIN(qd * 8 + cid) AS k FROM d GROUP BY vec_id
+    )
+    SELECT CAST(k % 8 AS INT) AS cluster,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(k // 8) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS avg_dist2
+    FROM a GROUP BY 1
+    """,
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering profile (llm.cluster.kmeans_assign +
+    cluster_profile): nearest-centroid assignment against 8 fixed seed
+    centroids (embeddings vec_id 0-7 — deterministic, so the DuckDB
+    oracle can replay the same argmin), map-only via literal-inlined
+    centroids, then one hash aggregate for per-cluster size/dispersion.
+    Distances are per-dimension-quantized longs, so the argmin is
+    engine-exact; ties break to the lowest centroid id on both sides."""
+    from .llm import cluster_profile, kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    assigned = kmeans_assign(emb, centroids, "vec_id", "embedding", scale=6)
+    prof = cluster_profile(assigned, scale=6)
+    return prof.select(
+        "cluster", "n_vecs", F.round("avg_dist2", 4).alias("avg_dist2")
+    )
+
+
+@register(
+    "q_mixture_weights",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_domains FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+           ROUND((1.0 / n_domains)
+                 / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weights toward a uniform token distribution
+    (llm.mixture.mixture_weights): per-source exact token sums (one
+    partial-agg shuffle), global total broadcast back, weight =
+    target_share / actual_share. Shares are ratios of exact bigint
+    sums, so both engines round the same doubles."""
+    from .llm import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_weights(docs, "source", "text", target=None)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -3003,9 +3140,6 @@ _PRIORITY = [
     "q_colwise_grouped",
     "q_describe",
     "q_by_apply_topn",
-    "q_cube",
-    "q_count_distinct",
-    "q_grouped_percentiles",
     # §2.5 windows, §2.6 sort/top-k
     "q_window_running_sum",
     "q_sortperm_nulls",
@@ -3043,6 +3177,9 @@ _PRIORITY = [
     "q_multimodal_decode",
     "q_pack_sequences",
     "q_corpus_shuffle",
+    "q_decontaminate",
+    "q_kmeans_clusters",
+    "q_mixture_weights",
     # row-wise reduction family gate; q_dedup_pipeline (a composite of
     # the three individually-gated dedup stages above) yields its slot
     "q_row_reductions",

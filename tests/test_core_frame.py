@@ -195,3 +195,37 @@ def test_register_tables_sql_entrypoint(spark):
         "ON n_regionkey = r_regionkey GROUP BY r_name"
     ).collect()
     assert len(got) == 5 and all(r.n > 0 for r in got)
+
+
+def test_pool_levels_and_drop_unused(spark, jdf):
+    # pool registers sorted non-null distinct levels (reference
+    # pool/pool!, src/dataframe.jl:2011-2032)
+    pooled = jdf.pool()
+    assert pooled.is_pooled("c") and not pooled.is_pooled("a")
+    assert pooled.levels("c") == ["x", "y"]
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        pooled.levels("a")
+    # explicit column list, non-string allowed
+    pa = jdf.pool("a")
+    assert pa.levels("a") == [1, 2, 3]
+    # dropUnusedLevels! recomputes from current rows after a filter
+    filtered = JlDataFrame(pooled.sdf.filter("c = 'x'"))
+    filtered._levels = dict(pooled._levels)
+    assert filtered.levels("c") == ["x", "y"]  # stale until dropped
+    assert filtered.drop_unused_levels().levels("c") == ["x"]
+
+
+def test_pool_caps_high_cardinality(spark):
+    import dataframes_jl_spark.formula as formula_mod
+    import pytest as _pt
+
+    df = JlDataFrame(spark.range(50).selectExpr("CAST(id AS STRING) AS s"))
+    old = formula_mod.MAX_FACTOR_LEVELS
+    formula_mod.MAX_FACTOR_LEVELS = 10
+    try:
+        with _pt.raises(ValueError, match="distinct levels"):
+            df.pool("s")
+    finally:
+        formula_mod.MAX_FACTOR_LEVELS = old

@@ -289,3 +289,135 @@ def test_resize_images_plumbing(spark):
     import pytest as _p
     with _p.raises(Exception, match="NotImplementedError|Pillow"):
         resize_images(df, 8, 8, fake=False).collect()
+
+
+# ------------------------------------------------------------ decontam
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from dataframes_jl_spark.llm import (
+        contamination_report,
+        decontaminate,
+        ngram_overlap,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "what is the capital of france")],
+        "doc_id bigint, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # contains the full eval doc verbatim -> coverage 1.0
+            (1, "trivia answer what is the capital of france it is paris"),
+            # shares "is the capital"/"the capital of" -> 2 of 4 grams
+            (2, "berlin is the capital of germany"),
+            # no overlap at all
+            (3, "spark shuffles partition data across executors"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ov = {
+        (r["train_id"], r["eval_id"]): r["coverage"]
+        for r in ngram_overlap(tr, ev, n=3).collect()
+    }
+    assert ov[(1, 100)] == 1.0
+    assert ov[(2, 100)] == 0.5
+    assert (3, 100) not in ov
+
+    kept = decontaminate(tr, ev, n=3, threshold=0.8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+    rep = contamination_report(tr, ev, n=3, threshold=0.8).collect()
+    assert [r["train_id"] for r in rep] == [1]
+    assert rep[0]["n_eval_hits"] == 1 and rep[0]["max_coverage"] == 1.0
+
+
+def test_ngram_overlap_hashed_matches_raw(spark):
+    from dataframes_jl_spark.llm import ngram_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("source") == "src0")
+    tr = docs.filter(F.col("source") != "src0")
+    raw = {
+        (r["train_id"], r["eval_id"]): (r["common"], r["coverage"])
+        for r in ngram_overlap(tr, ev).collect()
+    }
+    hashed = {
+        (r["train_id"], r["eval_id"]): (r["common"], r["coverage"])
+        for r in ngram_overlap(tr, ev, hash_shingles=True).collect()
+    }
+    assert raw == hashed and len(raw) > 0
+
+
+# ------------------------------------------------------------- cluster
+
+
+def test_kmeans_assign_picks_nearest_and_breaks_ties_low(spark):
+    from dataframes_jl_spark.llm import cluster_profile, kmeans_assign
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.4, 0.0]),   # nearest centroid 0
+            (3, [9.0, 10.0]),  # nearest centroid 1
+            (4, [5.0, 5.0]),   # exactly between -> tie -> cluster 0
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, cents, scale=6).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+
+    prof = {
+        r["cluster"]: r["n_vecs"]
+        for r in cluster_profile(
+            kmeans_assign(emb, cents, scale=6)
+        ).collect()
+    }
+    assert prof == {0: 3, 1: 2}
+
+
+def test_cluster_embeddings_end_to_end(spark):
+    from dataframes_jl_spark.llm import cluster_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cluster_embeddings(emb, k=4, seed=7)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(4)) and len(clusters) > 1
+    assert all(r["qdist2"] >= 0 for r in rows)
+
+
+# ------------------------------------------------------------- mixture
+
+
+def test_mixture_weights_uniform_and_target(spark):
+    from dataframes_jl_spark.llm import domain_stats, mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),
+            (2, "e f g h", "web"),
+            (3, "i j", "code"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    stats = {r["source"]: r for r in domain_stats(docs).collect()}
+    assert stats["web"]["n_tokens"] == 8 and stats["code"]["n_tokens"] == 2
+    assert abs(stats["web"]["token_share"] - 0.8) < 1e-12
+
+    uni = {r["source"]: r["weight"] for r in mixture_weights(docs).collect()}
+    # uniform target: web share 0.8 -> weight 0.5/0.8; code 0.2 -> 0.5/0.2
+    assert abs(uni["web"] - 0.625) < 1e-12
+    assert abs(uni["code"] - 2.5) < 1e-12
+
+    tgt = {
+        r["source"]: r["weight"]
+        for r in mixture_weights(docs, target={"web": 1.0}).collect()
+    }
+    assert abs(tgt["web"] - 1.25) < 1e-12 and tgt["code"] == 0.0

@@ -111,3 +111,20 @@ def test_q05_lineitem_streams_first(spark):
     first_scan = re.search(r"\(1\) Scan parquet.*?(?=\(\d+\))", plan, re.S)
     assert first_scan and "lineitem" in first_scan.group(0)
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    # the 100 TB contract: the train corpus is probed map-only against a
+    # broadcast of the (small) eval shingle table — no shuffle of the
+    # corpus on shingle, no cartesian product
+    plan = plan_of(QUERIES["q_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    # centroids are inlined literals: assignment must plan zero joins;
+    # the only exchange is the final per-cluster aggregate
+    plan = plan_of(QUERIES["q_kmeans_clusters"](spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
