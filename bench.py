@@ -38,6 +38,9 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q_asof_join",
     "q_range_join",
+    "q_decontaminate",
+    "q_kmeans_clusters",
+    "q_mixture_weights",
 ]
 
 

@@ -181,13 +181,25 @@ def q03_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # region filter flows to the FRONT: customers are pruned to ASIA
+    # nations map-side (broadcast dim join) BEFORE either fact shuffle —
+    # at 100x the alternative shuffles 5x the customer/orders stream and
+    # filters only at the end
+    asia = F.broadcast(
+        nation.join(
+            region,
+            (nation.n_regionkey == region.r_regionkey)
+            & (region.r_name == "ASIA"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust_asia = cust.join(asia, cust.c_nationkey == F.col("n_nationkey"))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, (nation.n_regionkey == region.r_regionkey) & (region.r_name == "ASIA"))
+        li.join(
+            orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .groupBy("n_name")
         .agg(
             F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias("revenue"),
@@ -2982,9 +2994,9 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), sh AS (
       SELECT doc_id, source,
-             list_distinct([array_to_string(t[i+1:i+3], ' ')
-                            for i in range(0, len(t)-2)]) AS shl
-      FROM tok WHERE len(t) >= 3
+             list_distinct([array_to_string(t[i+1:i+5], ' ')
+                            for i in range(0, len(t)-4)]) AS shl
+      FROM tok WHERE len(t) >= 5
     ), tr AS (
       SELECT doc_id AS train_id, unnest(shl) AS shingle
       FROM sh WHERE source <> 'src0'
@@ -3009,16 +3021,20 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (llm.decontam.contamination_report):
     docs from source 'src0' play the eval benchmark; every other doc is
-    training data. Word-3-gram overlap via a BROADCAST inverted-index
+    training data. Word-5-gram overlap via a BROADCAST inverted-index
     join (the eval side is always the small one), so the train corpus is
-    scanned map-only — the only shuffle is over actual hits. A train doc
-    is flagged when it covers >= 20% of some eval doc's n-grams."""
+    scanned map-only — the only shuffle is over actual hits. 5-grams
+    (real pipelines use 8-13) keep the match set sparse: with short
+    n-grams over this corpus's tiny synthetic vocabulary every train doc
+    collides with every eval doc and the pair space goes quadratic —
+    the n-gram length IS the candidate bound. A train doc is flagged
+    when it covers >= 20% of some eval doc's n-grams."""
     from .llm import contamination_report
 
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("source") == "src0")
     tr = docs.filter(F.col("source") != "src0")
-    out = contamination_report(tr, ev, "doc_id", "text", n=3, threshold=0.2)
+    out = contamination_report(tr, ev, "doc_id", "text", n=5, threshold=0.2)
     return out.select(
         F.col("train_id"),
         "n_eval_hits",
