@@ -237,15 +237,22 @@ def ivf_topk(
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).repartition(par, "id")
-    # bounded sample -> driver; Lloyd's with k-means++-style seeded init
+    # bounded sample -> driver; Lloyd's with k-means++-style seeded init.
+    # The subset is chosen by a hash STRIDE on the id and collected in id
+    # order, so the fitted centroids are a pure function of (data, seed) —
+    # independent of partition count/layout. (`.sample()` + unordered
+    # collect made the quantizer, and hence recall, layout-dependent.)
     n_rows = base.count()
     cap = max(4096, 64 * n_centroids)
+    stride = max(1, int(n_rows // cap))
     fit_src = (
-        base.sample(fraction=min(1.0, cap / max(n_rows, 1)), seed=seed)
-        if n_rows > cap
+        base.filter(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(stride)) == 0)
+        if stride > 1
         else base
     )
-    X = np.array([r["v"] for r in fit_src.select("v").collect()])
+    X = np.array(
+        [r["v"] for r in fit_src.select("id", "v").orderBy("id").collect()]
+    )
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(max_iter):

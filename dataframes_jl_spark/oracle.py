@@ -27,16 +27,30 @@ def duckdb_run(sql: str, sf_dir: str):
 def _norm_cell(v):
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # absorb last-ulp differences surviving both engines' ROUND
-        return round(v, 6)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
 
 
-def compare(spark_df, oracle_pdf, float_tol: float = 1e-6) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+def _dtype_class(dtype: str) -> str:
+    if dtype.startswith(("int", "uint")):
+        return "int"
+    if dtype.startswith("float"):
+        return "float"
+    if dtype.startswith("bool"):
+        return "bool"
+    return "obj"
+
+
+def compare(spark_df, oracle_pdf, float_tol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match).
+
+    STRICT by default: the driver's gate stringifies values before
+    hashing, so ``5`` (int64) vs ``5.0`` (DuckDB HUGEINT→float64) is a
+    driver failure even though the numbers are equal. We therefore flag
+    dtype-class drift (int vs float vs bool) and compare values exactly
+    (NaN==NaN aside). Pass ``float_tol>0`` only for diagnostics.
+    """
     import pandas as pd
 
     problems: list[str] = []
@@ -46,6 +60,14 @@ def compare(spark_df, oracle_pdf, float_tol: float = 1e-6) -> list[str]:
     o_cols = sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
+
+    for c in s_cols:
+        sk = _dtype_class(str(spark_pdf[c].dtype))
+        ok = _dtype_class(str(oracle_pdf[c].dtype))
+        if sk != ok:
+            problems.append(
+                f"dtype class {c}: spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}"
+            )
 
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
@@ -67,7 +89,8 @@ def compare(spark_df, oracle_pdf, float_tol: float = 1e-6) -> list[str]:
                 if a == b:
                     continue
                 if (
-                    isinstance(a, (int, float))
+                    float_tol > 0
+                    and isinstance(a, (int, float))
                     and isinstance(b, (int, float))
                     and not isinstance(a, bool)
                     and not isinstance(b, bool)

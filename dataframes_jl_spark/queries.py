@@ -964,10 +964,10 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_stats",
     oracle=rf"""
     SELECT source,
-           SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND({dsum_sql("CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars", 8)}
                  / COUNT(*), 4) AS avg_alpha_ratio
     FROM documents GROUP BY source
@@ -1351,7 +1351,7 @@ def q_sortperm(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND({dsum_sql('ABS(l_discount - 0.05)', 6)}, 2) AS sum_abs_disc,
            ROUND({dsum_sql('POW(l_discount, 2)', 8)}, 4) AS sum_disc_sq,
            ROUND(SUM(MOD(l_quantity, 7)), 2) AS sum_qty_mod7,
-           SUM(CAST(FLOOR(l_quantity / 10) AS BIGINT)) AS sum_qty_fld10
+           CAST(SUM(CAST(FLOOR(l_quantity / 10) AS BIGINT)) AS BIGINT) AS sum_qty_fld10
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -2308,7 +2308,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
                AS n_missing
     FROM events GROUP BY event_type
@@ -2455,8 +2455,8 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT upper(substr(c_name, 1, 8)) AS name_prefix,
            COUNT(*) AS n,
-           SUM(length(regexp_replace(c_name, '[^0-9]', '', 'g'))) AS total_digits,
-           SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS n_with_one
+           CAST(SUM(length(regexp_replace(c_name, '[^0-9]', '', 'g'))) AS BIGINT) AS total_digits,
+           CAST(SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_one
     FROM customer GROUP BY 1
     """,
 )
@@ -2526,7 +2526,7 @@ def q_sortperm_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id FROM (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id)
         WHERE id != cluster
     )
-    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM documents
     WHERE doc_id NOT IN (SELECT id FROM losers)
     GROUP BY source
@@ -2787,7 +2787,7 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, bin,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS bin_chars
+           CAST(SUM(n_chars) AS BIGINT) AS bin_chars
     FROM packed
     GROUP BY source, bin
     """,
@@ -2897,14 +2897,14 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pii_scrub",
     oracle=r"""
     SELECT lang,
-           SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_email,
-           SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS n_ipv4,
-           SUM(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,14}[0-9]'))) AS n_phone,
-           SUM(CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+           CAST(SUM(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS n_ipv4,
+           CAST(SUM(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,14}[0-9]'))) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g'),
                      '\+?[0-9][0-9()\- ]{7,14}[0-9]', '[PII]', 'g') <> text
-                    THEN 1 ELSE 0 END) AS n_redacted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
     FROM documents GROUP BY lang
     """,
 )
@@ -2959,7 +2959,7 @@ def _split_oracle() -> str:
     SELECT CASE WHEN {b} < 800 THEN 'train'
                 WHEN {b} < 900 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS n_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM documents GROUP BY 1
     """
@@ -3101,7 +3101,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_domains FROM per
     )
-    SELECT source, n_docs, n_tokens,
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
            ROUND((1.0 / n_domains)
                  / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight

@@ -91,15 +91,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
+        try:
+            # NTZ→LTZ normalization below and all epoch arithmetic assume
+            # UTC; the driver's vanilla session may inherit a host tz.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer floor-division: ts/1000 via `/` goes through double,
-        # and epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so
-        # roughly half the timestamps would land 1 us early. `div` stays
-        # in int64 end-to-end.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer floor-division: ts/1000 via `/` goes through double,
+            # and epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so
+            # roughly half the timestamps would land 1 us early. `div` stays
+            # in int64 end-to-end.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without tz reads as TIMESTAMP_NTZ under
+            # Spark 4's inferTimestampNTZ. Normalize to session-tz (UTC)
+            # TIMESTAMP_LTZ so epoch arithmetic (cast to double/long,
+            # unix_*) works uniformly downstream. Session tz is pinned to
+            # UTC, so the wall-clock values are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,7 +40,16 @@ def sessionize(
     ob = [F.col(ts_col), *[F.col(c) for c in order_cols]]
     w = Window.partitionBy(user_col).orderBy(*ob)
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
+
+    # TIMESTAMP_NTZ (parquet timestamp[us] without tz) cannot cast to
+    # double directly; route it through TIMESTAMP_LTZ first (session tz
+    # is UTC, so wall-clock values are unchanged).
+    def _secs(c):
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            c = c.cast("timestamp")
+        return c.cast("double")
+
+    gap = _secs(F.col(ts_col)) - _secs(prev)
     is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     run = Window.partitionBy(user_col).orderBy(*ob).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
