@@ -58,7 +58,15 @@ def ngram_overlap(
         if keep_n:
             sh = sh.withColumn("n_eval_sh", F.size("sh"))
             cols.append("n_eval_sh")
-        ex = sh.select(*cols, F.explode("sh").alias("shingle"))
+        # explode_OUTER, not explode: for a plain explode Catalyst infers
+        # `size(sh) > 0` and pushes the whole shingle expression below the
+        # repartition Exchange into the (often single-partition) scan —
+        # the n-gram build then runs twice, once serially. explode_outer
+        # triggers no filter inference; dropping the null rows afterwards
+        # keeps the semantics and leaves the build 1x, post-exchange.
+        ex = sh.select(*cols, F.explode_outer("sh").alias("shingle")).filter(
+            F.col("shingle").isNotNull()
+        )
         if hash_shingles:
             ex = ex.withColumn("shingle", F.xxhash64("shingle"))
         return ex

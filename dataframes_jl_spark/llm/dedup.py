@@ -89,8 +89,14 @@ def jaccard_pairs(
     shingle_expr = (
         F.xxhash64(F.col("shingle")) if hash_shingles else F.col("shingle")
     )
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle")).select(
-        "id", "n_sh", shingle_expr.alias("shingle")
+    # explode_outer + notnull instead of explode: plain explode makes
+    # Catalyst infer `size(sh) > 0` and push the whole shingle build
+    # below the repartition into the scan stage (serial + computed
+    # twice); explode_outer infers nothing.
+    ex = (
+        sh.select("id", "n_sh", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select("id", "n_sh", shingle_expr.alias("shingle"))
     )
     a = ex.select(
         F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"

@@ -285,8 +285,15 @@ def ivf_topk(
             for j in range(len(C))
         ]
     )
+    # coalesce-with-literal makes the key non-nullable, so the centroid
+    # join can't infer an IsNotNull filter that would re-evaluate the
+    # full distance array a second time in a pre-join Filter stage.
     assigned = base.select(
-        "id", "v", F.array_min(dist_structs)["centroid"].alias("centroid")
+        "id",
+        "v",
+        F.coalesce(F.array_min(dist_structs)["centroid"], F.lit(0)).alias(
+            "centroid"
+        ),
     )
     probes = (
         base.withColumn("nrm", norm(F.col("v")))
@@ -294,11 +301,19 @@ def ivf_topk(
             F.col("id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.explode(
+            # explode_outer: plain explode would infer size(...)>0 and
+            # duplicate the distance-sort into a scan-side Filter.
+            F.explode_outer(
                 F.slice(F.array_sort(dist_structs), 1, n_probe)
             ).alias("__pc__"),
         )
-        .select("query_id", "qv", "qn", F.col("__pc__.centroid").alias("centroid"))
+        .filter(F.col("__pc__").isNotNull())
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.coalesce(F.col("__pc__.centroid"), F.lit(0)).alias("centroid"),
+        )
     )
     # norms carried on both sides: per-pair cost is one dot + one divide
     cand = (

@@ -3034,7 +3034,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("source") == "src0")
     tr = docs.filter(F.col("source") != "src0")
-    out = contamination_report(tr, ev, "doc_id", "text", n=5, threshold=0.2)
+    out = contamination_report(
+        tr, ev, "doc_id", "text", n=5, threshold=0.2, hash_shingles=True
+    )
     return out.select(
         F.col("train_id"),
         "n_eval_hits",
