@@ -1,0 +1,179 @@
+"""Corpus relevance scoring: TF-IDF and BM25 over a document table.
+
+Retrieval-style relevance is a core training-data operation (quality
+filtering against a seed set, dedup-aware mining, targeted corpus
+queries). The reference has no text operators at all (SURVEY §2.9's
+closest scalar ops are numeric), so this is a beyond-reference family,
+built the same Spark-first way as llm/text.py: pure Column expressions
+and two-phase aggregates — no UDFs.
+
+Scale shape (what survives 100 TB):
+
+- Term statistics are classic map-reduce: explode tokens → per-doc
+  term counts (partial aggregation collapses each partition's tokens
+  before any exchange) → document frequencies via a second partial agg
+  keyed on the term. Shuffles carry (term, count) pairs, never token
+  streams.
+- BM25 query scoring filters the posting lists to the query's terms
+  BEFORE any join or shuffle (an `isin` over inlined literals at the
+  scan), so per-query cost is bounded by the query terms' posting
+  lists, not the corpus.
+- Corpus-level scalars (N, avgdl) ride in on a broadcast of a 1-row
+  aggregate — no driver round-trip in the plan.
+- explode_outer + notnull rather than explode: a plain explode makes
+  Catalyst infer `size(tokens) > 0` and push the tokenizer below the
+  repartition into the scan stage (see llm/decontam.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(col: str | Column) -> Column:
+    """Lowercased word tokens (letters/digits runs) → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def term_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per (doc, term): term frequency ``tf`` and doc length ``dl``.
+
+    One explode + one (id, term) aggregation; ``dl`` is computed on the
+    un-exploded row and carried through, so no second pass over text.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+        .repartition(par, "id")
+        .select("id", _norm_tokens("__t__").alias("toks"))
+        .select("id", "toks", F.size("toks").alias("dl"))
+    )
+    ex = base.select(
+        "id", "dl", F.explode_outer("toks").alias("term")
+    ).filter(F.col("term").isNotNull())
+    return ex.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def doc_frequencies(tstats: DataFrame) -> DataFrame:
+    """(term, df): number of documents containing each term."""
+    return tstats.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tf_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per (doc, term) smoothed TF-IDF:
+    ``tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn-style smoothing, so
+    unseen-term idf stays finite)."""
+    ts = term_stats(docs, id_col, text_col)
+    dfreq = doc_frequencies(ts)
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs__")
+    )
+    return (
+        ts.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_docs__") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantize_scale: int | None = None,
+) -> DataFrame:
+    """Per-document BM25 relevance against a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the standard
+    non-negative Robertson idf).
+
+    The posting lists are filtered to ``query_terms`` before the df
+    join, so the scored row volume is Σ_t |postings(t)| — independent
+    of vocabulary size.
+    """
+    terms = sorted(set(query_terms))
+    # df/avgdl/N must come from the FULL corpus, not the filtered lists.
+    full = term_stats(docs, id_col, text_col)
+    ts = full.filter(F.col("term").isin(terms))
+    dfreq = doc_frequencies(full).filter(F.col("term").isin(terms))
+    # avgdl = mean token count per doc; derive from dl directly for
+    # exactness (sum tf == dl per doc by construction).
+    avgdl = full.select("id", "dl").dropDuplicates(["id"]).agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("__avgdl__"),
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+    )
+    idf = (
+        F.log(
+            1.0
+            + (F.col("__n__") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+    ).alias("idf")
+    scored = (
+        ts.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "id",
+            "term",
+            (
+                idf
+                * (
+                    F.col("tf")
+                    * (k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (
+                            1.0
+                            - b
+                            + b * F.col("dl") / F.col("__avgdl__")
+                        )
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    score_col = F.col("term_score")
+    if quantize_scale is not None:
+        # per-term quantization BEFORE the sum: the per-doc score becomes
+        # an exact int64 sum — independent of accumulation order and
+        # bit-identical across engines (per-term doubles are computed
+        # row-wise from integer stats, never accumulated).
+        score_col = F.floor(
+            score_col * F.lit(float(10**quantize_scale)) + F.lit(0.5)
+        ).cast("bigint")
+    agg_score = F.sum(score_col)
+    if quantize_scale is not None:
+        agg_score = agg_score.cast("bigint")
+    return scored.groupBy("id").agg(
+        agg_score.alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )

@@ -108,3 +108,37 @@ def hash_split(
     # any residue from rounding joins the last named split
     last = list(weights)[-1]
     return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: str | Column,
+    k: int,
+    key: str | Column = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
+
+    Each row gets an exponential key ``-ln(u) / w`` with ``u`` uniform
+    in (0, 1]; the ``k`` smallest keys are a weight-proportional sample
+    without replacement. One distributed top-k (TakeOrderedAndProject —
+    per-partition heaps, no global sort), no state, deterministic:
+    ``u`` comes from the same pure-int64 multiplicative hash as
+    :func:`split_bucket` (seed folded into the key), so the selection
+    is reproducible in any engine with 64-bit ints and libm log —
+    including the DuckDB oracle.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    h = F.pmod(
+        F.pmod(kcol + F.lit(seed), F.lit(_SPLIT_P)) * F.lit(_SPLIT_MULT),
+        F.lit(_SPLIT_P),
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(_SPLIT_P + 1))  # (0, 1]
+    es_key = -F.log(u) / wcol
+    return (
+        df.withColumn("__es_key__", es_key)
+        .orderBy(F.col("__es_key__").asc(), kcol.asc())
+        .limit(k)
+        .drop("__es_key__")
+    )

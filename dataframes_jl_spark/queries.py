@@ -3130,6 +3130,146 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relevance scoring + weighted sampling + sketch aggregates
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["data", "model", "training"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q_bm25_search",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), ts AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+    ), tf AS (
+      SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+      FROM ts GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scal AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM tf GROUP BY doc_id)
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln(1 + (scal.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1)
+                  / (tf.tf + {_BM25_K1}
+                     * (1 - {_BM25_B} + {_BM25_B} * tf.dl / scal.avgdl)))
+               * 1e6 + 0.5) AS BIGINT) AS term_q
+      FROM tf JOIN dfreq USING (term) CROSS JOIN scal
+      WHERE term IN ('data', 'model', 'training')
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(term_q) AS BIGINT) AS score_q6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_q6 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (llm.relevance.bm25_scores): posting lists filtered
+    to the query terms before any join, corpus scalars broadcast, and
+    per-term scores quantized to int64 BEFORE the per-doc sum so the
+    result is accumulation-order-independent and engine-exact. The
+    per-term double is computed row-wise from integer stats (tf, df,
+    dl, N) — never accumulated — so Spark and DuckDB agree bit-for-bit
+    through the 1e-6 quantization."""
+    from .llm.relevance import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(
+        docs,
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        quantize_scale=6,
+    )
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.col("score").alias("score_q6"),
+        )
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             -ln((((doc_id + 42) % 1000000007) * 2654435761 % 1000000007 + 1)
+                 / 1000000008.0) / n_chars AS es_key
+      FROM documents
+    )
+    ORDER BY es_key ASC, doc_id ASC LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (ops.sampling.
+    weighted_sample, Efraimidis-Spirakis A-ES): longer documents are
+    proportionally more likely to be drawn. Uniform u comes from the
+    pure-int64 multiplicative hash (engine-reproducible), selection is
+    a distributed top-k (TakeOrderedAndProject), and the oracle
+    replays the exact same arithmetic."""
+    from .ops.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "n_chars", k=100, key="doc_id", seed=42)
+
+
+@register(
+    "q_vocab_approx",
+    oracle=r"""
+    WITH ts AS (
+      SELECT source,
+             unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                 t -> t <> '')) AS term
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM ts GROUP BY source
+    """,
+)
+def q_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregate gate: per-source vocabulary size via HyperLogLog
+    (approx_count_distinct, rsd=2%) asserted within 10% of the exact
+    distinct count computed in the same pass. At 100 TB the HLL path is
+    the only viable one (fixed-size sketch vs a distinct shuffle of the
+    vocabulary); the exact count here is the verifier, the oracle pins
+    the exact side and the tolerance flag."""
+    from .llm.relevance import _norm_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = (
+        docs.select("source", F.explode_outer(_norm_tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    return ex.groupBy("source").agg(
+        F.countDistinct("term").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("term", rsd=0.02)
+                - F.countDistinct("term")
+            )
+            <= 0.1 * F.countDistinct("term")
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
 # positions 1-50 and nothing after). Put a curated 50 at the head so every

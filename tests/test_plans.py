@@ -128,3 +128,34 @@ def test_kmeans_assign_is_map_only(spark):
     plan = plan_of(QUERIES["q_kmeans_clusters"](spark, SF_DIR))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def _filter_conditions(plan: str) -> list[str]:
+    """Condition lines of every Filter node in a formatted plan."""
+    return [
+        ln.split(":", 1)[1]
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Condition :")
+    ]
+
+
+def test_no_inferred_filter_duplicates_shingle_build(spark):
+    """Catalyst's InferFiltersFromGenerate turns explode(sh) into a
+    `size(sh) > 0` filter that pushes below the repartition exchange and
+    re-runs the whole n-gram build serially in the scan stage. The
+    explode_outer + notnull formulation must keep Filter conditions free
+    of the shingle expression (no `transform(` / `array_distinct(`)."""
+    for q in ("q_decontaminate", "q_dedup_jaccard_exact"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        for cond in _filter_conditions(plan):
+            assert "array_distinct(" not in cond, (q, cond[:160])
+            assert "transform(" not in cond, (q, cond[:160])
+
+
+def test_ivf_join_key_not_reevaluated_in_filter(spark):
+    """The centroid join key is coalesced to non-nullable so the join
+    cannot infer an IsNotNull filter that recomputes the full distance
+    array (aggregate(zip_with(...)) x n_centroids) a second time."""
+    plan = plan_of(QUERIES["q_ann_ivf"](spark, SF_DIR))
+    for cond in _filter_conditions(plan):
+        assert "zip_with(" not in cond, cond[:160]

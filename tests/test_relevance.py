@@ -1,0 +1,104 @@
+"""Unit tests for TF-IDF / BM25 relevance scoring and weighted
+sampling (llm/relevance.py, ops/sampling.py:weighted_sample)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframes_jl_spark.llm.relevance import (
+    bm25_scores,
+    doc_frequencies,
+    term_stats,
+    tf_idf,
+)
+from dataframes_jl_spark.ops.sampling import weighted_sample
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat cat cat"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_term_stats_tf_and_dl(tiny_docs):
+    rows = {
+        (r["id"], r["term"]): (r["tf"], r["dl"])
+        for r in term_stats(tiny_docs).collect()
+    }
+    assert rows[(1, "the")] == (2, 6)
+    assert rows[(3, "cat")] == (3, 3)
+    assert (4, "") not in rows  # empty doc yields no terms
+    assert not any(i == 4 for i, _ in rows)
+
+
+def test_doc_frequencies(tiny_docs):
+    df = {
+        r["term"]: r["df"]
+        for r in doc_frequencies(term_stats(tiny_docs)).collect()
+    }
+    assert df["cat"] == 2 and df["the"] == 2 and df["dog"] == 1
+
+
+def test_tf_idf_matches_hand_computation(tiny_docs):
+    out = {
+        (r["id"], r["term"]): r["tfidf"] for r in tf_idf(tiny_docs).collect()
+    }
+    # N=4 docs; smoothed idf = ln((N+1)/(df+1)) + 1
+    idf_cat = math.log(5 / 3) + 1
+    assert out[(3, "cat")] == pytest.approx(3 * idf_cat)
+    idf_dog = math.log(5 / 2) + 1
+    assert out[(2, "dog")] == pytest.approx(1 * idf_dog)
+
+
+def test_bm25_rare_term_outscores_common(tiny_docs):
+    # 'dog' (df=1) must be worth more than 'the' (df=2) at equal tf/dl
+    scores = {
+        r["id"]: r["score"]
+        for r in bm25_scores(tiny_docs, ["dog"]).collect()
+    }
+    scores_common = {
+        r["id"]: r["score"]
+        for r in bm25_scores(tiny_docs, ["the"]).collect()
+    }
+    assert set(scores) == {2}
+    assert scores[2] > scores_common[2]  # same doc, rarer term, higher score
+
+
+def test_bm25_quantized_is_bigint_sum(tiny_docs):
+    out = bm25_scores(tiny_docs, ["cat", "sat"], quantize_scale=6)
+    assert dict(out.dtypes)["score"] == "bigint"
+    assert out.count() == 3  # docs 1, 2, 3 match at least one term
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 50).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, "w", 50).collect())
+    assert len(a) == 50 and a == b
+    c = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 50, seed=7).collect()
+    )
+    assert a != c  # a different seed draws a different sample
+
+
+def test_weighted_sample_biased_toward_heavy_rows(spark):
+    # weight 100 vs 1: heavy rows must dominate a small sample
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, 100.0).otherwise(1.0).alias("w"),
+    )
+    picked = weighted_sample(df, "w", 100).collect()
+    heavy = sum(1 for r in picked if r["doc_id"] < 1000)
+    assert heavy >= 90
