@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -141,4 +141,35 @@ def weighted_sample(
         .orderBy(F.col("__es_key__").asc(), kcol.asc())
         .limit(k)
         .drop("__es_key__")
+    )
+
+
+def take_per_group(
+    df: DataFrame,
+    group: str | Column,
+    k: int,
+    key: str | Column = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-k sample per group (stratified take-k).
+
+    The standard corpus-balancing op: cap every stratum (domain,
+    language, shard) at ``k`` documents. Rows are ranked inside each
+    group by the same pure-int64 multiplicative hash as
+    :func:`split_bucket` (seed folded in), so the selection is a pure
+    function of (key, seed) — stable across re-runs and engines — and
+    uniform within the group. One shuffle on the group key; the window
+    is rank-only (no payload accumulation), so partitions stream.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    gcol = F.col(group) if isinstance(group, str) else group
+    h = F.pmod(
+        F.pmod(kcol + F.lit(seed), F.lit(_SPLIT_P)) * F.lit(_SPLIT_MULT),
+        F.lit(_SPLIT_P),
+    )
+    w = Window.partitionBy(gcol).orderBy(h.asc(), kcol.asc())
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
     )

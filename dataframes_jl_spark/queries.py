@@ -3269,6 +3269,34 @@ def q_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_take_per_group",
+    oracle="""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id + 42) % 1000000007) * 2654435761
+                        % 1000000007 ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5
+    """,
+)
+def q_take_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-k sampling (ops.sampling.take_per_group): cap
+    every source at 5 docs, chosen by the engine-reproducible int64
+    multiplicative hash — a pure function of (doc_id, seed), so stable
+    across re-runs, shard layouts, and engines. One shuffle on the
+    group key; the rank window streams (no payload accumulation)."""
+    from .ops.sampling import take_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return take_per_group(docs, "source", k=5, key="doc_id", seed=42)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry

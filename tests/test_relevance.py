@@ -102,3 +102,20 @@ def test_weighted_sample_biased_toward_heavy_rows(spark):
     picked = weighted_sample(df, "w", 100).collect()
     heavy = sum(1 for r in picked if r["doc_id"] < 1000)
     assert heavy >= 90
+
+
+def test_take_per_group_exact_k_deterministic_uniformish(spark):
+    from dataframes_jl_spark.ops.sampling import take_per_group
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("g")
+    )
+    out = take_per_group(df, "g", k=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r["doc_id"])
+    assert all(len(v) == 10 for v in per.values()) and len(per) == 3
+    again = take_per_group(df, "g", k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = take_per_group(df, "g", k=10, seed=9).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
