@@ -109,6 +109,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     quantize_scale: int | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BM25 relevance against a bag of query terms.
 
@@ -119,10 +120,17 @@ def bm25_scores(
     The posting lists are filtered to ``query_terms`` before the df
     join, so the scored row volume is Σ_t |postings(t)| — independent
     of vocabulary size.
+
+    The (id, term, tf, dl) statistics feed three consumers (filtered
+    postings, document frequencies, avgdl/N scalars), i.e. three
+    lineage executions per call. At corpus scale compute
+    :func:`term_stats` ONCE, write or ``persist()`` it, and pass it as
+    ``stats`` — the standard inverted-index materialization; every
+    subsequent query is then bounded by its posting lists.
     """
     terms = sorted(set(query_terms))
     # df/avgdl/N must come from the FULL corpus, not the filtered lists.
-    full = term_stats(docs, id_col, text_col)
+    full = stats if stats is not None else term_stats(docs, id_col, text_col)
     ts = full.filter(F.col("term").isin(terms))
     dfreq = doc_frequencies(full).filter(F.col("term").isin(terms))
     # avgdl = mean token count per doc; derive from dl directly for

@@ -113,6 +113,7 @@ def global_row_number(
     cols: str | Sequence | None = None,
     rev: bool = False,
     col_name: str = "__row_id__",
+    persist: bool = False,
 ) -> DataFrame:
     """Distributed 1-based global rank under the given ordering — the
     scale path for positional semantics (SURVEY §7 hard part #1).
@@ -123,6 +124,14 @@ def global_row_number(
     row_number + the cumulative row-count offset of all earlier
     partitions (one tiny count job, #partitions rows collected). Total
     order requires the ordering to be total — add a tie-break column.
+
+    The offsets count job re-executes the upstream lineage; for a plain
+    source scan that second pass is cheap (count-only, column-pruned),
+    but when ``df`` is itself an expensive pipeline pass
+    ``persist=True`` to materialize the range-partitioned input once
+    (MEMORY_AND_DISK) and serve both the count and the ranked output
+    from it. Caller owns unpersisting via ``df.sparkSession.catalog``
+    or letting the executor evict.
     """
     if cols is None:
         cols = df.columns
@@ -130,6 +139,8 @@ def global_row_number(
         cols = [cols]
     specs = _resolve(cols, rev)
     parted = df.repartitionByRange(*specs).sortWithinPartitions(*specs)
+    if persist:
+        parted = parted.persist()
     with_pid = parted.withColumn("__pid__", F.spark_partition_id())
     counts = sorted(
         (r["__pid__"], r["cnt"])

@@ -119,3 +119,32 @@ def test_take_per_group_exact_k_deterministic_uniformish(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     other = take_per_group(df, "g", k=10, seed=9).collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_bm25_accepts_precomputed_stats(tiny_docs):
+    from dataframes_jl_spark.llm.relevance import bm25_scores, term_stats
+
+    stats = term_stats(tiny_docs).persist()
+    try:
+        direct = {
+            (r["id"], r["score"])
+            for r in bm25_scores(tiny_docs, ["cat"], quantize_scale=6).collect()
+        }
+        reused = {
+            (r["id"], r["score"])
+            for r in bm25_scores(
+                tiny_docs, ["cat"], quantize_scale=6, stats=stats
+            ).collect()
+        }
+        assert direct == reused
+    finally:
+        stats.unpersist()
+
+
+def test_global_row_number_persist_path(spark):
+    from dataframes_jl_spark.ops.sorting import global_row_number
+
+    df = spark.range(0, 500).select((F.col("id") * 7 % 500).alias("v"))
+    a = global_row_number(df, "v").select("v", "__row_id__").collect()
+    b = global_row_number(df, "v", persist=True).select("v", "__row_id__").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
