@@ -3297,6 +3297,90 @@ def q_take_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return take_per_group(docs, "source", k=5, key="doc_id", seed=42)
 
 
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (ops.skew.salted_join): the big side gets a
+    deterministic per-row salt so a hot key spreads over `salt` shuffle
+    partitions; the small side replicates salt times. The oracle is the
+    PLAIN join — proving salting changes the shuffle layout, never the
+    result."""
+    from .ops.skew import salted_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    j = salted_join(cust, nat, on="c_nationkey", salt=8)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
+
+
+@register(
+    "q_quantile_sketch",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_exact,
+           CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95_exact,
+           TRUE AS sketch_ok
+    FROM documents GROUP BY source
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quantile gate: per-source p50/p95 of doc length via
+    percentile_approx (fixed-size sketch, mergeable — the only viable
+    plan at 100 TB where exact quantiles need a full sort) asserted
+    within 5% relative error of the exact discrete quantiles computed
+    in the same pass. The oracle pins the exact side and the flag.
+    The exact side (sort_array over a per-group collect) is the
+    TEST-SCALE verifier only — it materializes the group and exists to
+    corroborate the sketch; the production path at 100 TB is the
+    sketch alone."""
+    docs = _t(spark, sf_dir, "documents")
+    # exact DISCRETE quantiles matching DuckDB's quantile_disc
+    # convention: element at ceil(p*n), 1-based, lower on ties.
+    arr = F.sort_array(F.collect_list("n_chars"))
+    n = F.size(arr)
+    def qdisc(p):
+        # duckdb quantile_disc: element at ceil(p*n) (1-based), lower on ties
+        idx = F.greatest(F.ceil(n.cast("double") * F.lit(p)).cast("int"), F.lit(1))
+        return F.element_at(arr, idx)
+    approx50 = F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
+    approx95 = F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000))
+    out = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        qdisc(0.5).cast("bigint").alias("p50_exact"),
+        qdisc(0.95).cast("bigint").alias("p95_exact"),
+        approx50.alias("__a50__"),
+        approx95.alias("__a95__"),
+    )
+    tol = lambda a, e: F.abs(a - e) <= 0.05 * F.abs(e) + 1
+    return out.select(
+        "source",
+        "n_docs",
+        "p50_exact",
+        "p95_exact",
+        (
+            tol(F.col("__a50__"), F.col("p50_exact"))
+            & tol(F.col("__a95__"), F.col("p95_exact"))
+        ).alias("sketch_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
