@@ -41,6 +41,10 @@ HEADLINE = [
     "q_decontaminate",
     "q_kmeans_clusters",
     "q_mixture_weights",
+    "q_bm25_search",
+    "q_weighted_sample",
+    "q_vocab_approx",
+    "q_take_per_group",
 ]
 
 
@@ -60,9 +64,24 @@ def main() -> None:
     # two timed passes, min per query: a heavy query's async shuffle/
     # broadcast cleanup bleeds into the NEXT query's wall time, so a
     # single pass can inflate whichever query follows a big one by 2-4x
+    def _drain_cleanup():
+        # shuffle files / broadcast blocks are reclaimed by the JVM
+        # ContextCleaner only after the driver GCs the owning objects;
+        # across ~25 headline queries that backlog grows enough to
+        # inflate later heavy queries 2x. Nudge both GCs between
+        # measurements so each query starts from a drained state.
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in names:
+            _drain_cleanup()
             df = QUERIES[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
