@@ -201,3 +201,44 @@ def ngram_top_k(docs: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the standard
+    pre-training/RAG chunker): windows of ``chunk_tokens`` whitespace
+    tokens starting every ``stride`` tokens, last partial window kept.
+
+    Map-only — per-row sequence + explode, zero shuffles; chunk volume
+    is (n_tokens/stride) rows per doc, each carrying only its own
+    window's text. explode_outer keeps Catalyst from inferring a
+    size()>0 filter that would re-run tokenization below the scan
+    projection (see llm/decontam.py), and empty docs simply drop out.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    )
+    ex = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks__"),
+            F.explode_outer(starts).alias("start"),
+        )
+        .filter(F.col("start").isNotNull())
+    )
+    chunk = F.slice(F.col("__toks__"), F.col("start") + 1, chunk_tokens)
+    return ex.select(
+        F.col("id").alias(id_col),
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("chunk_n_tokens"),
+    )

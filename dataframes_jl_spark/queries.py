@@ -3381,6 +3381,35 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_chunk_documents",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, n, 64)) AS start FROM tok WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(start / 64 AS INT) AS chunk_idx,
+           array_to_string(t[start + 1 : start + 128], ' ') AS chunk_text,
+           CAST(len(t[start + 1 : start + 128]) AS INT) AS chunk_n_tokens
+    FROM st
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (llm.text.chunk_documents):
+    128-token windows every 64 tokens, last partial window kept.
+    Map-only (sequence + explode, zero shuffles); the oracle rebuilds
+    identical windows with DuckDB range() + list slicing."""
+    from .llm.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=128, stride=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry

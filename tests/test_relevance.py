@@ -148,3 +148,25 @@ def test_global_row_number_persist_path(spark):
     a = global_row_number(df, "v").select("v", "__row_id__").collect()
     b = global_row_number(df, "v", persist=True).select("v", "__row_id__").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from dataframes_jl_spark.llm.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, starts 0,3,6,9 -> 4 chunks; last is partial
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk_text"] == "t3 t4 t5 t6"  # stride-3 overlap
+    assert c1[3]["chunk_text"] == "t9" and c1[3]["chunk_n_tokens"] == 1
+    # doc 2 fits in one window; doc 3 (empty) produces no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert 3 not in by_doc
