@@ -3467,7 +3467,10 @@ _PRIORITY = [
     "q_dedup_exact_groups",
     "q_dedup_jaccard_exact",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
+    # q_dedup_simhash is rows-only by design (no SQL oracle); it sits
+    # outside the driver's 50-row window so a hash-gated query can use
+    # the slot — its exact-Hamming semantics stay pinned by unit tests.
+    "q_bm25_search",
     "q_dedup_embedding",
     "q_dedup_clusters",
     "q_ann_bruteforce",
