@@ -3410,6 +3410,59 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=128, stride=64)
 
 
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join via bucketed tables (io.parquet.
+    save(bucket_by=...)): both sides are written bucketed+sorted on the
+    join key, so the join needs NO shuffle — at 100 TB this is the
+    difference between a one-time layout cost and re-shuffling the fact
+    table on every join. The oracle is the plain SQL join: bucketing
+    changes the physical layout, never the result. (The temp bucketed
+    tables model the curated-layout tables a real pipeline maintains.)"""
+    import tempfile
+
+    from .io.parquet import save
+
+    base = tempfile.gettempdir()
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    for t in ("djs_bkt_cust", "djs_bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    save(
+        cust,
+        f"{base}/djs_bkt_cust",
+        bucket_by=(8, ["c_custkey"]),
+        table_name="djs_bkt_cust",
+    )
+    save(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        f"{base}/djs_bkt_orders",
+        bucket_by=(8, ["c_custkey"]),
+        table_name="djs_bkt_orders",
+    )
+    bc = spark.table("djs_bkt_cust")
+    bo = spark.table("djs_bkt_orders")
+    j = bo.join(bc, on="c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry

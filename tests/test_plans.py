@@ -159,3 +159,24 @@ def test_ivf_join_key_not_reevaluated_in_filter(spark):
     plan = plan_of(QUERIES["q_ann_ivf"](spark, SF_DIR))
     for cond in _filter_conditions(plan):
         assert "zip_with(" not in cond, cond[:160]
+
+
+def test_bucketed_join_needs_no_shuffle(spark):
+    """Both sides written bucketed+sorted on the join key: with
+    broadcast disabled (so the small-scale plan matches the 100 TB
+    shape) the join must be a SortMergeJoin with ZERO shuffle
+    exchanges — the bucketed layout already co-locates the keys."""
+    QUERIES["q_bucketed_join"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()  # materializes the bucketed tables in the session catalog
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("djs_bkt_orders").join(
+            spark.table("djs_bkt_cust"), on="c_custkey"
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
