@@ -3463,6 +3463,33 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL write -> read roundtrip (the interchange format most
+    training-data pipelines speak): nation out to line-delimited JSON,
+    back through schema-on-read, bit-for-bit vs the parquet-sourced
+    oracle. JSON lines split by newline, so the format is natively
+    splittable — a 100 TB corpus reads with full parallelism."""
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.gettempdir() + "/djs_jsonl_roundtrip"
+    nation.coalesce(1).write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry

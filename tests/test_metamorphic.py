@@ -155,3 +155,66 @@ def test_colwise_prod_zero_and_negative(spark):
     assert got["z"] == 0.0
     assert math.isclose(got["n"], -6.0, rel_tol=1e-9)
     assert math.isclose(got["p"], 12.0, rel_tol=1e-9)
+
+
+def test_bm25_adding_foreign_doc_lowers_no_tf(spark):
+    """Metamorphic: appending one document with only unseen terms
+    raises N by 1 and leaves every existing doc's (tf, dl) unchanged —
+    so Robertson idf rises and each matched doc's score strictly
+    increases (idf' = ln(1+(N+1-df+.5)/(df+.5)) > idf), while the match
+    set is unchanged."""
+    from dataframes_jl_spark.llm.relevance import bm25_scores
+
+    base = spark.createDataFrame(
+        [(1, "spark makes joins fast"), (2, "joins shuffle data")],
+        ["doc_id", "text"],
+    )
+    grown = base.union(
+        spark.createDataFrame([(3, "zzz yyy xxx")], ["doc_id", "text"])
+    )
+    s0 = {r["id"]: r["score"] for r in bm25_scores(base, ["joins"]).collect()}
+    s1 = {r["id"]: r["score"] for r in bm25_scores(grown, ["joins"]).collect()}
+    assert set(s0) == set(s1) == {1, 2}
+    assert all(s1[i] > s0[i] for i in s0)
+
+
+def test_weighted_sample_k_equals_n_returns_everything(spark):
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.sampling import weighted_sample
+
+    df = spark.range(0, 64).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 1.0).alias("w")
+    )
+    out = weighted_sample(df, "w", k=64)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(64))
+
+
+def test_chunking_no_overlap_partitions_tokens_exactly(spark):
+    """stride == chunk_tokens: chunks partition the token stream, so
+    re-concatenating chunk texts in order reproduces the tokenized doc."""
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.llm.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(1 + 7 * i))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(docs, chunk_tokens=8, stride=8)
+    # collect_list order is not guaranteed after a shuffle; sort the
+    # (chunk_idx, text) structs explicitly before re-concatenating
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("re")
+    )
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rebuilt.collect():
+        assert r["re"] == orig[r["doc_id"]]
