@@ -79,7 +79,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             _drain_cleanup()
             df = QUERIES[name](spark, SF_DIR)

@@ -135,7 +135,12 @@ def weighted_sample(
         F.lit(_SPLIT_P),
     )
     u = (h + F.lit(1.0)) / F.lit(float(_SPLIT_P + 1))  # (0, 1]
-    es_key = -F.log(u) / wcol
+    # A-ES is defined for w > 0; zero/negative/NULL weights must never
+    # win a slot (a negative weight would otherwise sort FIRST), so they
+    # get an infinite key — drawn only if k exceeds the positive pool.
+    es_key = F.when(wcol > 0, -F.log(u) / wcol).otherwise(
+        F.lit(float("inf"))
+    )
     return (
         df.withColumn("__es_key__", es_key)
         .orderBy(F.col("__es_key__").asc(), kcol.asc())

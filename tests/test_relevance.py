@@ -170,3 +170,18 @@ def test_chunk_documents_windows_and_overlap(spark):
     # doc 2 fits in one window; doc 3 (empty) produces no chunks
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
     assert 3 not in by_doc
+
+
+def test_weighted_sample_nonpositive_weights_never_win(spark):
+    from dataframes_jl_spark.ops.sampling import weighted_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, -5.0)
+        .when(F.col("id") < 60, 0.0)
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    picked = {r["doc_id"] for r in weighted_sample(df, "w", 40).collect()}
+    assert picked <= set(range(60, 100))
+    assert len(picked) == 40
