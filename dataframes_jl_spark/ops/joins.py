@@ -165,9 +165,14 @@ def asof_join(
     if tolerance is not None:
         dt = dict(left.dtypes)[on]
         if dt.startswith("timestamp"):
-            dist = F.abs(
-                F.col("__on__").cast("double") - F.col("__m__.__r_on__").cast("double")
-            )
+            # TIMESTAMP_NTZ cannot cast to double directly; hop through
+            # TIMESTAMP_LTZ (session tz pinned UTC by load_table).
+            def _secs(c):
+                if dt == "timestamp_ntz":
+                    c = c.cast("timestamp")
+                return c.cast("double")
+
+            dist = F.abs(_secs(F.col("__on__")) - _secs(F.col("__m__.__r_on__")))
         else:
             dist = F.abs(F.col("__on__") - F.col("__m__.__r_on__"))
         matched = matched.withColumn(

@@ -185,3 +185,35 @@ def test_weighted_sample_nonpositive_weights_never_win(spark):
     picked = {r["doc_id"] for r in weighted_sample(df, "w", 40).collect()}
     assert picked <= set(range(60, 100))
     assert len(picked) == 40
+
+
+def test_asof_join_tolerance_on_ntz_timestamps(spark):
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from dataframes_jl_spark.ops.joins import asof_join
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(t0 + dt.timedelta(seconds=s), 1) for s in (10, 100)], schema
+    )
+    right = spark.createDataFrame([(t0, 1)], schema)
+    out = asof_join(
+        left, right.withColumnRenamed("ts", "ts").withColumn("v", F.lit(5)),
+        on="ts", by="user_id", tolerance=30.0,
+    )
+    rows = {r["ts"]: r["v"] for r in out.collect()}
+    assert rows[t0 + dt.timedelta(seconds=10)] == 5   # within tolerance
+    assert rows[t0 + dt.timedelta(seconds=100)] is None  # beyond 30s
