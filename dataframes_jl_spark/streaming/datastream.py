@@ -231,3 +231,32 @@ def dedup_stream(
     if df.isStreaming and ts_col is not None:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Incremental exactly-once parquet sink.
+
+    The file sink + checkpoint pair is the durable end of a streaming
+    pipeline: offsets and the file-commit log live in ``checkpoint``,
+    so a restart resumes exactly where the last successful batch ended
+    and never double-writes (the sink's _spark_metadata commit log is
+    what readers trust, not the bare directory listing). With
+    ``trigger_once`` the query drains everything available and stops —
+    the standard incremental-batch pattern: a 100 TB backfill and the
+    nightly increment run the SAME code, cost scales with new data
+    only.
+    """
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

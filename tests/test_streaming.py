@@ -317,3 +317,43 @@ def test_dedup_stream_bounded_state_matches_batch(spark, tmp_path):
         ["event_id"],
     )
     assert got == {r.event_id for r in batch.collect()} == {1, 2, 3}
+
+
+def test_stream_to_parquet_exactly_once_resume(spark, tmp_path):
+    """File-source -> parquet-sink with checkpoint: first drain writes
+    everything once; a second drain over the same input writes NOTHING
+    new (offsets committed); new input files produce only their rows."""
+    import time as _t
+
+    from dataframes_jl_spark.streaming.datastream import stream_to_parquet
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch1"))
+
+    schema = "id bigint, v bigint"
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src / "*"))
+        )
+        q = stream_to_parquet(stream, str(out), str(ckpt))
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(str(out)).count() == 100
+    drain()  # same input, committed offsets -> no duplicates
+    assert spark.read.parquet(str(out)).count() == 100
+
+    spark.range(100, 130).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch2"))
+    drain()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 130
+    assert got.selectExpr("max(id)").first()[0] == 129
