@@ -186,8 +186,26 @@ def minhash_lsh_pairs(
     array; shingle sets ride along so verification needs no re-shingle.
     """
     assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
-    rows_per_band = num_hashes // bands
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    banded, sh_tab = _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par)
+
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(cand, sh_tab, sh_tab, threshold)
+
+
+def _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par):
+    """(banded, sh_tab) for one corpus: the band-bucket table carrying
+    only (id, band, bucket) and the (id, shingles) verify table, both
+    behind hash-on-id exchanges. Shared by the within-corpus and
+    between-corpora LSH paths."""
+    rows_per_band = num_hashes // bands
 
     base = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
@@ -230,21 +248,16 @@ def minhash_lsh_pairs(
         "id",
         F.explode(F.when(F.size("sh") > 0, bb_arr)).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return banded, hashed.select("id", "sh")
 
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # exact verification: join the (id, shingles) table back onto the
-    # deduped candidate pairs — each shingle array ships once per side
-    sh_tab = hashed.select("id", "sh")
+
+def _verify_pairs(cand, sh_a, sh_b, threshold):
+    """Exact-Jaccard verification: join the (id, shingles) tables back
+    onto the deduped candidate pairs — each shingle array ships once
+    per side."""
     pairs = (
-        cand.join(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), on="id_a")
-        .join(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), on="id_b")
+        cand.join(sh_a.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), on="id_a")
+        .join(sh_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), on="id_b")
     )
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size("sa") + F.size("sb") - common
@@ -254,6 +267,43 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs_between(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental cross-corpus near-dup pairs: every (new doc, ref
+    doc) pair with verified Jaccard >= threshold.
+
+    The incremental-ingestion path: band-bucket tables are built per
+    corpus with the SAME seeded permutations, so the ref side's tables
+    can be computed once, persisted, and reused across ingest batches —
+    per-batch cost is then |new| shingling plus the bucket join against
+    the stored ref buckets, never a re-scan of the reference corpus.
+    Output ids: ``id_a`` from ``new``, ``id_b`` from ``ref``.
+    """
+    assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
+    par = num_partitions or new.sparkSession.sparkContext.defaultParallelism
+    banded_n, sh_n = _lsh_tables(new, id_col, text_col, num_hashes, bands, n, par)
+    banded_r, sh_r = _lsh_tables(ref, id_col, text_col, num_hashes, bands, n, par)
+    cand = (
+        banded_n.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(
+            banded_r.select("band", "bucket", F.col("id").alias("id_b")),
+            on=["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(cand, sh_n, sh_r, threshold)
 
 
 # --------------------------------------------------------------- simhash

@@ -3490,6 +3490,47 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_incremental",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i+1:i+3], ' ')
+                            for i in range(0, len(t)-2)]) AS shl
+      FROM tok WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, source, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*)::DOUBLE
+               / (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)) AS jac
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+      WHERE a.source = 'src0' AND b.source <> 'src0'
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.5
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus MinHash LSH (llm.dedup.
+    minhash_lsh_pairs_between): src0 docs play the new ingest batch,
+    every other doc the persisted reference corpus. Same seeded
+    permutations on both sides, so the reference band-bucket/shingle
+    tables are computable once and reusable per batch. Oracle = exact
+    cross-corpus Jaccard pair set (bands=32/rows=2 -> recall >=0.9996
+    at j>=0.5, and every emitted pair is exact-verified)."""
+    from .llm.dedup import minhash_lsh_pairs_between
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == "src0")
+    ref = docs.filter(F.col("source") != "src0")
+    out = minhash_lsh_pairs_between(new, ref, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
