@@ -45,15 +45,20 @@ def fit_kmeans_driver(
     centroids as plain Python lists ready to inline as literals."""
     import numpy as np
 
-    base = df.select(_as_double(F.col(vec_col)).alias("v"))
+    # deterministic bounded sample: hash-stride on a row hash, collected
+    # in hash order, so the fit is independent of partition layout (the
+    # same fix as llm/similarity.py's IVF quantizer).
+    base = df.select(
+        _as_double(F.col(vec_col)).alias("v"),
+        F.xxhash64(F.col(vec_col), F.lit(seed)).alias("__h__"),
+    )
     n_rows = base.count()
     cap = sample_cap or max(4096, 64 * k)
+    stride = max(1, int(n_rows // cap))
     fit_src = (
-        base.sample(fraction=min(1.0, cap / max(n_rows, 1)), seed=seed)
-        if n_rows > cap
-        else base
+        base.filter(F.pmod("__h__", F.lit(stride)) == 0) if stride > 1 else base
     )
-    X = np.array([r["v"] for r in fit_src.collect()])
+    X = np.array([r["v"] for r in fit_src.orderBy("__h__").select("v").collect()])
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(max_iter):
@@ -140,3 +145,71 @@ def cluster_embeddings(
     semantic clustering entry point."""
     centroids = fit_kmeans_driver(df, k, vec_col, seed, max_iter)
     return kmeans_assign(df, centroids, id_col, vec_col)
+
+
+def fit_pca_driver(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int | None = None,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Driver-side PCA fit over a deterministic bounded sample:
+    returns (mean, components[k][dim], explained_variance[k]).
+
+    Same scale shape as :func:`fit_kmeans_driver`: covariance geometry
+    converges long before |corpus| rows, so one hash-stride sample +
+    a numpy SVD on the driver replaces an iterative distributed solver;
+    the k x dim component matrix is tiny and inlines as literals, so
+    applying the projection is MAP-ONLY (no join, no shuffle).
+    """
+    import numpy as np
+
+    base = df.select(
+        _as_double(F.col(vec_col)).alias("v"),
+        F.xxhash64(F.col(vec_col), F.lit(seed)).alias("__h__"),
+    )
+    n_rows = base.count()
+    cap = sample_cap or 8192
+    stride = max(1, int(n_rows // cap))
+    fit_src = (
+        base.filter(F.pmod("__h__", F.lit(stride)) == 0) if stride > 1 else base
+    )
+    X = np.array([r["v"] for r in fit_src.orderBy("__h__").select("v").collect()])
+    mu = X.mean(0)
+    _, s, vt = np.linalg.svd(X - mu, full_matrices=False)
+    var = (s**2) / max(len(X) - 1, 1)
+    return mu.tolist(), vt[:k].tolist(), var[:k].tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten_variance: list[float] | None = None,
+) -> DataFrame:
+    """Project vectors onto fitted components — map-only, codegen.
+
+    Each output coordinate j is dot(v - mean, components[j]), computed
+    as one fused aggregate over the centered vector with the component
+    inlined as literals; with ``whiten_variance`` the coordinate is
+    scaled by 1/sqrt(var_j) (unit-variance whitening, the usual prep
+    before cosine ANN or k-means on embeddings).
+    """
+    v = _as_double(F.col(vec_col))
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(v, mu, lambda x, m: x - m)
+    coords = []
+    for j, comp in enumerate(components):
+        cj = F.array(*[F.lit(float(c)) for c in comp])
+        d = F.aggregate(
+            F.zip_with(centered, cj, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if whiten_variance is not None:
+            d = d / F.lit(float(whiten_variance[j]) ** 0.5)
+        coords.append(d)
+    return df.withColumn(out_col, F.array(*coords))

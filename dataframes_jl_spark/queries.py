@@ -3531,6 +3531,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "q_pca_whiten",
+    oracle="""
+    SELECT 8 AS k, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS fit_var_ok, TRUE AS whiten_ok
+    FROM embeddings
+    """,
+)
+def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening gate (llm.cluster.fit_pca_driver/pca_project):
+    fit is driver-side on a deterministic hash-stride sample (SVD in
+    numpy, components inlined as literals), projection is map-only.
+    Asserted properties: the fitted spectrum is positive and
+    non-increasing (a real principal decomposition), and the
+    corpus-wide mean squared norm of the whitened projection lands
+    within [0.5k, 2k] (each whitened dim has ~unit variance on the fit
+    sample). The norm check uses quantized per-row sums so the verdict
+    is accumulation-order independent."""
+    from .llm.cluster import fit_pca_driver, pca_project
+
+    k = 8
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, var = fit_pca_driver(emb, k)
+    proj = pca_project(emb, mean, comps, whiten_variance=var)
+    rowsq = F.aggregate(
+        F.col("pca"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    out = proj.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (dsum(rowsq, 4) / F.count(F.lit(1))).alias("__msn__"),
+    )
+    fit_ok = (
+        len(var) == k
+        and all(v > 0 for v in var)
+        and all(var[i] >= var[i + 1] for i in range(len(var) - 1))
+    )
+    return out.select(
+        F.lit(k).alias("k"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.lit(fit_ok).alias("fit_var_ok"),
+        ((F.col("__msn__") >= 0.5 * k) & (F.col("__msn__") <= 2.0 * k)).alias(
+            "whiten_ok"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry

@@ -217,3 +217,32 @@ def test_asof_join_tolerance_on_ntz_timestamps(spark):
     rows = {r["ts"]: r["v"] for r in out.collect()}
     assert rows[t0 + dt.timedelta(seconds=10)] == 5   # within tolerance
     assert rows[t0 + dt.timedelta(seconds=100)] is None  # beyond 30s
+
+
+def test_pca_project_recovers_planted_structure(spark):
+    """Vectors lie (noisily) on a 2-D plane in 8-D: the top-2 fitted
+    components must capture almost all variance, and projection must be
+    deterministic across partition layouts."""
+    import numpy as np
+
+    from dataframes_jl_spark.llm.cluster import fit_pca_driver, pca_project
+
+    rng = np.random.default_rng(0)
+    basis = np.linalg.qr(rng.normal(size=(8, 2)))[0].T  # 2 x 8 orthonormal
+    coords = rng.normal(scale=[5.0, 2.0], size=(300, 2))
+    X = coords @ basis + rng.normal(scale=0.01, size=(300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    mean, comps, var = fit_pca_driver(df, k=3)
+    assert var[0] > var[1] > var[2]
+    # top-2 variance dominates the third by orders of magnitude
+    assert var[1] / var[2] > 100
+    out1 = pca_project(df, mean, comps, whiten_variance=var).select("vec_id", "pca")
+    out2 = pca_project(df.repartition(7), mean, comps, whiten_variance=var).select(
+        "vec_id", "pca"
+    )
+    a = {r["vec_id"]: r["pca"] for r in out1.collect()}
+    b = {r["vec_id"]: r["pca"] for r in out2.collect()}
+    assert a == b
