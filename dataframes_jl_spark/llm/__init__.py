@@ -16,6 +16,7 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_between,
     minhash_signature,
     shingles,
     simhash,
@@ -23,6 +24,7 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .text import (  # noqa: F401
+    chunk_documents,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -38,6 +40,9 @@ from .cluster import (  # noqa: F401
     cluster_embeddings,
     cluster_profile,
     fit_kmeans_driver,
+    fit_pca_driver,
     kmeans_assign,
+    pca_project,
 )
 from .mixture import domain_stats, mixture_weights  # noqa: F401
+from .relevance import bm25_scores, doc_frequencies, term_stats, tf_idf  # noqa: F401
