@@ -3257,14 +3257,17 @@ def q_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode_outer(_norm_tokens("text")).alias("term"))
         .filter(F.col("term").isNotNull())
     )
-    return ex.groupBy("source").agg(
-        F.countDistinct("term").alias("n_exact"),
+    # Pre-aggregate to distinct (source, term) BEFORE counting: a
+    # count-distinct + HLL in one agg plans an Expand that doubles the
+    # exploded token stream through the shuffle; the distinct pre-agg
+    # partial-aggregates each partition's tokens instead, and both
+    # counters then run over the already-unique pairs.
+    uniq = ex.groupBy("source", "term").agg(F.lit(1).alias("__one__"))
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact"),
         (
-            F.abs(
-                F.approx_count_distinct("term", rsd=0.02)
-                - F.countDistinct("term")
-            )
-            <= 0.1 * F.countDistinct("term")
+            F.abs(F.approx_count_distinct("term", rsd=0.02) - F.count(F.lit(1)))
+            <= 0.1 * F.count(F.lit(1))
         ).alias("approx_ok"),
     )
 
