@@ -264,17 +264,30 @@ def cor_matrix(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     return spark.createDataFrame(data, "col_a string, col_b string, corr double")
 
 
-def cor_spearman(df: DataFrame, c1: str, c2: str) -> float:
-    """cor_spearman (reference src/operators.jl:64): rank both columns via
-    window average-rank, then Pearson on the ranks."""
-    ranked = (
-        df.select(c1, c2)
-        .withColumn("rn1", F.row_number().over(Window.orderBy(c1)))
-        .withColumn("rn2", F.row_number().over(Window.orderBy(c2)))
-        .withColumn("r1", F.avg("rn1").over(Window.partitionBy(c1)))
-        .withColumn("r2", F.avg("rn2").over(Window.partitionBy(c2)))
+def spearman_ranked(df: DataFrame, c1: str, c2: str) -> DataFrame:
+    """Average-rank both columns for Spearman correlation, fully
+    distributed: each column is ranked via the range-partitioned
+    :func:`~dataframes_jl_spark.ops.sorting.global_row_number` (never a
+    ``row_number() OVER (ORDER BY …)`` SinglePartition window — that was
+    the round-3 scale defect), then ties are averaged with a
+    hash-partitioned window on the value itself. Returns ``(c1, c2, r1,
+    r2)`` with ``r1``/``r2`` the average ranks (exact half-integers)."""
+    from ..ops.sorting import global_row_number
+
+    ranked = global_row_number(df.select(c1, c2), cols=[c1], col_name="__rn1__")
+    ranked = global_row_number(ranked, cols=[c2], col_name="__rn2__")
+    return (
+        ranked.withColumn("r1", F.avg("__rn1__").over(Window.partitionBy(c1)))
+        .withColumn("r2", F.avg("__rn2__").over(Window.partitionBy(c2)))
+        .drop("__rn1__", "__rn2__")
     )
-    return ranked.stat.corr("r1", "r2")
+
+
+def cor_spearman(df: DataFrame, c1: str, c2: str) -> float:
+    """cor_spearman (reference src/operators.jl:64): average-rank both
+    columns (distributed — see :func:`spearman_ranked`), then Pearson on
+    the ranks."""
+    return spearman_ranked(df, c1, c2).stat.corr("r1", "r2")
 
 
 def describe_strings(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

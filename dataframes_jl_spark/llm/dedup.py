@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hof import let1
 from .text import tokens
 
 
@@ -42,18 +43,25 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (JVM-side)."""
-    t = tokens(col)
-    n_sh = F.size(t) - (n - 1)
-    # sequence(0, -1) counts DOWN in Spark — guard short docs explicitly
-    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_sh - 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    """Distinct word n-gram shingles as array<string> (JVM-side).
+    Linear per doc: the token array is let1-bound so the per-shingle
+    slice sees a lambda variable (O(n-gram width)) instead of closing
+    over the split expression (which Catalyst would re-evaluate per
+    element — O(doc^2), the round-4 HOF-closure fix)."""
+
+    def _build(t: Column) -> Column:
+        n_sh = F.size(t) - (n - 1)
+        # sequence(0, -1) counts DOWN in Spark — guard short docs explicitly
+        return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_sh - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                )
             )
         )
-    )
+
+    return let1(tokens(col), _build)
 
 
 def jaccard_pairs(
@@ -152,12 +160,15 @@ def minhash_signature(col: str | Column, num_hashes: int = 64, n: int = 3) -> Co
     then ``num_hashes`` affine permutations (h*A_i+B_i, wrapping) —
     identical math to the minhash_lsh_pairs pipeline.
 
-    As a single Column expression the shingle/hash subtree is inlined
-    per slot (fine for tests/small frames); minhash_lsh_pairs
-    materializes the hash array behind an exchange instead.
+    The shingle/hash subtree is let1-bound so all ``num_hashes`` slots
+    share ONE shingle+hash evaluation per row (previously the whole
+    subtree was inlined per slot); minhash_lsh_pairs additionally
+    materializes the hash array behind an exchange.
     """
-    hs = _shingle_hashes(shingles(col, n))
-    return F.array(*[_sig_slot(hs, i) for i in range(num_hashes)])
+    return let1(
+        _shingle_hashes(shingles(col, n)),
+        lambda hs: F.array(*[_sig_slot(hs, i) for i in range(num_hashes)]),
+    )
 
 
 def minhash_lsh_pairs(
@@ -314,18 +325,28 @@ def simhash(col: str | Column, bits: int = 64) -> Column:
     iff a majority of token hashes have bit p set. Bit-string form keeps
     everything in built-in string/array functions (variable bit-shifts
     by a Column are not supported) and stays engine-portable."""
-    t = tokens(col)
-    n = F.size(t)
-    # 64-char two's-complement binary of each token hash
-    binhs = F.transform(t, lambda x: F.lpad(F.bin(F.xxhash64(x)), 64, "0"))
-    bit_chars = F.transform(
-        F.sequence(F.lit(1), F.lit(bits)),
-        lambda p: F.when(
-            F.size(F.filter(binhs, lambda s: s.substr(p, F.lit(1)) == "1")) * 2 > n,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.array_join(bit_chars, "")
+    def _sig(t: Column) -> Column:
+        n = F.size(t)
+        # 64-char two's-complement binary of each token hash; let1-bound
+        # so the 64 per-position scans share ONE hash pass instead of
+        # re-hashing every token per bit position
+        return let1(
+            F.transform(t, lambda x: F.lpad(F.bin(F.xxhash64(x)), 64, "0")),
+            lambda binhs: F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(bits)),
+                    lambda p: F.when(
+                        F.size(F.filter(binhs, lambda s: s.substr(p, F.lit(1)) == "1"))
+                        * 2
+                        > n,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0")),
+                ),
+                "",
+            ),
+        )
+
+    return let1(tokens(col), _sig)
 
 
 def hamming(a: Column, b: Column, bits: int = 64) -> Column:

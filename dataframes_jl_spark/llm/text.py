@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.hof import let1
+
 
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization of trimmed text → array<string>."""
@@ -96,25 +98,36 @@ def doc_fingerprint(col: str | Column, n: int = 3) -> Column:
     """Order-sensitive document fingerprint: xxhash64 rolling over word
     n-gram hashes (hash of hashes — one pass, codegen). Two documents
     with identical token streams get identical fingerprints."""
-    t = tokens(col)
-    n_sh = F.size(t) - (n - 1)
-    grams = F.when(n_sh <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
+    def _grams(t: Column) -> Column:
+        n_sh = F.size(t) - (n - 1)
+        return F.when(n_sh <= 0, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                # t is a let1-bound lambda variable: slice() here is
+                # O(n-gram width) per element, not a per-element re-split
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n))),
+            )
         )
-    )
+
+    grams = let1(tokens(col), _grams)
     return F.xxhash64(F.concat_ws(",", F.transform(grams, lambda g: g.cast("string"))))
 
 
 def bigrams(col: str | Column) -> Column:
-    """Consecutive word bigrams (space-joined) — [] for <2 tokens."""
-    t = tokens(col)
-    return F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        )
+    """Consecutive word bigrams (space-joined) — [] for <2 tokens.
+    Linear per doc: the token array is let1-bound so the zip_with sees a
+    lambda variable, and the pair build is a zip of the array with its
+    own tail (never an element_at(t, i) closure that re-splits the
+    document per element)."""
+    return let1(
+        tokens(col),
+        lambda t: F.when(F.size(t) < 2, F.array().cast("array<string>")).otherwise(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ),
     )
 
 
@@ -142,19 +155,31 @@ def dup_line_fraction(col: str | Column) -> Column:
 
 def top_bigram_fraction(col: str | Column) -> Column:
     """Fraction of all bigram slots occupied by the single most frequent
-    bigram — the Gopher top-2-gram repetition signal. O(d·n) per doc via
-    higher-order functions (d = distinct bigrams); whole-stage codegen,
-    no shuffle, no UDF. 0.0 for <2 tokens."""
-    bg = bigrams(col)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+    bigram — the Gopher top-2-gram repetition signal. O(n log n) per doc:
+    sort the bigram array, then a single linear aggregate() pass tracks
+    the longest run of equal adjacent elements (the max count). Replaces
+    the round-3 O(d·n) distinct×filter nested scan that stalled tasks on
+    long documents. Whole-stage codegen, no shuffle, no UDF. 0.0 for <2
+    tokens."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _step(a: Column, x: Column) -> Column:
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
         )
-    )
-    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
-        top.cast("double") / F.size(bg)
-    )
+
+    def _frac(bg: Column) -> Column:
+        top = F.aggregate(F.array_sort(bg), zero, _step, lambda a: a["best"])
+        return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+            top.cast("double") / F.size(bg)
+        )
+
+    return let1(bigrams(col), _frac)
 
 
 # PII patterns: kept to syntax valid in BOTH Java regex (Spark) and RE2

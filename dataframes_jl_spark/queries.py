@@ -1429,6 +1429,61 @@ def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(2 * RANK() OVER (ORDER BY l_quantity)
+                  + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) AS i1,
+             CAST(2 * RANK() OVER (ORDER BY l_extendedprice)
+                  + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS BIGINT) AS i2
+      FROM lineitem
+    )
+    SELECT ROUND(
+             CAST(COUNT(*) * SUM(CAST(i1 AS HUGEINT) * i2)
+                  - SUM(CAST(i1 AS HUGEINT)) * SUM(CAST(i2 AS HUGEINT)) AS DOUBLE)
+             / SQRT(CAST(COUNT(*) * SUM(CAST(i1 AS HUGEINT) * i1)
+                         - SUM(CAST(i1 AS HUGEINT)) * SUM(CAST(i1 AS HUGEINT)) AS DOUBLE)
+                    * CAST(COUNT(*) * SUM(CAST(i2 AS HUGEINT) * i2)
+                           - SUM(CAST(i2 AS HUGEINT)) * SUM(CAST(i2 AS HUGEINT)) AS DOUBLE)),
+             6) AS spearman,
+           COUNT(*) AS n_rows
+    FROM r
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cor_spearman (reference src/operators.jl:64) as a gated pipeline:
+    average ranks via the distributed spearman_ranked (range-partitioned
+    global_row_number + tie-average window — no SinglePartition, the
+    round-3 weak flag), then Pearson on the DOUBLED ranks (2*avg-rank is
+    an exact integer) with decimal power sums so the compared digits are
+    order-independent on both engines. Magnitudes: sum(i1*i2) ~ n^3
+    stays inside decimal(38,0) / DuckDB HUGEINT far past sf1."""
+    from .functions.stats import spearman_ranked
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = spearman_ranked(li, "l_quantity", "l_extendedprice")
+    i1 = (F.lit(2) * F.col("r1")).cast("long")
+    i2 = (F.lit(2) * F.col("r2")).cast("long")
+    dec = "decimal(38,0)"
+    pre = ranked.select(i1.alias("i1"), i2.alias("i2"))
+    agg = pre.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("i1")).cast(dec).alias("s1"),
+        F.sum(F.col("i2")).cast(dec).alias("s2"),
+        F.sum((F.col("i1") * F.col("i2")).cast(dec)).alias("s12"),
+        F.sum((F.col("i1") * F.col("i1")).cast(dec)).alias("s11"),
+        F.sum((F.col("i2") * F.col("i2")).cast(dec)).alias("s22"),
+    )
+    num = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    d1 = (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    d2 = (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    return agg.select(
+        F.round(num / F.sqrt(d1 * d2), 6).alias("spearman"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+
+
+@register(
     "q_moments",
     oracle="""
     WITH mu AS (SELECT l_returnflag AS rf, AVG(l_quantity) AS m FROM lineitem GROUP BY 1),

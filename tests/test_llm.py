@@ -421,3 +421,41 @@ def test_mixture_weights_uniform_and_target(spark):
         for r in mixture_weights(docs, target={"web": 1.0}).collect()
     }
     assert abs(tgt["web"] - 1.25) < 1e-12 and tgt["code"] == 0.0
+
+
+def test_text_signals_linear_on_long_docs(spark):
+    """Regression pin for the round-4 HOF-closure fix: a lambda closing
+    over an outer expression re-evaluates it per element (O(doc^2)) —
+    a 50k-token doc must finish in bounded time AND produce the same
+    values as a small-doc equivalent computation."""
+    import time
+
+    from dataframes_jl_spark.llm.dedup import minhash_signature, simhash
+    from dataframes_jl_spark.llm.text import doc_fingerprint, top_bigram_fraction
+
+    doc = " ".join(["aa", "bb", "cc", "dd"][i % 4] for i in range(50_000))
+    df = spark.createDataFrame([(doc,)], "text string")
+    t0 = time.time()
+    row = df.select(
+        top_bigram_fraction("text").alias("f"),
+        doc_fingerprint("text").alias("fp"),
+        F.length(simhash("text")).alias("shlen"),
+        F.size(minhash_signature("text")).alias("mhlen"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    # quadratic pre-fix behavior took minutes at this size; linear is seconds
+    assert elapsed < 60, f"long-doc text signals took {elapsed:.1f}s — quadratic?"
+    # 'aa bb' repeats 12500x of 49999 bigram slots
+    assert abs(row.f - 12500 / 49999) < 1e-9
+    assert row.shlen == 64 and row.mhlen == 64
+
+
+def test_top_bigram_fraction_values(spark):
+    from dataframes_jl_spark.llm.text import top_bigram_fraction
+
+    df = spark.createDataFrame(
+        [("a b a b a b",), ("x y z",), ("",), ("w",)], "text string"
+    )
+    vals = [r.f for r in df.select(top_bigram_fraction("text").alias("f")).collect()]
+    # "a b" fills 3 of 5 slots; "x y"/"y z" tie at 1 of 2; short docs 0
+    assert vals == [3 / 5, 1 / 2, 0.0, 0.0]

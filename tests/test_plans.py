@@ -180,3 +180,17 @@ def test_bucketed_join_needs_no_shuffle(spark):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_spearman_ranks_not_single_partition(spark):
+    """Spearman ranks must come from the range-partitioned
+    global_row_number, never a row_number() OVER (ORDER BY …) window —
+    a SinglePartition exchange funnels every row through one task
+    (round-3 weak flag on functions/stats.py cor_spearman)."""
+    from dataframes_jl_spark.functions.stats import spearman_ranked
+    from dataframes_jl_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = plan_of(spearman_ranked(li, "l_quantity", "l_extendedprice"))
+    assert "SinglePartition" not in plan
+    assert plan.count("rangepartitioning") >= 2  # one per ranked column
