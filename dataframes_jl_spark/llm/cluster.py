@@ -179,6 +179,14 @@ def fit_pca_driver(
     mu = X.mean(0)
     _, s, vt = np.linalg.svd(X - mu, full_matrices=False)
     var = (s**2) / max(len(X) - 1, 1)
+    if len(vt) < k:
+        # fail loudly: silently returning fewer than k components makes
+        # downstream fixed-width projections wrong (round-3 advice)
+        raise ValueError(
+            f"PCA fit produced only {len(vt)} components (sample rows="
+            f"{len(X)}, rank-limited) but k={k} were requested — lower k "
+            "or raise sample_cap"
+        )
     return mu.tolist(), vt[:k].tolist(), var[:k].tolist()
 
 
@@ -196,8 +204,19 @@ def pca_project(
     as one fused aggregate over the centered vector with the component
     inlined as literals; with ``whiten_variance`` the coordinate is
     scaled by 1/sqrt(var_j) (unit-variance whitening, the usual prep
-    before cosine ANN or k-means on embeddings).
+    before cosine ANN or k-means on embeddings). Degenerate variances
+    raise here rather than silently emitting inf coordinates: double
+    division by sqrt(0.0) does not error even under ANSI, and an inf
+    poisons every downstream cosine/centroid (round-3 advice).
     """
+    if whiten_variance is not None:
+        bad = [j for j, w in enumerate(whiten_variance) if not w > 1e-12]
+        if bad:
+            raise ValueError(
+                f"whiten_variance has zero/near-zero components at {bad} "
+                "(<= 1e-12): whitening would divide by ~0 and emit inf — "
+                "drop those components or skip whitening"
+            )
     v = _as_double(F.col(vec_col))
     mu = F.array(*[F.lit(float(m)) for m in mean])
     centered = F.zip_with(v, mu, lambda x, m: x - m)

@@ -234,9 +234,15 @@ def ivf_topk(
     import numpy as np
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).repartition(par, "id")
+    # drop null vectors up front: without this a null embedding would be
+    # coalesced onto centroid 0 below and surface as a null-scored
+    # candidate (round-3 advice); with it the coalesce stays a pure
+    # nullability annotation for the plan-shape goal
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .repartition(par, "id")
+    )
     # bounded sample -> driver; Lloyd's with k-means++-style seeded init.
     # The subset is chosen by a hash STRIDE on the id and collected in id
     # order, so the fitted centroids are a pure function of (data, seed) —

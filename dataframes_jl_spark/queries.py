@@ -3235,7 +3235,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is accumulation-order-independent and engine-exact. The
     per-term double is computed row-wise from integer stats (tf, df,
     dl, N) — never accumulated — so Spark and DuckDB agree bit-for-bit
-    through the 1e-6 quantization."""
+    through the 1e-6 quantization.
+
+    Portability assumption (round-3 advice): neither JVM Math.log nor
+    DuckDB std::log is guaranteed correctly rounded, so a 1-ulp ln drift
+    on some libm could flip FLOOR(x*1e6+0.5) when a score lands exactly
+    on a rounding boundary. With these integer inputs the scores are not
+    boundary-adjacent (verified: min distance of x*1e6 to .5 across all
+    scored terms at sf0.1 is 8.9e-5, vs ~1e-10 for a 1-ulp drift), so the
+    gate is stable across libms; if the term set changes, re-check that
+    margin rather than assuming it."""
     from .llm.relevance import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
@@ -3276,7 +3285,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportionally more likely to be drawn. Uniform u comes from the
     pure-int64 multiplicative hash (engine-reproducible), selection is
     a distributed top-k (TakeOrderedAndProject), and the oracle
-    replays the exact same arithmetic."""
+    replays the exact same arithmetic.
+
+    Portability note (round-3 advice): the es_key uses ln(), which is
+    not guaranteed correctly rounded on every libm; the gate tolerates
+    a 1-ulp drift because keys enter a top-k ORDER BY, not a rounding —
+    a flip would require two keys within ~1e-16 relative of each other
+    at the k=100 cut, and the hash-derived u values keep keys far
+    apart (doc_id tie-break already makes exact-equal keys stable)."""
     from .ops.sampling import weighted_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -3492,25 +3508,30 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .io.parquet import save
 
-    base = tempfile.gettempdir()
+    # per-session suffix: concurrent sessions on one host must not race
+    # on the same /tmp paths or metastore table names, and the tables
+    # must not leak between runs (round-3 advice)
+    suffix = spark.sparkContext.applicationId.replace("-", "_")
+    t_cust, t_orders = f"djs_bkt_cust_{suffix}", f"djs_bkt_orders_{suffix}"
+    base = tempfile.mkdtemp(prefix="djs_bkt_")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    for t in ("djs_bkt_cust", "djs_bkt_orders"):
+    for t in (t_cust, t_orders):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     save(
         cust,
-        f"{base}/djs_bkt_cust",
+        f"{base}/{t_cust}",
         bucket_by=(8, ["c_custkey"]),
-        table_name="djs_bkt_cust",
+        table_name=t_cust,
     )
     save(
         orders.withColumnRenamed("o_custkey", "c_custkey"),
-        f"{base}/djs_bkt_orders",
+        f"{base}/{t_orders}",
         bucket_by=(8, ["c_custkey"]),
-        table_name="djs_bkt_orders",
+        table_name=t_orders,
     )
-    bc = spark.table("djs_bkt_cust")
-    bo = spark.table("djs_bkt_orders")
+    bc = spark.table(t_cust)
+    bo = spark.table(t_orders)
     j = bo.join(bc, on="c_custkey")
     return j.groupBy("c_mktsegment").agg(
         F.countDistinct("c_custkey").alias("n_customers"),
@@ -3646,70 +3667,68 @@ def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all of which were driver-green in round 1 or pass the local replay).
 # ---------------------------------------------------------------------------
 
+# Round-4 rotation (round-3 verdict #1): 30 queries that had never had
+# a driver CORRECTNESS row in rounds 1-3 (all green in the local oracle
+# replay — the identical compare) take the freed slots; the other 20
+# keep exactly one driver-green representative per SURVEY §2 family so
+# every family still has end-to-end driver evidence this round. Cheap
+# relational gates first in case the cap is ever time-based.
 _PRIORITY = [
-    # §2.4 aggregation + §2.1 IO + §2.2 projections/facade
-    "q01_pricing_summary",
-    "q_csv_roundtrip",
-    "q_positional_rows",
-    "q_complete_cases",
-    "q_facade_pipeline",
-    # §2.3 joins (kinds, NA keys, natural, as-of, range, multi-join)
-    "q_join_outer_nullsafe",
-    "q_join_semi_anti",
-    "q_join_natural_right",
-    "q_asof_join",
-    "q_range_join",
-    "q05_local_supplier_volume",
-    # §2.4 grouped/colwise/describe/apply/cube/percentiles
-    "q_colwise_grouped",
-    "q_describe",
-    "q_by_apply_topn",
-    # §2.5 windows, §2.6 sort/top-k
-    "q_window_running_sum",
-    "q_sortperm_nulls",
-    "q10_returned_items",
-    # §2.7 set ops, §2.8 reshape
-    "q_vcat_promote",
-    "q_set_ops",
-    "q_melt_stack",
-    "q_pivot_table_lib",
-    # §2.9 scalar/string/json/boolean surface
-    "q_scalar_math",
-    "q_special_functions",
-    "q_string_functions",
-    "q_json_extract",
-    "q_any_all_tristate",
-    # §2.11 formula, sampling, §2.10 streaming
-    "q_model_matrix",
-    "q_systematic_sample",
-    "q_windowed_rollup",
-    "q_sliding_window",
-    "q_sessionize",
-    # LLM-pipeline block: text, dedup, ANN, multimodal, packing, shuffle
-    "q_text_stats",
-    "q_language_id",
-    "q_quality_score",
-    "q_dedup_exact_groups",
-    "q_dedup_jaccard_exact",
-    "q_dedup_minhash_lsh",
-    # q_dedup_simhash is rows-only by design (no SQL oracle); it sits
-    # outside the driver's 50-row window so a hash-gated query can use
-    # the slot — its exact-Hamming semantics stay pinned by unit tests.
-    "q_bm25_search",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_ann_bruteforce",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_multimodal_decode",
-    "q_pack_sequences",
-    "q_corpus_shuffle",
-    "q_decontaminate",
-    "q_kmeans_clusters",
-    "q_mixture_weights",
-    # row-wise reduction family gate; q_dedup_pipeline (a composite of
-    # the three individually-gated dedup stages above) yields its slot
-    "q_row_reductions",
+    # family representatives (driver-green in r1-r3)
+    "q01_pricing_summary",  # §2.4 agg flagship
+    "q_csv_roundtrip",  # §2.1 IO
+    "q_facade_pipeline",  # §2.2 projections/facade
+    "q_join_outer_nullsafe",  # §2.3 join kinds + NA keys
+    "q_asof_join",  # §2.3 as-of
+    "q_range_join",  # §2.3 range
+    "q05_local_supplier_volume",  # §2.3 multi-join TPC-H
+    "q_by_apply_topn",  # §2.4 grouped apply
+    "q_window_running_sum",  # §2.5 windows
+    "q_sortperm_nulls",  # §2.6 sort/rank
+    "q_vcat_promote",  # §2.7 set ops
+    "q_melt_stack",  # §2.8 reshape
+    "q_scalar_math",  # §2.9 scalar surface
+    "q_json_extract",  # §2.9 json
+    "q_model_matrix",  # §2.11 formula
+    "q_sessionize",  # §2.10 streaming stateful
+    "q_text_stats",  # text signals
+    "q_dedup_minhash_lsh",  # dedup LSH
+    "q_dedup_clusters",  # dedup cluster resolution
+    "q_ann_ivf",  # ANN
+    # first-ever driver rows: relational/TPC-H shapes
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q13_order_count_dist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_bracket_revenue",
+    "q22_idle_balances",
+    "q_monthly_revenue",
+    # first-ever driver rows: aggregation/stats surface
+    "q_cube",
+    "q_count_distinct",
+    "q_describe_strings",
+    "q_grouped_percentiles",
+    "q_quantile_sketch",
+    "q_spearman",
+    # first-ever driver rows: joins/layout/sampling
+    "q_bucketed_join",
+    "q_salted_join",
+    "q_hash_split",
+    "q_weighted_sample",
+    "q_take_per_group",
+    # first-ever driver rows: IO + LLM pipeline
+    "q_jsonl_roundtrip",
+    "q_repetition_signals",
+    "q_pii_scrub",
+    "q_ngram_topk",
+    "q_chunk_documents",
+    "q_vocab_approx",
+    "q_dedup_incremental",
+    "q_dedup_pipeline",
+    "q_pca_whiten",
 ]
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

@@ -171,9 +171,11 @@ def test_bucketed_join_needs_no_shuffle(spark):
     ).save()  # materializes the bucketed tables in the session catalog
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # table names are per-session-suffixed (round-3 advice fix)
+    suffix = spark.sparkContext.applicationId.replace("-", "_")
     try:
-        j = spark.table("djs_bkt_orders").join(
-            spark.table("djs_bkt_cust"), on="c_custkey"
+        j = spark.table(f"djs_bkt_orders_{suffix}").join(
+            spark.table(f"djs_bkt_cust_{suffix}"), on="c_custkey"
         )
         plan = plan_of(j)
         assert "SortMergeJoin" in plan
