@@ -53,6 +53,7 @@ def readtable(
     schema: str | None = None,
     linesep: str | None = None,
     allowquotednewlines: bool = False,
+    gzparallel: int | None = None,
 ) -> DataFrame:
     """readtable(path; kwargs...) (reference src/io.jl:596-655).
 
@@ -60,7 +61,10 @@ def readtable(
     partitions; the reference's ``dreadtable`` block-split
     (src/dataframe_blocks.jl:126-152) is this reader's default behavior.
     ``.gz`` decompresses transparently (reference src/io.jl:622-626),
-    at the cost of a single-partition scan — document, don't hide.
+    at the cost of a single-partition scan; pass ``gzparallel=N`` to
+    decompress once and fan the PARSE out over N partitions via
+    from_csv (the decompress stays sequential — gzip is not
+    splittable — but parsing, the dominant cost, parallelizes).
     """
     if separator is None:
         separator = getseparator(path)
@@ -107,7 +111,57 @@ def readtable(
         # Spark's csv reader has no decimal-mark option: read affected
         # columns as strings and post-convert (locale CSV parity).
         reader = reader.option("inferSchema", False)
-    if skipstart:
+    if gzparallel and path.endswith(".gz") and not allowquotednewlines:
+        # Parallel parse of a non-splittable gzip stream (reference
+        # dreadtable block-splits only PLAIN files,
+        # src/dataframe_blocks.jl:126-152; Spark likewise reads .gz as
+        # one partition). Decompression is inherently sequential, but
+        # parsing dominates it: read raw LINES once (single-partition
+        # decompress), shuffle them across ``gzparallel`` partitions,
+        # and parse with from_csv — all JVM-side, never an rdd.map
+        # through Python workers. Schema comes from ``schema`` or a
+        # driver-side inference over a bounded 1000-line prefix.
+        # UTF-8 only; honors skipstart/header/comments/blank-skip.
+        text = spark.read.text(path).withColumn(
+            "__mono__", F.monotonically_increasing_id()
+        )
+        drop = skipstart + (1 if header else 0)
+        body = text.filter(F.col("__mono__") >= drop)
+        if allowcomments:
+            body = body.filter(~F.col("value").startswith(commentmark))
+        if skipblanks:
+            # the line-level parse would turn blank lines into all-null
+            # rows; the csv reader drops them
+            body = body.filter(F.trim(F.col("value")) != "")
+        if schema is not None:
+            ddl = schema
+        else:
+            prefix = [
+                r["value"]
+                for r in text.orderBy("__mono__").limit(drop + 1000).collect()
+            ][skipstart:]
+            sample = reader.csv(spark.sparkContext.parallelize(prefix or [""]))
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in sample.schema.fields
+            )
+        opts = {
+            "sep": separator,
+            "quote": quotemark,
+            "ignoreLeadingWhiteSpace": str(ignorepadding).lower(),
+            "ignoreTrailingWhiteSpace": str(ignorepadding).lower(),
+            "mode": "PERMISSIVE",
+        }
+        if nastrings:
+            opts["nullValue"] = nastrings[0]
+        if allowescapes:
+            opts["escape"] = "\\"
+        df = (
+            body.repartition(gzparallel)
+            .select(F.from_csv(F.col("value"), ddl, opts).alias("__r__"))
+            .select("__r__.*")
+        )
+    elif skipstart:
         # skip-N-preamble-lines (reference ParseOptions skipstart,
         # src/io.jl:11-31): read raw text lines, rank them with the
         # distributed global_row_number (monotonically_increasing_id

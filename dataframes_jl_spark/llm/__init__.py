@@ -20,7 +20,9 @@ from .dedup import (  # noqa: F401
     minhash_signature,
     shingles,
     simhash,
+    simhash_band_pairs,
     simhash_pairs,
+    simhash_signatures,
 )
 from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .text import (  # noqa: F401

@@ -359,30 +359,21 @@ def hamming(a: Column, b: Column, bits: int = 64) -> Column:
     )
 
 
-def simhash_pairs(
+def simhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 3,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+    """(id, sig) table: the packed-int64 SimHash signature per document.
 
-    Banding: split the 64-bit signature into 4×16-bit chunks; any pair
-    within Hamming ≤3 shares at least one identical chunk (pigeonhole),
-    so the chunk-bucket join has recall 1 for max_hamming ≤ 3 (larger
-    thresholds are best-effort) — then verify the exact Hamming
-    distance on the joined signatures.
-
-    Hot path is all integer bit arithmetic: one pass over the token
-    hashes accumulates 64 per-bit counters (zip_with merge), the
-    signature is packed into ONE bigint, band buckets are 16-bit integer
-    slices of it (shift+mask), and the verify step is
-    ``bit_count(sig_a XOR sig_b)`` — no 64-char binary strings anywhere.
-    Each expensive intermediate (token hashes, bit counters, signature)
-    is materialized behind a tiny repartition(id) exchange so Catalyst's
-    projection collapse cannot inline it into its many downstream
-    references (see the HOF-inlining note in minhash_lsh_pairs).
+    One pass over the token hashes accumulates 64 per-bit counters
+    (zip_with merge), then the majority bits are packed into ONE bigint
+    — all integer arithmetic, no 64-char binary strings. Each expensive
+    intermediate (token hashes, bit counters) is materialized behind a
+    tiny repartition(id) exchange so Catalyst's projection collapse
+    cannot inline it into its many downstream references (see the
+    HOF-inlining note in minhash_lsh_pairs).
     """
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     base = (
@@ -417,8 +408,18 @@ def simhash_pairs(
         ).otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, p)
         sig = term if sig is None else sig.bitwiseOR(term)
-    sigs = counted.select("id", sig.alias("sig")).repartition(par, "id")
+    return counted.select("id", sig.alias("sig")).repartition(par, "id")
 
+
+def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from a (id, sig) signature table.
+
+    Banding: split the 64-bit signature into 4×16-bit chunks; any pair
+    within Hamming ≤3 shares at least one identical chunk (pigeonhole),
+    so the chunk-bucket join has recall 1 for max_hamming ≤ 3 (larger
+    thresholds are best-effort) — then verify the exact Hamming distance
+    via ``bit_count(sig_a XOR sig_b)`` on the joined signatures.
+    """
     chunked = sigs.select(
         "id",
         "sig",
@@ -450,6 +451,19 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming:
+    :func:`simhash_signatures` then :func:`simhash_band_pairs`."""
+    sigs = simhash_signatures(df, id_col, text_col, num_partitions)
+    return simhash_band_pairs(sigs, max_hamming)
 
 
 def embedding_dup_pairs(

@@ -54,11 +54,41 @@ def pack_greedy(
     by: str = "source",
     order_col: str = "doc_id",
     bin_col: str = "bin",
+    max_shard_rows: int | None = 5_000_000,
 ) -> DataFrame:
     """Exact next-fit packing per shard via applyInPandas (sequential
-    recurrence: new bin when the running fill would overflow)."""
+    recurrence: new bin when the running fill would overflow).
+
+    ``applyInPandas`` materializes each shard as ONE pandas frame in
+    executor memory — an unbounded shard OOMs the executor during the
+    Arrow concat, before user code runs. ``max_shard_rows`` therefore
+    pre-counts shard sizes (one cheap aggregate job at call time) and
+    raises loudly, naming the offenders, instead of letting the job die
+    mid-stage (round-3 verdict #7). Set ``None`` to skip the check (and
+    its eager job) when shard bounds are already known; oversized shards
+    should use ``pack_offset``, whose window recurrence never
+    materializes a shard.
+    """
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
+
+    if max_shard_rows is not None:
+        big = (
+            df.groupBy(by)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > max_shard_rows)
+            .limit(5)
+            .collect()
+        )
+        if big:
+            detail = ", ".join(f"{r[by]}={r['__n__']}" for r in big)
+            raise ValueError(
+                f"pack_greedy: shard(s) exceed max_shard_rows="
+                f"{max_shard_rows} ({detail}); each shard is materialized "
+                "in executor memory — use pack_offset for oversized "
+                "shards, split the shard key, or raise max_shard_rows "
+                "deliberately"
+            )
 
     # copy — StructType.add would mutate the frame's cached schema
     schema = StructType(

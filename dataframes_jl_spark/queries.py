@@ -941,6 +941,58 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=12)
 
 
+def _simhash_sig_path() -> str:
+    """Per-process scratch path for the simhash two-stage gate: the
+    oracle SQL is a static string built at import time, so the path may
+    depend only on process identity (the driver runs the Spark query
+    and the oracle in the same process) — never on the Spark app id."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"djs_simhash_sigs_{os.getpid()}.parquet")
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT id, sig FROM read_parquet('{_simhash_sig_path()}/*.parquet')
+    ), chunked AS (
+      SELECT id, sig, c.chunk AS chunk,
+             (sig >> (c.chunk * 16)) & 65535 AS bucket
+      FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM chunked a
+      JOIN chunked b ON a.chunk = b.chunk AND a.bucket = b.bucket
+                     AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 12
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SimHash gate (round-3 verdict #5): the Spark-computed
+    (id, sig) signature table is written to parquet, then BOTH engines
+    run band-bucket pair extraction + exact bit_count(sig_a XOR sig_b)
+    verification over that same table — so the banding/verify logic is
+    hash-checked value-for-value even though signature derivation
+    (xxhash64) stays Spark-side (no DuckDB equivalent). The 16-bit
+    chunk arithmetic is sign-agnostic: bits 48-63 of a negative sig are
+    identical under arithmetic or logical shift once masked to 16 bits.
+    """
+    from .llm import simhash_band_pairs, simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _simhash_sig_path()
+    simhash_signatures(docs, "doc_id", "text").write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
+    out = simhash_band_pairs(sigs, max_hamming=12)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 @register(
     "q_dedup_exact_groups",
     oracle="""
@@ -3691,7 +3743,10 @@ _PRIORITY = [
     "q_json_extract",  # §2.9 json
     "q_model_matrix",  # §2.11 formula
     "q_sessionize",  # §2.10 streaming stateful
-    "q_text_stats",  # text signals
+    # (q_text_stats' text-signal family is covered in-window by
+    # q_repetition_signals/q_pii_scrub/q_ngram_topk below; its slot goes
+    # to the newly value-gated simhash pair logic)
+    "q_dedup_simhash_pairs",  # dedup SimHash, two-stage value gate
     "q_dedup_minhash_lsh",  # dedup LSH
     "q_dedup_clusters",  # dedup cluster resolution
     "q_ann_ivf",  # ANN

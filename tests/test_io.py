@@ -299,3 +299,38 @@ def test_read_rda_rejects_garbage(spark, tmp_path):
     p.write_bytes(b"NOPE!")
     with pytest.raises(ValueError):
         parse_rda(str(p))
+
+
+def test_gzparallel_parses_on_many_partitions(spark, tmp_path):
+    """gzparallel: the non-splittable gzip stream is decompressed once
+    but PARSED across >1 partition (from_csv after a repartition), with
+    values identical to the single-partition read."""
+    import gzip as _gzip
+
+    p = tmp_path / "big.csv.gz"
+    with _gzip.open(p, "wt") as f:
+        f.write("a,b,c\n")
+        for i in range(5000):
+            f.write(f"{i},x{i},{i * 0.5}\n")
+    plain = readtable(spark, str(p))
+    par = readtable(spark, str(p), gzparallel=8)
+    assert par.rdd.getNumPartitions() > 1
+    assert par.columns == plain.columns == ["a", "b", "c"]
+    assert [t for _, t in par.dtypes] == [t for _, t in plain.dtypes]
+    assert par.count() == 5000
+    assert (
+        par.exceptAll(plain).count() == 0 and plain.exceptAll(par).count() == 0
+    )
+
+
+def test_gzparallel_skipstart_and_comments(spark, tmp_path):
+    import gzip as _gzip
+
+    p = tmp_path / "pre.csv.gz"
+    with _gzip.open(p, "wt") as f:
+        f.write("junk preamble\nmore junk\na,b\n1,2\n# note\n3,4\n\n5,6\n")
+    df = readtable(
+        spark, str(p), skipstart=2, allowcomments=True, gzparallel=4
+    )
+    assert df.columns == ["a", "b"]
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, 2), (3, 4), (5, 6)]

@@ -459,3 +459,23 @@ def test_top_bigram_fraction_values(spark):
     vals = [r.f for r in df.select(top_bigram_fraction("text").alias("f")).collect()]
     # "a b" fills 3 of 5 slots; "x y"/"y z" tie at 1 of 2; short docs 0
     assert vals == [3 / 5, 1 / 2, 0.0, 0.0]
+
+
+def test_pack_greedy_shard_guard(spark):
+    """An oversized shard must fail loudly before applyInPandas
+    materializes it (round-3 verdict #7), and the guard must name the
+    offending shard."""
+    import pytest as _pytest
+
+    from dataframes_jl_spark.llm.packing import pack_greedy
+
+    df = spark.range(100).select(
+        F.lit("web").alias("source"),
+        F.col("id").alias("doc_id"),
+        F.lit(10).alias("n_tok"),
+    )
+    with _pytest.raises(ValueError, match="web"):
+        pack_greedy(df, "n_tok", budget=50, max_shard_rows=10)
+    # within bounds: packs fine
+    out = pack_greedy(df, "n_tok", budget=50, max_shard_rows=1000)
+    assert out.where(F.col("bin") == 0).count() == 5
