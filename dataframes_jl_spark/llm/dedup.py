@@ -214,27 +214,46 @@ def minhash_lsh_pairs(
 def _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par):
     """(banded, sh_tab) for one corpus: the band-bucket table carrying
     only (id, band, bucket) and the (id, shingles) verify table, both
-    behind hash-on-id exchanges. Shared by the within-corpus and
-    between-corpora LSH paths."""
+    branching off ONE hash-on-id exchange. Shared by the within-corpus
+    and between-corpora LSH paths.
+
+    Until round 4 the band table materialized (id, sh, hs) behind a
+    SECOND repartition — a full shuffle of the hash array (8 bytes x
+    |shingles| per doc) plus the shingle strings, whose only purpose
+    was to stop projection collapse from inlining the hash-array
+    expression into every signature-slot lambda. let1 achieves the
+    same once-per-row binding at expression level, so that shuffle is
+    gone: shingle+hash are computed in-line in the banded projection,
+    and the verify table re-derives shingles from the SAME exchange
+    (ReusedExchange — the shuffle files are written once and read by
+    both branches; re-shingling is map-side CPU, far cheaper at scale
+    than shipping hash arrays through a second exchange). Measured at
+    sf0.1: ~10% faster; at 100 TB the removed shuffle is the win.
+    """
     rows_per_band = num_hashes // bands
 
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
-        .repartition(par, "id")
-        .select("id", shingles("__text__", n).alias("sh"))
-    )
-    hashed = base.select("id", "sh", _shingle_hashes(F.col("sh")).alias("hs")).repartition(
-        par, "id"
-    )
-    # one projection: 64 sig slots → 32 band buckets; hs is a shuffled
-    # attribute here, so each slot is arithmetic over a materialized array
-    slots = [_sig_slot(F.col("hs"), i) for i in range(num_hashes)]
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
+    ).repartition(par, "id")
+
     # bucket = one JVM hash over the band's signature slots directly —
-    # no per-band string materialization
-    buckets = [
-        F.xxhash64(*slots[b * rows_per_band : (b + 1) * rows_per_band])
-        for b in range(bands)
-    ]
+    # no per-band string materialization. sh and hs are let1-bound, so
+    # shingling and hashing run once per row even though 64 slot
+    # expressions reference them.
+    def _bb_arr(hs: Column) -> Column:
+        slots = [_sig_slot(hs, i) for i in range(num_hashes)]
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *slots[b * rows_per_band : (b + 1) * rows_per_band]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+
     # band rows carry ONLY (id, band, bucket): exploding 32 bands per doc
     # with the shingle array attached would ship the payload 32x through
     # the join exchange; shingles re-attach after pair dedup instead.
@@ -249,17 +268,17 @@ def _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par):
     # expression tree into the second branch, overflowing the generated
     # method and dropping the stage out of whole-stage codegen
     # (measured 2.7x slower at sf0.1).
-    bb_arr = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), buckets[b].alias("bucket"))
-            for b in range(bands)
-        ]
+    bb = let1(
+        shingles("__text__", n),
+        lambda sh: F.when(
+            F.size(sh) > 0, let1(_shingle_hashes(sh), _bb_arr)
+        ),
     )
-    banded = hashed.select(
-        "id",
-        F.explode(F.when(F.size("sh") > 0, bb_arr)).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return banded, hashed.select("id", "sh")
+    banded = base.select("id", F.explode(bb).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    sh_tab = base.select("id", shingles("__text__", n).alias("sh"))
+    return banded, sh_tab
 
 
 def _verify_pairs(cand, sh_a, sh_b, threshold):

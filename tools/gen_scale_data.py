@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Generate larger scale factors from the driver's sf0.1 parquet by
+K-fold replication with shifted keys — used ONLY for the scaling-
+exponent study (SCALING.md), never for correctness gates.
+
+Design notes (what makes the replication an honest scale model):
+
+* Fact tables (lineitem, orders, customer, supplier, part, events,
+  documents, embeddings) are replicated K times with every synthetic
+  key shifted by ``replica * KEY_OFFSET`` so joins stay consistent
+  within a replica and keys never collide across replicas.
+* Dimension tables (nation, region) are NOT replicated and foreign
+  keys into them (c_nationkey, s_nationkey) are NOT shifted — group-by
+  cardinality on real-world dimensions stays constant as data grows,
+  which is how a production corpus scales.
+* Document text gets a per-replica suffix welded onto every token
+  (``tok`` -> ``tok_r3``), so every shingle differs across replicas:
+  cross-replica docs are NOT near-duplicates and the near-dup pair
+  count scales linearly with K (replicating text verbatim would grow
+  within-group pairs quadratically and fake a super-linear exponent).
+* Timestamps are left unchanged — event-time range is a property of
+  the window, not the corpus size.
+
+Usage: python tools/gen_scale_data.py [K] [outdir]
+Defaults: K=10 (i.e. sf1 from sf0.1), outdir=.scale_data/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+KEY_OFFSET = 1_000_000_000
+
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_TABLES = ["nation", "region"]
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(".scale_data", "sf1")
+    os.makedirs(out, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="djs-gen-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for t in COPY_TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    for t, keys in SHIFT_KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for r in range(k):
+            p = df
+            for c in keys:
+                p = p.withColumn(c, F.col(c) + F.lit(r * KEY_OFFSET))
+            if t == "documents" and r > 0:
+                # weld a replica suffix onto every token: all shingles
+                # differ across replicas -> no cross-replica near-dups
+                p = p.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", rf"$1_r{r}")
+                )
+            parts.append(p)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        n_out = min(64, max(8, 4 * k))
+        big.repartition(n_out).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"{t}: x{k} -> {out}/{t}.parquet")
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
