@@ -48,3 +48,8 @@ from .cluster import (  # noqa: F401
 )
 from .mixture import domain_stats, mixture_weights  # noqa: F401
 from .relevance import bm25_scores, doc_frequencies, term_stats, tf_idf  # noqa: F401
+from .spans import (  # noqa: F401
+    duplicated_spans,
+    position_ngrams,
+    span_dup_fraction,
+)

@@ -1012,6 +1012,144 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPANS_N, _SPANS_MINLEN, _SPANS_MAXDF = 8, 16, 64
+
+_SPANS_CTE = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - {_SPANS_N} + 1, 0))) AS pos
+      FROM toks
+    ),
+    pg AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos+1 : pos+{_SPANS_N}], ' ') AS gram
+      FROM idx
+    ),
+    rare AS (
+      SELECT gram FROM pg GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(DISTINCT doc_id) <= {_SPANS_MAXDF}
+    ),
+    g AS (SELECT pg.* FROM pg JOIN rare USING (gram)),
+    m AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.pos AS pos_a, b.pos AS pos_b
+      FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pos_a - pos_b AS "offset", pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS run
+      FROM m
+    ),
+    spans AS (
+      SELECT id_a, id_b, MIN(pos_a) AS a_start,
+             MIN(pos_a) - "offset" AS b_start,
+             MAX(pos_a) - MIN(pos_a) + {_SPANS_N} AS length
+      FROM runs GROUP BY id_a, id_b, "offset", run
+      HAVING MAX(pos_a) - MIN(pos_a) + {_SPANS_N} >= {_SPANS_MINLEN}
+    )
+"""
+
+
+@register(
+    "q_dedup_spans",
+    oracle=_SPANS_CTE
+    + """
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(a_start AS BIGINT) AS a_start, CAST(b_start AS BIGINT) AS b_start,
+           CAST(length AS BIGINT) AS length
+    FROM spans
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (llm.spans.duplicated_spans): maximal
+    verbatim token spans shared between document pairs, from position
+    n-grams + a doc-frequency cap + diagonal run merging — the
+    span-level dedup modality of Lee et al. 2022, as one gram-key
+    shuffle plus fine-grained windows (no cartesian). The oracle mirrors
+    every stage in SQL over the same exact gram strings."""
+    from .llm import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicated_spans(
+        docs, "doc_id", "text",
+        n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("a_start").cast("long").alias("a_start"),
+        F.col("b_start").cast("long").alias("b_start"),
+        F.col("length").cast("long").alias("length"),
+    )
+
+
+@register(
+    "q_span_coverage",
+    oracle=_SPANS_CTE
+    + r"""
+    , perdoc AS (
+      -- DISTINCT before merging: duplicate intervals break the total
+      -- order the two window passes below both rely on (tie order may
+      -- differ between passes and double-count a group)
+      SELECT DISTINCT id, s, e FROM (
+        SELECT id_a AS id, a_start AS s, a_start + length AS e FROM spans
+        UNION ALL
+        SELECT id_b AS id, b_start AS s, b_start + length AS e FROM spans
+      )
+    ),
+    winmax AS (
+      SELECT id, s, e,
+             MAX(e) OVER (PARTITION BY id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM perdoc
+    ),
+    grp AS (
+      SELECT id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM winmax
+    ),
+    cov AS (
+      SELECT id, CAST(SUM(cov) AS BIGINT) AS dup_tokens FROM (
+        SELECT id, g, MAX(e) - MIN(s) AS cov FROM grp GROUP BY id, g
+      ) GROUP BY id
+    ),
+    counts AS (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(cov.id AS BIGINT) AS id, CAST(n_tokens AS INT) AS n_tokens,
+           dup_tokens,
+           ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_fraction
+    FROM cov JOIN counts USING (id)
+    """,
+)
+def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token budget (llm.spans.span_dup_fraction):
+    token positions covered by any shared verbatim span, overlaps
+    interval-merged with an islands window — the per-doc deletion
+    signal span-level dedup feeds into filtering."""
+    from .llm import span_dup_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dup_fraction(
+        docs, "doc_id", "text",
+        n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
+    )
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "dup_fraction",
+    )
+
+
 @register(
     "q_text_stats",
     oracle=rf"""
@@ -3748,7 +3886,10 @@ _PRIORITY = [
     # to the newly value-gated simhash pair logic)
     "q_dedup_simhash_pairs",  # dedup SimHash, two-stage value gate
     "q_dedup_minhash_lsh",  # dedup LSH
-    "q_dedup_clusters",  # dedup cluster resolution
+    # (q_dedup_clusters was driver-green r1-r3; its slot goes to the new
+    # span-level dedup so the round-4 operator gets a driver row —
+    # clusters stays gated by the local replay + unit tests)
+    "q_dedup_spans",  # dedup: exact substring spans (new round 4)
     "q_ann_ivf",  # ANN
     # first-ever driver rows: relational/TPC-H shapes
     "q07_volume_shipping",

@@ -479,3 +479,86 @@ def test_pack_greedy_shard_guard(spark):
     # within bounds: packs fine
     out = pack_greedy(df, "n_tok", budget=50, max_shard_rows=1000)
     assert out.where(F.col("bin") == 0).count() == 5
+
+
+# ----------------------------------------------------------------- spans
+
+
+@pytest.fixture()
+def span_docs(spark):
+    core = "c0 c1 c2 c3 c4 c5"  # 6-token shared run
+    rows = [
+        (1, f"x1 x2 {core} y1 y2"),          # run at pos 2
+        (2, f"z1 {core} z2 z3 z4"),          # run at pos 1
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),   # unrelated
+        (4, "w1 w2"),                        # shorter than n
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_duplicated_spans_diagonal_merge(span_docs):
+    from dataframes_jl_spark.llm import duplicated_spans
+
+    out = duplicated_spans(
+        span_docs, "doc_id", "text", n=3, min_len=5, max_df=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert (r.a_start, r.b_start, r.length) == (2, 1, 6)
+
+
+def test_duplicated_spans_min_len_filters(span_docs):
+    from dataframes_jl_spark.llm import duplicated_spans
+
+    out = duplicated_spans(
+        span_docs, "doc_id", "text", n=3, min_len=7, max_df=8
+    ).collect()
+    assert out == []
+
+
+def test_duplicated_spans_max_df_guard(spark):
+    from dataframes_jl_spark.llm import duplicated_spans
+
+    # the same 5-token run in 4 docs: with max_df=2 every gram of the run
+    # has doc-frequency 4 > 2, so the boilerplate guard drops all pairs
+    rows = [(i, f"p{i} a b c d e s{i}") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert (
+        duplicated_spans(df, "doc_id", "text", n=3, min_len=5, max_df=2).count() == 0
+    )
+    assert (
+        duplicated_spans(df, "doc_id", "text", n=3, min_len=5, max_df=8).count() == 6
+    )  # all 4-choose-2 pairs
+
+
+def test_duplicated_spans_hash_grams_same_result(span_docs):
+    from dataframes_jl_spark.llm import duplicated_spans
+
+    exact = duplicated_spans(span_docs, "doc_id", "text", n=3, min_len=5, max_df=8)
+    hashed = duplicated_spans(
+        span_docs, "doc_id", "text", n=3, min_len=5, max_df=8, hash_grams=True
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, hashed.collect()))
+
+
+def test_span_dup_fraction_interval_merge(spark):
+    from dataframes_jl_spark.llm import span_dup_fraction
+
+    # doc 1 shares [0,6) with doc 2 and [3,9) with doc 3: the merged
+    # coverage for doc 1 is [0,9) = 9 tokens of 10, not 6+6
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f x2 y2 z2 w2"),   # matches doc1[0:6)
+        (3, "x3 y3 z3 w3 d e f g h i"),   # matches doc1[3:9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+        for r in span_dup_fraction(
+            df, "doc_id", "text", n=3, min_len=5, max_df=8
+        ).collect()
+    }
+    assert out[1] == (10, 9, 0.9)
+    assert out[2] == (10, 6, 0.6)
+    assert out[3] == (10, 6, 0.6)
