@@ -45,6 +45,8 @@ HEADLINE = [
     "q_weighted_sample",
     "q_vocab_approx",
     "q_take_per_group",
+    "q_dedup_spans",
+    "q_rolling_stats",
 ]
 
 

@@ -26,6 +26,7 @@ from .reshape import (  # noqa: F401
 )
 from .sampling import sample, sample_by, systematic_sample  # noqa: F401
 from .skew import salted_join  # noqa: F401
+from .privacy import k_anonymity_report, k_anonymize  # noqa: F401
 from .window import (  # noqa: F401
     cummax,
     cummin,
@@ -34,4 +35,6 @@ from .window import (  # noqa: F401
     diff,
     percent_change,
     reldiff,
+    rolling_stats,
+    rolling_window,
 )

@@ -73,3 +73,69 @@ def reldiff(col, order_by, partition_by=None) -> Column:
 def percent_change(col, order_by, partition_by=None) -> Column:
     """percent_change (reference export src/DataFrames.jl:121)."""
     return reldiff(col, order_by, partition_by) * 100.0
+
+
+def rolling_window(
+    order_by,
+    preceding: int,
+    following: int = 0,
+    partition_by=None,
+) -> WindowSpec:
+    """RANGE-frame window over a NUMERIC ordering expression (e.g.
+    microsecond epoch): frame = rows whose key lies in
+    ``[current - preceding, current + following]``, boundary-inclusive,
+    ties (peers) always included — the time-series rolling frame.
+
+    Partitioned use scales: Spark keeps one sliding aggregate state per
+    partition key inside the window exec, so cost is O(rows) after the
+    partition shuffle — no per-frame rescan. An unpartitioned rolling
+    window plans a SinglePartition sort; require an explicit opt-in by
+    passing partition_by=None knowingly (documented, as with the other
+    positional ops).
+    """
+    w = _window(order_by, partition_by)
+    return w.rangeBetween(-int(preceding), int(following))
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    partition_by,
+    width_seconds: int,
+    scale: int = 4,
+) -> DataFrame:
+    """Rolling count/sum/mean/std/min/max of ``value_col`` over a
+    trailing ``width_seconds`` event-time window per partition key.
+
+    Determinism contract: sum and sum-of-squares are accumulated as
+    QUANTIZED int64 (floor(x*10^scale+0.5)) so window-accumulation
+    order cannot move the low bits; mean/std are then derived with one
+    fixed double-arithmetic shape that an oracle engine can replicate
+    op-for-op. |x|*10^scale and the frame totals must fit int64 —
+    callers with larger magnitudes lower ``scale``.
+    """
+    m = float(10**scale)
+    key = F.unix_micros(F.col(time_col))
+    w = rolling_window(key, width_seconds * 1_000_000, 0, partition_by)
+    q = F.floor(F.col(value_col) * F.lit(m) + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(q).over(w)
+    sq = F.sum(q * q).over(w)
+    mean = s.cast("double") / n / F.lit(m)
+    # var = (sum(x^2) - sum(x)^2/n) / (n-1), in original units
+    var = (
+        sq.cast("double") / F.lit(m * m)
+        - (s.cast("double") / F.lit(m)) * (s.cast("double") / F.lit(m)) / n
+    ) / (n - F.lit(1))
+    return df.select(
+        *[c for c in df.columns],
+        n.alias("roll_n"),
+        (s.cast("double") / F.lit(m)).alias("roll_sum"),
+        F.round(mean, 6).alias("roll_mean"),
+        F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)).alias(
+            "roll_std"
+        ),
+        F.min(value_col).over(w).alias("roll_min"),
+        F.max(value_col).over(w).alias("roll_max"),
+    )

@@ -3846,6 +3846,80 @@ def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rolling_stats",
+    oracle="""
+    SELECT user_id, event_id, roll_n, roll_sum, roll_mean, roll_std,
+           roll_min, roll_max
+    FROM (
+      SELECT user_id, event_id,
+        COUNT(*) OVER w AS roll_n,
+        CAST(SUM(q) OVER w AS DOUBLE) / 1e4 AS roll_sum,
+        ROUND(CAST(SUM(q) OVER w AS DOUBLE) / (COUNT(*) OVER w) / 1e4, 6)
+            AS roll_mean,
+        CASE WHEN COUNT(*) OVER w > 1 THEN
+          ROUND(SQRT(GREATEST(
+            (CAST(SUM(q*q) OVER w AS DOUBLE) / 1e8
+             - (CAST(SUM(q) OVER w AS DOUBLE) / 1e4)
+               * (CAST(SUM(q) OVER w AS DOUBLE) / 1e4) / (COUNT(*) OVER w))
+            / (COUNT(*) OVER w - 1), 0.0)), 6)
+        END AS roll_std,
+        MIN(value) OVER w AS roll_min,
+        MAX(value) OVER w AS roll_max
+      FROM (
+        SELECT user_id, event_id, value,
+               CAST(epoch_us(ts) AS BIGINT) AS k,
+               CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS q
+        FROM events
+      )
+      WINDOW w AS (PARTITION BY user_id ORDER BY k
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count/sum/mean/std/min/max per user over
+    event time (ops.window.rolling_stats): RANGE frame on microsecond
+    epoch, quantized-int64 sums so accumulation order can't move the
+    rounded digits, one fixed double-arithmetic shape for mean/std that
+    the oracle replicates op for op. Partitioned window → one shuffle,
+    sliding aggregate state per user, linear at 100 TB."""
+    from .ops.window import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_stats(
+        ev, "value", "ts", "user_id", width_seconds=3600, scale=4
+    )
+    return out.select(
+        "user_id", "event_id", "roll_n", "roll_sum", "roll_mean",
+        "roll_std", "roll_min", "roll_max",
+    )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    SELECT CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(CASE WHEN n >= 20 THEN 1 END) AS BIGINT) AS groups_kept,
+           CAST(COUNT(CASE WHEN n < 20 THEN 1 END) AS BIGINT) AS groups_suppressed,
+           CAST(COALESCE(SUM(CASE WHEN n >= 20 THEN n END), 0) AS BIGINT) AS rows_kept,
+           CAST(COALESCE(SUM(CASE WHEN n < 20 THEN n END), 0) AS BIGINT) AS rows_suppressed
+    FROM (
+      SELECT COUNT(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity accounting over (nation, market-segment) quasi-
+    identifiers (ops.privacy.k_anonymity_report): group/row counts each
+    side of k=20 plus the corpus's current anonymity level — the
+    release gate a training-data pipeline runs after PII redaction."""
+    from .ops.privacy import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry

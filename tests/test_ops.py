@@ -508,3 +508,77 @@ def test_colprods_zero_guard(spark):
     )
     r = colprods(df).collect()[0]
     assert r.z == 0.0 and abs(r.n - (-12.0)) < 1e-9
+
+
+# ----------------------------------------------------- rolling / privacy
+
+
+def test_rolling_stats_trailing_window(spark):
+    from datetime import datetime
+
+    from dataframes_jl_spark.ops.window import rolling_stats
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        (1, 11, datetime(2024, 1, 1, 10, 30, 0), 2.0),
+        (1, 12, datetime(2024, 1, 1, 11, 15, 0), 4.0),   # 10:00 out of frame
+        (2, 20, datetime(2024, 1, 1, 10, 0, 0), 10.0),   # other user untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in rolling_stats(
+            df, "value", "ts", "user_id", width_seconds=3600
+        ).collect()
+    }
+    assert (out[10].roll_n, out[10].roll_sum) == (1, 1.0)
+    assert (out[11].roll_n, out[11].roll_sum, out[11].roll_mean) == (2, 3.0, 1.5)
+    # at 11:15 the trailing hour holds 10:30 and 11:15 only
+    assert (out[12].roll_n, out[12].roll_sum, out[12].roll_min, out[12].roll_max) == (
+        2, 6.0, 2.0, 4.0,
+    )
+    assert out[10].roll_std is None  # n=1 -> undefined
+    assert out[20].roll_n == 1
+
+
+def test_rolling_window_boundary_inclusive(spark):
+    from datetime import datetime
+
+    from dataframes_jl_spark.ops.window import rolling_stats
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        (1, 2, datetime(2024, 1, 1, 11, 0, 0), 2.0),  # exactly width back
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    out = {r.event_id: r for r in rolling_stats(df, "value", "ts", "user_id", 3600).collect()}
+    assert out[2].roll_n == 2  # [t-1h, t] inclusive
+
+
+def test_k_anonymize_suppresses_small_groups(spark):
+    from dataframes_jl_spark.ops.privacy import k_anonymize, k_anonymity_report
+
+    rows = [("a", "x", i) for i in range(5)] + [("b", "y", 9)]
+    df = spark.createDataFrame(rows, "g string, h string, v bigint")
+    kept = k_anonymize(df, ["g", "h"], k=3)
+    assert kept.count() == 5
+    assert {r.g for r in kept.collect()} == {"a"}
+    rep = k_anonymity_report(df, ["g", "h"], k=3).collect()[0]
+    assert (
+        rep.k_anonymity, rep.groups_kept, rep.groups_suppressed,
+        rep.rows_kept, rep.rows_suppressed,
+    ) == (1, 1, 1, 5, 1)
+
+
+def test_k_anonymize_validates_k(spark):
+    import pytest as _pytest
+
+    from dataframes_jl_spark.ops.privacy import k_anonymize
+
+    df = spark.createDataFrame([("a", 1)], "g string, v bigint")
+    with _pytest.raises(ValueError):
+        k_anonymize(df, ["g"], k=0)
