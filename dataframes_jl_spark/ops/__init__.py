@@ -33,6 +33,7 @@ from .window import (  # noqa: F401
     cumprod,
     cumsum,
     diff,
+    ewma,
     percent_change,
     reldiff,
     rolling_stats,

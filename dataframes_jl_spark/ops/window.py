@@ -139,3 +139,52 @@ def rolling_stats(
         F.min(value_col).over(w).alias("roll_min"),
         F.max(value_col).over(w).alias("roll_max"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    partition_by: str,
+    alpha: float,
+    tiebreak: Sequence[str] = (),
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average of ``value_col`` per
+    partition key in ``time_col`` order (pandas ``ewm(adjust=True)``
+    semantics: y_i = sum_j (1-alpha)^(i-j) x_j / sum_j (1-alpha)^(i-j)).
+
+    EWMA is a per-row recursion — not expressible with Spark's window
+    frames without an overflow-prone (1-alpha)^(-j) rescaling — so this
+    is the documented Pandas-UDF path: groups ship as Arrow batches,
+    each computed by pandas' C kernel. ``applyInPandas`` materializes
+    one GROUP per pandas frame, so the partition key must be
+    fine-grained (a user/session/entity id, never a constant);
+    ``max_group_rows`` fails loudly before an executor OOMs silently.
+
+    The batch cross-check for this operator is q_ewma: the final EWMA
+    per key must match the closed-form weighted sum computed
+    independently (by the DuckDB oracle and by hand) to 6 decimals.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # StructType.add mutates in place — never call it on df.schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+    sort_cols = [time_col, *tiebreak]
+
+    def _fn(pdf):
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"ewma group exceeds max_group_rows={max_group_rows} "
+                f"({len(pdf)} rows): partition key too coarse for the "
+                "per-group pandas path"
+            )
+        pdf = pdf.sort_values(sort_cols)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(partition_by).applyInPandas(_fn, schema)

@@ -3760,6 +3760,36 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read roundtrip (the second columnar interchange
+    format Spark speaks natively, common in Hive-lineage warehouses):
+    supplier out to ORC with column types preserved, back through the
+    vectorized ORC reader, value-gated against the parquet-sourced
+    oracle. ORC stripes split like parquet row groups — full scan
+    parallelism at 100 TB. Per-process scratch path: concurrent
+    sessions on one host must not race on the directory."""
+    import os
+    import tempfile
+
+    supp = _t(spark, sf_dir, "supplier")
+    path = f"{tempfile.gettempdir()}/djs_orc_roundtrip_{os.getpid()}"
+    supp.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+@register(
     "q_dedup_incremental",
     oracle=r"""
     WITH tok AS (
@@ -3897,6 +3927,50 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ewma",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1 AS rd
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * POWER(0.9, rd)) / SUM(POWER(0.9, rd)), 6)
+               AS ewma_last
+    FROM r GROUP BY user_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (ops.window.ewma, alpha=0.1): the
+    pandas recursive kernel per Arrow-shipped group, cross-checked at
+    the last event against the closed-form weighted sum
+    sum((1-a)^(n-1-j) x_j) / sum((1-a)^(n-1-j)) that the oracle
+    computes independently. The recursion and the weighted sum are the
+    same mathematics in different accumulation orders — agreement to 6
+    decimals gates the UDF end to end (drift is ~1e-12 relative; the
+    1e-6 quantization absorbs it, same contract as q_bm25_search)."""
+    from pyspark.sql import Window
+
+    from .ops.window import ewma
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    sm = ewma(ev, "value", "ts", "user_id", alpha=0.1, tiebreak=["event_id"])
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    n = Window.partitionBy("user_id")
+    return (
+        sm.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("ewma", 6).alias("ewma_last"),
+        )
+    )
+
+
+@register(
     "q_k_anonymity",
     oracle="""
     SELECT CAST(MIN(n) AS BIGINT) AS k_anonymity,
@@ -3945,9 +4019,13 @@ _PRIORITY = [
     "q_join_outer_nullsafe",  # §2.3 join kinds + NA keys
     "q_asof_join",  # §2.3 as-of
     "q_range_join",  # §2.3 range
-    "q05_local_supplier_volume",  # §2.3 multi-join TPC-H
+    # (q05's TPC-H multi-join family keeps ten in-window shapes below;
+    # its slot goes to the new pandas-recursion EWMA so the round-4
+    # operator gets a driver row. q_window_running_sum's §2.5 slot
+    # passes to q_rolling_stats — same window family, first driver row.)
+    "q_ewma",  # time-series EWMA, closed-form cross-check (new round 4)
     "q_by_apply_topn",  # §2.4 grouped apply
-    "q_window_running_sum",  # §2.5 windows
+    "q_rolling_stats",  # §2.5 windows: rolling RANGE frame (new round 4)
     "q_sortperm_nulls",  # §2.6 sort/rank
     "q_vcat_promote",  # §2.7 set ops
     "q_melt_stack",  # §2.8 reshape

@@ -582,3 +582,42 @@ def test_k_anonymize_validates_k(spark):
     df = spark.createDataFrame([("a", 1)], "g string, v bigint")
     with _pytest.raises(ValueError):
         k_anonymize(df, ["g"], k=0)
+
+
+def test_ewma_matches_closed_form(spark):
+    from datetime import datetime
+
+    from dataframes_jl_spark.ops.window import ewma
+
+    xs = [1.0, 2.0, 4.0, 8.0]
+    rows = [(1, i, datetime(2024, 1, 1, 10, i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    out = (
+        ewma(df, "value", "ts", "user_id", alpha=0.5, tiebreak=["event_id"])
+        .orderBy("event_id")
+        .collect()
+    )
+    a = 0.5
+    for i, r in enumerate(out):
+        ws = [(1 - a) ** (i - j) for j in range(i + 1)]
+        expect = sum(w * x for w, x in zip(ws, xs)) / sum(ws)
+        assert abs(r.ewma - expect) < 1e-12, (i, r.ewma, expect)
+
+
+def test_ewma_group_guard_and_alpha(spark):
+    import pytest as _pytest
+
+    from dataframes_jl_spark.ops.window import ewma
+
+    from datetime import datetime
+
+    rows = [(1, i, datetime(2024, 1, 1), float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    with _pytest.raises(ValueError):
+        ewma(df, "value", "ts", "user_id", alpha=0.0)
+    with _pytest.raises(Exception):  # Py4J wraps the worker's ValueError
+        ewma(df, "value", "ts", "user_id", alpha=0.5, max_group_rows=5).collect()
