@@ -388,22 +388,19 @@ def simhash_signatures(
 
     One pass over the token hashes accumulates 64 per-bit counters
     (zip_with merge), then the majority bits are packed into ONE bigint
-    — all integer arithmetic, no 64-char binary strings. Each expensive
-    intermediate (token hashes, bit counters) is materialized behind a
-    tiny repartition(id) exchange so Catalyst's projection collapse
-    cannot inline it into its many downstream references (see the
-    HOF-inlining note in minhash_lsh_pairs).
+    — all integer arithmetic, no 64-char binary strings. The token
+    array, the counter array, and the token count are let1-bound, so
+    the whole signature is ONE map-side projection off a single
+    parallelizing exchange: the 64 bit-pack terms each read the bound
+    counter array in O(1) instead of re-deriving it (until round 4 the
+    intermediates were materialized behind three extra repartition(id)
+    exchanges — correct, but three full shuffles whose only purpose
+    was stopping projection collapse; measured ~20% slower at sf0.1
+    and strictly worse at scale).
     """
     par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
-        .repartition(par, "id")
-        .select("id", tokens("__text__").alias("t"))
-    )
-    hashed = base.select(
-        "id",
-        F.size("t").alias("n_tok"),
-        F.transform("t", lambda x: F.xxhash64(x)).alias("hs"),
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
     ).repartition(par, "id")
 
     def bitvec(h: Column) -> Column:
@@ -412,22 +409,28 @@ def simhash_signatures(
             *[F.shiftright(h, p).bitwiseAND(F.lit(1)).cast("int") for p in range(64)]
         )
 
-    ones = F.aggregate(
-        "hs",
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
-    )
-    counted = hashed.select("id", "n_tok", ones.alias("ones")).repartition(par, "id")
+    def pack(ones: Column, n_tok: Column) -> Column:
+        sig: Column | None = None
+        for p in range(64):
+            bit = F.when(
+                F.element_at(ones, p + 1) * 2 > n_tok, F.lit(1).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            term = F.shiftleft(bit, p)
+            sig = term if sig is None else sig.bitwiseOR(term)
+        return sig
 
-    sig: Column | None = None
-    for p in range(64):
-        bit = F.when(
-            F.element_at(F.col("ones"), p + 1) * 2 > F.col("n_tok"),
-            F.lit(1).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, p)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return counted.select("id", sig.alias("sig")).repartition(par, "id")
+    sig = let1(
+        tokens("__text__"),
+        lambda t: let1(
+            F.aggregate(
+                F.transform(t, lambda x: F.xxhash64(x)),
+                F.array_repeat(F.lit(0), 64),
+                lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
+            ),
+            lambda ones: pack(ones, F.size(t)),
+        ),
+    )
+    return base.select("id", sig.alias("sig"))
 
 
 def simhash_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

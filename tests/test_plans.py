@@ -196,3 +196,30 @@ def test_spearman_ranks_not_single_partition(spark):
     plan = plan_of(spearman_ranked(li, "l_quantity", "l_extendedprice"))
     assert "SinglePartition" not in plan
     assert plan.count("rangepartitioning") >= 2  # one per ranked column
+
+
+def test_spans_no_cartesian_no_single_partition(spark):
+    plan = plan_of(QUERIES["q_dedup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rolling_stats_one_exchange_partitioned_window(spark):
+    plan = plan_of(QUERIES["q_rolling_stats"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    # exactly one data exchange: the user_id hash partitioning the window
+    # runs on ("+- Exchange" counts tree nodes once; bare "Exchange" would
+    # also match each node's detail header)
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_simhash_signatures_single_projection(spark):
+    # the signature table is map-only off ONE parallelizing exchange —
+    # the round-4 refactor removed three barrier shuffles; pin it
+    from dataframes_jl_spark.llm.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(simhash_signatures(docs, "doc_id", "text"))
+    assert plan.count("+- Exchange") == 1
