@@ -1069,14 +1069,19 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim token spans shared between document pairs, from position
     n-grams + a doc-frequency cap + diagonal run merging — the
     span-level dedup modality of Lee et al. 2022, as one gram-key
-    shuffle plus fine-grained windows (no cartesian). The oracle mirrors
-    every stage in SQL over the same exact gram strings."""
+    shuffle plus fine-grained windows (no cartesian). The Spark side
+    runs the hash_grams SCALE path (8-byte xxhash64 keys through the
+    shuffle); the oracle mirrors every stage over the exact gram
+    STRINGS — so the gate also certifies the hashed path reproduces
+    exact-string semantics (collisions are deterministic and would fail
+    the hash-compare loudly, never flakily)."""
     from .llm import duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")
     out = duplicated_spans(
         docs, "doc_id", "text",
         n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
+        hash_grams=True,
     )
     return out.select(
         "id_a", "id_b",
@@ -1134,13 +1139,16 @@ def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-token budget (llm.spans.span_dup_fraction):
     token positions covered by any shared verbatim span, overlaps
     interval-merged with an islands window — the per-doc deletion
-    signal span-level dedup feeds into filtering."""
+    signal span-level dedup feeds into filtering. Spark runs the
+    hash_grams scale path against the exact-string oracle (see
+    q_dedup_spans)."""
     from .llm import span_dup_fraction
 
     docs = _t(spark, sf_dir, "documents")
     out = span_dup_fraction(
         docs, "doc_id", "text",
         n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
+        hash_grams=True,
     )
     return out.select(
         "id",
