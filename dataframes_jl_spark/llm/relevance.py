@@ -121,24 +121,63 @@ def bm25_scores(
     join, so the scored row volume is Σ_t |postings(t)| — independent
     of vocabulary size.
 
-    The (id, term, tf, dl) statistics feed three consumers (filtered
-    postings, document frequencies, avgdl/N scalars), i.e. three
-    lineage executions per call. At corpus scale compute
-    :func:`term_stats` ONCE, write or ``persist()`` it, and pass it as
-    ``stats`` — the standard inverted-index materialization; every
-    subsequent query is then bounded by its posting lists.
+    With a precomputed ``stats`` (the standard inverted-index
+    materialization — compute :func:`term_stats` once, write or
+    ``persist()`` it), every consumer reads the index and per-query
+    cost is bounded by the posting lists. WITHOUT ``stats``, the naive
+    shape would execute the full-vocabulary term_stats lineage (explode
+    + an (id, term) shuffle of the corpus's entire token multiset)
+    three times; instead the ad-hoc path specializes each consumer:
+    postings explode only tokens matching the query terms (the shuffle
+    carries query-term hits, not the vocabulary), document frequencies
+    come from those same filtered postings (a doc contributes exactly
+    one (id, term) row per contained term), and avgdl/N need only
+    ``size(tokens)`` — no explode, no shuffle, a 1-row partial
+    aggregate. Three corpus text scans (map-side CPU), zero full-vocab
+    shuffles.
     """
     terms = sorted(set(query_terms))
-    # df/avgdl/N must come from the FULL corpus, not the filtered lists.
-    full = stats if stats is not None else term_stats(docs, id_col, text_col)
-    ts = full.filter(F.col("term").isin(terms))
-    dfreq = doc_frequencies(full).filter(F.col("term").isin(terms))
-    # avgdl = mean token count per doc; derive from dl directly for
-    # exactness (sum tf == dl per doc by construction).
-    avgdl = full.select("id", "dl").dropDuplicates(["id"]).agg(
-        (F.sum("dl") / F.count(F.lit(1))).alias("__avgdl__"),
-        F.count(F.lit(1)).cast("double").alias("__n__"),
-    )
+    if stats is not None:
+        # df/avgdl/N must come from the FULL corpus, not filtered lists.
+        full = stats
+        ts = full.filter(F.col("term").isin(terms))
+        dfreq = doc_frequencies(full).filter(F.col("term").isin(terms))
+        # avgdl = mean token count per doc; derive from dl directly for
+        # exactness (sum tf == dl per doc by construction).
+        avgdl = full.select("id", "dl").dropDuplicates(["id"]).agg(
+            (F.sum("dl") / F.count(F.lit(1))).alias("__avgdl__"),
+            F.count(F.lit(1)).cast("double").alias("__n__"),
+        )
+    else:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        term_arr = F.array(*[F.lit(t) for t in terms])
+        base = (
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t__"))
+            .repartition(par, "id")
+            .select("id", _norm_tokens("__t__").alias("toks"))
+        )
+        hits = base.select(
+            "id",
+            F.size("toks").alias("dl"),
+            F.explode_outer(
+                F.filter("toks", lambda t: F.array_contains(term_arr, t))
+            ).alias("term"),
+        ).filter(F.col("term").isNotNull())
+        ts = hits.groupBy("id", "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        )
+        dfreq = ts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # N and avgdl over docs with >= 1 token — the same population the
+        # inverted index holds (empty docs never reach term_stats), so
+        # stats= and ad-hoc paths score identically. Conditional count
+        # instead of a filter node: a size(toks) predicate would be
+        # projection-collapsed below the repartition and re-run the
+        # tokenizer in the scan stage.
+        nonempty = F.count(F.when(F.col("dl") > 0, 1))
+        avgdl = base.select(F.size("toks").alias("dl")).agg(
+            (F.sum("dl") / nonempty).alias("__avgdl__"),
+            nonempty.cast("double").alias("__n__"),
+        )
     idf = (
         F.log(
             1.0
