@@ -2360,6 +2360,349 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion shapes (round 4).  The driver schema has no partsupp
+# table and no commit/receipt dates, so the four partsupp-dependent
+# shapes (Q2/Q11/Q16/Q20) run against a partsupp-like relation derived
+# from lineitem (supplier-part pairs with min unit price as "supply
+# cost" and total shipped quantity as "availability"), and the two
+# lateness shapes (Q12/Q21) define late = shipped >N days after the
+# order date.  The query SHAPES — correlated min, HAVING vs global
+# scalar, distinct-count with NOT IN, nested semi-joins, multi-EXISTS
+# self-join — are the point; the oracles keep the correlated forms so
+# the decorrelated Spark plans are checked against true subquery
+# semantics.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_cost,
+               SUM(l_quantity) AS ps_qty
+        FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partsupp-like relation derived from lineitem.
+
+    ``ps_cost`` = MIN(unit price) is deterministic (IEEE division is
+    exact-rounded and MIN is order-independent); ``ps_qty`` sums
+    whole-number double quantities, exact below 2^53."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost"),
+        F.sum("l_quantity").alias("ps_qty"),
+    )
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle=_PS_SQL
+    + """
+    SELECT p_partkey, s_name, n_name, s_acctbal, ROUND(ps_cost, 4) AS cost
+    FROM ps
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    JOIN part ON p_partkey = ps_partkey
+    WHERE r_name = 'ASIA' AND p_size = 15 AND p_type = 'PROMO'
+      AND ps_cost = (
+        SELECT MIN(ps2.ps_cost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+      )
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN-cost subquery, decorrelated into a
+    per-part minimum over the regional supplier set joined back on
+    (part, cost).  The oracle keeps the correlated form, so this checks
+    the rewrite against true subquery semantics.  Dims (supplier,
+    nation, region, part) broadcast; the only shuffles are the ps
+    aggregate and the per-part min — both keyed on ps_partkey, so AQE
+    can reuse the exchange."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    regional = (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mincost = regional.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_cost").alias("mc")
+    )
+    return (
+        regional.join(
+            mincost,
+            (F.col("ps_partkey") == F.col("mk")) & (F.col("ps_cost") == F.col("mc")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("ps_cost", 4).alias("cost"),
+        )
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n_name, YEAR(o_orderdate) AS o_year,
+           ROUND({dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity', 4)}, 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) with a
+    part-name pattern filter.  p_retailprice*0.1 stands in for
+    ps_supplycost (no partsupp table).  part/supplier/nation broadcast
+    and the p_name LIKE filter shrinks the fact before the one real
+    shuffle (lineitem⋈orders on orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(dsum(amount, 4), 2).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=_PS_SQL
+    + f"""
+    , natval AS (
+        SELECT ps_partkey, {dsum_sql('ps_cost * ps_qty', 4)} AS val
+        FROM ps
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, ROUND(val, 2) AS value
+    FROM natval
+    WHERE val > (SELECT {dsum_sql('val', 4)} * 0.001 FROM natval)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within one nation, kept
+    only when above a fraction of the nation-wide total (HAVING vs a
+    global scalar subquery).  The scalar total is a second aggregate
+    over the same per-part frame, broadcast as a 1-row cross join —
+    never a driver collect.  Both sums are int64-quantized so the
+    threshold compare is engine-exact."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natval = (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(dsum(F.col("ps_cost") * F.col("ps_qty"), 4).alias("val"))
+    )
+    total = natval.agg((dsum("val", 4) * 0.001).alias("threshold"))
+    return (
+        natval.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("ps_partkey", F.round("val", 2).alias("value"))
+    )
+
+
+@register(
+    "q12_shipping_lag",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                ELSE 'slow' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts per shipping class.
+    No l_shipmode/commitdate in this schema, so the class is the
+    order-to-ship lag bucket.  One shuffle (fact⋈orders on orderkey),
+    then a 3-group aggregate with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_class",
+            F.when(lag <= 30, "fast").when(lag <= 90, "normal").otherwise("slow"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle=_PS_SQL
+    + """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size IN (5, 15, 25, 35, 45)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    excluding a blacklisted supplier set (NOT IN → broadcast anti-join;
+    negative balances stand in for the complaints LIKE filter).  The
+    part filter broadcasts; countDistinct adds the usual
+    expand+two-phase aggregate on a dim-sized frame."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotable_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l_suppkey HAVING SUM(l_quantity) > 50
+      )
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers (in one
+    nation) who shipped more than a threshold of red parts in 1998.
+    Inner IN becomes a broadcast semi-join on the part filter; the
+    HAVING aggregate shrinks to supplier grain before the outer
+    semi-join, so the supplier table never touches the fact directly."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+      AND date_diff('day', o_orderdate, l1.l_shipdate) > 150
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND date_diff('day', o3.o_orderdate, l3.l_shipdate) > 150)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact —
+    suppliers who were the ONLY late shipper in a multi-supplier
+    finished order (late = shipped >150 days after the order date; no
+    receipt/commit dates in this schema).  Decorrelated into one
+    per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back to the late rows: n_supps>1 replaces EXISTS,
+    n_late=1 replaces NOT EXISTS given l1 itself is late.  The oracle
+    keeps both correlated subqueries, checking the rewrite against true
+    EXISTS semantics.  One orderkey shuffle feeds both the aggregate
+    and the join-back."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 150
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", late
+    )
+    ostats = fact.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        fact.filter(F.col("is_late"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(ostats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 @register(
     "q_sliding_window",
     oracle="""
