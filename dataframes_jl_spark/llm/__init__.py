@@ -28,6 +28,8 @@ from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,
     doc_fingerprint,
+    gopher_pass,
+    gopher_rules,
     language_id,
     quality_score,
     token_count,
@@ -45,6 +47,8 @@ from .cluster import (  # noqa: F401
     fit_pca_driver,
     kmeans_assign,
     pca_project,
+    semdedup,
+    semdedup_pairs,
 )
 from .mixture import domain_stats, mixture_weights  # noqa: F401
 from .relevance import bm25_scores, doc_frequencies, term_stats, tf_idf  # noqa: F401

@@ -96,13 +96,16 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only nearest-centroid assignment against literal centroids.
 
-    Output: (id_col, cluster, qdist2) where qdist2 is the squared L2
-    distance in ``10^-scale`` units (long, per-dimension quantized) —
+    Output: (id_col, *keep, cluster, qdist2) where qdist2 is the squared
+    L2 distance in ``10^-scale`` units (long, per-dimension quantized) —
     exact integer comparisons make the argmin and any downstream
-    aggregation order-independent and engine-reproducible.
+    aggregation order-independent and engine-reproducible. ``keep``
+    passes extra columns through so callers that need the vector after
+    assignment don't pay a join-back.
     """
     v = _as_double(F.col(vec_col))
     structs = F.array(
@@ -117,6 +120,7 @@ def kmeans_assign(
     best = F.array_min(structs)
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         best["cluster"].alias("cluster"),
         best["qd"].alias("qdist2"),
     )
@@ -145,6 +149,89 @@ def cluster_embeddings(
     semantic clustering entry point."""
     centroids = fit_kmeans_driver(df, k, vec_col, seed, max_iter)
     return kmeans_assign(df, centroids, id_col, vec_col)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster embeddings to literal centroids, then score pairwise cosine
+    ONLY within each cluster.
+
+    Output: (id_a, id_b, cluster, cos_sim) with id_a < id_b and
+    cos_sim >= threshold.  The cluster key bounds the quadratic — the
+    self-join shuffles both sides on ``cluster`` and each cluster's
+    pair loop runs in its own task, so total work is Σ|cluster|², not
+    |corpus|².  At 100 TB the centroid count is chosen so clusters fit
+    a task (the paper uses k ≈ √n); skewed clusters can be sub-split by
+    re-clustering, not by salting (pairs must stay co-located).
+    """
+    from .similarity import _as_double, cosine
+
+    # Null vectors are dropped up front (they belong to no cluster) and
+    # the cluster key is coalesced non-nullable: otherwise Catalyst
+    # infers IsNotNull(<argmin>) from the equi-join and re-evaluates the
+    # whole centroid argmin as a scan-stage filter — the inferred-filter
+    # trap the IVF path plan-pins against. The vector rides through
+    # ``keep`` so there is no join-back to re-attach it.
+    assigned = kmeans_assign(
+        df.filter(F.col(vec_col).isNotNull()),
+        centroids,
+        id_col,
+        vec_col,
+        scale,
+        keep=(vec_col,),
+    )
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        F.coalesce("cluster", F.lit(0)).alias("cluster"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup survivors: drop every row that is the HIGHER id of some
+    within-cluster pair with cosine >= threshold (keep-lowest-id — the
+    paper's keep-one-per-group policy with a deterministic
+    representative).  One broadcast-able anti-join over the pair ids."""
+    drops = (
+        semdedup_pairs(df, centroids, id_col, vec_col, threshold, scale)
+        .select(F.col("id_b").alias("__drop_id__"))
+        .distinct()
+    )
+    return df.join(
+        drops, F.col(id_col) == F.col("__drop_id__"), "left_anti"
+    )
 
 
 def fit_pca_driver(

@@ -182,6 +182,81 @@ def top_bigram_fraction(col: str | Column) -> Column:
     return let1(bigrams(col), _frac)
 
 
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A).
+# Published thresholds; "symbol" = '#' or '...' as in the paper.  Every
+# rule is a pure Column expression over one tokenization / one line
+# split — codegen, linear per doc, no UDF, no shuffle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    col: str | Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """Gopher quality-filter rule booleans (True = rule passes).
+
+    Returns the seven published rules keyed by name; AND them (or use
+    :func:`gopher_pass`) for the overall keep/drop decision. Thresholds
+    are the paper's; ``min_words``/``max_words`` are exposed because
+    small-document corpora usually relax the 50-word floor.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_words = token_count(c)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    # mean raw word length (paper: in [3, 10])
+    word_len_sum = F.aggregate(
+        t, F.lit(0), lambda acc, w: acc + F.length(w), lambda acc: acc
+    )
+    mean_word_len = F.when(n_words > 0, word_len_sum / n_words).otherwise(0.0)
+    # symbols: '#' plus non-overlapping '...' occurrences
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_ellipsis = F.size(F.split(c, r"\.{3}", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words.cast("double")
+    ).otherwise(0.0)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        / n_lines.cast("double"),
+    ).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"(…|\.\.\.)\s*$")))
+        / n_lines.cast("double"),
+    ).otherwise(0.0)
+    alpha_word_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))) / n_words.cast("double"),
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = let1(
+        F.transform(t, F.lower),
+        lambda lt: F.size(F.filter(stop_arr, lambda s: F.array_contains(lt, s))),
+    )
+    return {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_word_len >= 3) & (mean_word_len <= 10),
+        "symbol_ratio_ok": symbol_ratio <= 0.1,
+        "bullet_lines_ok": bullet_frac <= 0.9,
+        "ellipsis_lines_ok": ellipsis_frac <= 0.3,
+        "alpha_words_ok": alpha_word_frac >= 0.8,
+        "stopwords_ok": n_stop >= 2,
+    }
+
+
+def gopher_pass(col: str | Column, **kw) -> Column:
+    """Overall Gopher keep/drop: AND of all :func:`gopher_rules`."""
+    rules = gopher_rules(col, **kw)
+    out = F.lit(True)
+    for c in rules.values():
+        out = out & c
+    return out
+
+
 # PII patterns: kept to syntax valid in BOTH Java regex (Spark) and RE2
 # (DuckDB) so oracle SQL can mirror the counts 1:1. Intentionally simple
 # — recall-oriented pre-filters, not validators.

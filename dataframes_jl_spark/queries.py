@@ -1300,6 +1300,109 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gopher_rules",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_words, w, lines,
+             CASE WHEN n_words > 0
+                  THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / n_words
+                  ELSE 0.0 END AS mean_wl,
+             len(text) - len(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\.{3}')) AS n_sym
+      FROM d
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           n_words BETWEEN 5 AND 100000 AS word_count_ok,
+           mean_wl BETWEEN 3 AND 10 AS mean_word_len_ok,
+           CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                ELSE TRUE END AS symbol_ratio_ok,
+           CASE WHEN len(lines) > 0 THEN
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                  AS DOUBLE) / len(lines) <= 0.9 ELSE TRUE END AS bullet_lines_ok,
+           CASE WHEN len(lines) > 0 THEN
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(…|\.\.\.)\s*$')))
+                  AS DOUBLE) / len(lines) <= 0.3 ELSE TRUE END AS ellipsis_lines_ok,
+           CASE WHEN n_words > 0 THEN
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / n_words >= 0.8 ELSE FALSE END AS alpha_words_ok,
+           len(list_filter(['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(list_transform(w, x -> lower(x)), s)))
+             >= 2 AS stopwords_ok
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (llm.text.gopher_rules — Rae et al.
+    2021 App. A) evaluated per document: seven rule booleans over one
+    tokenization and one line split, all codegen Column expressions.
+    The word floor is relaxed to 5 for this short-document corpus
+    (the paper's 50 is the `min_words` default)."""
+    from .llm import gopher_rules, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = gopher_rules("text", min_words=5)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+    )
+
+
+@register(
+    "q_semdedup",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ), d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum([CAST(FLOOR(
+                 (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) for i in range(1, 65)]) AS qd
+      FROM embeddings e CROSS JOIN cent c
+    ), a AS (
+      SELECT vec_id, CAST(MIN(qd * 8 + cid) % 8 AS INT) AS cluster
+      FROM d GROUP BY vec_id
+    ), v AS (
+      SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS ve
+      FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cluster,
+           ROUND(list_cosine_similarity(x.ve, y.ve), 6) AS cos_sim
+    FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.ve, y.ve) >= 0.3
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster near-dup pairs (llm.cluster.
+    semdedup_pairs — Abbas et al. 2023): nearest-centroid assignment to
+    8 fixed seed centroids (vec_id 0-7, same deterministic quantized
+    argmin the kmeans gate uses), then pairwise cosine ONLY inside each
+    cluster — the cluster key bounds the quadratic.  The oracle replays
+    assignment and pair scoring in SQL, checking both the argmin and
+    the within-cluster join semantics."""
+    from .llm import semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    pairs = semdedup_pairs(emb, centroids, "vec_id", "embedding", threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", "cluster", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@register(
     "q_ann_bruteforce",
     oracle="""
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -562,3 +562,74 @@ def test_span_dup_fraction_interval_merge(spark):
     assert out[1] == (10, 9, 0.9)
     assert out[2] == (10, 6, 0.6)
     assert out[3] == (10, 6, 0.6)
+
+
+# ------------------------------------------------------------- semdedup
+
+
+def test_semdedup_pairs_only_within_cluster(spark):
+    from dataframes_jl_spark.llm import semdedup, semdedup_pairs
+
+    # ids 0/1 are near-identical in cluster 0; id 3 is cosine-close to
+    # both but assigned to cluster 1 — cross-cluster pairs must NOT be
+    # scored.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),
+            (2, [0.0, 1.0]),
+            (3, [0.6, 0.55]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.55, 0.6]]
+    pairs = semdedup_pairs(emb, cents, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    # survivors drop the higher id of each qualifying pair
+    kept = {r.vec_id for r in semdedup(emb, cents, threshold=0.95).collect()}
+    assert kept == {0, 2, 3}
+
+
+def test_semdedup_pairs_no_cartesian_product(spark):
+    from dataframes_jl_spark.llm import semdedup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plan = semdedup_pairs(emb, [[0.0, 0.0], [19.0, 1.0]])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------- gopher
+
+
+def test_gopher_rules_reference_cases(spark):
+    from dataframes_jl_spark.llm import gopher_pass, gopher_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs off to "
+        "the hills with plenty of energy that morning, having seen "
+        "nothing strange at all."
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "# " * 30 + "word"
+    short = "tiny text"
+    rows = [(1, good), (2, bullets), (3, symbols), (4, short), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rules = gopher_rules("text", min_words=5)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in rules.items()],
+            gopher_pass("text", min_words=5).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["bullet_lines_ok"] is False  # 100% bullet lines
+    assert out[3]["symbol_ratio_ok"] is False  # '#' per word >> 0.1
+    assert out[4]["word_count_ok"] is False    # below the 5-word floor
+    assert out[5]["keep"] is False             # empty: fails word count
+    assert out[5]["word_count_ok"] is False
