@@ -50,7 +50,11 @@ from .cluster import (  # noqa: F401
     semdedup,
     semdedup_pairs,
 )
-from .mixture import domain_stats, mixture_weights  # noqa: F401
+from .mixture import (  # noqa: F401
+    domain_stats,
+    mixture_weights,
+    take_token_budget,
+)
 from .relevance import bm25_scores, doc_frequencies, term_stats, tf_idf  # noqa: F401
 from .spans import (  # noqa: F401
     duplicated_spans,

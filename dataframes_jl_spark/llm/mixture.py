@@ -79,3 +79,52 @@ def mixture_weights(
         "token_share",
         (tgt / F.col("token_share")).alias("weight"),
     )
+
+
+def take_token_budget(
+    docs: DataFrame,
+    budget: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budgets: Optional[Mapping[str, int]] = None,
+) -> DataFrame:
+    """Deterministic per-domain token-budget sampling: within each
+    domain, order documents by a reproducible affine hash of the id (an
+    engine-portable "shuffle" — no rand()) and keep the prefix whose
+    cumulative token count stays within the domain's budget.
+
+    ``budgets`` overrides the scalar ``budget`` per domain (domains
+    absent from the map fall back to ``budget``). A document whose own
+    tokens would push the running total past the budget is excluded —
+    budgets are hard caps, so a domain whose first document exceeds the
+    budget contributes nothing.
+
+    Output: input columns + ``n_tokens`` and ``cum_tokens`` (inclusive
+    running total in hash order) for the kept rows.
+
+    Scale: one ``partitionBy(domain)`` window — cumulative sums are
+    per-domain sequential by nature, so a domain's rows pass through
+    one task. Fine up to domains of ~10^8 rows; beyond that, pre-
+    aggregate to (domain, hash-bucket) partial sums and prefix-scan the
+    bucket totals (the global_row_number two-phase trick) before
+    window-summing within buckets.
+    """
+    from pyspark.sql import Window
+
+    key = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(2147483648))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if budgets is not None:
+        mapping = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        cap = F.coalesce(mapping[F.col(domain_col)], F.lit(budget))
+    else:
+        cap = F.lit(budget)
+    return (
+        docs.withColumn("n_tokens", token_count(text_col))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= cap)
+    )

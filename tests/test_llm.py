@@ -633,3 +633,30 @@ def test_gopher_rules_reference_cases(spark):
     assert out[4]["word_count_ok"] is False    # below the 5-word floor
     assert out[5]["keep"] is False             # empty: fails word count
     assert out[5]["word_count_ok"] is False
+
+
+# ------------------------------------------------------- token budget
+
+
+def test_take_token_budget_caps_and_overrides(spark):
+    from dataframes_jl_spark.llm import take_token_budget
+
+    # source A: 3 docs x 4 tokens; source B: one 10-token doc
+    rows = [
+        (1, "A", "a b c d"),
+        (2, "A", "e f g h"),
+        (3, "A", "i j k l"),
+        (4, "B", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    # budget 8: exactly two A docs fit; B's single doc (10 tokens) is a
+    # hard-cap exclusion, so B contributes nothing
+    out = take_token_budget(df, budget=8)
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    assert len(got) == 2 and all(v <= 8 for v in got.values())
+    assert 4 not in got
+    # per-domain override lets B through
+    out2 = take_token_budget(df, budget=8, budgets={"B": 10})
+    assert 4 in {r.doc_id for r in out2.collect()}
+    # determinism: same prefix on re-run
+    assert got == {r.doc_id: r.cum_tokens for r in take_token_budget(df, budget=8).collect()}
