@@ -47,6 +47,10 @@ HEADLINE = [
     "q_take_per_group",
     "q_dedup_spans",
     "q_rolling_stats",
+    "q09_product_profit",
+    "q21_waiting_supplier",
+    "q_semdedup",
+    "q_gopher_rules",
 ]
 
 

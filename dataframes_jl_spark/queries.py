@@ -1300,6 +1300,43 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_budget_sample",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+                 PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+                 ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 700
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget sampling (llm.mixture.take_token_budget):
+    deterministic affine-hash order within each source, keep the prefix
+    whose inclusive cumulative token count fits the 700-token budget.
+    Exact integer cumsum — engine-reproducible, and the oracle replays
+    the same hash order and window frame."""
+    from .llm import take_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = take_token_budget(docs, budget=700)
+    return out.select(
+        "doc_id", "source", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )
+
+
+@register(
     "q_gopher_rules",
     oracle=r"""
     WITH d AS (
@@ -4497,30 +4534,36 @@ _PRIORITY = [
     # clusters stays gated by the local replay + unit tests)
     "q_dedup_spans",  # dedup: exact substring spans (new round 4)
     "q_ann_ivf",  # ANN
-    # first-ever driver rows: relational/TPC-H shapes
+    # first-ever driver rows: relational/TPC-H shapes.  (q08/q14/
+    # q_monthly_revenue's conditional-agg family is represented by q19
+    # and q01; their slots go to the round-4 subquery shapes — the
+    # correlated-MIN Q2 and multi-EXISTS Q21 — and the new LLM ops.
+    # q09/q11/q12/q16/q20 stay on the local oracle replay this round.)
+    "q02_min_cost_supplier",
     "q07_volume_shipping",
-    "q08_market_share",
     "q13_order_count_dist",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity",
     "q18_large_volume",
     "q19_bracket_revenue",
+    "q21_waiting_supplier",
     "q22_idle_balances",
-    "q_monthly_revenue",
     # first-ever driver rows: aggregation/stats surface
+    # (q_quantile_sketch's family keeps q_grouped_percentiles in-window)
     "q_cube",
     "q_count_distinct",
     "q_describe_strings",
     "q_grouped_percentiles",
-    "q_quantile_sketch",
     "q_spearman",
-    # first-ever driver rows: joins/layout/sampling
+    # first-ever driver rows: joins/layout/sampling + round-4 LLM ops
+    # (q_hash_split's sampling family keeps weighted/take_per_group)
     "q_bucketed_join",
     "q_salted_join",
-    "q_hash_split",
     "q_weighted_sample",
     "q_take_per_group",
+    "q_gopher_rules",
+    "q_semdedup",
+    "q_token_budget_sample",
     # first-ever driver rows: IO + LLM pipeline
     "q_jsonl_roundtrip",
     "q_repetition_signals",
