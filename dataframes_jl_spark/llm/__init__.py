@@ -26,6 +26,9 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .text import (  # noqa: F401
+    c4_clean_lines,
+    c4_keep,
+    c4_page_flags,
     chunk_documents,
     doc_fingerprint,
     gopher_pass,

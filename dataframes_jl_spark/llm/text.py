@@ -257,6 +257,42 @@ def gopher_pass(col: str | Column, **kw) -> Column:
     return out
 
 
+def c4_clean_lines(col: str | Column, min_words: int = 5) -> Column:
+    """C4 line-level cleanup (Raffel et al. 2020 §2.2): keep only lines
+    that end in a terminal punctuation mark, contain at least
+    ``min_words`` words, and do not mention 'javascript'; re-join the
+    survivors with newlines.  One line split + one filter — codegen,
+    linear per document."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.filter(
+        F.split(c, "\n"),
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_flags(col: str | Column, min_sentences: int = 3) -> dict[str, Column]:
+    """C4 page-level filter booleans (True = rule passes): no
+    'lorem ipsum', no '{' (code), and at least ``min_sentences``
+    terminal-punctuation sentences."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "no_lorem_ipsum": ~F.lower(c).contains("lorem ipsum"),
+        "no_curly_brace": ~c.contains("{"),
+        "min_sentences_ok": F.regexp_count(c, F.lit("[.!?]")) >= min_sentences,
+    }
+
+
+def c4_keep(col: str | Column, min_sentences: int = 3) -> Column:
+    """Overall C4 page keep/drop: AND of :func:`c4_page_flags`."""
+    out = F.lit(True)
+    for flag in c4_page_flags(col, min_sentences).values():
+        out = out & flag
+    return out
+
+
 # PII patterns: kept to syntax valid in BOTH Java regex (Spark) and RE2
 # (DuckDB) so oracle SQL can mirror the counts 1:1. Intentionally simple
 # — recall-oriented pre-filters, not validators.

@@ -1300,6 +1300,129 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_c4_filter",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\w+ ){4}\w+) ',
+                            '\1.' || chr(10), 'g') AS t2
+      FROM documents
+    ), f AS (
+      SELECT doc_id, t2,
+             COALESCE(array_to_string(
+               list_filter(string_split(t2, chr(10)),
+                           l -> regexp_matches(trim(l), '[.!?"]$')
+                                AND len(string_split_regex(trim(l), '\s+')) >= 5
+                                AND NOT contains(lower(l), 'javascript')),
+               chr(10)), '') AS clean,
+             NOT contains(lower(t2), 'lorem ipsum') AS no_lorem_ipsum,
+             NOT contains(t2, '{') AS no_curly_brace,
+             len(regexp_extract_all(t2, '[.!?]')) >= 3 AS min_sentences_ok
+      FROM s
+    )
+    SELECT doc_id, no_lorem_ipsum, no_curly_brace, min_sentences_ok,
+           no_lorem_ipsum AND no_curly_brace AND min_sentences_ok AS keep,
+           CAST(CASE WHEN clean = '' THEN 0
+                ELSE len(string_split(clean, chr(10))) END AS INT) AS n_clean_lines,
+           CAST(len(clean) AS INT) AS clean_len
+    FROM f
+    """,
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 corpus cleanup (llm.text.c4_clean_lines / c4_page_flags —
+    Raffel et al. 2020 §2.2): line-level terminal-punctuation /
+    min-words / javascript filters plus page-level lorem-ipsum, curly-
+    brace, and sentence-count rules, all codegen Column expressions the
+    oracle mirrors 1:1.  The synthetic docs are single-line and
+    punctuation-free, so the gate first sentence-izes deterministically
+    (a '.\\n' after every 5th word via one regexp_replace — same
+    leftmost non-overlapping semantics in Java regex and RE2) to give
+    the line rules real structure to discriminate on."""
+    from .llm import c4_clean_lines, c4_keep, c4_page_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\w+ ){4}\w+) ", "$1.\n").alias("t2"),
+    )
+    flags = c4_page_flags("t2")
+    clean = c4_clean_lines("t2")
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in flags.items()],
+        c4_keep("t2").alias("keep"),
+        F.when(clean == "", 0)
+        .otherwise(F.size(F.split(clean, "\n")))
+        .cast("int")
+        .alias("n_clean_lines"),
+        F.length(clean).cast("int").alias("clean_len"),
+    )
+
+
+@register(
+    "q_curation_audit",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('der','die','das','und','nicht','ist','ein','zu'))) AS c_de,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('the','and','of','to','a','in','is','that'))) AS c_en,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('el','la','los','las','y','es','una','que'))) AS c_es,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> lower(x) IN ('的','是','了','在','和','有','我','不'))) AS c_zh,
+             len(regexp_extract_all(
+                 regexp_replace(text, '((?:\w+ ){4}\w+) ', '\1.' || chr(10), 'g'),
+                 '[.!?]')) >= 3
+               AND NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(text, '{') AS c4_ok
+      FROM documents
+    ), reasons AS (
+      SELECT source,
+             CASE WHEN n_words < 5 THEN 'too_short'
+                  WHEN GREATEST(c_de, c_en, c_es, c_fr, c_zh) = 0
+                       OR c_de = GREATEST(c_de, c_en, c_es, c_fr, c_zh)
+                       OR (c_en != GREATEST(c_de, c_en, c_es, c_fr, c_zh))
+                       THEN 'non_english'
+                  WHEN NOT c4_ok THEN 'c4_fail'
+                  ELSE 'kept' END AS outcome
+      FROM base
+    )
+    SELECT source, outcome, COUNT(*) AS n
+    FROM reasons GROUP BY source, outcome
+    """,
+)
+def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel audit: per-source counts of documents by FIRST
+    failing stage (length floor -> language-ID != en -> C4 page rules
+    on deterministically sentence-ized text -> kept).  The drop-reason
+    CASE has fixed precedence so the funnel is engine-reproducible —
+    the shape every production pipeline needs to answer 'where did my
+    corpus go?'.  The oracle replays language_id's argmax (de-first
+    tie-break order, matching llm.text.language_id) and the c4 flags
+    inline."""
+    from .llm import c4_keep, language_id, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.regexp_replace(F.col("text"), r"((?:\w+ ){4}\w+) ", "$1.\n")
+    outcome = (
+        F.when(token_count("text") < 5, "too_short")
+        .when(language_id("text") != "en", "non_english")
+        .when(~c4_keep(t2), "c4_fail")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("source", outcome.alias("outcome"))
+        .groupBy("source", "outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "q_token_budget_sample",
     oracle=r"""
     WITH t AS (

@@ -660,3 +660,27 @@ def test_take_token_budget_caps_and_overrides(spark):
     assert 4 in {r.doc_id for r in out2.collect()}
     # determinism: same prefix on re-run
     assert got == {r.doc_id: r.cum_tokens for r in take_token_budget(df, budget=8).collect()}
+
+
+# ------------------------------------------------------------------ c4
+
+
+def test_c4_line_and_page_rules(spark):
+    from dataframes_jl_spark.llm import c4_clean_lines, c4_keep
+
+    rows = [
+        (1, "This line has five good words.\nshort one\nAnother proper five word line!\nuses javascript so it drops."),
+        (2, "lorem ipsum dolor sit amet. This otherwise fine sentence stays here. One more good sentence follows now."),
+        (3, "function() { return 1; } This has sentences. Three of them here. And one more to spare."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.clean, r.keep) for r in df.select(
+        "doc_id",
+        c4_clean_lines("text").alias("clean"),
+        c4_keep("text").alias("keep"),
+    ).collect()}
+    # doc 1: keeps the two punctuation-terminated >=5-word lines,
+    # drops the short line and the javascript line
+    assert out[1][0] == "This line has five good words.\nAnother proper five word line!"
+    assert out[2][1] is False  # lorem ipsum page-level drop
+    assert out[3][1] is False  # curly brace page-level drop
