@@ -39,3 +39,4 @@ from .window import (  # noqa: F401
     rolling_stats,
     rolling_window,
 )
+from .scd import scd2_from_log, scd2_merge  # noqa: F401

@@ -1,0 +1,116 @@
+"""Slowly-changing-dimension (SCD type 2) operators: collapse a change
+log into validity intervals and apply update batches to a dimension.
+
+The reference is a batch analytics engine with no warehouse-merge
+surface; these are the beyond-reference completion of that family. Both
+operators are pure DataFrame compositions — per-key windows and
+broadcast-able joins — so they inherit Spark's partitioning: a key's
+history lives in one task, keys parallelize freely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_log(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse an append-only change log into SCD2 validity intervals.
+
+    Consecutive rows (per key, ordered by ``ts_col`` then ``tie_cols``)
+    with identical tracked attributes merge into one interval; each
+    change point opens a new version. Output: key + attrs +
+    ``valid_from`` (change-point timestamp) + ``valid_to`` (next
+    change-point, NULL for the current version).
+
+    Attribute comparison is null-safe (NULL == NULL holds), so a NULL
+    attribute value does not open a new version on every row. One
+    ``partitionBy(key)`` window pair — no SinglePartition, per-key
+    history sequential by nature.
+    """
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    order = [F.col(ts_col), *[F.col(c) for c in tie_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    starts = (
+        df.withColumn("__start__", first | changed)
+        .filter(F.col("__start__"))
+        .select(*key_cols, *attr_cols, F.col(ts_col).alias("valid_from"), *tie_cols)
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from"), *[F.col(c) for c in tie_cols]
+    )
+    return starts.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension (one row per key in
+    ``updates``; ``eff_col`` is the batch's effective timestamp column).
+
+    - changed attributes: the open version is closed at the effective
+      time and a new open version is inserted;
+    - unchanged or absent keys: rows pass through untouched;
+    - brand-new keys: inserted as open versions;
+    - historical (already-closed) rows: pass through untouched.
+
+    The updates side is a batch (usually small): Spark broadcasts it
+    both ways; the dimension is never collected or rewritten beyond the
+    touched keys' rows.
+    """
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    cur = dim.filter(F.col(to_col).isNull())
+    hist = dim.filter(F.col(to_col).isNotNull())
+    up = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__u_{c}") for c in attr_cols],
+        F.col(eff_col).alias("__u_eff"),
+    )
+    cond = [F.col(k) == F.col(f"__u_{k}") for k in key_cols]
+    joined = cur.join(up, cond, "full_outer")
+    same = F.lit(True)
+    for c in attr_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_cur = F.col(from_col).isNotNull()
+    has_up = F.col("__u_eff").isNotNull()
+    # surviving current rows: untouched keys, unchanged keys, and the
+    # closed-out predecessor of changed keys
+    kept = joined.filter(has_cur).select(
+        *key_cols,
+        *attr_cols,
+        F.col(from_col),
+        F.when(has_up & ~same, F.col("__u_eff")).otherwise(F.col(to_col)).alias(
+            to_col
+        ),
+    )
+    # new open versions: changed keys and brand-new keys
+    inserted = joined.filter(has_up & (~has_cur | ~same)).select(
+        *[F.coalesce(F.col(f"__u_{k}"), F.col(k)).alias(k) for k in key_cols],
+        *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+        F.col("__u_eff").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+    )
+    return hist.select(*kept.columns).unionByName(kept).unionByName(inserted)

@@ -1239,23 +1239,52 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_doc_fingerprint")
+@register(
+    "q_doc_fingerprint",
+    oracle=r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 10000, text FROM documents
+      UNION ALL SELECT doc_id + 20000,
+        array_to_string(list_reverse(
+            string_split_regex(trim(text), '\s+')), ' ') FROM documents
+    ), keyed AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN ''
+                  ELSE array_to_string(
+                      string_split_regex(trim(text), '\s+'), ' ') END AS k
+      FROM all_docs
+    )
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS rep
+    FROM keyed
+    """,
+)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprints (llm.text.
-    doc_fingerprint); rows-only check (xxhash64 not in DuckDB).
-    Fingerprint-equality dedup count included so the row shape is
-    meaningful."""
+    doc_fingerprint).  The xxhash64 VALUES are not reproducible in
+    DuckDB, but the GROUP STRUCTURE they induce is: same token stream
+    (or both <3 tokens, where the gram list is empty) ⟺ same
+    fingerprint.  The query unions the corpus with an exact copy
+    (shifted ids — must land in the same group) and a token-REVERSED
+    copy (must NOT, asserting order sensitivity), then emits each row's
+    min-id group representative — upgrading the former rows-only slot
+    to a full value gate."""
+    from pyspark.sql import Window
+
     from .llm import doc_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(doc_fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct_fp"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_collision_groups"),
-        )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    rev = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    all_docs = docs.unionByName(dup).unionByName(rev)
+    keyed = all_docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+    return keyed.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("fp")).alias("rep")
     )
 
 
@@ -1297,6 +1326,39 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(davg(quality_score("text"), 8), 4).alias("avg_quality"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM starts
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval compaction (ops.scd.scd2_from_log): collapse
+    the event log into per-user validity intervals of constant
+    event_type — null-safe change-point detection via lag, interval
+    close via lead, one partitionBy(user_id) window pair (no
+    SinglePartition)."""
+    from .ops.scd import scd2_from_log
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_from_log(
+        ev, ["user_id"], ["event_type"], "ts", tie_cols=["event_id"]
+    )
+    return out.select("user_id", "event_type", "valid_from", "valid_to")
 
 
 @register(

@@ -621,3 +621,64 @@ def test_ewma_group_guard_and_alpha(spark):
         ewma(df, "value", "ts", "user_id", alpha=0.0)
     with _pytest.raises(Exception):  # Py4J wraps the worker's ValueError
         ewma(df, "value", "ts", "user_id", alpha=0.5, max_group_rows=5).collect()
+
+
+# ------------------------------------------------------------------ scd2
+
+
+def test_scd2_merge_cases(spark):
+    from dataframes_jl_spark.ops import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: history + open version that WILL change
+            (1, "a", "2024-01-01", "2024-02-01"),
+            (1, "b", "2024-02-01", None),
+            # k=2: open version, update arrives with SAME attrs -> untouched
+            (2, "x", "2024-01-15", None),
+            # k=3: open version, no update -> untouched
+            (3, "z", "2024-01-20", None),
+        ],
+        "k bigint, attr string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "c", "2024-03-01"),   # change
+            (2, "x", "2024-03-01"),   # no-op
+            (9, "new", "2024-03-01"), # brand-new key
+        ],
+        "k bigint, attr string, eff string",
+    )
+    out = scd2_merge(dim, updates, ["k"], ["attr"], "eff")
+    rows = {(r.k, r.attr, r.valid_from): r.valid_to for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "a", "2024-01-01")] == "2024-02-01"   # history untouched
+    assert rows[(1, "b", "2024-02-01")] == "2024-03-01"   # closed out
+    assert rows[(1, "c", "2024-03-01")] is None           # new open version
+    assert rows[(2, "x", "2024-01-15")] is None           # no-op unchanged
+    assert rows[(3, "z", "2024-01-20")] is None           # untouched
+    assert rows[(9, "new", "2024-03-01")] is None         # inserted
+
+
+def test_scd2_from_log_nullsafe_and_roundtrip(spark):
+    from dataframes_jl_spark.ops import scd2_from_log
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, None), (1, 2, None),    # NULL==NULL: ONE interval
+            (1, 3, "a"), (1, 4, "a"), (1, 5, "b"),
+            (2, 1, "q"),
+        ],
+        "k bigint, ts bigint, attr string",
+    )
+    out = scd2_from_log(log, ["k"], ["attr"], "ts")
+    got = sorted(
+        ((r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, None, 1, 3),
+        (1, "a", 3, 5),
+        (1, "b", 5, None),
+        (2, "q", 1, None),
+    ]
