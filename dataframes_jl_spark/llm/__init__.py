@@ -49,6 +49,7 @@ from .cluster import (  # noqa: F401
     fit_kmeans_driver,
     fit_pca_driver,
     kmeans_assign,
+    kmeans_assign_np,
     pca_project,
     semdedup,
     semdedup_pairs,

@@ -126,6 +126,58 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_np(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: Arrow-batched numpy
+    matmul over ``mapInPandas``.
+
+    The literal-inlined :func:`kmeans_assign` is engine-exact (the
+    oracle gates use it) but its generated expression grows with
+    k x dim and falls out of whole-stage codegen past a few dozen
+    centroids.  This path computes ||v||^2 - 2 v.C^T + ||C||^2 for a
+    whole Arrow batch in one BLAS call, so k in the hundreds-to-
+    thousands (SemDeDup's k ~ sqrt(n)) costs one matmul per batch.
+    Ties break to the lowest centroid id (numpy argmin returns the
+    first minimum) — same policy as the literal path, though float64
+    distances can tie-break differently than the quantized longs in
+    exactly-equidistant cases.  Output matches kmeans_assign:
+    (id, *keep, cluster, qdist2-as-double).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *[F.col(k) for k in keep], _as_double(F.col(vec_col)).alias("__v__")
+    )
+    out_fields = [f for f in src.schema.fields if f.name != "__v__"]
+    schema_ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + ["cluster int", "qdist2 double"]
+    )
+    keep_cols = [id_col, *keep]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v__"]])
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            cl = d2.argmin(axis=1)
+            out = pdf[keep_cols].copy()
+            out["cluster"] = cl.astype("int32")
+            out["qdist2"] = d2[np.arange(len(pdf)), cl]
+            yield out
+
+    return src.mapInPandas(assign, schema_ddl)
+
+
 def cluster_profile(assigned: DataFrame, scale: int = 6) -> DataFrame:
     """Per-cluster curation stats: size and mean squared distance to the
     centroid (a dispersion signal — tight clusters are near-duplicate
@@ -158,6 +210,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     scale: int = 6,
+    persist: bool = False,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -180,14 +233,20 @@ def semdedup_pairs(
     # whole centroid argmin as a scan-stage filter — the inferred-filter
     # trap the IVF path plan-pins against. The vector rides through
     # ``keep`` so there is no join-back to re-attach it.
-    assigned = kmeans_assign(
-        df.filter(F.col(vec_col).isNotNull()),
-        centroids,
-        id_col,
-        vec_col,
-        scale,
-        keep=(vec_col,),
-    )
+    # Assignment path: the literal-inlined engine-exact argmin up to a
+    # few dozen centroids (the oracle-gated regime), the Arrow/numpy
+    # matmul beyond that (SemDeDup's k ~ sqrt(n) regime, where the
+    # inlined expression falls out of codegen and goes quadratically
+    # interpreted).
+    filtered = df.filter(F.col(vec_col).isNotNull())
+    if len(centroids) <= 32:
+        assigned = kmeans_assign(
+            filtered, centroids, id_col, vec_col, scale, keep=(vec_col,)
+        )
+    else:
+        assigned = kmeans_assign_np(
+            filtered, centroids, id_col, vec_col, keep=(vec_col,)
+        )
     # Each row's norm is computed ONCE here and carried through the
     # join: cos(a,b) = dot/(na*nb) then costs one aggregate per pair
     # instead of three (measured 3x+ on the pair stage). Same arithmetic
@@ -198,6 +257,12 @@ def semdedup_pairs(
         F.coalesce("cluster", F.lit(0)).alias("cluster"),
         _as_double(F.col(vec_col)).alias("v"),
     ).select("id", "cluster", "v", norm(F.col("v")).alias("nv"))
+    if persist:
+        # both join sides read `base`: without a persist the whole
+        # assignment lineage executes twice. Worth it whenever the
+        # assignment is the numpy path over a large corpus; caller (or
+        # executor eviction) owns unpersisting.
+        base = base.persist()
     # Spread the probe side: a single-file source scans as one
     # partition, and when AQE broadcasts the build side the whole pair
     # loop would otherwise run in that one task. Hash-repartitioning on

@@ -684,3 +684,19 @@ def test_c4_line_and_page_rules(spark):
     assert out[1][0] == "This line has five good words.\nAnother proper five word line!"
     assert out[2][1] is False  # lorem ipsum page-level drop
     assert out[3][1] is False  # curly brace page-level drop
+
+
+def test_kmeans_assign_np_matches_literal(spark):
+    import random
+
+    from dataframes_jl_spark.llm import kmeans_assign, kmeans_assign_np
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(5)]
+    lit = {r.vec_id: r.cluster for r in kmeans_assign(emb, cents).collect()}
+    vec = {r.vec_id: r.cluster for r in kmeans_assign_np(emb, cents).collect()}
+    assert lit == vec
