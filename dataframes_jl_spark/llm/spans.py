@@ -85,6 +85,7 @@ def duplicated_spans(
     min_len: int = 16,
     max_df: int = 64,
     hash_grams: bool = False,
+    persist: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans between document pairs.
 
@@ -97,10 +98,23 @@ def duplicated_spans(
     cartesian anywhere. ``max_df`` caps the per-gram join fan-out so a
     boilerplate gram (page headers, license blocks) cannot go
     quadratic — raise it knowingly, never to infinity.
+
+    The gram table feeds BOTH the document-frequency aggregate and the
+    pair join, so its lineage (tokenize + explode over the whole
+    corpus) executes twice; ``persist=True`` materializes it once
+    (MEMORY_AND_DISK) — the right call for any corpus where
+    tokenization dominates. The count-then-join two-pass shape is
+    deliberate: a single-pass ``collect_list`` posting-list variant
+    avoids the second pass but must materialize a boilerplate gram's
+    full posting list in one aggregation buffer BEFORE the cap can
+    drop it — an executor-memory hazard the counting aggregate does
+    not have.
     """
     if min_len < n:
         raise ValueError(f"min_len={min_len} must be >= n={n}")
     grams = position_ngrams(df, id_col, text_col, n=n, hash_grams=hash_grams)
+    if persist:
+        grams = grams.persist()
 
     # document-frequency cap: computed once, applied before the join
     rare = (
@@ -156,6 +170,7 @@ def span_dup_fraction(
     min_len: int = 16,
     max_df: int = 64,
     hash_grams: bool = False,
+    persist: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-token budget: for each doc that shares
     at least one span, the number of its token positions covered by
@@ -166,7 +181,7 @@ def span_dup_fraction(
     pass — still no per-doc collect."""
     spans = duplicated_spans(
         df, id_col, text_col, n=n, min_len=min_len, max_df=max_df,
-        hash_grams=hash_grams,
+        hash_grams=hash_grams, persist=persist,
     )
     per_doc = (
         spans.select(

@@ -1081,7 +1081,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = duplicated_spans(
         docs, "doc_id", "text",
         n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
-        hash_grams=True,
+        hash_grams=True, persist=True,
     )
     return out.select(
         "id_a", "id_b",
@@ -1148,7 +1148,7 @@ def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = span_dup_fraction(
         docs, "doc_id", "text",
         n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
-        hash_grams=True,
+        hash_grams=True, persist=True,
     )
     return out.select(
         "id",

@@ -218,3 +218,85 @@ def test_chunking_no_overlap_partitions_tokens_exactly(spark):
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     for r in rebuilt.collect():
         assert r["re"] == orig[r["doc_id"]]
+
+
+texts = st.lists(
+    st.text(alphabet="abc .!\n", min_size=0, max_size=60),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(ts=texts)
+@SETTINGS
+def test_token_budget_monotone_in_budget(spark, ts):
+    """A larger token budget keeps a superset of a smaller one, and
+    both keep hash-order prefixes (cum_tokens never exceeds budget)."""
+    from dataframes_jl_spark.llm import take_token_budget
+
+    rows = [(i, "s", t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    small = {r.doc_id for r in take_token_budget(df, budget=5).collect()}
+    big = {r.doc_id for r in take_token_budget(df, budget=50).collect()}
+    assert small <= big
+    assert all(r.cum_tokens <= 5 for r in take_token_budget(df, budget=5).collect())
+
+
+@given(ts=texts)
+@SETTINGS
+def test_c4_clean_idempotent(spark, ts):
+    """Cleaning already-cleaned text is a no-op (kept lines still end in
+    terminal punctuation, meet the word floor, lack 'javascript')."""
+    from dataframes_jl_spark.llm import c4_clean_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "doc_id bigint, text string"
+    )
+    once = df.select("doc_id", c4_clean_lines("text").alias("text"))
+    twice = once.select("doc_id", c4_clean_lines("text").alias("text"))
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+
+
+def test_semdedup_threshold_monotone(spark):
+    """Raising the cosine threshold can only shrink the pair set."""
+    import random
+
+    from dataframes_jl_spark.llm import semdedup_pairs
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    lo = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, cents, threshold=0.1).collect()}
+    hi = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, cents, threshold=0.6).collect()}
+    assert hi <= lo
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    """Per key, SCD2 intervals tile the timeline: first valid_from is
+    the key's first event, each valid_to equals the next valid_from,
+    and exactly one open (NULL valid_to) interval exists."""
+    import random
+
+    from dataframes_jl_spark.ops import scd2_from_log
+
+    rng = random.Random(5)
+    rows = [
+        (k, t, rng.choice("xyz"))
+        for k in range(6)
+        for t in range(rng.randint(1, 20))
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts bigint, attr string")
+    by_key = {}
+    for r in scd2_from_log(df, ["k"], ["attr"], "ts").collect():
+        by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to))
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda t: t[0])
+        assert ivs[0][0] == 0  # first event ts per key
+        assert sum(1 for _, vt in ivs if vt is None) == 1
+        for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2
