@@ -21,9 +21,13 @@ def tokens(col: str | Column) -> Column:
 
 
 def token_count(col: str | Column) -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
+    """Whitespace token count; 0 for NULL/empty/blank text (without the
+    NULL guard, ``size(split(NULL))`` is -1 — legacy Spark — and a NULL
+    document would DECREASE any cumulative token sum built on this)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.lit(0)
+    ).otherwise(F.size(tokens(c)))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
@@ -263,7 +267,7 @@ def c4_clean_lines(col: str | Column, min_words: int = 5) -> Column:
     ``min_words`` words, and do not mention 'javascript'; re-join the
     survivors with newlines.  One line split + one filter — codegen,
     linear per document."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     kept = F.filter(
         F.split(c, "\n"),
         lambda l: F.trim(l).rlike(r'[.!?"]$')
@@ -276,8 +280,10 @@ def c4_clean_lines(col: str | Column, min_words: int = 5) -> Column:
 def c4_page_flags(col: str | Column, min_sentences: int = 3) -> dict[str, Column]:
     """C4 page-level filter booleans (True = rule passes): no
     'lorem ipsum', no '{' (code), and at least ``min_sentences``
-    terminal-punctuation sentences."""
-    c = F.col(col) if isinstance(col, str) else col
+    terminal-punctuation sentences.  NULL text behaves as empty (the
+    flags are real booleans, never NULL — a NULL flag would silently
+    drop through both keep- and drop-filters)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     return {
         "no_lorem_ipsum": ~F.lower(c).contains("lorem ipsum"),
         "no_curly_brace": ~c.contains("{"),

@@ -700,3 +700,35 @@ def test_kmeans_assign_np_matches_literal(spark):
     lit = {r.vec_id: r.cluster for r in kmeans_assign(emb, cents).collect()}
     vec = {r.vec_id: r.cluster for r in kmeans_assign_np(emb, cents).collect()}
     assert lit == vec
+
+
+def test_text_ops_null_safe(spark):
+    from dataframes_jl_spark.llm import (
+        c4_clean_lines,
+        c4_keep,
+        gopher_pass,
+        take_token_budget,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two three")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.tc, r.gp, r.c4c, r.c4k)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            gopher_pass("text", min_words=2).alias("gp"),
+            c4_clean_lines("text").alias("c4c"),
+            c4_keep("text").alias("c4k"),
+        ).collect()
+    }
+    assert got[1] == (0, False, "", False)  # NULL: never -1, never NULL flags
+    assert got[2] == (0, False, "", False)
+    assert got[3][0] == 3
+    # a NULL-text doc must not INCREASE the remaining budget
+    srcd = df.withColumn("source", F.lit("s"))
+    kept = take_token_budget(srcd, budget=3)
+    assert all(r.n_tokens >= 0 and r.cum_tokens >= 0 for r in kept.collect())
