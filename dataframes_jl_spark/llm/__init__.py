@@ -54,6 +54,7 @@ from .cluster import (  # noqa: F401
     semdedup,
     semdedup_pairs,
 )
+from .quant import dequantize, quantize_embeddings  # noqa: F401
 from .mixture import (  # noqa: F401
     domain_stats,
     mixture_weights,

@@ -1522,6 +1522,61 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+    ), coded AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(e,
+                       x -> CAST(FLOOR(x / scale * 127.0 + 0.5) AS SMALLINT))
+                  ELSE list_transform(e, x -> CAST(0 AS SMALLINT)) END AS qv
+      FROM q
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           array_to_string(qv, ',') AS codes,
+           ROUND(CASE WHEN scale > 0 THEN list_cosine_similarity(
+                 e, list_transform(qv, q -> CAST(q AS DOUBLE) * scale / 127.0))
+                 ELSE NULL END, 4) AS recon_cos
+    FROM coded
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (llm.quant): per-vector
+    scale + exact integer codes + reconstruction cosine.  The codes are
+    floor(x/scale*127 + 0.5) — IEEE-exact arithmetic, so the oracle
+    replays them bit-for-bit; the reconstruction cosine (rounded to 4,
+    ~0.99+ on this data) gates the dequantize path end-to-end."""
+    from .llm import dequantize, quantize_embeddings
+    from .llm.similarity import _as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding").join(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("e")), on="vec_id"
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "codes"
+        ),
+        F.round(
+            F.when(
+                F.col("scale") > 0,
+                cosine(F.col("e"), dequantize(F.col("qvec"), F.col("scale"))),
+            ),
+            4,
+        ).alias("recon_cos"),
+    )
+
+
+@register(
     "q_gopher_rules",
     oracle=r"""
     WITH d AS (

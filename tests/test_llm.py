@@ -732,3 +732,30 @@ def test_text_ops_null_safe(spark):
     srcd = df.withColumn("source", F.lit("s"))
     kept = take_token_budget(srcd, budget=3)
     assert all(r.n_tokens >= 0 and r.cum_tokens >= 0 for r in kept.collect())
+
+
+def test_quantize_roundtrip_and_zero_vector(spark):
+    import math
+    import random
+
+    from dataframes_jl_spark.llm import dequantize, quantize_embeddings
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = quantize_embeddings(df, "vec_id", "embedding")
+    out = q.select("vec_id", "qvec", "scale",
+                   dequantize(F.col("qvec"), F.col("scale")).alias("d")).collect()
+    orig = dict(rows)
+    for r in out:
+        if r.vec_id == 99:
+            assert r.scale == 0.0 and all(v == 0 for v in r.qvec)
+            continue
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        # max abs reconstruction error <= scale/(2*127) per dim (half a step)
+        step = r.scale / 127.0
+        for a, b in zip(orig[r.vec_id], r.d):
+            assert abs(a - b) <= step / 2 + 1e-12
+    with __import__("pytest").raises(ValueError):
+        quantize_embeddings(df, bits=1)
