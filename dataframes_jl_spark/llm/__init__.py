@@ -54,7 +54,11 @@ from .cluster import (  # noqa: F401
     semdedup,
     semdedup_pairs,
 )
-from .quant import dequantize, quantize_embeddings  # noqa: F401
+from .quant import (  # noqa: F401
+    dequantize,
+    quantize_embeddings,
+    quantized_rescore_topk,
+)
 from .mixture import (  # noqa: F401
     domain_stats,
     mixture_weights,

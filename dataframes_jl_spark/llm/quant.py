@@ -59,3 +59,98 @@ def dequantize(qvec: Column, scale: Column, bits: int = 8) -> Column:
     """Reconstruct an approximate double vector from codes + scale."""
     qmax = float(2 ** (bits - 1) - 1)
     return F.transform(qvec, lambda q: q.cast("double") * scale / F.lit(qmax))
+
+
+def quantized_rescore_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Two-stage top-k: shortlist on int8 codes, exact rescore on floats.
+
+    Stage 1 scans the quantized corpus (1 byte/dim — the column a
+    100 TB deployment actually keeps hot) and ranks by integer dot
+    product; symmetric per-vector quantization preserves cosine order
+    up to half-step noise, so a ``shortlist`` of a few k recovers the
+    true top-k with recall ~1.  Stage 2 re-attaches full-precision
+    vectors for shortlisted pairs only and reranks with exact cosine —
+    ``|Q| * shortlist`` float operations instead of ``|Q| * n``.
+
+    Same contract as :func:`..similarity.brute_force_topk`:
+    (query_id, neighbor_id, cos_sim, rank), self-matches excluded,
+    ties by neighbor id.  Scan cost is still O(|Q| * n) — the win is
+    4-8x less bandwidth on the scan stage; for sub-linear candidate
+    generation compose with the IVF/LSH paths instead.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _as_double, cosine
+
+    if shortlist is None:
+        shortlist = max(3 * k, k + 8)
+    cq = quantize_embeddings(corpus, id_col, vec_col, bits)
+    qq = quantize_embeddings(queries, id_col, vec_col, bits)
+    # integer dot product of codes; norm factors make it a cosine
+    # estimate (scales cancel in the per-query ordering).
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qa"), F.col("qb"), lambda x, y: (x.cast("long") * y.cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    a = F.broadcast(
+        qq.select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qa"))
+    )
+    b = cq.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb"))
+    approx = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.nanvl(
+                idot.cast("double") / (inorm(F.col("qa")) * inorm(F.col("qb"))),
+                F.lit(None).cast("double"),
+            ).alias("qcos"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    cand = approx.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= shortlist
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    rescored = (
+        cand.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

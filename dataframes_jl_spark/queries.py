@@ -1522,6 +1522,28 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_quantized",
+    oracle="""
+    SELECT 3 AS k, COUNT(*) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 7
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN (llm.quant.quantized_rescore_topk):
+    int8-code shortlist + exact float rescore, gated via recall@3 vs
+    exact brute force over the deterministic probe subset (int8 on
+    64 dims recovers the true top-k — target 0.9 leaves margin for
+    half-step ties)."""
+    from .llm import quantized_rescore_topk
+
+    def approx(emb):
+        probes = emb.filter(F.col("vec_id") % 50 == 7)
+        return quantized_rescore_topk(probes, emb, k=3)
+
+    return _ann_recall_summary(spark, sf_dir, approx, k=3, target=0.9)
+
+
+@register(
     "q_embed_quantize",
     oracle="""
     WITH v AS (

@@ -759,3 +759,23 @@ def test_quantize_roundtrip_and_zero_vector(spark):
             assert abs(a - b) <= step / 2 + 1e-12
     with __import__("pytest").raises(ValueError):
         quantize_embeddings(df, bits=1)
+
+
+def test_quantized_rescore_topk_matches_exact(spark):
+    import random
+
+    from dataframes_jl_spark.llm import brute_force_topk, quantized_rescore_topk
+
+    rng = random.Random(23)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(80)],
+        "vec_id bigint, embedding array<double>",
+    )
+    probes = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in brute_force_topk(probes, emb, k=3).collect()}
+    quant = {(r.query_id, r.rank): r.neighbor_id
+             for r in quantized_rescore_topk(probes, emb, k=3).collect()}
+    # exact rescore over an int8 shortlist recovers the true top-3
+    hits = sum(1 for key in exact if quant.get(key) == exact[key])
+    assert hits / len(exact) >= 0.9
