@@ -350,3 +350,59 @@ def colffts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             schema="variable string, bin bigint, magnitude double",
         )
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    by: str | Sequence[str],
+    x: str,
+    y: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression y = slope*x + intercept, from
+    engine-exact quantized moment sums.
+
+    ``covar_pop``/``var_pop`` accumulate doubles in partition order, so
+    their low bits — and any gate built on them — drift run to run.
+    Instead the five moments (n, Σx, Σy, Σxy, Σx²) are int64-quantized
+    sums (the dsum discipline), and slope/intercept/R² are closed-form
+    ratios of exact integers — bit-identical across engines and
+    partitionings.  One map-side partial aggregate; no window, no
+    second pass.
+
+    Magnitude contract: |x·y|·10^scale and group totals must fit int64
+    (raise ``scale`` awareness for wide-range columns, same as dsum).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    m = F.lit(float(10**scale))
+
+    def q(c):
+        return F.sum(F.floor(c * m + F.lit(0.5)).cast("long"))
+
+    xc, yc = F.col(x), F.col(y)
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        q(xc).alias("sx"),
+        q(yc).alias("sy"),
+        q(xc * yc).alias("sxy"),
+        q(xc * xc).alias("sxx"),
+        q(yc * yc).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx") / m
+    sy = F.col("sy") / m
+    sxy = F.col("sxy") / m
+    sxx = F.col("sxx") / m
+    syy = F.col("syy") / m
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n
+    ss_tot = n * syy - sy * sy
+    r2 = F.when(ss_tot != 0, F.pow(n * sxy - sx * sy, 2) / (denom * ss_tot))
+    return agg.select(
+        *by,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -1,5 +1,6 @@
-"""Slowly-changing-dimension (SCD type 2) operators: collapse a change
-log into validity intervals and apply update batches to a dimension.
+"""Warehouse/product-analytics operators: SCD type-2 (collapse a change
+log into validity intervals, apply update batches to a dimension) and
+ordered funnel analysis over event streams.
 
 The reference is a batch analytics engine with no warehouse-merge
 surface; these are the beyond-reference completion of that family. Both
@@ -114,3 +115,75 @@ def scd2_merge(
         F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
     )
     return hist.select(*kept.columns).unionByName(kept).unionByName(inserted)
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel step times per user: for each user, the earliest
+    time they completed step i STRICTLY AFTER completing step i-1.
+
+    Output: one row per user with ``step_0 .. step_{k-1}`` timestamp
+    columns (NULL = never reached).  A later step only counts if it
+    happens after the user's earliest qualifying previous step — the
+    standard ordered-funnel semantics, not mere per-step presence.
+
+    Plan shape: ONE hash shuffle on the user key, then k chained
+    Window projections over the same partitioning (Catalyst keeps them
+    in a single exchange); no collect_list, so per-user state is k
+    timestamps regardless of event volume.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    t, ty = F.col(ts_col), F.col(type_col)
+    out = df
+    for i, step in enumerate(steps):
+        cond = ty == step
+        if i > 0:
+            cond = cond & (t > F.col(f"step_{i - 1}"))
+        out = out.withColumn(f"step_{i}", F.min(F.when(cond, t)).over(w))
+    return out.groupBy(user_col).agg(
+        *[F.min(f"step_{i}").alias(f"step_{i}") for i in range(len(steps))]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel summary: users reaching each ordered step + conversion
+    from the previous step. One row per step, in order.  The per-step
+    rows come from ONE `inline` over the single aggregate row — never a
+    union of k selects, which would re-execute the per-user lineage k
+    times."""
+    per_user = funnel_steps(df, user_col, type_col, ts_col, steps)
+    agg = per_user.agg(
+        *[
+            F.count(F.col(f"step_{i}")).cast("long").alias(f"__n{i}__")
+            for i in range(len(steps))
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"__n{i}__").alias("n_users"),
+                (
+                    F.col(f"__n{i}__") / F.col(f"__n{i - 1}__")
+                    if i > 0
+                    else F.lit(1.0)
+                ).alias("conversion"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return agg.select(F.inline(structs))

@@ -1522,6 +1522,98 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE ts < TIMESTAMP '2024-01-03'
+    ), a AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t0
+      FROM e
+    ), b AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+      FROM a
+    ), c AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+      FROM b
+    ), u AS (
+      SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+      FROM c GROUP BY user_id
+    ), n AS (
+      SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM u
+    )
+    SELECT 0 AS step_idx, 'view' AS step, CAST(n0 AS BIGINT) AS n_users,
+           1.0 AS conversion FROM n
+    UNION ALL
+    SELECT 1, 'click', CAST(n1 AS BIGINT),
+           ROUND(CAST(n1 AS DOUBLE) / n0, 6) FROM n
+    UNION ALL
+    SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+           ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (ops.scd.funnel_counts):
+    a later step counts only strictly after the user's earliest
+    qualifying previous step.  One user-key shuffle feeding k chained
+    Window projections; conversions are ratios of exact counts.  The
+    2-day event slice makes the gate discriminating (92 -> 41 -> 21
+    users at sf0.01) — over the full range every user completes every
+    step and an ordering bug would be invisible."""
+    from .ops.scd import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    out = funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"])
+    return out.select(
+        "step_idx", "step", "n_users", F.round("conversion", 6).alias("conversion")
+    )
+
+
+@register(
+    "q_grouped_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)/1e4 AS sx,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)/1e4 AS sy,
+        CAST(SUM(CAST(FLOOR(l_quantity * l_extendedprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)/1e4 AS sxy,
+        CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)/1e4 AS sxx,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)/1e4 AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
+           ROUND(POW(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (functions.stats.grouped_ols):
+    price-on-quantity slope/intercept/R² per returnflag from int64-
+    quantized moment sums — closed-form ratios of exact integers, so
+    covar_pop's partition-order float drift never reaches the gate.
+    One map-side partial aggregate."""
+    from .functions.stats import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = grouped_ols(li, "l_returnflag", x="l_quantity", y="l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+@register(
     "q_ann_quantized",
     oracle="""
     SELECT 3 AS k, COUNT(*) AS n_queries, TRUE AS recall_ok

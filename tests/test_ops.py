@@ -682,3 +682,41 @@ def test_scd2_from_log_nullsafe_and_roundtrip(spark):
         (1, "b", 5, None),
         (2, "q", 1, None),
     ]
+
+
+def test_grouped_ols_recovers_known_line(spark):
+    from dataframes_jl_spark.functions.stats import grouped_ols
+
+    # group g1: exact line y = 2x + 3 (R² = 1); g2: constant x (degenerate)
+    rows = [("g1", float(x), 2.0 * x + 3.0) for x in range(1, 8)]
+    rows += [("g2", 5.0, float(y)) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert abs(out["g1"].slope - 2.0) < 1e-9
+    assert abs(out["g1"].intercept - 3.0) < 1e-9
+    assert abs(out["g1"].r2 - 1.0) < 1e-9
+    assert out["g2"].slope is None  # zero x-variance -> undefined, not inf
+
+
+def test_funnel_ordered_semantics(spark):
+    from dataframes_jl_spark.ops import funnel_counts, funnel_steps
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", 1), (1, "click", 2), (1, "buy", 3),
+        # u2: clicked BEFORE viewing -> click does not count
+        (2, "click", 1), (2, "view", 2), (2, "buy", 3),
+        # u3: view only
+        (3, "view", 5),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, et string, ts bigint")
+    per = {r.u: (r.step_0, r.step_1, r.step_2)
+           for r in funnel_steps(df, "u", "et", "ts", ["view", "click", "buy"]).collect()}
+    assert per[1] == (1, 2, 3)
+    assert per[2] == (2, None, None)  # strictly-after enforced
+    assert per[3] == (5, None, None)
+    counts = {r.step: (r.n_users, round(r.conversion, 4))
+              for r in funnel_counts(df, "u", "et", "ts", ["view", "click", "buy"]).collect()}
+    assert counts["view"] == (3, 1.0)
+    assert counts["click"] == (1, round(1 / 3, 4))
+    assert counts["buy"] == (1, 1.0)
