@@ -187,3 +187,50 @@ def funnel_counts(
         ]
     )
     return agg.select(F.inline(structs))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period, tracked by how many are active N periods later.
+
+    Output: (cohort, period_offset, n_active, retention) — one row per
+    (cohort period, offset >= 0), retention = n_active / cohort size.
+    Offsets are calendar-period differences (months or days).
+
+    Plan shape: one user-key aggregate for cohort assignment (min
+    timestamp), rejoined to the distinct (user, period) activity set —
+    both keyed on the user, so the join reuses the aggregate's
+    partitioning; then one small aggregate on (cohort, offset).
+    """
+    if period == "month":
+        bucket = lambda c: F.date_trunc("month", c)  # noqa: E731
+        offset = lambda a, b: F.months_between(a, b).cast("long")  # noqa: E731
+    elif period == "day":
+        bucket = lambda c: F.date_trunc("day", c)  # noqa: E731
+        offset = lambda a, b: F.datediff(F.to_date(a), F.to_date(b)).cast("long")  # noqa: E731
+    else:
+        raise ValueError(f"period must be 'month' or 'day', got {period!r}")
+    u, t = F.col(user_col), F.col(ts_col)
+    cohorts = df.groupBy(user_col).agg(bucket(F.min(t)).alias("cohort"))
+    activity = df.select(user_col, bucket(t).alias("p")).distinct()
+    joined = activity.join(cohorts, on=user_col)
+    per_cell = joined.groupBy(
+        "cohort", offset(F.col("p"), F.col("cohort")).alias("period_offset")
+    ).agg(F.count_distinct(user_col).alias("n_active"))
+    sizes = per_cell.filter(F.col("period_offset") == 0).select(
+        F.col("cohort").alias("__c__"), F.col("n_active").alias("__size__")
+    )
+    return (
+        per_cell.join(F.broadcast(sizes), F.col("cohort") == F.col("__c__"))
+        .select(
+            "cohort",
+            "period_offset",
+            "n_active",
+            (F.col("n_active") / F.col("__size__")).alias("retention"),
+        )
+    )

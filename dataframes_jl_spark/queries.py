@@ -1522,6 +1522,54 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND value > 50
+    ), cohorts AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+      FROM e GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM e
+    ), j AS (
+      SELECT a.user_id, c.cohort, datediff('day', c.cohort, a.p) AS off
+      FROM act a JOIN cohorts c USING (user_id)
+    ), cells AS (
+      SELECT cohort, off AS period_offset,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM j GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort AS c2, n_active AS sz FROM cells WHERE period_offset = 0
+    )
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+           CAST(period_offset AS BIGINT) AS period_offset,
+           n_active,
+           ROUND(CAST(n_active AS DOUBLE) / sz, 6) AS retention
+    FROM cells JOIN sizes ON cohort = c2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (ops.scd.cohort_retention) over the
+    high-value purchase subset: users grouped by first-purchase day,
+    tracked by activity N days later.  The value filter thins activity
+    so the matrix actually discriminates (265 cells, 21 cohorts at
+    sf0.01); retention is a ratio of exact distinct counts."""
+    from .ops.scd import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    )
+    out = cohort_retention(ev, "user_id", "ts", period="day")
+    return out.select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+@register(
     "q_funnel",
     oracle="""
     WITH e AS (

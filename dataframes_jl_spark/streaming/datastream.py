@@ -260,3 +260,32 @@ def stream_to_parquet(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def curate_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    redact: bool = True,
+):
+    """Streaming-safe corpus curation: Gopher + C4 page-rule filtering,
+    PII redaction, and ingest dedup composed into one pipeline.
+
+    Every quality rule is a stateless Column expression and the dedup
+    is watermark-bounded, so the SAME call runs as a batch job over a
+    backfill and as a ``readStream`` over the live feed — the
+    batch/stream parity a production ingest needs (and what the
+    agreement test pins).
+    """
+    from ..llm import c4_keep, gopher_pass
+    from ..llm.text import redact_pii
+
+    out = df.filter(
+        gopher_pass(text_col, min_words=min_words) & c4_keep(text_col)
+    )
+    if redact:
+        out = out.withColumn(text_col, redact_pii(F.col(text_col)))
+    return dedup_stream(out, [id_col], ts_col=ts_col, watermark=watermark)

@@ -720,3 +720,29 @@ def test_funnel_ordered_semantics(spark):
     assert counts["view"] == (3, 1.0)
     assert counts["click"] == (1, round(1 / 3, 4))
     assert counts["buy"] == (1, 1.0)
+
+
+def test_cohort_retention_known_matrix(spark):
+    from dataframes_jl_spark.ops.scd import cohort_retention
+
+    # two daily cohorts: u1,u2 start day 1 (u2 churns), u3 starts day 2
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (2, "2024-01-01"),
+        (3, "2024-01-02"), (3, "2024-01-03"),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, d string").select(
+        "u", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r.cohort)[:10], r.period_offset): (r.n_active, round(r.retention, 4))
+        for r in cohort_retention(df, "u", "ts", period="day").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 0.5)   # only u1 returns
+    assert out[("2024-01-01", 2)] == (1, 0.5)
+    assert out[("2024-01-02", 0)] == (1, 1.0)   # u3's own cohort
+    assert out[("2024-01-02", 1)] == (1, 1.0)
+    import pytest
+    with pytest.raises(ValueError):
+        cohort_retention(df, "u", "ts", period="week")

@@ -357,3 +357,56 @@ def test_stream_to_parquet_exactly_once_resume(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 130
     assert got.selectExpr("max(id)").first()[0] == 129
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """The curation pipeline (Gopher + C4 + PII redact + dedup) yields
+    identical results run as a file stream or as one batch read."""
+    import json
+
+    from dataframes_jl_spark.streaming import curate_stream
+
+    good = ("The quick brown fox jumps over the lazy dog. Then it runs "
+            "off to the hills with plenty of energy. It naps at noon.")
+    docs_a = [
+        {"doc_id": 1, "ts": "2024-01-01 00:00:00", "text": good},
+        {"doc_id": 2, "ts": "2024-01-01 00:01:00", "text": "too short."},
+        {"doc_id": 3, "ts": "2024-01-01 00:02:00",
+         "text": good + " Contact me at bob@example.com for more."},
+    ]
+    docs_b = [
+        {"doc_id": 1, "ts": "2024-01-01 00:03:00", "text": good},  # re-delivery
+        {"doc_id": 4, "ts": "2024-01-01 00:04:00",
+         "text": "lorem ipsum " + good},                            # C4 drop
+    ]
+    d = tmp_path / "curate_in"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(json.dumps(x) for x in docs_a))
+    (d / "b.jsonl").write_text("\n".join(json.dumps(x) for x in docs_b))
+    schema = "doc_id bigint, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        curate_stream(stream, ts_col="ts", watermark="10 minutes", min_words=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_curate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.doc_id, r.text) for r in spark.sql("SELECT doc_id, text FROM t_curate").collect()}
+    finally:
+        q.stop()
+    batch = curate_stream(
+        spark.read.schema(schema).json(str(d)), min_words=10
+    )
+    expect = {(r.doc_id, r.text) for r in batch.select("doc_id", "text").collect()}
+    assert got == expect
+    ids = {i for i, _ in got}
+    assert ids == {1, 3}          # 2 too short, 4 lorem-ipsum, 1 deduped
+    redacted = next(t for i, t in got if i == 3)
+    assert "bob@example.com" not in redacted and "[PII]" in redacted
