@@ -178,6 +178,50 @@ def kmeans_assign_np(
     return src.mapInPandas(assign, schema_ddl)
 
 
+def kmeans_probe_np(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Top-``n_probe`` nearest centroids per row, Arrow/numpy path.
+
+    Output: (id, *keep, probes array<int>) — the vectorized companion
+    to the literal ``array_sort(dist_structs)`` probe used by
+    :func:`..similarity.ivf_topk` at small k. Ties break to the lowest
+    centroid id (stable argsort), matching the struct-sort order.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    n_probe = min(n_probe, len(centroids))
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *[F.col(k) for k in keep], _as_double(F.col(vec_col)).alias("__v__")
+    )
+    out_fields = [f for f in src.schema.fields if f.name != "__v__"]
+    schema_ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + ["probes array<int>"]
+    )
+    keep_cols = [id_col, *keep]
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v__"]])
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            out = pdf[keep_cols].copy()
+            out["probes"] = [row.astype("int32").tolist() for row in idx]
+            yield out
+
+    return src.mapInPandas(probe, schema_ddl)
+
+
 def cluster_profile(assigned: DataFrame, scale: int = 6) -> DataFrame:
     """Per-cluster curation stats: size and mean squared distance to the
     centroid (a dispersion signal — tight clusters are near-duplicate

@@ -271,56 +271,79 @@ def ivf_topk(
             break
         C = newC
 
-    def sq_dist_lit(v: Column, center) -> Column:
-        cv = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    if len(C) > 32:
+        # Large quantizers: the literal struct array below grows with
+        # k x dim and falls out of whole-stage codegen (quadratically
+        # interpreted past a few dozen centroids — the same wall the
+        # SemDeDup path hit). The Arrow/numpy assignment computes the
+        # full distance matrix per batch with one matmul; same
+        # lowest-id tie-break.
+        from .cluster import kmeans_assign_np, kmeans_probe_np
 
-    # (distance, centroid) structs; struct ordering = min distance,
-    # centroid id as tie-break — argmin and top-n_probe are pure
-    # expressions over this array, map-side, whole-stage codegen
-    dist_structs = F.array(
-        *[
-            F.struct(
-                sq_dist_lit(F.col("v"), C[j]).alias("d"),
-                F.lit(j).alias("centroid"),
+        assigned = kmeans_assign_np(base, C.tolist(), "id", "v", keep=("v",)).select(
+            "id", "v", F.col("cluster").alias("centroid")
+        )
+        probes = (
+            kmeans_probe_np(base, C.tolist(), "id", "v", n_probe, keep=("v",))
+            .select(
+                F.col("id").alias("query_id"),
+                F.col("v").alias("qv"),
+                norm(F.col("v")).alias("qn"),
+                F.explode_outer("probes").alias("centroid"),
             )
-            for j in range(len(C))
-        ]
-    )
-    # coalesce-with-literal makes the key non-nullable, so the centroid
-    # join can't infer an IsNotNull filter that would re-evaluate the
-    # full distance array a second time in a pre-join Filter stage.
-    assigned = base.select(
-        "id",
-        "v",
-        F.coalesce(F.array_min(dist_structs)["centroid"], F.lit(0)).alias(
-            "centroid"
-        ),
-    )
-    probes = (
-        base.withColumn("nrm", norm(F.col("v")))
-        .select(
-            F.col("id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            # explode_outer: plain explode would infer size(...)>0 and
-            # duplicate the distance-sort into a scan-side Filter.
-            F.explode_outer(
-                F.slice(F.array_sort(dist_structs), 1, n_probe)
-            ).alias("__pc__"),
+            .filter(F.col("centroid").isNotNull())
         )
-        .filter(F.col("__pc__").isNotNull())
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            F.coalesce(F.col("__pc__.centroid"), F.lit(0)).alias("centroid"),
+    else:
+        def sq_dist_lit(v: Column, center) -> Column:
+            cv = F.array(*[F.lit(float(x)) for x in center])
+            return F.aggregate(
+                F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        # (distance, centroid) structs; struct ordering = min distance,
+        # centroid id as tie-break — argmin and top-n_probe are pure
+        # expressions over this array, map-side, whole-stage codegen
+        dist_structs = F.array(
+            *[
+                F.struct(
+                    sq_dist_lit(F.col("v"), C[j]).alias("d"),
+                    F.lit(j).alias("centroid"),
+                )
+                for j in range(len(C))
+            ]
         )
-    )
+        # coalesce-with-literal makes the key non-nullable, so the centroid
+        # join can't infer an IsNotNull filter that would re-evaluate the
+        # full distance array a second time in a pre-join Filter stage.
+        assigned = base.select(
+            "id",
+            "v",
+            F.coalesce(F.array_min(dist_structs)["centroid"], F.lit(0)).alias(
+                "centroid"
+            ),
+        )
+        probes = (
+            base.withColumn("nrm", norm(F.col("v")))
+            .select(
+                F.col("id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+                # explode_outer: plain explode would infer size(...)>0 and
+                # duplicate the distance-sort into a scan-side Filter.
+                F.explode_outer(
+                    F.slice(F.array_sort(dist_structs), 1, n_probe)
+                ).alias("__pc__"),
+            )
+            .filter(F.col("__pc__").isNotNull())
+            .select(
+                "query_id",
+                "qv",
+                "qn",
+                F.coalesce(F.col("__pc__.centroid"), F.lit(0)).alias("centroid"),
+            )
+        )
     # norms carried on both sides: per-pair cost is one dot + one divide
     cand = (
         probes.join(assigned.withColumn("cn", norm(F.col("v"))), on="centroid")

@@ -779,3 +779,16 @@ def test_quantized_rescore_topk_matches_exact(spark):
     # exact rescore over an int8 shortlist recovers the true top-3
     hits = sum(1 for key in exact if quant.get(key) == exact[key])
     assert hits / len(exact) >= 0.9
+
+
+def test_ivf_large_quantizer_numpy_path(spark):
+    from dataframes_jl_spark.llm import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, emb, k=1).collect()}
+    # n_centroids > 32 exercises the Arrow/numpy assignment+probe path
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, k=1, n_centroids=40, n_probe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.6, f"large-quantizer IVF recall too low: {recall}"
