@@ -51,6 +51,8 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q_semdedup",
     "q_gopher_rules",
+    "q_scd2_intervals",
+    "q_grouped_ols",
 ]
 
 

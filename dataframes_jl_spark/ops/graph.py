@@ -1,0 +1,116 @@
+"""Graph analytics over edge tables: PageRank.
+
+(The other graph op this engine ships — connected components via
+min-label propagation with pointer doubling — lives in
+``llm.dedup.dedup_clusters``, where dedup pair-resolution needed it.)
+
+PageRank here is the fixed-iteration power method with damping and NO
+dangling-mass redistribution (nodes without out-edges leak their rank —
+the common simplified convention; document/normalize downstream if the
+graph has many sinks).
+
+Determinism contract: per-target contribution sums are int64-quantized
+(floor(x * 10^scale + 0.5), summed as longs) before the damped update,
+so every iteration — and therefore the final ranks — is a pure function
+of the graph, independent of partitioning and engine.  A DuckDB oracle
+can replay all iterations as chained CTEs and match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list. Output: (id, rank).
+
+    Plan shape per iteration: one join of the edge table to the current
+    ranks on the source key and one hash aggregate on the destination —
+    both keyed shuffles AQE can co-partition; ranks are
+    ``localCheckpoint``-ed each round so the lineage stays O(1) instead
+    of growing by two joins per iteration (the classic iterative-Spark
+    trap).  Driver holds nothing but the loop counter.
+    """
+    m = float(10**scale)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    outdeg = e.groupBy(F.col("src").alias("od_id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    base = float((1.0 - damping) / n)
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outdeg, F.col("src") == F.col("od_id"))
+            .select(
+                F.col("dst"),
+                F.floor(
+                    F.col("rank") / F.col("outdeg") * F.lit(m) + F.lit(0.5)
+                ).cast("long").alias("qc"),
+            )
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("qc").alias("qsum"))
+        ranks = (
+            verts.join(sums, verts.id == sums.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce(F.col("qsum"), F.lit(0)) / F.lit(m))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> str:
+    """DuckDB SQL replaying :func:`pagerank` exactly: the same quantized
+    update chained as one CTE pair per iteration.  ``edges_sql`` must
+    select columns (src, dst)."""
+    m = f"1e{scale}"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        ", verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        ", n AS (SELECT COUNT(*) AS n FROM verts)",
+        ", outdeg AS (SELECT src AS od_id, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        ", r0 AS (SELECT id, 1.0 / n.n AS rank FROM verts, n)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", s{i + 1} AS (
+      SELECT dst, SUM(CAST(FLOOR(r.rank / outdeg * {m} + 0.5) AS BIGINT)) AS qsum
+      FROM e JOIN r{i} r ON r.id = e.src
+      JOIN outdeg ON od_id = e.src
+      GROUP BY dst
+    )"""
+        )
+        parts.append(
+            f""", r{i + 1} AS (
+      SELECT v.id,
+             (1.0 - {damping}) / n.n
+               + {damping} * (CAST(COALESCE(s.qsum, 0) AS DOUBLE) / {m}) AS rank
+      FROM verts v CROSS JOIN n LEFT JOIN s{i + 1} s ON s.dst = v.id
+    )"""
+        )
+    parts.append(f"SELECT id, rank FROM r{n_iter}")
+    return "\n".join(parts)

@@ -1521,6 +1521,40 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    from .ops.graph import pagerank_oracle_sql
+
+    edges = (
+        "SELECT o_custkey AS src, l_suppkey AS dst "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+    )
+    return f"""
+    SELECT id, ROUND(rank, 8) AS rank FROM (
+    {pagerank_oracle_sql(edges, n_iter=5)}
+    )
+    """
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer -> supplier purchase graph
+    (ops.graph.pagerank): 5 damped power iterations with int64-
+    quantized contribution sums, so the iterative algorithm is exactly
+    engine-reproducible — the oracle replays every iteration as
+    chained CTEs and matches bit-for-bit.  Per iteration: one
+    edges⋈ranks join + one destination aggregate, ranks
+    localCheckpoint-ed to keep the lineage O(1)."""
+    from .ops.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    out = pagerank(edges, n_iter=5)
+    return out.select("id", F.round("rank", 8).alias("rank"))
+
+
 @register(
     "q_cohort_retention",
     oracle="""

@@ -746,3 +746,23 @@ def test_cohort_retention_known_matrix(spark):
     import pytest
     with pytest.raises(ValueError):
         cohort_retention(df, "u", "ts", period="week")
+
+
+def test_pagerank_triangle_known_values(spark):
+    from dataframes_jl_spark.ops import pagerank
+
+    # A->B, A->C, B->C, C->A: C collects the most rank, then A, then B
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")], "src string, dst string"
+    )
+    out = {r.id: r.rank for r in pagerank(e, n_iter=1).collect()}
+    # one hand-computed iteration from uniform 1/3 (d=0.85, base=0.05)
+    assert abs(out["A"] - (0.05 + 0.85 / 3)) < 1e-6
+    assert abs(out["B"] - (0.05 + 0.85 / 6)) < 1e-6
+    assert abs(out["C"] - (0.05 + 0.85 * 0.5)) < 1e-6
+    # converged solution of the damped system: C > A > B
+    out20 = {r.id: r.rank for r in pagerank(e, n_iter=20).collect()}
+    assert out20["C"] > out20["A"] > out20["B"]
+    assert abs(sum(out20.values()) - 1.0) < 1e-3  # no dangling nodes
+    # deterministic: re-run bit-identical
+    assert out20 == {r.id: r.rank for r in pagerank(e, n_iter=20).collect()}
