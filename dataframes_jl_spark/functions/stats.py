@@ -372,6 +372,11 @@ def grouped_ols(
 
     Magnitude contract: |x·y|·10^scale and group totals must fit int64
     (raise ``scale`` awareness for wide-range columns, same as dsum).
+
+    Rows where x or y is NULL are excluded entirely (the regr_slope /
+    covar convention): counting them in ``n`` while the moment sums
+    skip them would silently corrupt every coefficient of an affected
+    group. A group with no complete pair disappears from the output.
     """
     by = [by] if isinstance(by, str) else list(by)
     m = F.lit(float(10**scale))
@@ -380,6 +385,7 @@ def grouped_ols(
         return F.sum(F.floor(c * m + F.lit(0.5)).cast("long"))
 
     xc, yc = F.col(x), F.col(y)
+    df = df.filter(xc.isNotNull() & yc.isNotNull())
     agg = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         q(xc).alias("sx"),

@@ -131,6 +131,7 @@ def kmeans_assign_np(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: int = 6,
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Vectorized nearest-centroid assignment: Arrow-batched numpy
@@ -145,21 +146,24 @@ def kmeans_assign_np(
     Ties break to the lowest centroid id (numpy argmin returns the
     first minimum) — same policy as the literal path, though float64
     distances can tie-break differently than the quantized longs in
-    exactly-equidistant cases.  Output matches kmeans_assign:
-    (id, *keep, cluster, qdist2-as-double).
+    exactly-equidistant cases.  Output matches kmeans_assign's schema
+    AND units: (id, *keep, cluster, qdist2) with qdist2 a long in
+    ``10^-scale`` units (round(d2 * 10^scale)), so downstream
+    consumers like :func:`cluster_profile` — which divides by
+    10^scale — read the same dispersion from either path.
     """
     import numpy as np
 
-    spark = df.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
+    m = float(10**scale)
     src = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), *[F.col(k) for k in keep], _as_double(F.col(vec_col)).alias("__v__")
     )
     out_fields = [f for f in src.schema.fields if f.name != "__v__"]
     schema_ddl = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
-        + ["cluster int", "qdist2 double"]
+        + ["cluster int", "qdist2 bigint"]
     )
     keep_cols = [id_col, *keep]
 
@@ -172,7 +176,9 @@ def kmeans_assign_np(
             cl = d2.argmin(axis=1)
             out = pdf[keep_cols].copy()
             out["cluster"] = cl.astype("int32")
-            out["qdist2"] = d2[np.arange(len(pdf)), cl]
+            out["qdist2"] = np.floor(
+                d2[np.arange(len(pdf)), cl] * m + 0.5
+            ).astype("int64")
             yield out
 
     return src.mapInPandas(assign, schema_ddl)

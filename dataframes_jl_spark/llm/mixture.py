@@ -112,7 +112,15 @@ def take_token_budget(
     """
     from pyspark.sql import Window
 
-    key = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(2147483648))
+    # mod-first: a raw id * 2654435761 overflows int64 (ANSI crash) for
+    # ids >= ~3.47e9 — real at scale (replicated corpora shift ids by
+    # 1e9 per replica). (id mod 2^31) * MULT < 5.7e18 stays in range,
+    # and is the identity transform for ids < 2^31 (same sample order).
+    # Integer id contract: non-integer id columns raise under ANSI.
+    key = F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(2147483648),
+    )
     w = (
         Window.partitionBy(domain_col)
         .orderBy(key, F.col(id_col))

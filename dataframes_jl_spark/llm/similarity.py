@@ -275,17 +275,22 @@ def ivf_topk(
         # Large quantizers: the literal struct array below grows with
         # k x dim and falls out of whole-stage codegen (quadratically
         # interpreted past a few dozen centroids — the same wall the
-        # SemDeDup path hit). The Arrow/numpy assignment computes the
-        # full distance matrix per batch with one matmul; same
-        # lowest-id tie-break.
-        from .cluster import kmeans_assign_np, kmeans_probe_np
+        # SemDeDup path hit). The Arrow/numpy probe computes the full
+        # distance matrix per batch with one matmul; same lowest-id
+        # tie-break. ONE probe pass serves both sides — the assignment
+        # is probes[0] — and it is persisted because the corpus side
+        # and the query side would otherwise each re-run the matmul
+        # over every vector.
+        from .cluster import kmeans_probe_np
 
-        assigned = kmeans_assign_np(base, C.tolist(), "id", "v", keep=("v",)).select(
-            "id", "v", F.col("cluster").alias("centroid")
+        probed = kmeans_probe_np(
+            base, C.tolist(), "id", "v", n_probe, keep=("v",)
+        ).persist()
+        assigned = probed.select(
+            "id", "v", F.element_at("probes", 1).alias("centroid")
         )
         probes = (
-            kmeans_probe_np(base, C.tolist(), "id", "v", n_probe, keep=("v",))
-            .select(
+            probed.select(
                 F.col("id").alias("query_id"),
                 F.col("v").alias("qv"),
                 norm(F.col("v")).alias("qn"),

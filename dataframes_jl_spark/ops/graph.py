@@ -47,6 +47,11 @@ def pagerank(
         .distinct()
     )
     n = verts.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge set (no vertices) — an upstream filter "
+            "probably matched nothing"
+        )
     outdeg = e.groupBy(F.col("src").alias("od_id")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

@@ -81,8 +81,20 @@ def scd2_merge(
     The updates side is a batch (usually small): Spark broadcasts it
     both ways; the dimension is never collected or rewritten beyond the
     touched keys' rows.
+
+    The dimension must contain EXACTLY key + attr + from + to columns —
+    anything else raises, because the merge projections would silently
+    drop it (losing a surrogate key or audit column on every merge
+    cycle is worse than failing loudly).
     """
     key_cols, attr_cols = list(key_cols), list(attr_cols)
+    expected = set(key_cols) | set(attr_cols) | {from_col, to_col}
+    extra = [c for c in dim.columns if c not in expected]
+    if extra:
+        raise ValueError(
+            f"scd2_merge would silently drop dimension columns {extra}: "
+            "list them in attr_cols (tracked) or project them out first"
+        )
     cur = dim.filter(F.col(to_col).isNull())
     hist = dim.filter(F.col(to_col).isNotNull())
     up = updates.select(

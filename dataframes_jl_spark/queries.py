@@ -1334,11 +1334,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     ), starts AS (
       SELECT user_id, event_type, ts AS valid_from, event_id
-      FROM ordered WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+      FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, valid_from,
            LEAD(valid_from) OVER (
@@ -1423,7 +1425,12 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_curation_audit",
     oracle=r"""
-    WITH base AS (
+    WITH t AS (
+      SELECT source, text,
+             regexp_replace(text, '((?:\w+ ){4}\w+) ',
+                            '\1.' || chr(10), 'g') AS t2
+      FROM documents
+    ), base AS (
       SELECT source, text,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
@@ -1437,12 +1444,10 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> lower(x) IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
              len(list_filter(string_split_regex(trim(text), '\s+'),
                  x -> lower(x) IN ('的','是','了','在','和','有','我','不'))) AS c_zh,
-             len(regexp_extract_all(
-                 regexp_replace(text, '((?:\w+ ){4}\w+) ', '\1.' || chr(10), 'g'),
-                 '[.!?]')) >= 3
-               AND NOT contains(lower(text), 'lorem ipsum')
-               AND NOT contains(text, '{') AS c4_ok
-      FROM documents
+             len(regexp_extract_all(t2, '[.!?]')) >= 3
+               AND NOT contains(lower(t2), 'lorem ipsum')
+               AND NOT contains(t2, '{') AS c4_ok
+      FROM t
     ), reasons AS (
       SELECT source,
              CASE WHEN n_words < 5 THEN 'too_short'
@@ -1496,7 +1501,8 @@ def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, n_tokens,
              SUM(n_tokens) OVER (
                  PARTITION BY source
-                 ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+                 ORDER BY ((doc_id % 2147483648) * 2654435761)
+                          % 2147483648, doc_id
                  ROWS UNBOUNDED PRECEDING
              ) AS cum_tokens
       FROM t
@@ -3986,7 +3992,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, shuffle_pos FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (
-                   ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+                   ORDER BY ((doc_id % 2147483648) * 2654435761)
+                          % 2147483648, doc_id
                ) AS shuffle_pos
         FROM documents
     ) WHERE shuffle_pos <= 100
@@ -3994,14 +4001,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle for training order: rank under an
-    affine-hash key ((doc_id * Knuth-constant) mod 2^31 — engine-
-    reproducible, unlike rand()) via ops.sorting.global_row_number —
-    range-partitioned distributed rank, no SinglePartition window.
-    Product stays < 2^62 for doc_id < 2^31, ANSI-overflow-safe."""
+    affine-hash key (((doc_id mod 2^31) * Knuth-constant) mod 2^31 —
+    engine-reproducible, unlike rand()) via ops.sorting.
+    global_row_number — range-partitioned distributed rank, no
+    SinglePartition window.  Mod-first keeps the product < 5.7e18 for
+    ANY int64 id (a raw id*constant overflows under ANSI past
+    ~3.47e9 — the id range replicated scale corpora actually use)."""
     from .ops.sorting import global_row_number, order
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+    key = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(2147483648),
+    )
     ranked = global_row_number(
         docs.withColumn("__shufkey__", key),
         cols=[order("__shufkey__"), order("doc_id")],

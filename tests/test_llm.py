@@ -792,3 +792,34 @@ def test_ivf_large_quantizer_numpy_path(spark):
               for r in ivf_topk(emb, k=1, n_centroids=40, n_probe=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall > 0.6, f"large-quantizer IVF recall too low: {recall}"
+
+
+def test_take_token_budget_huge_ids_no_ansi_overflow(spark):
+    """ids >= 2^31 (replicated scale corpora) must not overflow the
+    affine hash under ANSI mode (code-review finding)."""
+    from dataframes_jl_spark.llm import take_token_budget
+
+    rows = [(4_000_000_000 + i, "s", "a b c") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = take_token_budget(df, budget=9)
+    assert out.count() == 3  # 3 tokens each, 9-token budget -> 3 docs
+
+
+def test_assign_np_qdist_units_match_literal(spark):
+    """cluster_profile must read the same dispersion from either
+    assignment path (code-review finding: unit mismatch)."""
+    import random
+
+    from dataframes_jl_spark.llm import cluster_profile, kmeans_assign, kmeans_assign_np
+
+    rng = random.Random(9)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+    lit = {r.cluster: (r.n_vecs, round(r.avg_dist2, 4))
+           for r in cluster_profile(kmeans_assign(emb, cents)).collect()}
+    vec = {r.cluster: (r.n_vecs, round(r.avg_dist2, 4))
+           for r in cluster_profile(kmeans_assign_np(emb, cents)).collect()}
+    assert lit == vec

@@ -766,3 +766,35 @@ def test_pagerank_triangle_known_values(spark):
     assert abs(sum(out20.values()) - 1.0) < 1e-3  # no dangling nodes
     # deterministic: re-run bit-identical
     assert out20 == {r.id: r.rank for r in pagerank(e, n_iter=20).collect()}
+
+
+def test_grouped_ols_ignores_incomplete_rows(spark):
+    """A NULL in x or y must drop the ROW (regr_slope convention), not
+    desync n from the moment sums (code-review finding)."""
+    from dataframes_jl_spark.functions.stats import grouped_ols
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", None, 100.0), ("g", 3.0, None)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = grouped_ols(df, "g", "x", "y").collect()[0]
+    assert out.n == 2
+    assert abs(out.slope - 1.0) < 1e-9 and abs(out.intercept) < 1e-9
+
+
+def test_scd2_merge_rejects_extra_columns(spark):
+    from dataframes_jl_spark.ops import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None, 99)],
+        "k bigint, attr string, valid_from string, valid_to string, load_id bigint",
+    )
+    ups = spark.createDataFrame([(1, "b", "2024-02-01")], "k bigint, attr string, eff string")
+    with pytest.raises(ValueError, match="load_id"):
+        scd2_merge(dim, ups, ["k"], ["attr"], "eff")
+
+
+def test_pagerank_empty_edges_raises(spark):
+    from dataframes_jl_spark.ops import pagerank
+
+    e = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge set"):
+        pagerank(e, n_iter=1)
