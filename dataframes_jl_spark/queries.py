@@ -4997,17 +4997,21 @@ _PRIORITY = [
     "q21_waiting_supplier",
     "q22_idle_balances",
     # first-ever driver rows: aggregation/stats surface
-    # (q_quantile_sketch's family keeps q_grouped_percentiles in-window)
+    # (q_quantile_sketch's family keeps q_grouped_percentiles in-window;
+    # q_describe_strings' describe family was driver-green via
+    # q_describe in r3 — its slot goes to the new SCD2 family)
     "q_cube",
     "q_count_distinct",
-    "q_describe_strings",
+    "q_scd2_intervals",
     "q_grouped_percentiles",
     "q_spearman",
-    # first-ever driver rows: joins/layout/sampling + round-4 LLM ops
-    # (q_hash_split's sampling family keeps weighted/take_per_group)
+    # first-ever driver rows: joins/layout/sampling + round-4 ops
+    # (q_hash_split's and q_weighted_sample's sampling family keeps
+    # q_take_per_group + r3-green q_systematic_sample; the freed slot
+    # goes to the new graph family)
     "q_bucketed_join",
     "q_salted_join",
-    "q_weighted_sample",
+    "q_pagerank",
     "q_take_per_group",
     "q_gopher_rules",
     "q_semdedup",
@@ -5020,7 +5024,9 @@ _PRIORITY = [
     "q_chunk_documents",
     "q_vocab_approx",
     "q_dedup_incremental",
-    "q_dedup_pipeline",
+    # (q_dedup_pipeline composes pieces that are all individually gated
+    # in-window — its slot goes to the new ordered-funnel family)
+    "q_funnel",
     "q_pca_whiten",
 ]
 
