@@ -1364,6 +1364,86 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_merge",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15' AND user_id % 3 != 0
+    ), ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM log
+    ), starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ), iv AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      FROM starts
+    ), up AS (
+      SELECT user_id, event_type AS u_attr, ts AS eff FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+      ) WHERE rn = 1
+    ), hist AS (
+      SELECT user_id, event_type, valid_from, valid_to
+      FROM iv WHERE valid_to IS NOT NULL
+    ), cur AS (
+      SELECT user_id, event_type, valid_from FROM iv WHERE valid_to IS NULL
+    ), kept AS (
+      SELECT c.user_id, c.event_type, c.valid_from,
+             CASE WHEN u.eff IS NOT NULL
+                       AND u.u_attr IS DISTINCT FROM c.event_type
+                  THEN u.eff END AS valid_to
+      FROM cur c LEFT JOIN up u USING (user_id)
+    ), ins AS (
+      SELECT u.user_id, u.u_attr AS event_type, u.eff AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM up u LEFT JOIN cur c USING (user_id)
+      WHERE c.user_id IS NULL OR u.u_attr IS DISTINCT FROM c.event_type
+    )
+    SELECT * FROM hist UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (ops.scd.scd2_merge) gated end-to-end: the
+    dimension is the interval history of a USER SUBSET (user_id%3!=0)
+    before Jan 15, the update batch is every user's first event at or
+    after it — so the merge exercises all four cases (close-out +
+    insert for changed attrs, untouched for same-attr no-ops, brand-new
+    keys for the %3==0 users, pass-through for history rows) and the
+    oracle replays each with its own CTE."""
+    from pyspark.sql import Window
+
+    from .ops.scd import scd2_from_log, scd2_merge
+
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_log(
+        ev.filter((F.col("ts") < cutoff) & (F.col("user_id") % 3 != 0)),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        tie_cols=["event_id"],
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    updates = (
+        ev.filter(F.col("ts") >= cutoff)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("eff"))
+    )
+    out = scd2_merge(dim, updates, ["user_id"], ["event_type"], "eff")
+    return out.select("user_id", "event_type", "valid_from", "valid_to")
+
+
+@register(
     "q_c4_filter",
     oracle=r"""
     WITH s AS (
