@@ -93,9 +93,13 @@ def quality_score(col: str | Column) -> Column:
     )
     word_band = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
     punct_band = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
-    return F.round(
-        0.4 * len_band + 0.3 * alpha_ratio + 0.2 * word_band + 0.1 * punct_band, 6
-    )
+    score = 0.4 * len_band + 0.3 * alpha_ratio + 0.2 * word_band + 0.1 * punct_band
+    # floor(x*1e6+0.5)/1e6, NOT round(x, 6): Spark's round decimalizes
+    # the double while DuckDB's multiplies first, and the decimal
+    # weights park scores exactly on .xxxxxx5 boundaries where the two
+    # disagree by 1 ulp (hit at sf0.01). The explicit floor form is the
+    # same IEEE multiply/add/floor in every engine.
+    return F.floor(score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def doc_fingerprint(col: str | Column, n: int = 3) -> Column:

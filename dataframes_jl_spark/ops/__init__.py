@@ -1,6 +1,7 @@
 from .joins import asof_join, interval_join, join  # noqa: F401
 from .grouping import by, colwise, groupby  # noqa: F401
 from .sorting import (  # noqa: F401
+    global_ntile,
     global_row_number,
     issorted,
     order,

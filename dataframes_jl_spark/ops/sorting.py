@@ -161,3 +161,36 @@ def global_row_number(
         )
         .drop("__pid__")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    cols,
+    k: int,
+    col_name: str = "__ntile__",
+    rev: bool = False,
+) -> DataFrame:
+    """Distributed NTILE: bucket 1..k under a global ordering, without
+    the SinglePartition exchange a bare ``ntile() OVER (ORDER BY …)``
+    window plans.
+
+    Built on :func:`global_row_number` (range repartition + per-
+    partition offsets) plus the closed form
+    ``floor((rn - 1) * k / n) + 1``, which reproduces SQL NTILE's
+    group sizing exactly (the first ``n mod k`` buckets get the extra
+    row). The ordering must be total (add a tie-break column) for the
+    buckets to be deterministic.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    # count the SOURCE (column-pruned scan), not the ranked frame —
+    # counting after ranking would re-execute the whole rank pipeline
+    n = df.count()
+    ranked = global_row_number(df, cols=cols, rev=rev, col_name="__gnt_rn__")
+    return ranked.withColumn(
+        col_name,
+        (
+            F.floor((F.col("__gnt_rn__") - 1) * F.lit(k) / F.lit(max(n, 1)))
+            + 1
+        ).cast("int"),
+    ).drop("__gnt_rn__")

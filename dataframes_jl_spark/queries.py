@@ -1299,14 +1299,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), s AS (
       SELECT source,
-        ROUND(
+        CAST(FLOOR((
           0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
                       WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END)
         + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0 END)
         + 0.2 * (CASE WHEN n_tok > 0 AND CAST(n_alpha AS DOUBLE)/n_tok BETWEEN 3 AND 10
                       THEN 1.0 ELSE 0.5 END)
         + 0.1 * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars <= 0.1 THEN 1.0 ELSE 0.5 END)
-        , 6) AS q
+        ) * 1e6 + 0.5) AS BIGINT) / 1e6 AS q
       FROM q
     )
     SELECT source,
@@ -1856,6 +1856,51 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recon_cos"),
     )
+
+
+@register(
+    "q_quality_deciles",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+        CAST(FLOOR((
+          0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                      WHEN n_chars > 0 THEN 0.5 ELSE 0.0 END)
+        + 0.3 * (CASE WHEN n_chars > 0 THEN
+                   CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / n_chars ELSE 0 END)
+        + 0.2 * (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                      AND CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / len(string_split_regex(trim(text), '\s+')) BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.5 END)
+        + 0.1 * (CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / n_chars <= 0.1 THEN 1.0 ELSE 0.5 END)
+        ) * 1e6 + 0.5) AS BIGINT) / 1e6 AS score
+      FROM documents
+    )
+    SELECT doc_id, score,
+           NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+    FROM q
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum deciles (ops.sorting.global_ntile over
+    llm.text.quality_score): every document bucketed 1-10 under the
+    global (score, doc_id) order — the curriculum-ordering primitive —
+    via the range-partitioned distributed rank, NEVER a bare
+    ntile() OVER (ORDER BY …) SinglePartition window.  The closed form
+    floor((rn-1)*k/n)+1 reproduces SQL NTILE's group sizing exactly,
+    which is what the oracle checks."""
+    from .llm import quality_score
+    from .ops.sorting import global_ntile, order
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("score")
+    )
+    out = global_ntile(
+        docs, cols=[order("score"), order("doc_id")], k=10, col_name="decile"
+    )
+    return out.select("doc_id", "score", "decile")
 
 
 @register(

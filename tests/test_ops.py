@@ -798,3 +798,21 @@ def test_pagerank_empty_edges_raises(spark):
     e = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty edge set"):
         pagerank(e, n_iter=1)
+
+
+def test_global_ntile_matches_sql_ntile_sizing(spark):
+    from dataframes_jl_spark.ops import global_ntile
+    from dataframes_jl_spark.ops.sorting import order
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v bigint")
+    out = {r.v: r["__ntile__"] for r in global_ntile(df, [order("v")], k=3).collect()}
+    # NTILE(3) over 10 rows: first bucket gets the extra row (4,3,3)
+    assert [out[i] for i in range(10)] == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # n=4, k=3 -> 2,1,1
+    df4 = spark.createDataFrame([(i,) for i in range(4)], "v bigint")
+    out4 = [r["__ntile__"] for r in
+            global_ntile(df4, [order("v")], k=3).orderBy("v").collect()]
+    assert out4 == [1, 1, 2, 3]
+    import pytest
+    with pytest.raises(ValueError):
+        global_ntile(df, [order("v")], k=0)
