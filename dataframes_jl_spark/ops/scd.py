@@ -246,3 +246,59 @@ def cohort_retention(
             (F.col("n_active") / F.col("__size__")).alias("retention"),
         )
     )
+
+
+def scd2_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    attr_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Point-in-time dimension lookup: attach to each fact row the SCD2
+    version that was valid AT the fact's timestamp
+    (``valid_from <= ts < valid_to``, open-ended current versions
+    included).  This is the reason SCD2 history exists — joining a fact
+    to today's attributes silently rewrites the past.
+
+    Scale path: an as-of join on ``valid_from`` per key (ONE union-
+    merge shuffle, no range nested loop — ops.joins.asof_join), then a
+    null-out where the matched version had already been closed before
+    the fact's time.  Left-join semantics: facts before the key's first
+    version, or falling in a gap, keep NULL attributes.
+    """
+    from .joins import asof_join
+
+    key_cols = list(key_cols)
+    if attr_cols is None:
+        attr_cols = [
+            c for c in dim.columns
+            if c not in set(key_cols) | {from_col, to_col}
+        ]
+    right = dim.select(
+        *key_cols, F.col(from_col).alias("__vf__"), F.col(to_col).alias("__vt__"),
+        *attr_cols,
+    ).withColumnRenamed("__vf__", ts_col)
+    out = asof_join(
+        fact,
+        right,
+        on=ts_col,
+        by=key_cols,
+        direction="backward",
+        right_cols=["__vt__", *attr_cols],
+        suffix="__scd2__",
+    )
+    for c in ["__vt__", *attr_cols]:
+        out = out.withColumnRenamed(f"{c}__scd2__", c)
+    # the as-of match is the latest version OPENED at/before ts; if that
+    # version was already closed (valid_to <= ts), the fact falls in a
+    # gap — blank the attributes, exactly like an unmatched left row
+    stale = F.col("__vt__").isNotNull() & (F.col("__vt__") <= F.col(ts_col))
+    cleaned = out
+    for c in attr_cols:
+        cleaned = cleaned.withColumn(
+            c, F.when(stale, F.lit(None).cast(dim.schema[c].dataType)).otherwise(F.col(c))
+        )
+    return cleaned.drop("__vt__")

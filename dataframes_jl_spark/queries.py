@@ -1444,6 +1444,32 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_lookup",
+    oracle="""
+    SELECT user_id, event_id, event_type AS attr
+    FROM events
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (ops.scd.scd2_lookup) gated by
+    self-consistency: every event, looked up against the interval
+    history built from the SAME log, must get its own event_type back —
+    any error in interval tiling (q_scd2_intervals checks the
+    intervals themselves), in the as-of match, or in the gap null-out
+    breaks the identity.  The as-of union-merge keeps this ONE shuffle
+    per side, no range nested loop."""
+    from .ops.scd import scd2_from_log, scd2_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_log(
+        ev, ["user_id"], ["event_type"], "ts", tie_cols=["event_id"]
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    facts = ev.select("user_id", "event_id", "ts")
+    out = scd2_lookup(facts, dim, ["user_id"], "ts")
+    return out.select("user_id", "event_id", F.col("event_type").alias("attr"))
+
+
+@register(
     "q_c4_filter",
     oracle=r"""
     WITH s AS (

@@ -816,3 +816,30 @@ def test_global_ntile_matches_sql_ntile_sizing(spark):
     import pytest
     with pytest.raises(ValueError):
         global_ntile(df, [order("v")], k=0)
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from dataframes_jl_spark.ops.scd import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 10, 20),
+            (1, "b", 20, 30),     # closed at 30; GAP [30, 40)
+            (1, "c", 40, None),   # current
+            (2, "z", 5, None),
+        ],
+        "k bigint, attr string, valid_from bigint, valid_to bigint",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (1, 35), (1, 100), (2, 7), (3, 50)],
+        "k bigint, ts bigint",
+    )
+    got = {(r.k, r.ts): r.attr
+           for r in scd2_lookup(facts, dim, ["k"], "ts").collect()}
+    assert got[(1, 5)] is None      # before first version
+    assert got[(1, 10)] == "a"      # valid_from inclusive
+    assert got[(1, 25)] == "b"
+    assert got[(1, 35)] is None     # gap: version b already closed
+    assert got[(1, 100)] == "c"     # open current version
+    assert got[(2, 7)] == "z"
+    assert got[(3, 50)] is None     # unknown key keeps left row

@@ -223,3 +223,29 @@ def test_simhash_signatures_single_projection(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(simhash_signatures(docs, "doc_id", "text"))
     assert plan.count("+- Exchange") == 1
+
+
+def test_funnel_single_user_exchange(spark):
+    # k chained step-windows collapse onto ONE user_id hash exchange;
+    # the only other exchange is the 1-row final summary aggregate
+    # (SinglePartition over 3 partial counts — harmless by construction)
+    plan = plan_of(QUERIES["q_funnel"](spark, SF_DIR))
+    assert plan.count("+- Exchange") == 2
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_quality_deciles_no_single_partition(spark):
+    # global NTILE must rank via range repartition, never ntile() OVER ()
+    plan = plan_of(QUERIES["q_quality_deciles"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_semdedup_no_cartesian_cheap_scan_filters(spark):
+    plan = plan_of(QUERIES["q_semdedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the cluster argmin must NOT be re-evaluated as an inferred
+    # IsNotNull scan filter (coalesced non-nullable key prevents it)
+    import re
+    for m in re.finditer(r"DataFilters: \[([^\]]*)\]", plan):
+        assert "array_min" not in m.group(1)
