@@ -1443,6 +1443,99 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type", "valid_from", "valid_to")
 
 
+_BLOOM_HASH_SQL = """
+      unnest([
+        ((key % 1000000007) * 654435747 + 97) % 1000000007 % 2048,
+        ((key % 1000000007) * 246822505 + 1013) % 1000000007 % 2048,
+        ((key % 1000000007) * 266489896 + 11317) % 1000000007 % 2048,
+        ((key % 1000000007) * 668265263 + 104729) % 1000000007 % 2048
+      ]) AS h
+"""
+
+
+@register(
+    "q_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+      SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+    ), bh AS (
+      SELECT {_BLOOM_HASH_SQL} FROM build
+    ), bitmap AS (
+      SELECT CAST(h // 32 AS INT) AS seg,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+      FROM bh GROUP BY 1
+    ), probe AS (
+      SELECT o_orderkey, o_custkey AS key FROM orders
+    ), ph AS (
+      SELECT o_orderkey, key, {_BLOOM_HASH_SQL} FROM probe
+    ), hits AS (
+      SELECT o_orderkey, key,
+             SUM(CASE WHEN (bits >> CAST(h % 32 AS INT)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS nbits
+      FROM (SELECT o_orderkey, key, CAST(h // 32 AS INT) AS seg,
+                   h FROM ph) p
+      LEFT JOIN bitmap USING (seg)
+      GROUP BY o_orderkey, key
+    ), flagged AS (
+      SELECT o_orderkey, key, nbits = 4 AS pass,
+             key IN (SELECT key FROM build) AS is_true
+      FROM hits
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_true AND NOT pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM flagged
+    """,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable Bloom join prefilter (ops.bloom): bitmap built
+    from high-balance customers, orders probed by custkey.  The oracle
+    rebuilds the identical bitmap (same affine hashes, same 32-bit
+    bit_or segments) and replays every membership test — the summary
+    row asserts the defining property by value: n_false_neg MUST be 0,
+    and the false-positive count is exactly reproduced, not just
+    bounded."""
+    from .ops.bloom import bloom_build, bloom_prefilter
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("key")
+    )
+    bloom = bloom_build(build, "key", m_bits=2048, k=4)
+    flagged = bloom_prefilter(
+        orders.select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        bloom,
+        m_bits=2048,
+        k=4,
+        result_col="pass",
+    ).join(
+        build.distinct().withColumn("is_true", F.lit(True)),
+        F.col("o_custkey") == F.col("key"),
+        "left",
+    ).select(
+        "o_orderkey",
+        F.col("pass"),
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("pass") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_true") & ~F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
 @register(
     "q_scd2_lookup",
     oracle="""

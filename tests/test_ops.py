@@ -843,3 +843,29 @@ def test_scd2_lookup_point_in_time(spark):
     assert got[(1, 100)] == "c"     # open current version
     assert got[(2, 7)] == "z"
     assert got[(3, 50)] is None     # unknown key keeps left row
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    import random
+
+    from dataframes_jl_spark.ops import bloom_build, bloom_prefilter
+
+    rng = random.Random(31)
+    members = [rng.randrange(10**12) for _ in range(300)]
+    build = spark.createDataFrame([(m,) for m in members], "key bigint")
+    bloom = bloom_build(build, "key", m_bits=4096, k=4)
+    probes = members + [rng.randrange(10**12) for _ in range(3000)]
+    pdf = spark.createDataFrame([(p,) for p in probes], "key bigint")
+    out = {r.key: r["__bloom_pass__"]
+           for r in bloom_prefilter(pdf, "key", bloom, m_bits=4096, k=4).collect()}
+    # the defining property: every member passes
+    assert all(out[m] for m in members)
+    # and the filter actually filters (fpr well under 50% at this sizing)
+    non_members = [p for p in probes if p not in set(members)]
+    fpr = sum(1 for p in non_members if out[p]) / len(non_members)
+    assert fpr < 0.2, fpr
+    # rows with duplicate keys all carry the flag
+    dup = spark.createDataFrame([(members[0],), (members[0],)], "key bigint")
+    flags = [r["__bloom_pass__"] for r in
+             bloom_prefilter(dup, "key", bloom, m_bits=4096, k=4).collect()]
+    assert flags == [True, True]
