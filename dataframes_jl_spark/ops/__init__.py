@@ -44,3 +44,4 @@ from .scd import scd2_from_log, scd2_merge  # noqa: F401
 from .scd import funnel_counts, funnel_steps  # noqa: F401
 from .graph import pagerank  # noqa: F401
 from .bloom import bloom_build, bloom_prefilter  # noqa: F401
+from .bloom import cm_build, cm_estimate  # noqa: F401

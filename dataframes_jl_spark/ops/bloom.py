@@ -113,3 +113,54 @@ def bloom_prefilter(
         .dropDuplicates(["__bk__"])
     )
     return tagged.join(hit, on="__bk__", how="left").drop("__bk__")
+
+
+def cm_build(
+    df: DataFrame,
+    key: str | Column,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of key
+    frequencies: ``depth`` counter rows of ``width`` cells; cell
+    (i, h_i(key)) accumulates every occurrence.
+
+    Output: (row, col, cnt) — at most depth*width rows regardless of
+    input cardinality, built with one explode + one hash aggregate
+    (map-side partial counts). Same engine-portable affine hashes as
+    the Bloom filter, so an oracle rebuilds the identical sketch.
+    """
+    if not 1 <= depth <= len(_HASHES):
+        raise ValueError(f"depth must be in [1, {len(_HASHES)}]")
+    kc = F.col(key) if isinstance(key, str) else key
+    probes = df.select(
+        F.posexplode(F.array(*_positions(kc, width, depth)))
+    ).select(F.col("pos").alias("row"), F.col("col").alias("col"))
+    return probes.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    df: DataFrame,
+    key: str | Column,
+    sketch: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    result_col: str = "cm_count",
+) -> DataFrame:
+    """Estimated frequency of each DISTINCT key in ``df`` against a
+    :func:`cm_build` sketch: min over the key's depth counters.
+
+    Count-Min guarantee: the estimate NEVER undercounts; it overcounts
+    by at most the collision mass (within eN with probability 1-δ for
+    width=e/ε, depth=ln(1/δ)). Output: (key, cm_count).
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    keys = df.select(kc.alias("key")).distinct()
+    probes = keys.select(
+        "key", F.posexplode(F.array(*_positions(F.col("key"), width, depth)))
+    ).select("key", F.col("pos").alias("row"), F.col("col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), on=["row", "col"], how="left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(result_col))
+    )

@@ -1536,6 +1536,67 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_HASH_SQL = """
+      unnest([
+        ((key % 1000000007) * 654435747 + 97) % 1000000007 % 64,
+        ((key % 1000000007) * 246822505 + 1013) % 1000000007 % 64,
+        ((key % 1000000007) * 266489896 + 11317) % 1000000007 % 64,
+        ((key % 1000000007) * 668265263 + 104729) % 1000000007 % 64
+      ]) AS col,
+      unnest([0, 1, 2, 3]) AS row
+"""
+
+
+@register(
+    "q_cm_sketch",
+    oracle=f"""
+    WITH src AS (SELECT l_suppkey AS key FROM lineitem),
+    bh AS (SELECT {_CM_HASH_SQL} FROM src),
+    sketch AS (SELECT row, col, COUNT(*) AS cnt FROM bh GROUP BY row, col),
+    keys AS (SELECT DISTINCT key FROM src),
+    ph AS (SELECT key, {_CM_HASH_SQL} FROM keys),
+    est AS (
+      SELECT key, MIN(COALESCE(cnt, 0)) AS cm_count
+      FROM ph LEFT JOIN sketch USING (row, col) GROUP BY key
+    ), exact AS (
+      SELECT key, COUNT(*) AS true_count FROM src GROUP BY key
+    )
+    SELECT e.key AS l_suppkey, CAST(cm_count AS BIGINT) AS cm_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(cm_count - true_count AS BIGINT) AS overcount
+    FROM est e JOIN exact USING (key)
+    """,
+)
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (ops.bloom.cm_build/cm_estimate —
+    Cormode & Muthukrishnan 2005) of supplier frequencies in the fact
+    table, compared against exact counts.  The oracle rebuilds the
+    identical 4x1024 counter sketch, so both the never-undercounts
+    invariant (overcount >= 0) and the EXACT collision overcounts are
+    checked by value — the sketch itself is fixed-size no matter the
+    fact cardinality.  Width 64 is deliberately undersized for the 100
+    suppliers so collisions actually occur (39 keys overcount at
+    sf0.01): the gate exercises the approximation, not just the exact
+    regime."""
+    from .ops.bloom import cm_build, cm_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = cm_build(li, "l_suppkey", width=64, depth=4)
+    est = cm_estimate(li, "l_suppkey", sketch, width=64, depth=4)
+    exact = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return (
+        est.join(exact, on="key")
+        .select(
+            F.col("key").alias("l_suppkey"),
+            "cm_count",
+            "true_count",
+            (F.col("cm_count") - F.col("true_count")).alias("overcount"),
+        )
+    )
+
+
 @register(
     "q_scd2_lookup",
     oracle="""

@@ -869,3 +869,25 @@ def test_bloom_prefilter_no_false_negatives(spark):
     flags = [r["__bloom_pass__"] for r in
              bloom_prefilter(dup, "key", bloom, m_bits=4096, k=4).collect()]
     assert flags == [True, True]
+
+
+def test_cm_sketch_never_undercounts(spark):
+    import random
+    from collections import Counter
+
+    from dataframes_jl_spark.ops.bloom import cm_build, cm_estimate
+
+    rng = random.Random(41)
+    vals = [rng.randrange(50) for _ in range(2000)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "key bigint")
+    sketch = cm_build(df, "key", width=32, depth=3)  # undersized on purpose
+    est = {r.key: r.cm_count
+           for r in cm_estimate(df, "key", sketch, width=32, depth=3).collect()}
+    assert set(est) == set(truth)
+    for k, tc in truth.items():
+        assert est[k] >= tc  # the Count-Min invariant
+    # determinism
+    est2 = {r.key: r.cm_count
+            for r in cm_estimate(df, "key", sketch, width=32, depth=3).collect()}
+    assert est == est2
