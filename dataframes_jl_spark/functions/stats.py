@@ -412,3 +412,69 @@ def grouped_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    breaks: Sequence[float],
+    scale: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two frames' distributions of
+    ``col`` over fixed bin edges — the standard drift monitor between
+    a training snapshot and live data (rule of thumb: <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted).
+
+    Bins are ``(-inf, b0], (b0, b1], ..., (b_{k-1}, +inf)`` — fixed
+    edges supplied by the caller so both sides (and any oracle) bin
+    identically; NULLs are excluded.  Shares are ratios of exact
+    counts, Laplace-smoothed by half a count per bin so an empty bin
+    contributes a finite term instead of ±inf.  Output: one row per
+    bin (bin, n_expected, n_actual, psi_term) — sum psi_term for the
+    index, keep the rows for the per-bin attribution every drift
+    alert needs.
+    """
+    edges = list(breaks)
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(col)
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(c > F.lit(float(e)), 1).otherwise(0)
+        return (
+            df.filter(c.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    e = binned(expected, "n_expected")
+    a = binned(actual, "n_actual")
+    all_bins = expected.sparkSession.range(0, len(edges) + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        all_bins.join(e, on="bin", how="left")
+        .join(a, on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+        )
+    )
+    te = joined.agg(
+        F.sum("n_expected").alias("__te__"), F.sum("n_actual").alias("__ta__")
+    )
+    k = len(edges) + 1
+    out = joined.crossJoin(F.broadcast(te))
+    pe = (F.col("n_expected") + 0.5) / (F.col("__te__") + 0.5 * k)
+    pa = (F.col("n_actual") + 0.5) / (F.col("__ta__") + 0.5 * k)
+    term = (pa - pe) * F.log(pa / pe)
+    m = float(10**scale)
+    return out.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        (F.floor(term * F.lit(m) + F.lit(0.5)) / F.lit(m)).alias("psi_term"),
+    )

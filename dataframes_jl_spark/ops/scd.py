@@ -135,6 +135,7 @@ def funnel_steps(
     type_col: str,
     ts_col: str,
     steps: Sequence[str],
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Ordered-funnel step times per user: for each user, the earliest
     time they completed step i STRICTLY AFTER completing step i-1.
@@ -143,6 +144,9 @@ def funnel_steps(
     columns (NULL = never reached).  A later step only counts if it
     happens after the user's earliest qualifying previous step — the
     standard ordered-funnel semantics, not mere per-step presence.
+    ``within_seconds`` additionally bounds each step-to-step gap (the
+    "converted within N hours" business question); the column must be
+    a timestamp when it is set.
 
     Plan shape: ONE hash shuffle on the user key, then k chained
     Window projections over the same partitioning (Catalyst keeps them
@@ -157,7 +161,13 @@ def funnel_steps(
     for i, step in enumerate(steps):
         cond = ty == step
         if i > 0:
-            cond = cond & (t > F.col(f"step_{i - 1}"))
+            prev = F.col(f"step_{i - 1}")
+            cond = cond & (t > prev)
+            if within_seconds is not None:
+                cond = cond & (
+                    t.cast("double") - prev.cast("double")
+                    <= F.lit(float(within_seconds))
+                )
         out = out.withColumn(f"step_{i}", F.min(F.when(cond, t)).over(w))
     return out.groupBy(user_col).agg(
         *[F.min(f"step_{i}").alias(f"step_{i}") for i in range(len(steps))]

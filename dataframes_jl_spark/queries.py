@@ -1548,6 +1548,65 @@ _CM_HASH_SQL = """
 
 
 @register(
+    "q_psi_drift",
+    oracle="""
+    WITH edges AS (SELECT [20000.0, 50000.0, 100000.0, 200000.0] AS e),
+    exp_b AS (
+      SELECT (CASE WHEN o_totalprice > 20000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS bin,
+             COUNT(*) AS n_expected
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), act_b AS (
+      SELECT (CASE WHEN o_totalprice > 20000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS bin,
+             COUNT(*) AS n_actual
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), bins AS (SELECT unnest(range(5)) AS bin),
+    j AS (
+      SELECT b.bin,
+             COALESCE(n_expected, 0) AS n_expected,
+             COALESCE(n_actual, 0) AS n_actual
+      FROM bins b LEFT JOIN exp_b USING (bin) LEFT JOIN act_b USING (bin)
+    ), t AS (SELECT SUM(n_expected) AS te, SUM(n_actual) AS ta FROM j)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_expected AS BIGINT) AS n_expected,
+           CAST(n_actual AS BIGINT) AS n_actual,
+           CAST(FLOOR((
+             ((n_actual + 0.5) / (ta + 2.5) - (n_expected + 0.5) / (te + 2.5))
+             * ln(((n_actual + 0.5) / (ta + 2.5))
+                  / ((n_expected + 0.5) / (te + 2.5)))
+           ) * 1e6 + 0.5) AS BIGINT) / 1e6 AS psi_term
+    FROM j CROSS JOIN t
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (functions.stats.psi) between pre-
+    and post-1998 order-price distributions over fixed bin edges — the
+    standard train-vs-live drift monitor, with per-bin attribution.
+    Shares are Laplace-smoothed ratios of exact counts and the term is
+    1e-6-quantized (same ln-portability contract as q_bm25_search)."""
+    from .functions.stats import psi
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    out = psi(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        "o_totalprice",
+        breaks=[20000.0, 50000.0, 100000.0, 200000.0],
+    )
+    return out.select("bin", "n_expected", "n_actual", "psi_term")
+
+
+@register(
     "q_cm_sketch",
     oracle=f"""
     WITH src AS (SELECT l_suppkey AS key FROM lineitem),

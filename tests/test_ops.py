@@ -891,3 +891,38 @@ def test_cm_sketch_never_undercounts(spark):
     est2 = {r.key: r.cm_count
             for r in cm_estimate(df, "key", sketch, width=32, depth=3).collect()}
     assert est == est2
+
+
+def test_psi_detects_shift_and_smooths_empty_bins(spark):
+    from dataframes_jl_spark.functions.stats import psi
+
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4, 5] * 40], "x double")
+    same = psi(a, a, "x", breaks=[2.5, 4.5])
+    total_same = sum(r.psi_term for r in same.collect())
+    assert abs(total_same) < 1e-9  # identical distributions -> ~0
+    # shifted: all mass moves to the top bin; empty bins stay finite
+    b = spark.createDataFrame([(100.0,)] * 200, "x double")
+    shifted = psi(a, b, "x", breaks=[2.5, 4.5])
+    rows = {r.bin: r for r in shifted.collect()}
+    total = sum(r.psi_term for r in rows.values())
+    assert total > 0.25  # "shifted" by the usual rule of thumb
+    assert all(abs(r.psi_term) < 1e6 for r in rows.values())  # no inf
+    assert rows[0].n_actual == 0 and rows[2].n_actual == 200
+
+
+def test_funnel_within_window(spark):
+    from dataframes_jl_spark.ops import funnel_steps
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00"),
+        (1, "b", "2024-01-01 00:30:00"),   # 30 min after a
+        (2, "a", "2024-01-01 00:00:00"),
+        (2, "b", "2024-01-01 05:00:00"),   # 5h after a
+    ]
+    df = spark.createDataFrame(rows, "u bigint, et string, ts string").select(
+        "u", "et", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.u: r.step_1 for r in
+           funnel_steps(df, "u", "et", "ts", ["a", "b"], within_seconds=3600).collect()}
+    assert got[1] is not None   # within the hour
+    assert got[2] is None       # too late
