@@ -45,6 +45,7 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     n = verts.count()
     if n == 0:
@@ -55,12 +56,21 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("od_id")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    # degree-annotated edges materialized ONCE: every iteration joins
+    # ranks against this, instead of re-scanning + re-deduping +
+    # re-aggregating the raw edge table n_iter times. localCheckpoint
+    # also leaves the frame hash-partitioned on src, so the
+    # per-iteration ranks join reuses the layout.
+    e_deg = (
+        e.join(outdeg, e.src == F.col("od_id"))
+        .select("src", "dst", "outdeg")
+        .localCheckpoint()
+    )
     base = float((1.0 - damping) / n)
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(n_iter):
         contribs = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outdeg, F.col("src") == F.col("od_id"))
+            e_deg.join(ranks, e_deg.src == ranks.id)
             .select(
                 F.col("dst"),
                 F.floor(
