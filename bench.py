@@ -53,6 +53,10 @@ HEADLINE = [
     "q_gopher_rules",
     "q_scd2_intervals",
     "q_grouped_ols",
+    "q_bloom_prefilter",
+    "q_cm_sketch",
+    "q_psi_drift",
+    "q_quality_deciles",
 ]
 
 
