@@ -300,3 +300,31 @@ def test_scd2_intervals_partition_timeline(spark):
         assert sum(1 for _, vt in ivs if vt is None) == 1
         for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
             assert t1 == f2
+
+
+def test_sketches_merge_distributively(spark):
+    """The property that makes sketches shard-safe: building over a
+    union equals merging per-shard sketches (bit_or for Bloom bitmaps,
+    cell-wise sum for Count-Min counters)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.bloom import bloom_build, cm_build
+
+    rng = random.Random(53)
+    a = spark.createDataFrame([(rng.randrange(10**9),) for _ in range(400)], "key bigint")
+    b = spark.createDataFrame([(rng.randrange(10**9),) for _ in range(400)], "key bigint")
+    u = a.unionAll(b)
+    # bloom: union bitmap == OR of shard bitmaps
+    whole = {r.seg: r.bits for r in bloom_build(u, "key").collect()}
+    pa = {r.seg: r.bits for r in bloom_build(a, "key").collect()}
+    pb = {r.seg: r.bits for r in bloom_build(b, "key").collect()}
+    merged = {s: pa.get(s, 0) | pb.get(s, 0) for s in set(pa) | set(pb)}
+    assert whole == merged
+    # count-min: union counters == cell-wise sum of shard counters
+    wc = {(r.row, r.col): r.cnt for r in cm_build(u, "key").collect()}
+    ca = {(r.row, r.col): r.cnt for r in cm_build(a, "key").collect()}
+    cb = {(r.row, r.col): r.cnt for r in cm_build(b, "key").collect()}
+    mc = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert wc == mc
