@@ -85,13 +85,19 @@ def bloom_prefilter(
     (tiny, broadcast) bitmap on the segment id, and requires ALL k bits
     present. No false negatives: filter on the flag and feed survivors
     to the exact join.
+
+    NULL keys get ``True``: the filter cannot hash them, and under this
+    repo's NA-matching join semantics (ops.joins.join matches NA keys
+    via eqNullSafe by default) a NULL probe key CAN be a real match —
+    flagging it False would be a false negative, which this filter must
+    never produce. The exact join downstream decides.
     """
     kc = F.col(key) if isinstance(key, str) else key
     tagged = df.withColumn("__bk__", kc)
     # membership is per DISTINCT key: without the distinct, a key
     # appearing in r rows would contribute r*k probe rows and the
     # all-bits-present count could never equal k
-    probes = tagged.select("__bk__").distinct().select(
+    probes = tagged.select("__bk__").filter(F.col("__bk__").isNotNull()).distinct().select(
         "__bk__", F.posexplode(F.array(*_positions(F.col("__bk__"), m_bits, k)))
     ).select(
         "__bk__",
@@ -110,9 +116,17 @@ def bloom_prefilter(
         )
         .groupBy("__bk__")
         .agg((F.sum(F.when(F.col("__hit__"), 1).otherwise(0)) == k).alias(result_col))
-        .dropDuplicates(["__bk__"])
     )
-    return tagged.join(hit, on="__bk__", how="left").drop("__bk__")
+    return (
+        tagged.join(hit, on="__bk__", how="left")
+        .withColumn(
+            result_col,
+            F.when(F.col("__bk__").isNull(), F.lit(True)).otherwise(
+                F.col(result_col)
+            ),
+        )
+        .drop("__bk__")
+    )
 
 
 def cm_build(

@@ -157,6 +157,14 @@ def funnel_steps(
 
     w = Window.partitionBy(user_col)
     t, ty = F.col(ts_col), F.col(type_col)
+    # TIMESTAMP_NTZ cannot cast to double directly; hop through
+    # TIMESTAMP_LTZ first (session tz pinned UTC by load_table) — the
+    # same trap ops.joins.asof_join's tolerance path documents.
+    is_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+
+    def _secs(c):
+        return (c.cast("timestamp") if is_ntz else c).cast("double")
+
     out = df
     for i, step in enumerate(steps):
         cond = ty == step
@@ -165,8 +173,7 @@ def funnel_steps(
             cond = cond & (t > prev)
             if within_seconds is not None:
                 cond = cond & (
-                    t.cast("double") - prev.cast("double")
-                    <= F.lit(float(within_seconds))
+                    _secs(t) - _secs(prev) <= F.lit(float(within_seconds))
                 )
         out = out.withColumn(f"step_{i}", F.min(F.when(cond, t)).over(w))
     return out.groupBy(user_col).agg(
@@ -287,7 +294,24 @@ def scd2_lookup(
             c for c in dim.columns
             if c not in set(key_cols) | {from_col, to_col}
         ]
-    right = dim.select(
+    # the attributes come back under their own names: a fact column
+    # sharing a dim attribute's name would collide after the rename —
+    # fail loudly (same policy as scd2_merge) instead of producing an
+    # ambiguous frame
+    clash = [c for c in attr_cols if c in fact.columns]
+    if clash:
+        raise ValueError(
+            f"scd2_lookup: fact columns {clash} collide with dimension "
+            "attributes — rename them on one side first"
+        )
+    # zero-length versions (valid_from == valid_to, which scd2_from_log
+    # legitimately emits for same-timestamp changes) can never satisfy
+    # valid_from <= ts < valid_to; dropping them up front also removes
+    # the only possible same-valid_from tie in the as-of match
+    live = dim.filter(
+        F.col(to_col).isNull() | (F.col(to_col) > F.col(from_col))
+    )
+    right = live.select(
         *key_cols, F.col(from_col).alias("__vf__"), F.col(to_col).alias("__vt__"),
         *attr_cols,
     ).withColumnRenamed("__vf__", ts_col)
@@ -311,4 +335,6 @@ def scd2_lookup(
         cleaned = cleaned.withColumn(
             c, F.when(stale, F.lit(None).cast(dim.schema[c].dataType)).otherwise(F.col(c))
         )
-    return cleaned.drop("__vt__")
+    # drop the helper AND the matched valid_from the as-of join emits —
+    # neither is part of the documented output schema
+    return cleaned.drop("__vt__", f"{ts_col}__scd2__")

@@ -114,7 +114,8 @@ def global_row_number(
     rev: bool = False,
     col_name: str = "__row_id__",
     persist: bool = False,
-) -> DataFrame:
+    with_total: bool = False,
+):
     """Distributed 1-based global rank under the given ordering — the
     scale path for positional semantics (SURVEY §7 hard part #1).
 
@@ -154,13 +155,17 @@ def global_row_number(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
     w = Window.partitionBy("__pid__").orderBy(*specs)
-    return (
+    out = (
         with_pid.withColumn(
             col_name,
             (F.row_number().over(w) + F.coalesce(omap[F.col("__pid__")], F.lit(0))).cast("bigint"),
         )
         .drop("__pid__")
     )
+    # `acc` is the exact row total, already paid for by the offsets
+    # count job — with_total hands it back so callers (global_ntile)
+    # don't run a second full scan just to learn n
+    return (out, acc) if with_total else out
 
 
 def global_ntile(
@@ -183,10 +188,12 @@ def global_ntile(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    # count the SOURCE (column-pruned scan), not the ranked frame —
-    # counting after ranking would re-execute the whole rank pipeline
-    n = df.count()
-    ranked = global_row_number(df, cols=cols, rev=rev, col_name="__gnt_rn__")
+    # the exact total comes from global_row_number's own offsets count
+    # job — a separate df.count() would execute the source lineage a
+    # second time (on derived frames that repeats all upstream work)
+    ranked, n = global_row_number(
+        df, cols=cols, rev=rev, col_name="__gnt_rn__", with_total=True
+    )
     return ranked.withColumn(
         col_name,
         (

@@ -1630,7 +1630,7 @@ def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (ops.bloom.cm_build/cm_estimate —
     Cormode & Muthukrishnan 2005) of supplier frequencies in the fact
     table, compared against exact counts.  The oracle rebuilds the
-    identical 4x1024 counter sketch, so both the never-undercounts
+    identical 4x64 counter sketch, so both the never-undercounts
     invariant (overcount >= 0) and the EXACT collision overcounts are
     checked by value — the sketch itself is fixed-size no matter the
     fact cardinality.  Width 64 is deliberately undersized for the 100

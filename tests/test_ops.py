@@ -926,3 +926,60 @@ def test_funnel_within_window(spark):
            funnel_steps(df, "u", "et", "ts", ["a", "b"], within_seconds=3600).collect()}
     assert got[1] is not None   # within the hour
     assert got[2] is None       # too late
+
+
+def test_bloom_null_keys_pass_through(spark):
+    """NULL probe keys must get True (NA keys can genuinely match under
+    eqNullSafe join semantics — False would be a false negative)."""
+    from dataframes_jl_spark.ops import bloom_build, bloom_prefilter
+
+    build = spark.createDataFrame([(1,), (2,)], "key bigint")
+    bloom = bloom_build(build, "key")
+    probe = spark.createDataFrame([(1,), (None,), (99,)], "key bigint")
+    out = {r.key: r["__bloom_pass__"]
+           for r in bloom_prefilter(probe, "key", bloom).collect()}
+    assert out[1] is True
+    assert out[None] is True     # conservative pass-through
+    assert out[99] in (True, False) and out[99] is not None
+
+
+def test_scd2_lookup_rejects_attr_collision_and_clean_schema(spark):
+    from dataframes_jl_spark.ops.scd import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, None)],
+        "k bigint, attr string, valid_from bigint, valid_to bigint",
+    )
+    facts = spark.createDataFrame([(1, 15)], "k bigint, ts bigint")
+    out = scd2_lookup(facts, dim, ["k"], "ts")
+    assert set(out.columns) == {"k", "ts", "attr"}  # no leaked internals
+    bad_facts = facts.withColumn("attr", F.lit("mine"))
+    with pytest.raises(ValueError, match="collide"):
+        scd2_lookup(bad_facts, dim, ["k"], "ts")
+
+
+def test_scd2_lookup_zero_length_version_tie(spark):
+    """Same-valid_from versions: the zero-length one (from a same-ts
+    change) can never be active and must not shadow the real one."""
+    from dataframes_jl_spark.ops.scd import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "x", 10, 10), (1, "y", 10, None)],
+        "k bigint, attr string, valid_from bigint, valid_to bigint",
+    )
+    facts = spark.createDataFrame([(1, 10), (1, 50)], "k bigint, ts bigint")
+    got = {r.ts: r.attr for r in scd2_lookup(facts, dim, ["k"], "ts").collect()}
+    assert got == {10: "y", 50: "y"}
+
+
+def test_funnel_within_timestamp_ntz(spark):
+    """within_seconds must survive TIMESTAMP_NTZ columns (the parquet
+    timestamp[us] reading) via the LTZ hop."""
+    from dataframes_jl_spark.ops import funnel_steps
+
+    rows = [(1, "a", "2024-01-01 00:00:00"), (1, "b", "2024-01-01 00:30:00")]
+    df = spark.createDataFrame(rows, "u bigint, et string, ts string").select(
+        "u", "et", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    got = funnel_steps(df, "u", "et", "ts", ["a", "b"], within_seconds=3600).collect()
+    assert got[0].step_1 is not None
