@@ -478,3 +478,63 @@ def psi(
         "n_actual",
         (F.floor(term * F.lit(m) + F.lit(0.5)) / F.lit(m)).alias("psi_term"),
     )
+
+
+def profile(df: DataFrame) -> DataFrame:
+    """One-call dataset profile: every column's type, null count/share,
+    distinct count, and (for numerics) min/max/mean — the "what is in
+    this table" first look every pipeline starts with.
+
+    One aggregation pass over the whole frame (map-side partials, a
+    1-row result exploded to one row per column); exact counts, the
+    decimal-exact mean discipline from :func:`describe`.  Output:
+    (variable, dtype, n, n_na, na_frac, n_unique, min, max, mean) —
+    min/max/mean are NULL for non-numeric columns.
+    """
+    num = set(numeric_cols(df))
+    dtypes = dict(df.dtypes)
+    n = F.count(F.lit(1))
+    aggs: list[Column] = [n.alias("__n__")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nna"),
+            F.countDistinct(c).alias(f"{c}__uniq"),
+        ]
+        if c in num:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+                (
+                    F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+                    / F.count(c)
+                ).alias(f"{c}__mean"),
+            ]
+    row = df.agg(*aggs)
+    pieces = []
+    for c in df.columns:
+        if c in num:
+            stats = (
+                f"'min', `{c}__min`, 'max', `{c}__max`, 'mean', `{c}__mean`"
+            )
+        else:
+            stats = (
+                "'min', CAST(NULL AS DOUBLE), 'max', CAST(NULL AS DOUBLE), "
+                "'mean', CAST(NULL AS DOUBLE)"
+            )
+        pieces.append(
+            f"named_struct('variable', '{c}', 'dtype', '{dtypes[c]}', "
+            f"'n_na', CAST(`{c}__nna` AS BIGINT), "
+            f"'n_unique', CAST(`{c}__uniq` AS BIGINT), {stats})"
+        )
+    exploded = row.selectExpr("__n__", f"inline(array({', '.join(pieces)}))")
+    return exploded.select(
+        "variable",
+        "dtype",
+        F.col("__n__").cast("bigint").alias("n"),
+        "n_na",
+        (F.col("n_na") / F.col("__n__")).alias("na_frac"),
+        "n_unique",
+        "min",
+        "max",
+        "mean",
+    )

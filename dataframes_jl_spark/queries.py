@@ -1548,6 +1548,71 @@ _CM_HASH_SQL = """
 
 
 @register(
+    "q_data_profile",
+    oracle="""
+    WITH t AS (SELECT * FROM customer), n AS (SELECT COUNT(*) AS n FROM t)
+    SELECT 'c_custkey' AS variable, 'bigint' AS dtype, n.n,
+           CAST((SELECT COUNT(*) FROM t WHERE c_custkey IS NULL) AS BIGINT) AS n_na,
+           CAST((SELECT COUNT(*) FROM t WHERE c_custkey IS NULL) AS DOUBLE) / n.n AS na_frac,
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM t) AS BIGINT) AS n_unique,
+           CAST((SELECT MIN(c_custkey) FROM t) AS DOUBLE) AS min,
+           CAST((SELECT MAX(c_custkey) FROM t) AS DOUBLE) AS max,
+           ROUND((SELECT CAST(SUM(CAST(c_custkey AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(c_custkey) FROM t), 6) AS mean
+    FROM n
+    UNION ALL
+    SELECT 'c_name', 'string', n.n,
+           (SELECT COUNT(*) FROM t WHERE c_name IS NULL),
+           CAST((SELECT COUNT(*) FROM t WHERE c_name IS NULL) AS DOUBLE) / n.n,
+           (SELECT COUNT(DISTINCT c_name) FROM t),
+           NULL, NULL, NULL
+    FROM n
+    UNION ALL
+    SELECT 'c_nationkey', 'int', n.n,
+           (SELECT COUNT(*) FROM t WHERE c_nationkey IS NULL),
+           CAST((SELECT COUNT(*) FROM t WHERE c_nationkey IS NULL) AS DOUBLE) / n.n,
+           (SELECT COUNT(DISTINCT c_nationkey) FROM t),
+           (SELECT CAST(MIN(c_nationkey) AS DOUBLE) FROM t),
+           (SELECT CAST(MAX(c_nationkey) AS DOUBLE) FROM t),
+           ROUND((SELECT CAST(SUM(CAST(c_nationkey AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(c_nationkey) FROM t), 6)
+    FROM n
+    UNION ALL
+    SELECT 'c_acctbal', 'double', n.n,
+           (SELECT COUNT(*) FROM t WHERE c_acctbal IS NULL),
+           CAST((SELECT COUNT(*) FROM t WHERE c_acctbal IS NULL) AS DOUBLE) / n.n,
+           (SELECT COUNT(DISTINCT c_acctbal) FROM t),
+           (SELECT MIN(c_acctbal) FROM t),
+           (SELECT MAX(c_acctbal) FROM t),
+           ROUND((SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(c_acctbal) FROM t), 6)
+    FROM n
+    UNION ALL
+    SELECT 'c_mktsegment', 'string', n.n,
+           (SELECT COUNT(*) FROM t WHERE c_mktsegment IS NULL),
+           CAST((SELECT COUNT(*) FROM t WHERE c_mktsegment IS NULL) AS DOUBLE) / n.n,
+           (SELECT COUNT(DISTINCT c_mktsegment) FROM t),
+           NULL, NULL, NULL
+    FROM n
+    """,
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call dataset profile (functions.stats.profile) of the
+    customer table: per-column dtype, exact null/distinct counts,
+    numeric min/max/decimal-exact mean — a single aggregation pass
+    exploded to one row per column; the oracle computes every cell
+    independently."""
+    from .functions.stats import profile
+
+    cust = _t(spark, sf_dir, "customer")
+    out = profile(cust)
+    return out.select(
+        "variable", "dtype", "n", "n_na", "na_frac", "n_unique",
+        "min", "max", F.round("mean", 6).alias("mean"),
+    )
+
+
+@register(
     "q_psi_drift",
     oracle="""
     WITH edges AS (SELECT [20000.0, 50000.0, 100000.0, 200000.0] AS e),

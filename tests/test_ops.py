@@ -983,3 +983,17 @@ def test_funnel_within_timestamp_ntz(spark):
     )
     got = funnel_steps(df, "u", "et", "ts", ["a", "b"], within_seconds=3600).collect()
     assert got[0].step_1 is not None
+
+
+def test_profile_mixed_types_and_nulls(spark):
+    from dataframes_jl_spark.functions.stats import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (2, "b", 2.5)],
+        "i bigint, s string, d double",
+    )
+    rows = {r.variable: r for r in profile(df).collect()}
+    assert rows["i"].n == 3 and rows["i"].n_unique == 2 and rows["i"].n_na == 0
+    assert rows["s"].n_na == 1 and abs(rows["s"].na_frac - 1 / 3) < 1e-9
+    assert rows["s"].min is None and rows["s"].mean is None
+    assert rows["d"].min == 1.5 and rows["d"].max == 2.5 and rows["d"].mean == 2.0
