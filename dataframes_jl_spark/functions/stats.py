@@ -404,7 +404,14 @@ def grouped_ols(
     slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
     intercept = (sy - slope * sx) / n
     ss_tot = n * syy - sy * sy
-    r2 = F.when(ss_tot != 0, F.pow(n * sxy - sx * sy, 2) / (denom * ss_tot))
+    # Guard BOTH factors of the denominator: a zero-x-variance group
+    # (constant x, or any single-row group) has denom == 0, and under an
+    # ANSI session Spark's Divide raises DIVIDE_BY_ZERO rather than
+    # yielding NULL — one such group would fail the whole job.
+    r2 = F.when(
+        (denom != 0) & (ss_tot != 0),
+        F.pow(n * sxy - sx * sy, 2) / (denom * ss_tot),
+    )
     return agg.select(
         *by,
         "n",

@@ -118,11 +118,16 @@ def kmeans_assign(
         ]
     )
     best = F.array_min(structs)
+    # NULL vector => NULL cluster/qdist2, explicitly: without the guard
+    # struct-min over all-NULL qd fields picks an arbitrary first struct
+    # (cluster 0 with NULL distance), which is an artifact, not a policy.
+    # kmeans_assign_np emits the identical NULL/NULL row.
+    ok = F.col(vec_col).isNotNull()
     return df.select(
         F.col(id_col),
         *[F.col(k) for k in keep],
-        best["cluster"].alias("cluster"),
-        best["qd"].alias("qdist2"),
+        F.when(ok, best["cluster"]).alias("cluster"),
+        F.when(ok, best["qd"]).alias("qdist2"),
     )
 
 
@@ -143,22 +148,29 @@ def kmeans_assign_np(
     centroids.  This path computes ||v||^2 - 2 v.C^T + ||C||^2 for a
     whole Arrow batch in one BLAS call, so k in the hundreds-to-
     thousands (SemDeDup's k ~ sqrt(n)) costs one matmul per batch.
-    Ties break to the lowest centroid id (numpy argmin returns the
-    first minimum) — same policy as the literal path, though float64
-    distances can tie-break differently than the quantized longs in
-    exactly-equidistant cases.  Output matches kmeans_assign's schema
-    AND units: (id, *keep, cluster, qdist2) with qdist2 a long in
-    ``10^-scale`` units (round(d2 * 10^scale)), so downstream
-    consumers like :func:`cluster_profile` — which divides by
-    10^scale — read the same dispersion from either path.
+
+    Output is BIT-IDENTICAL to :func:`kmeans_assign`: the float
+    distances only shortlist candidate centroids, and the reported
+    qdist2 (and the argmin among the shortlist) is recomputed with the
+    literal path's per-dimension quantization — per-dim
+    ``floor(diff^2 * 10^scale + 0.5)`` summed as int64.  Per-dim
+    quantized totals sit within ``dim/2`` units of ``d2 * 10^scale``,
+    so any centroid whose float distance exceeds the float minimum by
+    more than ``dim / 10^scale`` cannot win the quantized argmin; only
+    the (rare) rows with a second centroid inside that margin pay the
+    per-candidate requantization.  Ties break to the lowest centroid
+    id, same as the literal path.  NULL vectors pass through with NULL
+    cluster/qdist2, exactly as kmeans_assign emits them.
     """
     import numpy as np
+    import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
     c_sq = (C * C).sum(axis=1)
     m = float(10**scale)
-    src = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), *[F.col(k) for k in keep], _as_double(F.col(vec_col)).alias("__v__")
+    src = df.select(
+        F.col(id_col), *[F.col(k_) for k_ in keep], _as_double(F.col(vec_col)).alias("__v__")
     )
     out_fields = [f for f in src.schema.fields if f.name != "__v__"]
     schema_ddl = ", ".join(
@@ -167,18 +179,60 @@ def kmeans_assign_np(
     )
     keep_cols = [id_col, *keep]
 
+    def _qd_rows(V: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        # The literal path's exact integer distance for a block of rows.
+        diff = V - c[None, :]
+        return np.floor(diff * diff * m + 0.5).astype("int64").sum(axis=1)
+
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v__"]])
-            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            cl = d2.argmin(axis=1)
+            n = len(pdf)
+            cl_out = np.full(n, -1, dtype="int64")
+            qd_out = np.zeros(n, dtype="int64")
+            mask = pdf["__v__"].notna().to_numpy()
+            if mask.any():
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v__"][mask]]
+                )
+                d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+                cl = d2.argmin(axis=1)
+                qd = np.empty(len(V), dtype="int64")
+                # Exact qdist2 for the float winner, vectorized per centroid.
+                for j in np.unique(cl):
+                    rows = cl == j
+                    qd[rows] = _qd_rows(V[rows], C[j])
+                # Rows where another centroid's float distance is within the
+                # quantization margin: requantize every candidate exactly.
+                margin = dim / m
+                d2min = d2[np.arange(len(V)), cl]
+                alt = d2 <= (d2min[:, None] + margin)
+                multi = np.where(alt.sum(axis=1) > 1)[0]
+                if len(multi):
+                    best_q = np.full(len(multi), np.iinfo(np.int64).max, dtype="int64")
+                    best_c = np.zeros(len(multi), dtype="int64")
+                    for j in range(k):
+                        sub = np.where(alt[multi, j])[0]
+                        if not len(sub):
+                            continue
+                        qj = _qd_rows(V[multi[sub]], C[j])
+                        win = qj < best_q[sub]  # strict: ties keep lower j
+                        best_q[sub[win]] = qj[win]
+                        best_c[sub[win]] = j
+                    cl[multi] = best_c
+                    qd[multi] = best_q
+                cl_out[mask] = cl
+                qd_out[mask] = qd
             out = pdf[keep_cols].copy()
-            out["cluster"] = cl.astype("int32")
-            out["qdist2"] = np.floor(
-                d2[np.arange(len(pdf)), cl] * m + 0.5
-            ).astype("int64")
+            out["cluster"] = pd.array(
+                [None if not mask[i] else int(cl_out[i]) for i in range(n)],
+                dtype="Int32",
+            )
+            out["qdist2"] = pd.array(
+                [None if not mask[i] else int(qd_out[i]) for i in range(n)],
+                dtype="Int64",
+            )
             yield out
 
     return src.mapInPandas(assign, schema_ddl)

@@ -207,7 +207,14 @@ def funnel_counts(
                 F.lit(step).alias("step"),
                 F.col(f"__n{i}__").alias("n_users"),
                 (
-                    F.col(f"__n{i}__") / F.col(f"__n{i - 1}__")
+                    # Zero-guard: an empty previous step must yield NULL
+                    # conversion deterministically (ANSI sessions raise on
+                    # x/0, and DuckDB/Spark disagree on the un-guarded
+                    # result, breaking oracle parity).
+                    F.when(
+                        F.col(f"__n{i - 1}__") > 0,
+                        F.col(f"__n{i}__") / F.col(f"__n{i - 1}__"),
+                    )
                     if i > 0
                     else F.lit(1.0)
                 ).alias("conversion"),
