@@ -57,6 +57,9 @@ HEADLINE = [
     "q_cm_sketch",
     "q_psi_drift",
     "q_quality_deciles",
+    # round 5
+    "q_global_running_sum",
+    "q_hll_distinct",
 ]
 
 

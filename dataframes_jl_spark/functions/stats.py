@@ -228,7 +228,7 @@ def describe(df: DataFrame, exact_quantiles: bool = False) -> DataFrame:
         F.col("s.q3").alias("q3"),
         F.col("s.max").alias("max"),
         F.col("s.nna").cast("bigint").alias("n_na"),
-        (F.col("s.nna") / F.col("__n__")).alias("na_share"),
+        F.try_divide(F.col("s.nna"), F.col("__n__")).alias("na_share"),
     )
 
 
@@ -539,7 +539,7 @@ def profile(df: DataFrame) -> DataFrame:
         "dtype",
         F.col("__n__").cast("bigint").alias("n"),
         "n_na",
-        (F.col("n_na") / F.col("__n__")).alias("na_frac"),
+        F.try_divide(F.col("n_na"), F.col("__n__")).alias("na_frac"),
         "n_unique",
         "min",
         "max",

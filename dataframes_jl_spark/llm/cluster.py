@@ -314,12 +314,20 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     scale: int = 6,
-    persist: bool = False,
+    persist: bool | None = None,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     cluster embeddings to literal centroids, then score pairwise cosine
     ONLY within each cluster.
+
+    ``persist=None`` (default) auto-persists the assigned base exactly
+    when assignment takes the Arrow/numpy path (k > 32): both sides of
+    the pair join read it, and re-running a Python-worker matmul stage
+    twice is the measurable double-read SCALING.md flagged at sf10.
+    The literal-inlined path stays unpersisted by default — re-running
+    codegen'd column arithmetic is cheaper than caching the vectors —
+    and either choice can be forced with True/False.
 
     Output: (id_a, id_b, cluster, cos_sim) with id_a < id_b and
     cos_sim >= threshold.  The cluster key bounds the quadratic — the
@@ -343,13 +351,16 @@ def semdedup_pairs(
     # inlined expression falls out of codegen and goes quadratically
     # interpreted).
     filtered = df.filter(F.col(vec_col).isNotNull())
-    if len(centroids) <= 32:
-        assigned = kmeans_assign(
+    np_path = len(centroids) > 32
+    if persist is None:
+        persist = np_path
+    if np_path:
+        assigned = kmeans_assign_np(
             filtered, centroids, id_col, vec_col, scale, keep=(vec_col,)
         )
     else:
-        assigned = kmeans_assign_np(
-            filtered, centroids, id_col, vec_col, keep=(vec_col,)
+        assigned = kmeans_assign(
+            filtered, centroids, id_col, vec_col, scale, keep=(vec_col,)
         )
     # Each row's norm is computed ONCE here and carried through the
     # join: cos(a,b) = dot/(na*nb) then costs one aggregate per pair
@@ -388,7 +399,7 @@ def semdedup_pairs(
         F.col("nv").alias("nb"),
     )
     cos = F.nanvl(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
         F.lit(None).cast("double"),
     )
     return (

@@ -81,7 +81,9 @@ def ngram_overlap(
             "train_id",
             "eval_id",
             "common",
-            (F.col("common") / F.col("n_eval_sh")).alias("coverage"),
+            # eval docs shorter than the shingle width have 0 shingles;
+            # NULL coverage, never an ANSI DIVIDE_BY_ZERO
+            F.try_divide(F.col("common"), F.col("n_eval_sh")).alias("coverage"),
         )
     )
 

@@ -41,7 +41,11 @@ def domain_stats(
         domain_col,
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.col("__total_tokens__")).alias("token_share"),
+        # try_divide: an all-empty corpus has 0 total tokens — NULL
+        # share beats an ANSI DIVIDE_BY_ZERO crash
+        F.try_divide(F.col("n_tokens"), F.col("__total_tokens__")).alias(
+            "token_share"
+        ),
     )
 
 

@@ -44,19 +44,45 @@ def attach_media_meta(
     )
 
 
+def _pil():
+    """Import Pillow at call time, or None. The real kernels light up
+    the moment the environment gains the library; until then the fake
+    kernel (deterministic, oracle-recomputable) and the loud raise keep
+    the plumbing honest."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, int, float]:
     """Decode one image → (width, height, channels, mean_luma).
 
-    STUB: real implementation requires an image library not present in
-    this container. ``fake=True`` produces a deterministic stand-in
-    derived from the payload sha256 so the distributed plumbing is
-    testable end-to-end and recomputable by a SQL oracle.
+    ``fake=True`` produces a deterministic stand-in derived from the
+    payload sha256 so the distributed plumbing is testable end-to-end
+    and recomputable by a SQL oracle. ``fake=False`` uses Pillow when
+    importable (not present in this container) and raises loudly
+    otherwise.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires Pillow/libvips; run with fake=True "
-            "or swap _decode_image_kernel in production"
-        )
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image decoding requires Pillow/libvips; run with "
+                "fake=True or install Pillow"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            channels = len(im.getbands())
+            # mean over the 8-bit luma plane, normalized to [0, 1]
+            hist = gray.histogram()
+            total = sum(hist)
+            mean = sum(i * c for i, c in enumerate(hist)) / total / 255.0
+            return im.width, im.height, channels, mean
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -132,14 +158,23 @@ def _resize_image_kernel(
 ) -> bytes:
     """Resize one image payload to (width, height).
 
-    STUB: the real implementation needs an image library; ``fake=True``
-    returns a deterministic payload (sha256-seeded, length scaled to the
-    target pixel count) so batch shape and schema are testable."""
+    ``fake=True`` returns a deterministic payload (sha256-seeded,
+    length scaled to the target pixel count) so batch shape and schema
+    are testable; ``fake=False`` uses Pillow when importable and raises
+    loudly otherwise."""
     if not fake:
-        raise NotImplementedError(
-            "image resizing requires Pillow/libvips; run with fake=True "
-            "or swap _resize_image_kernel in production"
-        )
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image resizing requires Pillow/libvips; run with "
+                "fake=True or install Pillow"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((width, height)).save(out, format=im.format or "PNG")
+            return out.getvalue()
     seed = hashlib.sha256(payload).digest()
     out_len = max(1, (width * height) // 64)
     return (seed * (out_len // len(seed) + 1))[:out_len]

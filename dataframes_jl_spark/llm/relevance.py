@@ -175,7 +175,9 @@ def bm25_scores(
         # tokenizer in the scan stage.
         nonempty = F.count(F.when(F.col("dl") > 0, 1))
         avgdl = base.select(F.size("toks").alias("dl")).agg(
-            (F.sum("dl") / nonempty).alias("__avgdl__"),
+            # try_divide: an all-empty corpus has nonempty == 0 — NULL
+            # avgdl propagates to NULL scores, never an ANSI crash
+            F.try_divide(F.sum("dl"), nonempty).alias("__avgdl__"),
             nonempty.cast("double").alias("__n__"),
         )
     idf = (

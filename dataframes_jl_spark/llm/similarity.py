@@ -37,10 +37,14 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, NULL for zero-norm inputs. The guard matters:
     0/0 is NaN, and Spark orders NaN LARGER than any number, so an
     unguarded zero vector would rank above every real neighbor and pass
-    >=threshold filters. nanvl evaluates the quotient ONCE — a when()
-    guard on the denominator would re-run both norm aggregates per row."""
+    >=threshold filters. try_divide evaluates the quotient ONCE (a
+    when() guard on the denominator would re-run both norm aggregates
+    per row), yields NULL instead of raising on a zero denominator
+    under an ANSI session, and the same NULL under a permissive one;
+    nanvl then maps a NaN dot (NaN vector components) to NULL too."""
     return F.nanvl(
-        dot(a, b) / (norm(a) * norm(b)), F.lit(None).cast("double")
+        F.try_divide(dot(a, b), norm(a) * norm(b)),
+        F.lit(None).cast("double"),
     )
 
 

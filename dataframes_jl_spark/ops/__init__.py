@@ -39,6 +39,7 @@ from .window import (  # noqa: F401
     reldiff,
     rolling_stats,
     rolling_window,
+    with_running,
 )
 from .scd import scd2_from_log, scd2_merge  # noqa: F401
 from .scd import funnel_counts, funnel_steps  # noqa: F401

@@ -178,3 +178,121 @@ def cm_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(result_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — same engine-portable discipline
+# ---------------------------------------------------------------------------
+
+# The Bloom/CM affine family is pairwise-independent — enough for
+# POSITIONS, but HLL's max-rank statistic needs avalanche: with plain
+# affine hashes the measured estimates ran ±60% off on sequential keys.
+# So HLL mixes with three ARX-style rounds alternating an affine map
+# mod P (non-linear over GF(2)) and an xor-shift (non-linear mod P).
+# Every intermediate stays < P < 2^30 and every product < P^2 < 2^63 —
+# overflow-free int64 even under ANSI, and replayable in any engine
+# with *, %, xor, and >>. Measured on sequential/random/offset key
+# sets: estimates within ~1-2 sigma of HLL's theoretical 1.04/sqrt(m).
+_HLL_ROUNDS = [
+    (654_435_747, 97, 13),
+    (374_761_393, 268_435_399, 11),
+    (668_265_263, 104_729, 15),
+]
+# pre-scramble for the rank hash so (register, rank) decorrelate
+_HLL_RHO_SEED = (913_151_717, 776_531_401)
+# h2 is uniform in [0, P) with P just over 2^29; ranks beyond 30 cannot
+# occur, so an all-zero h2 (probability ~2^-30 per key) pins the
+# register to the cap instead of overflowing the estimator.
+_HLL_MAX_RHO = 31
+
+
+def _hll_mix(h: Column) -> Column:
+    for a, b, s in _HLL_ROUNDS:
+        h = F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+        h = h.bitwiseXOR(F.shiftright(h, s))
+    return h
+
+
+def _hll_parts(key: Column, m: int) -> tuple[Column, Column]:
+    """(register, rho) for one key — pure int64/exact-dyadic arithmetic
+    both engines replay bit-for-bit. rho = 1 + trailing zeros of the
+    rank hash, extracted with the lowest-set-bit identity
+    ``L = h - (h & (h-1))`` and ``log2`` of an exact power of two
+    (exact in any IEEE implementation; the +0.5/floor absorbs a stray
+    ulp anyway)."""
+    ks = F.pmod(key, F.lit(_P))
+    a0, b0 = _HLL_RHO_SEED
+    h1 = _hll_mix(ks)
+    h2 = _hll_mix(F.pmod(ks * F.lit(a0) + F.lit(b0), F.lit(_P)))
+    reg = F.pmod(h1, F.lit(m)).cast("int")
+    low = h2 - h2.bitwiseAND(h2 - F.lit(1))
+    rho = F.when(h2 == 0, F.lit(_HLL_MAX_RHO)).otherwise(
+        F.floor(F.log2(low) + F.lit(0.5)).cast("int") + F.lit(1)
+    )
+    return reg, rho
+
+
+def hll_build(df: DataFrame, key: str | Column, p: int = 8) -> DataFrame:
+    """HyperLogLog sketch of an integer key column: ``(reg, rho)`` with
+    at most ``2^p`` rows — fixed-size no matter the input cardinality,
+    built with ONE map-side-combining hash aggregate (max per register).
+
+    Shard-mergeable like the other sketches here: union + max per
+    register (:func:`hll_merge`) equals the sketch of the union — the
+    property that lets 1000 executors sketch 100 TB independently and
+    combine 256-row results. NULL keys are skipped (COUNT DISTINCT
+    semantics)."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    kc = F.col(key) if isinstance(key, str) else key
+    reg, rho = _hll_parts(F.col("__k__"), 1 << p)
+    return (
+        df.select(kc.alias("__k__"))
+        .filter(F.col("__k__").isNotNull())
+        .select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + max per register: the sketch of the shard union."""
+    from functools import reduce
+
+    un = reduce(lambda a, b: a.unionByName(b), sketches)
+    return un.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from a :func:`hll_build` sketch.
+
+    Standard HLL estimator: ``alpha_m * m^2 / S`` where S sums
+    ``2^-rho`` over all m registers (absent registers contribute 2^0);
+    small-range correction switches to linear counting
+    ``m * ln(m / V)`` when the raw estimate is below 2.5m and empty
+    registers remain. S is a sum of <= m exact dyadic rationals
+    spanning 2^-31..1 — fewer than 53 mantissa bits total, so it is
+    EXACT regardless of accumulation order and the estimate is
+    engine-reproducible (round the final double; ln may differ by an
+    ulp between libms).
+
+    Output: one row ``(method, n_regs, v_zero, estimate)``."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s_used__"),
+    )
+    v = F.lit(m) - F.col("n_regs")
+    # coalesce: an EMPTY sketch (no rows seen) sums to NULL; 0 routes it
+    # to linear counting with V=m -> estimate 0, the right answer
+    s = F.coalesce(F.col("__s_used__"), F.lit(0.0)) + v.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    use_linear = (raw <= F.lit(2.5 * m)) & (v > 0)
+    return agg.select(
+        F.when(use_linear, F.lit("linear")).otherwise(F.lit("hll")).alias("method"),
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+        v.cast("bigint").alias("v_zero"),
+        F.when(use_linear, linear).otherwise(raw).alias("estimate"),
+    )

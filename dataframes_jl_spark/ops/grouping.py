@@ -113,9 +113,16 @@ def _wrap_keyed(fn, cols):
     return wrapped
 
 
-def _infer_apply_schema(df: DataFrame, cols, fn) -> str:
+def _infer_apply_schema(df: DataFrame, cols, fn, sample_rows: int = 1024) -> str:
     """Sample one group locally, run fn, derive the Spark schema from the
-    resulting pandas frame (SURVEY §7 hard part #4)."""
+    resulting pandas frame (SURVEY §7 hard part #4).
+
+    Inference sees only a ``sample_rows`` PREFIX of the sampled group:
+    a skewed first group could otherwise materialize millions of rows
+    on the driver just to learn column dtypes. A fn whose OUTPUT dtypes
+    depend on seeing the whole group (rare; e.g. an all-NULL column in
+    the prefix inferring differently) should pass ``schema=``
+    explicitly — the gated queries all do."""
     first = df.limit(1).collect()
     if not first:
         raise ValueError("cannot infer schema from an empty DataFrame")
@@ -124,7 +131,7 @@ def _infer_apply_schema(df: DataFrame, cols, fn) -> str:
     for c, v in key.items():
         this = F.col(c).eqNullSafe(F.lit(v))
         cond = this if cond is None else (cond & this)
-    sample = df.filter(cond).toPandas()
+    sample = df.filter(cond).limit(sample_rows).toPandas()
     out = fn(sample)
     parts = []
     for c in cols:

@@ -3,9 +3,14 @@ lag-based vector ops (SURVEY §2.5; reference src/operators.jl:58-60).
 
 All take an explicit ordering (and optional partitioning): Spark tables
 are unordered, so "cumulative over the frame's row order" must name the
-order. Partitioned windows scale (state per key, no global sort);
-unpartitioned ones plan a single-partition exchange — fine for
-notebook-size frames, documented as the cost of positional semantics.
+order. Partitioned windows scale (state per key, no global sort).
+Whole-column (unpartitioned) cumulatives — the reference's default mode
+— go through :func:`with_running`, which plans a range-repartitioned
+prefix aggregate (per-partition running state + broadcast per-partition
+carries) instead of the SinglePartition exchange a bare
+``ORDER BY``-only window would plan; the Column-form helpers refuse
+``partition_by=None`` so the single-task trap cannot be hit by
+accident.
 """
 
 from __future__ import annotations
@@ -26,53 +31,267 @@ def _window(order_by, partition_by=None) -> WindowSpec:
     return Window.orderBy(*order_by)
 
 
+def _require_partition(partition_by, op: str):
+    """Column-form cum*/lag helpers are window expressions and cannot
+    plan the distributed prefix aggregate themselves; unpartitioned use
+    would silently funnel every row through ONE task (SinglePartition
+    exchange). Route whole-column cumulatives to :func:`with_running`.
+    """
+    if not partition_by:
+        raise ValueError(
+            f"{op}(..., partition_by=None) would plan a single-partition "
+            "global window. For whole-column running aggregates use "
+            "ops.window.with_running(df, ...), which range-partitions "
+            "the ordering and combines per-partition carries instead."
+        )
+
+
 def _running(w: WindowSpec) -> WindowSpec:
     return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
 
 def cumsum(col, order_by, partition_by=None) -> Column:
     """cumsum (reference src/operators.jl:60)."""
+    _require_partition(partition_by, "cumsum")
     return F.sum(col).over(_running(_window(order_by, partition_by)))
 
 
 def cummax(col, order_by, partition_by=None) -> Column:
+    _require_partition(partition_by, "cummax")
     return F.max(col).over(_running(_window(order_by, partition_by)))
 
 
 def cummin(col, order_by, partition_by=None) -> Column:
+    _require_partition(partition_by, "cummin")
     return F.min(col).over(_running(_window(order_by, partition_by)))
+
+
+def _cumprod_parts(c: Column, w: WindowSpec) -> tuple[Column, Column, Column]:
+    """Running (log-magnitude, #negatives, #zeros) — the decomposition
+    that turns a product into window-able sums. log is guarded to
+    nonzero inputs so an ANSI session never sees log(0)."""
+    log_mag = F.sum(F.when(c != 0, F.log(F.abs(c)))).over(w)
+    n_neg = F.sum(F.when(c < 0, 1).otherwise(0)).over(w)
+    n_zero = F.sum(F.when(c == 0, 1).otherwise(0)).over(w)
+    return log_mag, n_neg, n_zero
+
+
+def _cumprod_combine(log_mag: Column, n_neg: Column, n_zero: Column) -> Column:
+    sign = F.when(n_neg % 2 == 1, -1.0).otherwise(1.0)
+    return F.when(n_zero > 0, F.lit(0.0)).otherwise(sign * F.exp(log_mag))
 
 
 def cumprod(col, order_by, partition_by=None) -> Column:
     """cumprod via exp∘cumsum∘log with sign tracking (no native product
     window aggregate; stays JVM-side)."""
+    _require_partition(partition_by, "cumprod")
     c = F.col(col) if isinstance(col, str) else col
     w = _running(_window(order_by, partition_by))
-    log_mag = F.sum(F.log(F.abs(c))).over(w)
-    n_neg = F.sum(F.when(c < 0, 1).otherwise(0)).over(w)
-    any_zero = F.max(F.when(c == 0, 1).otherwise(0)).over(w)
-    sign = F.when(n_neg % 2 == 1, -1.0).otherwise(1.0)
-    return F.when(any_zero == 1, F.lit(0.0)).otherwise(sign * F.exp(log_mag))
+    return _cumprod_combine(*_cumprod_parts(c, w))
 
 
 def diff(col, order_by, partition_by=None) -> Column:
     """diff: col - lag(col) (reference src/operators.jl:58)."""
+    _require_partition(partition_by, "diff")
     c = F.col(col) if isinstance(col, str) else col
     w = _window(order_by, partition_by)
     return c - F.lag(c).over(w)
 
 
 def reldiff(col, order_by, partition_by=None) -> Column:
-    """reldiff: (col - lag)/lag (reference src/operators.jl:58)."""
+    """reldiff: (col - lag)/lag (reference src/operators.jl:58).
+    Zero previous values yield NULL (guarded — identical to the
+    non-ANSI x/0 result, but safe under an ANSI session too)."""
+    _require_partition(partition_by, "reldiff")
     c = F.col(col) if isinstance(col, str) else col
     w = _window(order_by, partition_by)
     prev = F.lag(c).over(w)
-    return (c - prev) / prev
+    return F.when(prev != 0, (c - prev) / prev)
 
 
 def percent_change(col, order_by, partition_by=None) -> Column:
     """percent_change (reference export src/DataFrames.jl:121)."""
     return reldiff(col, order_by, partition_by) * 100.0
+
+
+_RUNNING_OPS = ("sum", "max", "min", "prod", "diff", "reldiff", "pct_change")
+
+
+def with_running(
+    df: DataFrame,
+    specs: dict,
+    order_by,
+    partition_by=None,
+) -> DataFrame:
+    """Running (cumulative / lag) aggregates as a DataFrame transform —
+    the scale path for the reference's WHOLE-COLUMN cumulative ops
+    (reference src/operators.jl:58-60, where ``cumsum(dv)`` runs over
+    the frame's global row order).
+
+    ``specs`` maps output column name -> ``(op, source_col)`` with op in
+    ``sum|max|min|prod|diff|reldiff|pct_change``; all requested specs
+    are computed in ONE pass. ``order_by`` must be a total ascending
+    ordering (add a tie-break column, e.g. a row id).
+
+    With ``partition_by`` this delegates to per-key windows (state per
+    key, one hash shuffle). WITHOUT it, a naive ``ORDER BY``-only
+    window would plan a SinglePartition exchange — every row through
+    one task. Instead this plans the classic distributed prefix scan:
+
+    1. range-repartition + local sort on ``order_by`` (parallel sampled
+       shuffle, same machinery as ops.sorting.global_row_number);
+    2. per-partition running aggregates over a ``__pid__`` window
+       (parallel, one window state per partition);
+    3. ONE tiny job collects per-partition totals/last-values
+       (#partitions rows), the exclusive prefix combine is computed on
+       the driver and broadcast back as a literal pid->carry map.
+
+    Carry combine per op: sum adds the prefix total, max/min fold with
+    greatest/least, prod folds the (log-magnitude, sign, zero-count)
+    decomposition, and the lag family substitutes the previous
+    partition's last value for each partition's first row. NULL
+    semantics match the window forms exactly (aggregates skip NULLs; a
+    NULL previous value yields NULL diff; reldiff guards prev==0 to
+    NULL). Division is when-guarded, so ANSI sessions are safe.
+    """
+    bad = [v[0] for v in specs.values() if v[0] not in _RUNNING_OPS]
+    if bad:
+        raise ValueError(f"unknown running ops {bad}; valid: {_RUNNING_OPS}")
+    ob = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    ob = [F.col(o) if isinstance(o, str) else o for o in ob]
+
+    if partition_by:
+        pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = Window.partitionBy(*pb).orderBy(*ob)
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = df
+        for name, (op, src) in specs.items():
+            c = F.col(src) if isinstance(src, str) else src
+            if op == "sum":
+                e = F.sum(c).over(wr)
+            elif op == "max":
+                e = F.max(c).over(wr)
+            elif op == "min":
+                e = F.min(c).over(wr)
+            elif op == "prod":
+                e = _cumprod_combine(*_cumprod_parts(c, wr))
+            else:
+                prev = F.lag(c).over(w)
+                e = _lag_combine(op, c, prev)
+            out = out.withColumn(name, e)
+        return out
+
+    # ---- distributed unpartitioned path -------------------------------
+    parted = (
+        df.repartitionByRange(*ob)
+        .sortWithinPartitions(*ob)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid__").orderBy(*ob)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # One summary job: per-partition totals / last values for every spec.
+    aggs = []
+    for name, (op, src) in specs.items():
+        c = F.col(src) if isinstance(src, str) else src
+        if op == "sum":
+            aggs.append(F.sum(c).alias(f"__t_{name}"))
+        elif op == "max":
+            aggs.append(F.max(c).alias(f"__t_{name}"))
+        elif op == "min":
+            aggs.append(F.min(c).alias(f"__t_{name}"))
+        elif op == "prod":
+            aggs += [
+                F.sum(F.when(c != 0, F.log(F.abs(c)))).alias(f"__tl_{name}"),
+                F.sum(F.when(c < 0, 1).otherwise(0)).alias(f"__tn_{name}"),
+                F.sum(F.when(c == 0, 1).otherwise(0)).alias(f"__tz_{name}"),
+            ]
+        else:
+            # Last row's value by ordering; struct-wrap so a NULL value
+            # is carried (max_by skips NULL values, structs are not NULL).
+            aggs.append(
+                F.max_by(F.struct(c.alias("v")), F.struct(*ob)).alias(f"__t_{name}")
+            )
+    summary = sorted(
+        parted.groupBy("__pid__").agg(*aggs).collect(),
+        key=lambda r: r["__pid__"],
+    )
+
+    def _carry_map(pairs):
+        """Literal pid->carry expression, or None when every carry is
+        empty. Pids with a None carry are simply absent from the map
+        (lookup yields NULL, the correct empty-prefix)."""
+        items = [(p, v) for p, v in pairs if v is not None]
+        if not items:
+            return None
+        m = F.create_map(*[F.lit(x) for pv in items for x in pv])
+        return m[F.col("__pid__")]
+
+    out = parted
+    for name, (op, src) in specs.items():
+        c = F.col(src) if isinstance(src, str) else src
+        if op in ("sum", "max", "min"):
+            acc, pairs = None, []
+            for r in summary:
+                pairs.append((r["__pid__"], acc))
+                t = r[f"__t_{name}"]
+                if t is not None:
+                    if acc is None:
+                        acc = t
+                    elif op == "sum":
+                        acc = acc + t
+                    elif op == "max":
+                        acc = max(acc, t)
+                    else:
+                        acc = min(acc, t)
+            carry = _carry_map(pairs)
+            local = {"sum": F.sum, "max": F.max, "min": F.min}[op](c).over(wr)
+            if carry is None:
+                e = local
+            elif op == "sum":
+                e = F.coalesce(local + carry, local, carry)
+            else:
+                e = (F.greatest if op == "max" else F.least)(local, carry)
+        elif op == "prod":
+            accl = accn = accz = None
+            pl, pn, pz = [], [], []
+            for r in summary:
+                pid = r["__pid__"]
+                pl.append((pid, accl))
+                pn.append((pid, accn))
+                pz.append((pid, accz))
+                tl, tn, tz = (r[f"__t{s}_{name}"] for s in ("l", "n", "z"))
+                if tl is not None:
+                    accl = tl if accl is None else accl + tl
+                accn = tn if accn is None else accn + (tn or 0)
+                accz = tz if accz is None else accz + (tz or 0)
+            local_l, local_n, local_z = _cumprod_parts(c, wr)
+            cl, cn, cz = _carry_map(pl), _carry_map(pn), _carry_map(pz)
+            log_mag = (
+                local_l if cl is None else F.coalesce(local_l + cl, local_l, cl)
+            )
+            n_neg = local_n if cn is None else local_n + F.coalesce(cn, F.lit(0))
+            n_zero = local_z if cz is None else local_z + F.coalesce(cz, F.lit(0))
+            e = _cumprod_combine(log_mag, n_neg, n_zero)
+        else:  # diff / reldiff / pct_change
+            prev_pid_last, pairs = None, []
+            for r in summary:
+                pairs.append((r["__pid__"], prev_pid_last))
+                prev_pid_last = r[f"__t_{name}"]["v"]
+            carry = _carry_map(pairs)
+            prev = F.lag(c).over(w)
+            if carry is not None:
+                prev = F.when(F.row_number().over(w) == 1, carry).otherwise(prev)
+            e = _lag_combine(op, c, prev)
+        out = out.withColumn(name, e)
+    return out.drop("__pid__")
+
+
+def _lag_combine(op: str, c: Column, prev: Column) -> Column:
+    if op == "diff":
+        return c - prev
+    rel = F.when(prev != 0, (c - prev) / prev)
+    return rel if op == "reldiff" else rel * 100.0
 
 
 def rolling_window(

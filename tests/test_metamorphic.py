@@ -328,3 +328,34 @@ def test_sketches_merge_distributively(spark):
     cb = {(r.row, r.col): r.cnt for r in cm_build(b, "key").collect()}
     mc = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
     assert wc == mc
+    # hll: union sketch == max-per-register merge of shard sketches
+    from dataframes_jl_spark.ops.bloom import hll_build, hll_merge
+
+    wh = {r.reg: r.rho for r in hll_build(u, "key").collect()}
+    mh = {
+        r.reg: r.rho
+        for r in hll_merge(hll_build(a, "key"), hll_build(b, "key")).collect()
+    }
+    assert wh == mh
+
+
+def test_hll_estimate_accuracy_and_empty(spark):
+    """HLL estimate within 4 sigma (1.04/sqrt(m)) of truth across
+    regimes incl. the linear-counting small range; empty input -> 0."""
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.bloom import hll_build, hll_estimate
+
+    p, m = 8, 256
+    sigma = 1.04 / (m**0.5)
+    for n in (50, 5_000, 60_000):
+        df = spark.range(1, n + 1).select(F.col("id").alias("key"))
+        row = hll_estimate(hll_build(df, "key", p), p).collect()[0]
+        err = abs(row.estimate / n - 1)
+        assert err < 4 * sigma, f"n={n}: est {row.estimate}, err {err:.3f}"
+    empty = spark.createDataFrame([], "key bigint")
+    row = hll_estimate(hll_build(empty, "key", p), p).collect()[0]
+    assert row.estimate == 0.0 and row.v_zero == m and row.method == "linear"
+    # NULL keys are skipped like COUNT DISTINCT
+    nulls = spark.createDataFrame([(None,), (7,)], "key bigint")
+    assert hll_build(nulls, "key", p).count() == 1

@@ -95,6 +95,34 @@ def test_by_dict_and_callable(spark):
     }
 
 
+def test_by_schema_inference_bounded(spark):
+    """Schema inference must NOT materialize a whole (possibly skewed)
+    group on the driver — it samples a bounded prefix. A 1M-row single
+    group would OOM-or-crawl if the old unbounded toPandas were back;
+    the fn also records the largest frame it ever saw during inference.
+    """
+    seen = {"max_rows": 0}
+
+    def f(pdf):
+        seen["max_rows"] = max(seen["max_rows"], len(pdf))
+        return pdf[["v"]].sum().to_frame().T.assign(n=len(pdf))
+
+    df = (
+        spark.range(1_000_000)
+        .withColumn("g", F.lit("one-giant-group"))
+        .withColumn("v", F.col("id").cast("double"))
+        .select("g", "v")
+    )
+    from dataframes_jl_spark.ops.grouping import _infer_apply_schema
+
+    schema = _infer_apply_schema(df, ["g"], f)
+    # driver-side inference saw a bounded prefix, not the whole group
+    assert seen["max_rows"] <= 1024
+    assert "v double" in schema and "n bigint" in schema
+    out = by(df, "g", f, schema=schema).collect()
+    assert out[0]["n"] == 1_000_000
+
+
 def test_colwise_matches_reference_naming(spark):
     df = spark.createDataFrame([("a", 1.0), ("b", 3.0)], "g string, v double")
     out = colwise(df, ["sum", "mean"], cols=["v"])
@@ -175,19 +203,80 @@ def test_cut_labels(spark):
 
 
 def test_window_cums(spark):
+    """Whole-column cumulatives route through with_running (the
+    distributed prefix scan); the Column helpers refuse the
+    unpartitioned global-window trap outright."""
+    from dataframes_jl_spark.ops.window import with_running
+
     df = spark.createDataFrame(
         [(1, 2.0), (2, -3.0), (3, 4.0)], "t int, v double"
+    ).repartition(3)
+    rows = (
+        with_running(
+            df, {"cs": ("sum", "v"), "cp": ("prod", "v"), "d": ("diff", "v")}, "t"
+        )
+        .orderBy("t")
+        .collect()
     )
-    out = df.select(
-        "t",
-        cumsum("v", "t").alias("cs"),
-        cumprod("v", "t").alias("cp"),
-        diff("v", "t").alias("d"),
-    ).orderBy("t")
-    rows = out.collect()
     assert [r.cs for r in rows] == [2.0, -1.0, 3.0]
     assert [round(r.cp, 9) for r in rows] == [2.0, -6.0, -24.0]
     assert rows[0].d is None and rows[1].d == -5.0
+    with pytest.raises(ValueError, match="single-partition"):
+        cumsum("v", "t")
+
+
+def test_with_running_matches_global_window(spark):
+    """Every with_running op must equal the single-partition global
+    window ground truth — NULLs, zeros, and negatives included."""
+    import numpy as np
+
+    from dataframes_jl_spark.ops.window import with_running
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=2000).round(3)
+    vals[rng.random(2000) < 0.06] = np.nan
+    vals[rng.random(2000) < 0.03] = 0.0
+    rows = [
+        (int(i), None if np.isnan(v) else float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "t long, v double").repartition(7)
+    specs = {
+        "cs": ("sum", "v"),
+        "cm": ("max", "v"),
+        "cn": ("min", "v"),
+        "cp": ("prod", "v"),
+        "d": ("diff", "v"),
+        "rd": ("reldiff", "v"),
+        "pc": ("pct_change", "v"),
+    }
+    got = with_running(df, specs, "t").orderBy("t").toPandas()
+    w = Window.orderBy("t")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v, prev = F.col("v"), F.lag("v").over(w)
+    log_mag = F.sum(F.when(v != 0, F.log(F.abs(v)))).over(wr)
+    n_neg = F.sum(F.when(v < 0, 1).otherwise(0)).over(wr)
+    n_zero = F.sum(F.when(v == 0, 1).otherwise(0)).over(wr)
+    sign = F.when(n_neg % 2 == 1, -1.0).otherwise(1.0)
+    rel = F.when(prev != 0, (v - prev) / prev)
+    exp = (
+        df.select(
+            "t",
+            F.sum("v").over(wr).alias("cs"),
+            F.max("v").over(wr).alias("cm"),
+            F.min("v").over(wr).alias("cn"),
+            F.when(n_zero > 0, 0.0).otherwise(sign * F.exp(log_mag)).alias("cp"),
+            (v - prev).alias("d"),
+            rel.alias("rd"),
+            (rel * 100.0).alias("pc"),
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    for c in specs:
+        g, e = got[c].to_numpy(), exp[c].to_numpy()
+        both_nan = np.isnan(g.astype(float)) & np.isnan(e.astype(float))
+        assert (both_nan | (np.abs(g - e) < 1e-9)).all(), c
 
 
 def test_na_agg_propagates(spark):

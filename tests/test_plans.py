@@ -89,6 +89,24 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
+def test_with_running_not_single_partition(spark):
+    """Unpartitioned (whole-column) cum*/diff must plan the
+    range-partitioned prefix scan — never the SinglePartition exchange
+    a bare ORDER BY-only window would plan (round-4 verdict #2)."""
+    from dataframes_jl_spark.ops.window import with_running
+    from dataframes_jl_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = with_running(
+        ev,
+        {"cs": ("sum", "value"), "cp": ("prod", "value"), "d": ("diff", "value")},
+        ["ts", "event_id"],
+    )
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_facade_row_id_not_single_partition(spark):
     """flipud/duplicated/positional access route through the facade's
     with_row_id — must be the range-partitioned rank, never a global

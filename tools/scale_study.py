@@ -6,7 +6,20 @@ the least-squares slope of log10(t) vs log10(sf) — 1.0 = linear,
 <1 sub-linear (fixed overheads amortizing), >1 super-linear (a
 quadratic term or a skewed shuffle surfacing). Writes SCALING.md.
 
-Usage: python tools/scale_study.py
+Usage:
+  python tools/scale_study.py           # full study, writes SCALING.md
+                                        # and pins exponents in
+                                        # tools/scale_pins.json
+  python tools/scale_study.py --check   # regression gate: re-measure
+                                        # the sf1->sf10 segment only and
+                                        # exit non-zero if any query's
+                                        # segment slope worsened by
+                                        # >0.15 vs the pinned value —
+                                        # so a code change cannot
+                                        # silently re-introduce a
+                                        # super-linear term (the
+                                        # PageRank lineage trap was
+                                        # caught only by re-measuring).
 Points included: sf0.1 always; .scale_data/sf1 and .scale_data/sf10
 when present.
 """
@@ -42,6 +55,15 @@ STUDY = [
     "q_vocab_approx",
     "q_kmeans_clusters",
     "q_rolling_stats",
+    # round-4 operators folded into the pinned study (previously
+    # measured ad hoc in SCALING.md's second table)
+    "q_pagerank",
+    "q_scd2_lookup",
+    "q_funnel",
+    "q_quality_deciles",
+    "q21_waiting_supplier",
+    # round-5: whole-column distributed prefix scan
+    "q_global_running_sum",
 ]
 
 
@@ -71,6 +93,55 @@ def _slope(xs: list[float], ys: list[float]) -> float:
     num = sum((a - mx) * (b - my) for a, b in zip(lx, ly))
     den = sum((a - mx) ** 2 for a in lx)
     return round(num / den, 2)
+
+
+PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_pins.json")
+SLOPE_TOLERANCE = 0.15
+
+
+def check() -> int:
+    """Regression gate: re-measure ONLY the sf1->sf10 segment (the
+    cleaner multi-file signal) and compare each query's segment slope
+    against tools/scale_pins.json."""
+    import json
+
+    seg = [(sf, d) for sf, d in POINTS if sf >= 1.0 and os.path.isdir(d)]
+    if len(seg) < 2:
+        print("check needs .scale_data/sf1 and sf10; run tools/gen_scale_data.py",
+              file=sys.stderr)
+        return 1
+    if not os.path.exists(PINS_PATH):
+        print(f"no pins at {PINS_PATH}; run a full study first", file=sys.stderr)
+        return 1
+    pins = json.load(open(PINS_PATH))
+
+    from dataframes_jl_spark.queries import QUERIES
+    from dataframes_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="djs-scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name, pin in pins.items():
+        q = QUERIES[name]
+        for _, d in seg:  # warm codegen + parquet footers
+            q(spark, d).write.format("noop").mode("overwrite").save()
+        ts = [_time_query(q, spark, d, repeats=1) for _, d in seg]
+        slope = _slope([sf for sf, _ in seg], ts)
+        drift = slope - pin["seg_slope"]
+        status = "FAIL" if drift > SLOPE_TOLERANCE else "ok"
+        print(f"{status:4} {name:24} seg_slope {slope:+.2f} "
+              f"(pinned {pin['seg_slope']:+.2f}, drift {drift:+.2f}) "
+              f"walls {dict(zip([s for s, _ in seg], ts))}")
+        if drift > SLOPE_TOLERANCE:
+            failures.append(name)
+    if failures:
+        print(f"\nSCALING REGRESSION: {failures} — a change made the "
+              "sf1->sf10 segment materially steeper; investigate before "
+              "trusting at 100 TB", file=sys.stderr)
+        return 1
+    print("\nall segment slopes within tolerance of pins")
+    return 0
 
 
 def main() -> int:
@@ -133,8 +204,25 @@ def main() -> int:
     with open("SCALING.md", "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALING.md")
+
+    # Pin the measured slopes so --check can flag regressions later.
+    if points[-1][0] >= 10.0 and len(points) >= 3:
+        import json
+
+        seg_sfs = [sf for sf, _ in points[-2:]]
+        pins = {
+            name: {
+                "exponent": exp,
+                "seg_slope": _slope(seg_sfs, ts[-2:]),
+                "walls": dict(zip([str(sf) for sf, _ in points], ts)),
+            }
+            for name, ts, exp in rows
+        }
+        with open(PINS_PATH, "w") as fh:
+            json.dump(pins, fh, indent=1, sort_keys=True)
+        print(f"pinned slopes -> {PINS_PATH}")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(check() if "--check" in sys.argv else main())
