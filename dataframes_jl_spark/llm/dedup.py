@@ -204,8 +204,20 @@ def minhash_lsh_pairs(
     explicitly to skip the count pass.
     """
     assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
-    par = num_partitions or _auto_partitions(df)
+    if num_partitions is None:
+        rows = df.count()
+        par = _auto_partitions(df, rows)
+        # The band self-join is where sf10 spilled (SCALING.md segment
+        # slope 1.05): 32 shuffle partitions x 500k band rows each. Size
+        # the join by BAND-ROW volume (rows x bands) and pre-partition
+        # the banded table on the join key — the join inherits the
+        # distribution (one exchange, no re-shuffle) and each task sorts
+        # a bounded slice instead of spilling.
+        join_par = max(par, rows * bands // _TARGET_BAND_ROWS_PER_PARTITION)
+    else:
+        par = join_par = num_partitions
     banded, sh_tab = _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par)
+    banded = banded.repartition(join_par, "band", "bucket")
 
     a = banded.select("band", "bucket", F.col("id").alias("id_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"))
@@ -219,16 +231,18 @@ def minhash_lsh_pairs(
 
 
 _TARGET_ROWS_PER_PARTITION = 100_000
+_TARGET_BAND_ROWS_PER_PARTITION = 250_000
 
 
-def _auto_partitions(df: DataFrame) -> int:
+def _auto_partitions(df: DataFrame, rows: int | None = None) -> int:
     """Partition count for the CPU-bound shingle/hash stage: the local
     default parallelism floor, scaled up by corpus size (one partition
-    per ~100k docs) so the banded join stops spilling when the corpus
-    outgrows the core count — the sf10 slope-1.05 segment SCALING.md
-    flagged. One count job; count-star over a source scan is cheap."""
+    per ~100k docs). One count job when ``rows`` is not supplied;
+    count-star over a source scan is cheap."""
     default = df.sparkSession.sparkContext.defaultParallelism
-    return max(default, df.count() // _TARGET_ROWS_PER_PARTITION)
+    if rows is None:
+        rows = df.count()
+    return max(default, rows // _TARGET_ROWS_PER_PARTITION)
 
 
 def _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par):
@@ -341,7 +355,9 @@ def minhash_lsh_pairs_between(
     Output ids: ``id_a`` from ``new``, ``id_b`` from ``ref``.
     """
     assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
-    par = num_partitions or new.sparkSession.sparkContext.defaultParallelism
+    # auto-scale on the NEW side only: per-ingest batches are the part
+    # that grows; callers persisting ref tables size those once
+    par = num_partitions or _auto_partitions(new)
     banded_n, sh_n = _lsh_tables(new, id_col, text_col, num_hashes, bands, n, par)
     banded_r, sh_r = _lsh_tables(ref, id_col, text_col, num_hashes, bands, n, par)
     cand = (
@@ -418,7 +434,7 @@ def simhash_signatures(
     was stopping projection collapse; measured ~20% slower at sf0.1
     and strictly worse at scale).
     """
-    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    par = num_partitions or _auto_partitions(df)
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
     ).repartition(par, "id")

@@ -115,6 +115,10 @@ def percent_change(col, order_by, partition_by=None) -> Column:
 
 
 _RUNNING_OPS = ("sum", "max", "min", "prod", "diff", "reldiff", "pct_change")
+# carries inline as a literal pid->value map up to this many partitions;
+# beyond it they ship as ONE broadcast-joined table (a 10k-partition
+# frame would otherwise put 20k literals in every combine expression)
+_CARRY_MAP_MAX = 512
 
 
 def with_running(
@@ -212,39 +216,83 @@ def with_running(
             aggs.append(
                 F.max_by(F.struct(c.alias("v")), F.struct(*ob)).alias(f"__t_{name}")
             )
-    summary = sorted(
-        parted.groupBy("__pid__").agg(*aggs).collect(),
-        key=lambda r: r["__pid__"],
-    )
+    summary_df = parted.groupBy("__pid__").agg(*aggs)
+    summary = sorted(summary_df.collect(), key=lambda r: r["__pid__"])
 
-    def _carry_map(pairs):
-        """Literal pid->carry expression, or None when every carry is
-        empty. Pids with a None carry are simply absent from the map
-        (lookup yields NULL, the correct empty-prefix)."""
-        items = [(p, v) for p, v in pairs if v is not None]
-        if not items:
+    # Exclusive prefix combine per spec, computed on the driver over the
+    # tiny (#partitions-row) summary. Each carry is a pid -> value
+    # series; how it reaches the executors depends on partition count:
+    # a literal map inlines join-free for typical counts, but at many
+    # thousands of partitions a 2N-literal expression bloats the plan,
+    # so the carries switch to ONE broadcast-joined table instead.
+    carry_series: dict[str, list] = {}
+    carry_types: dict[str, object] = {}
+    stypes = {f.name: f.dataType for f in summary_df.schema.fields}
+
+    def _scan(colkey: str, tname: str, fold, dtype) -> None:
+        acc, series = None, []
+        for r in summary:
+            series.append(acc)
+            t = r[tname] if not tname.endswith(".v") else r[tname[:-2]]["v"]
+            if tname.endswith(".v"):
+                acc = t  # lag carry: last value, NULL included
+            elif t is not None:
+                acc = t if acc is None else fold(acc, t)
+        carry_series[colkey] = series
+        carry_types[colkey] = dtype
+
+    for name, (op, src) in specs.items():
+        if op in ("sum", "max", "min"):
+            fold = {
+                "sum": lambda a, b: a + b,
+                "max": max,
+                "min": min,
+            }[op]
+            _scan(f"__c_{name}", f"__t_{name}", fold, stypes[f"__t_{name}"])
+        elif op == "prod":
+            _scan(f"__cl_{name}", f"__tl_{name}", lambda a, b: a + b,
+                  stypes[f"__tl_{name}"])
+            _scan(f"__cn_{name}", f"__tn_{name}", lambda a, b: a + b,
+                  stypes[f"__tn_{name}"])
+            _scan(f"__cz_{name}", f"__tz_{name}", lambda a, b: a + b,
+                  stypes[f"__tz_{name}"])
+        else:
+            _scan(f"__c_{name}", f"__t_{name}.v", None,
+                  stypes[f"__t_{name}"]["v"].dataType)
+
+    big = len(summary) > _CARRY_MAP_MAX
+    if big:
+        from pyspark.sql.types import StructField, StructType
+
+        fields = [StructField("__pid__", stypes["__pid__"])]
+        fields += [StructField(k, carry_types[k]) for k in carry_series]
+        rows = [
+            tuple([summary[i]["__pid__"]] + [carry_series[k][i] for k in carry_series])
+            for i in range(len(summary))
+        ]
+        cdf = parted.sparkSession.createDataFrame(rows, StructType(fields))
+        out = parted.join(F.broadcast(cdf), on="__pid__", how="left")
+    else:
+        out = parted
+
+    def _carry(colkey: str):
+        """Carry expression for one series, or None if the whole series
+        is empty (NULL carry everywhere)."""
+        series = carry_series[colkey]
+        if all(v is None for v in series):
             return None
+        if big:
+            return F.col(colkey)
+        items = [
+            (summary[i]["__pid__"], v) for i, v in enumerate(series) if v is not None
+        ]
         m = F.create_map(*[F.lit(x) for pv in items for x in pv])
         return m[F.col("__pid__")]
 
-    out = parted
     for name, (op, src) in specs.items():
         c = F.col(src) if isinstance(src, str) else src
         if op in ("sum", "max", "min"):
-            acc, pairs = None, []
-            for r in summary:
-                pairs.append((r["__pid__"], acc))
-                t = r[f"__t_{name}"]
-                if t is not None:
-                    if acc is None:
-                        acc = t
-                    elif op == "sum":
-                        acc = acc + t
-                    elif op == "max":
-                        acc = max(acc, t)
-                    else:
-                        acc = min(acc, t)
-            carry = _carry_map(pairs)
+            carry = _carry(f"__c_{name}")
             local = {"sum": F.sum, "max": F.max, "min": F.min}[op](c).over(wr)
             if carry is None:
                 e = local
@@ -253,20 +301,12 @@ def with_running(
             else:
                 e = (F.greatest if op == "max" else F.least)(local, carry)
         elif op == "prod":
-            accl = accn = accz = None
-            pl, pn, pz = [], [], []
-            for r in summary:
-                pid = r["__pid__"]
-                pl.append((pid, accl))
-                pn.append((pid, accn))
-                pz.append((pid, accz))
-                tl, tn, tz = (r[f"__t{s}_{name}"] for s in ("l", "n", "z"))
-                if tl is not None:
-                    accl = tl if accl is None else accl + tl
-                accn = tn if accn is None else accn + (tn or 0)
-                accz = tz if accz is None else accz + (tz or 0)
             local_l, local_n, local_z = _cumprod_parts(c, wr)
-            cl, cn, cz = _carry_map(pl), _carry_map(pn), _carry_map(pz)
+            cl, cn, cz = (
+                _carry(f"__cl_{name}"),
+                _carry(f"__cn_{name}"),
+                _carry(f"__cz_{name}"),
+            )
             log_mag = (
                 local_l if cl is None else F.coalesce(local_l + cl, local_l, cl)
             )
@@ -274,17 +314,14 @@ def with_running(
             n_zero = local_z if cz is None else local_z + F.coalesce(cz, F.lit(0))
             e = _cumprod_combine(log_mag, n_neg, n_zero)
         else:  # diff / reldiff / pct_change
-            prev_pid_last, pairs = None, []
-            for r in summary:
-                pairs.append((r["__pid__"], prev_pid_last))
-                prev_pid_last = r[f"__t_{name}"]["v"]
-            carry = _carry_map(pairs)
+            carry = _carry(f"__c_{name}")
             prev = F.lag(c).over(w)
             if carry is not None:
                 prev = F.when(F.row_number().over(w) == 1, carry).otherwise(prev)
             e = _lag_combine(op, c, prev)
         out = out.withColumn(name, e)
-    return out.drop("__pid__")
+    drop = ["__pid__"] + (list(carry_series) if big else [])
+    return out.drop(*drop)
 
 
 def _lag_combine(op: str, c: Column, prev: Column) -> Column:

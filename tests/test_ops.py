@@ -279,6 +279,39 @@ def test_with_running_matches_global_window(spark):
         assert (both_nan | (np.abs(g - e) < 1e-9)).all(), c
 
 
+def test_with_running_broadcast_carry_path(spark, monkeypatch):
+    """Above _CARRY_MAP_MAX partitions the carries ship as ONE
+    broadcast-joined table instead of literal maps; results must be
+    bit-identical and the plan must stay SinglePartition-free."""
+    import numpy as np
+
+    import dataframes_jl_spark.ops.window as W
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(size=3000).round(3)
+    vals[rng.random(3000) < 0.05] = np.nan
+    vals[rng.random(3000) < 0.02] = 0.0
+    rows = [
+        (int(i), None if np.isnan(v) else float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "t long, v double").repartition(7)
+    specs = {
+        "cs": ("sum", "v"),
+        "cp": ("prod", "v"),
+        "d": ("diff", "v"),
+    }
+    small = W.with_running(df, specs, "t").orderBy("t").toPandas()
+    monkeypatch.setattr(W, "_CARRY_MAP_MAX", 0)
+    out = W.with_running(df, specs, "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    big = out.orderBy("t").toPandas()
+    for c in specs:
+        a, b = small[c].to_numpy(float), big[c].to_numpy(float)
+        nan = np.isnan(a) & np.isnan(b)
+        assert (nan | (np.abs(a - b) < 1e-12)).all(), c
+
+
 def test_na_agg_propagates(spark):
     df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
     row = df.agg(

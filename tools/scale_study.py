@@ -201,6 +201,15 @@ def main() -> int:
         "the sf1 -> sf10 step (both multi-file) is the cleaner signal.",
         "",
     ]
+    # SemDeDup is measured by a separate protocol (embedding replicas,
+    # designed n^1.5); its section is maintained alongside this tool so
+    # a full-study rewrite cannot silently drop it.
+    sem = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "scaling_semdedup_section.md")
+    if os.path.exists(sem):
+        with open(sem) as fh:
+            body = fh.read()
+        lines += body.split("\n")[1:]  # drop the self-referential header
     with open("SCALING.md", "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALING.md")
