@@ -77,8 +77,13 @@ def _time_query(q, spark, sf_dir, repeats=3) -> float:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        df = q(spark, sf_dir)
+        # construction INSIDE the timer: iterative operators
+        # (pagerank's per-iteration localCheckpoint) and builder-side
+        # jobs (LSH's sizing count, kmeans' driver fit) execute eagerly
+        # during construction — excluding it would time only the final
+        # noop write of an already-materialized result
         t0 = time.perf_counter()
+        df = q(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
