@@ -29,7 +29,7 @@ HEADLINE = [
     "q_join_left",
     "q_distinct",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
     "q_text_stats",
     "q_quality_score",
     "q_ann_bruteforce",
@@ -87,6 +87,10 @@ def main() -> None:
         # measurements so each query starts from a drained state.
         import gc
 
+        # operators that persist internally for cross-job determinism
+        # (with_running, global_row_number) would otherwise accumulate
+        # cache blocks across 3x39 runs
+        spark.catalog.clearCache()
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()

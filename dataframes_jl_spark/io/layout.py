@@ -24,6 +24,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _orderable_as_double(df: DataFrame, c: str) -> Column:
+    """Numeric view of a column for range quantization — or a LOUD
+    error. A string (or other unorderable-by-range) column under the
+    old blanket double-cast was NULL-bucketed silently in permissive
+    mode and raised CAST_INVALID_INPUT under ANSI; hash-quantizing it
+    instead would destroy exactly the min/max locality Z-order exists
+    to create, so refusing is the honest contract."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[c].dataType
+    col = F.col(c)
+    if isinstance(dt, T.NumericType):
+        return col.cast("double")
+    if isinstance(dt, T.BooleanType):
+        return col.cast("int").cast("double")
+    if isinstance(dt, T.DateType):
+        # date -> days since epoch (date cannot cast to double directly)
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    raise ValueError(
+        f"zorder_code: column {c!r} has type {dt.simpleString()}, which "
+        "has no range quantization — Z-order needs numeric, boolean, "
+        "date, or timestamp columns (hash-bucketing a string would not "
+        "tighten file min/max envelopes; partition or bucket on it "
+        "instead via io.parquet.save)"
+    )
+
+
 def zorder_code(
     df: DataFrame,
     cols: Sequence[str],
@@ -47,9 +76,10 @@ def zorder_code(
         raise ValueError(
             f"bits*n_cols = {bits * len(cols)} exceeds 62 (int64 range)"
         )
+    numeric = {c: _orderable_as_double(df, c) for c in cols}
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(numeric[c]).alias(f"mn_{c}") for c in cols],
+        *[F.max(numeric[c]).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     n = len(cols)
     top = (1 << bits) - 1
@@ -63,9 +93,7 @@ def zorder_code(
             F.lit(top),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) * F.lit(scale)).cast(
-                    "bigint"
-                ),
+                F.floor((numeric[c] - F.lit(mn)) * F.lit(scale)).cast("bigint"),
             ),
         )
         bucket = F.coalesce(bucket, F.lit(0))

@@ -196,7 +196,8 @@ def kmeans_assign_np(
                 V = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf["__v__"][mask]]
                 )
-                d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+                v_sq = (V * V).sum(axis=1)
+                d2 = v_sq[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
                 cl = d2.argmin(axis=1)
                 qd = np.empty(len(V), dtype="int64")
                 # Exact qdist2 for the float winner, vectorized per centroid.
@@ -205,9 +206,17 @@ def kmeans_assign_np(
                     qd[rows] = _qd_rows(V[rows], C[j])
                 # Rows where another centroid's float distance is within the
                 # quantization margin: requantize every candidate exactly.
-                margin = dim / m
+                # The margin covers BOTH error sources: dim/m bounds the
+                # per-dim quantization rounding, and the second term bounds
+                # the float evaluation error of the expanded form
+                # ||v||^2 - 2 v.C^T + ||C||^2, which loses ~eps * ||v||^2
+                # to cancellation for near-duplicate vectors — without it,
+                # large-norm embeddings could exclude the true quantized
+                # argmin from the shortlist.
+                fp_err = 8.0 * np.finfo(np.float64).eps * (v_sq + c_sq.max())
+                margin = dim / m + fp_err
                 d2min = d2[np.arange(len(V)), cl]
-                alt = d2 <= (d2min[:, None] + margin)
+                alt = d2 <= (d2min[:, None] + margin[:, None])
                 multi = np.where(alt.sum(axis=1) > 1)[0]
                 if len(multi):
                     best_q = np.full(len(multi), np.iinfo(np.int64).max, dtype="int64")
@@ -225,14 +234,12 @@ def kmeans_assign_np(
                 cl_out[mask] = cl
                 qd_out[mask] = qd
             out = pdf[keep_cols].copy()
-            out["cluster"] = pd.array(
-                [None if not mask[i] else int(cl_out[i]) for i in range(n)],
-                dtype="Int32",
+            # masked-array construction: no per-row Python loop in the
+            # Arrow-batch hot path (IntegerArray mask=True means missing)
+            out["cluster"] = pd.arrays.IntegerArray(
+                cl_out.astype("int32"), mask=~mask
             )
-            out["qdist2"] = pd.array(
-                [None if not mask[i] else int(qd_out[i]) for i in range(n)],
-                dtype="Int64",
-            )
+            out["qdist2"] = pd.arrays.IntegerArray(qd_out, mask=~mask)
             yield out
 
     return src.mapInPandas(assign, schema_ddl)

@@ -204,6 +204,7 @@ def minhash_lsh_pairs(
     explicitly to skip the count pass.
     """
     assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
+    pre_partition = True
     if num_partitions is None:
         rows = df.count()
         par = _auto_partitions(df, rows)
@@ -212,12 +213,27 @@ def minhash_lsh_pairs(
         # the join by BAND-ROW volume (rows x bands) and pre-partition
         # the banded table on the join key — the join inherits the
         # distribution (one exchange, no re-shuffle) and each task sorts
-        # a bounded slice instead of spilling.
+        # a bounded slice instead of spilling. Below the spill regime
+        # (everything fits the default parallelism) the pre-partition is
+        # pure overhead — one extra exchange of the band table — so skip
+        # it and let the join's own exchange place the keys; the count
+        # already tells us which regime we are in.
         join_par = max(par, rows * bands // _TARGET_BAND_ROWS_PER_PARTITION)
+        # spill regime = the band-row volume needs MORE partitions than
+        # the join's own exchange would give it (shuffle.partitions);
+        # below that, join_par adds nothing the default exchange lacks
+        try:
+            shuffle_par = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except ValueError:  # e.g. "auto" under some AQE configs
+            shuffle_par = df.sparkSession.sparkContext.defaultParallelism
+        pre_partition = join_par > shuffle_par
     else:
         par = join_par = num_partitions
     banded, sh_tab = _lsh_tables(df, id_col, text_col, num_hashes, bands, n, par)
-    banded = banded.repartition(join_par, "band", "bucket")
+    if pre_partition:
+        banded = banded.repartition(join_par, "band", "bucket")
 
     a = banded.select("band", "bucket", F.col("id").alias("id_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"))

@@ -256,7 +256,12 @@ def hll_build(df: DataFrame, key: str | Column, p: int = 8) -> DataFrame:
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
-    """Union + max per register: the sketch of the shard union."""
+    """Union + max per register: the sketch of the shard union.
+
+    All inputs must have been built with the SAME ``p`` (register ids
+    from different precisions do not line up); a mixed merge is caught
+    at :func:`hll_estimate` time when the register count exceeds
+    ``2^p`` — pass the build-time ``p`` there."""
     from functools import reduce
 
     un = reduce(lambda a, b: a.unionByName(b), sketches)
@@ -290,8 +295,23 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     raw = F.lit(alpha * m * m) / s
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     use_linear = (raw <= F.lit(2.5 * m)) & (v > 0)
+    # p-mismatch guard: estimating a sketch built with HIGHER p under a
+    # lower one would silently mis-scale (n_regs can exceed m with no
+    # other symptom) — fail the job loudly instead. assert_true returns
+    # NULL when the predicate holds, so the wrap is value-transparent.
+    ok = F.assert_true(
+        F.col("n_regs") <= F.lit(m),
+        F.concat(
+            F.lit(f"hll_estimate(p={p}): sketch has "),
+            F.col("n_regs").cast("string"),
+            F.lit(f" registers > m={m}; it was built (or merged from "
+                  "sketches built) with a larger p — pass that p"),
+        ),
+    )
     return agg.select(
-        F.when(use_linear, F.lit("linear")).otherwise(F.lit("hll")).alias("method"),
+        F.when(
+            ok.isNull() & use_linear, F.lit("linear")
+        ).otherwise(F.lit("hll")).alias("method"),
         F.col("n_regs").cast("bigint").alias("n_regs"),
         v.cast("bigint").alias("v_zero"),
         F.when(use_linear, linear).otherwise(raw).alias("estimate"),

@@ -113,7 +113,7 @@ def global_row_number(
     cols: str | Sequence | None = None,
     rev: bool = False,
     col_name: str = "__row_id__",
-    persist: bool = False,
+    persist: bool = True,
     with_total: bool = False,
 ):
     """Distributed 1-based global rank under the given ordering — the
@@ -126,13 +126,18 @@ def global_row_number(
     partitions (one tiny count job, #partitions rows collected). Total
     order requires the ordering to be total — add a tie-break column.
 
-    The offsets count job re-executes the upstream lineage; for a plain
-    source scan that second pass is cheap (count-only, column-pruned),
-    but when ``df`` is itself an expensive pipeline pass
-    ``persist=True`` to materialize the range-partitioned input once
-    (MEMORY_AND_DISK) and serve both the count and the ranked output
-    from it. Caller owns unpersisting via ``df.sparkSession.catalog``
-    or letting the executor evict.
+    ``persist`` (default True) materializes the range-partitioned input
+    once (MEMORY_AND_DISK) and serves both the offsets count job and
+    the ranked output from it. This is a CORRECTNESS default, not just
+    a cost lever: the range partitioner samples boundaries with an
+    RDD-id-dependent seed, so without a pinned materialization the
+    count job and the caller's action can draw different boundaries
+    once partitions exceed the reservoir sample — offsets computed
+    against one partitioning applied to another would duplicate or
+    skip ranks silently. ``persist=False`` is safe only when the input
+    is small enough to be fully sampled (every partition fits the
+    reservoir) — fine for tests, not for scale. Caller owns
+    unpersisting via ``df.sparkSession.catalog`` or executor eviction.
     """
     if cols is None:
         cols = df.columns
@@ -141,7 +146,9 @@ def global_row_number(
     specs = _resolve(cols, rev)
     parted = df.repartitionByRange(*specs).sortWithinPartitions(*specs)
     if persist:
-        parted = parted.persist()
+        from pyspark import StorageLevel
+
+        parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
     with_pid = parted.withColumn("__pid__", F.spark_partition_id())
     counts = sorted(
         (r["__pid__"], r["cnt"])

@@ -186,10 +186,26 @@ def with_running(
         return out
 
     # ---- distributed unpartitioned path -------------------------------
+    # PERSIST is load-bearing, not a cost lever: the carry-summary
+    # collect below and the caller's final action are two separate jobs,
+    # and Spark's range partitioner samples boundaries with an
+    # RDD-id-dependent seed (the API warns the output "may not be
+    # consistent" across runs). Once partitions exceed the reservoir
+    # sample, the two jobs could draw different boundaries and rows near
+    # a boundary would land in different __pid__s — the driver carries
+    # would then double-count or drop them silently. Materializing the
+    # partitioning once (MEMORY_AND_DISK) pins a single boundary draw
+    # for both jobs. Caller owns unpersisting (spark.catalog.clearCache
+    # or executor eviction); an evicted block recomputes THE SAME plan
+    # from the same shuffle output, which Spark replays deterministically
+    # only within one job — hence the persist rather than relying on it.
+    from pyspark import StorageLevel
+
     parted = (
         df.repartitionByRange(*ob)
         .sortWithinPartitions(*ob)
         .withColumn("__pid__", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy("__pid__").orderBy(*ob)
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -245,8 +261,8 @@ def with_running(
         if op in ("sum", "max", "min"):
             fold = {
                 "sum": lambda a, b: a + b,
-                "max": max,
-                "min": min,
+                "max": _nan_max,
+                "min": _nan_min,
             }[op]
             _scan(f"__c_{name}", f"__t_{name}", fold, stypes[f"__t_{name}"])
         elif op == "prod":
@@ -322,6 +338,27 @@ def with_running(
         out = out.withColumn(name, e)
     drop = ["__pid__"] + (list(carry_series) if big else [])
     return out.drop(*drop)
+
+
+def _nan_max(a, b):
+    """Driver-side fold matching Spark's greatest(): NaN orders LARGER
+    than every double, so any NaN operand wins the max. Python's bare
+    max() is order-dependent on NaN and would disagree with the
+    executor-side combine."""
+    if isinstance(a, float) and a != a:
+        return a
+    if isinstance(b, float) and b != b:
+        return b
+    return max(a, b)
+
+
+def _nan_min(a, b):
+    """least() counterpart: NaN orders larger, so min skips it."""
+    if isinstance(a, float) and a != a:
+        return b
+    if isinstance(b, float) and b != b:
+        return a
+    return min(a, b)
 
 
 def _lag_combine(op: str, c: Column, prev: Column) -> Column:

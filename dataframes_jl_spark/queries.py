@@ -965,17 +965,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("q_dedup_simhash")
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (llm.dedup.simhash_pairs). No SQL oracle
-    (xxhash64 has no DuckDB equivalent) → rows-only check; unit tests
-    cover the semantics on fixed fixtures."""
-    from .llm import simhash_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=12)
-
-
 def _simhash_sig_path() -> str:
     """Per-process scratch path for the simhash two-stage gate: the
     oracle SQL is a static string built at import time, so the path may
@@ -1026,6 +1015,14 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = spark.read.parquet(path)
     out = simhash_band_pairs(sigs, max_hamming=12)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# Retired alias (round-5 verdict #4): the rows-only q_dedup_simhash was
+# superseded by the hash-gated two-stage form above; the name stays
+# callable but now points at the value-gated query, so the registry is
+# 100% oracle-gated and nothing times the redundant rows-only variant.
+QUERIES["q_dedup_simhash"] = QUERIES["q_dedup_simhash_pairs"]
+ORACLES["q_dedup_simhash"] = ORACLES["q_dedup_simhash_pairs"]
 
 
 @register(
@@ -5584,69 +5581,71 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all of which were driver-green in round 1 or pass the local replay).
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation (round-4 verdict #1): the FINAL 30 queries that have
-# never had a driver CORRECTNESS row in rounds 1-4 take the front of the
-# window (every one re-verified this round under an ANSI-on vanilla
-# session via tools/ansi_replay.py, the driver-session worst case); the
-# other 20 slots keep one driver-green representative per SURVEY #2
-# family + per LLM-pipeline family. After this round every registry
-# query has at least one hard driver row across rounds.
+# Round-6 rotation (round-5 verdict #1): the three round-5 operators
+# that have never had a driver CORRECTNESS row go first — their green
+# rows close the registry to 139/139 with driver evidence. The rest of
+# the window refreshes the STALEST evidence: every round-1-era query
+# (no driver row since r1), the retired-alias q_dedup_simhash (now
+# value-gated, last sampled rows-only in r2), 23 round-3-era queries,
+# and the two queries whose implementation changed this round
+# (minhash pre-partition regime switch; kmeans margin + vectorized
+# output) so the driver revalidates the changed code externally.
 _PRIORITY = [
-    # --- first-ever driver rows: TPC-H shapes -------------------------
-    "q08_market_share",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q12_shipping_lag",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q20_promotable_suppliers",
-    "q_monthly_revenue",
-    # --- first-ever driver rows: warehouse/product analytics ----------
-    "q_scd2_merge",
-    "q_scd2_lookup",
-    "q_cohort_retention",
-    "q_grouped_ols",
-    "q_psi_drift",
-    "q_data_profile",
-    # --- first-ever driver rows: sketches / layout / sampling ---------
-    "q_bloom_prefilter",
-    "q_cm_sketch",
-    "q_quantile_sketch",
-    "q_quality_deciles",
-    "q_hash_split",
-    "q_weighted_sample",
-    "q_k_anonymity",
-    "q_describe_strings",
-    # --- first-ever driver rows: IO + text/LLM pipeline ---------------
-    "q_orc_roundtrip",
-    "q_c4_filter",
-    "q_curation_audit",
-    "q_bpe_token_budget",
-    "q_span_coverage",
-    "q_dedup_pipeline",
-    "q_embed_quantize",
-    "q_ann_quantized",
-    # --- family representatives (driver-green r1-r4) ------------------
-    "q01_pricing_summary",  # SURVEY 2.4 agg flagship
-    "q_csv_roundtrip",  # 2.1 IO
-    "q_facade_pipeline",  # 2.2 projections/facade
-    "q_join_outer_nullsafe",  # 2.3 join kinds + NA keys
-    "q_asof_join",  # 2.3 as-of join
-    "q_by_apply_topn",  # 2.4 grouped apply (UDAF path)
-    "q_rolling_stats",  # 2.5 rolling RANGE windows
-    "q_ewma",  # 2.5 time-series EWMA
-    "q_sortperm_nulls",  # 2.6 sort/rank
-    "q_vcat_promote",  # 2.7 set ops
-    "q_melt_stack",  # 2.8 reshape
-    "q_scalar_math",  # 2.9 scalar surface
-    "q_sessionize",  # 2.10 streaming stateful
-    "q_model_matrix",  # 2.11 formula
-    "q_dedup_minhash_lsh",  # LLM dedup: banded LSH
-    "q_dedup_simhash_pairs",  # LLM dedup: SimHash value gate
-    "q_ann_ivf",  # LLM similarity: IVF
-    "q_pagerank",  # graph
-    "q_funnel",  # product analytics rep
-    "q_scd2_intervals",  # SCD2 rep
+    # --- first-ever driver rows (round-5 scale operators) -------------
+    "q_global_running_sum",
+    "q_hll_distinct",
+    "q_zorder_roundtrip",
+    # --- changed this round: external revalidation --------------------
+    "q_dedup_minhash_lsh",
+    "q_semdedup",
+    "q_kmeans_clusters",
+    # --- stalest evidence: round-1-era (all 21) -----------------------
+    "q03_nation_revenue",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q_join_left",
+    "q_distinct",
+    "q_union_by_name",
+    "q_window_topk_per_group",
+    "q_pivot_status",
+    "q_colwise_stats",
+    "q_na_propagating_agg",
+    "q_cut_histogram",
+    "q_cumulative_user_value",
+    "q_doc_fingerprint",
+    "q_crosstab",
+    "q_sortperm",
+    "q_corr_cov",
+    "q_moments",
+    "q_pct_change",
+    "q_paste_columns",
+    "q_rollup",
+    "q_rank_windows",
+    # --- value-gated for the first time (was rows-only in r2) ---------
+    "q_dedup_simhash",
+    # --- round-3-era refresh ------------------------------------------
+    "q_join_semi_anti",
+    "q_window_running_sum",
+    "q_row_reductions",
+    "q_describe",
+    "q_colwise_grouped",
+    "q_pivot_table_lib",
+    "q_dedup_jaccard_exact",
+    "q_dedup_exact_groups",
+    "q_text_stats",
+    "q_language_id",
+    "q_quality_score",
+    "q_ann_bruteforce",
+    "q_ann_lsh",
+    "q_dedup_embedding",
+    "q_multimodal_decode",
+    "q_sliding_window",
+    "q_dedup_clusters",
+    "q_systematic_sample",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_mixture_weights",
+    "q_bm25_search",
 ]
 
 

@@ -383,3 +383,29 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     a = ev.agg(F.sum("user_id"), F.sum(q)).collect()[0]
     b = back.agg(F.sum("user_id"), F.sum(q)).collect()[0]
     assert a == b
+
+
+def test_zorder_rejects_string_accepts_temporal(spark):
+    """Round-5 verdict #6: a string column must raise LOUDLY (the old
+    blanket double-cast NULL-bucketed it silently in permissive mode
+    and crashed under ANSI); date/timestamp columns quantize through
+    their epoch view instead of the illegal direct cast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.io.layout import zorder_code
+    from dataframes_jl_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    with pytest.raises(ValueError, match="no range quantization"):
+        zorder_code(docs, ["lang", "n_chars"])
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    coded = zorder_code(
+        ev.withColumn("d", F.to_date("ts")), ["ts", "d", "user_id"], bits=12
+    )
+    row = coded.agg(
+        F.count(F.when(F.col("__zorder__").isNull(), 1)).alias("nulls"),
+        F.countDistinct("__zorder__").alias("distinct"),
+    ).collect()[0]
+    assert row.nulls == 0 and row.distinct > 1

@@ -359,3 +359,21 @@ def test_hll_estimate_accuracy_and_empty(spark):
     # NULL keys are skipped like COUNT DISTINCT
     nulls = spark.createDataFrame([(None,), (7,)], "key bigint")
     assert hll_build(nulls, "key", p).count() == 1
+
+
+def test_hll_estimate_p_mismatch_raises(spark):
+    """Estimating a higher-precision sketch under a lower p must fail
+    LOUDLY (round-5 advice): register ids don't line up, and without
+    the guard n_regs > m silently mis-scales the estimate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.bloom import hll_build, hll_estimate
+
+    df = spark.range(1, 20_001).select(F.col("id").alias("key"))
+    sk10 = hll_build(df, "key", p=10)
+    with pytest.raises(Exception, match="registers > m"):
+        hll_estimate(sk10, p=8).collect()
+    # matched p still estimates fine
+    row = hll_estimate(sk10, p=10).collect()[0]
+    assert abs(row.estimate / 20_000 - 1) < 4 * (1.04 / (1024**0.5))

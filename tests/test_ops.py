@@ -279,6 +279,39 @@ def test_with_running_matches_global_window(spark):
         assert (both_nan | (np.abs(g - e) < 1e-9)).all(), c
 
 
+def test_with_running_nan_values_match_global_window(spark):
+    """REAL NaN doubles (not NULLs) in the input: the driver-side carry
+    fold must match Spark's ordering where NaN is LARGER than every
+    double — running max turns NaN after the first NaN, running min
+    skips it (round-5 advice: Python's bare max()/min() are
+    order-dependent on NaN and disagreed with greatest()/least())."""
+    import math
+
+    from dataframes_jl_spark.ops.window import with_running
+    from pyspark.sql import Window
+
+    vals = [3.0, float("nan"), -1.0, 7.0, float("nan"), 2.0, -5.0, 4.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v double").repartition(5)
+    got = (
+        with_running(df, {"cm": ("max", "v"), "cn": ("min", "v")}, "t")
+        .orderBy("t")
+        .collect()
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = (
+        df.select("t", F.max("v").over(w).alias("cm"), F.min("v").over(w).alias("cn"))
+        .orderBy("t")
+        .collect()
+    )
+    for g, e in zip(got, exp):
+        for c in ("cm", "cn"):
+            gv, ev = g[c], e[c]
+            assert (math.isnan(gv) and math.isnan(ev)) or gv == ev, (
+                g.t, c, gv, ev,
+            )
+
+
 def test_with_running_broadcast_carry_path(spark, monkeypatch):
     """Above _CARRY_MAP_MAX partitions the carries ship as ONE
     broadcast-joined table instead of literal maps; results must be

@@ -9,11 +9,14 @@ INVALID_ARRAY_INDEX on the driver's data.
 
 Usage: python tools/ansi_replay.py [--sf DIR] [query ...]
 Runs the full registry when no names are given; prints one line per
-query and exits non-zero on any failure.
+query and exits non-zero on any failure. Unknown flags and unknown
+query names fail loudly up front (argparse) instead of silently
+replaying the wrong dataset.
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 
@@ -21,15 +24,27 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
-        if a.startswith("--sf="):
-            sf = a.split("=", 1)[1]
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--sf",
+        default="/root/testdata/sf0.01",
+        metavar="DIR",
+        help="scale-factor data directory (default %(default)s)",
+    )
+    ap.add_argument(
+        "queries",
+        nargs="*",
+        help="registry query names (default: the full registry)",
+    )
+    opts = ap.parse_args()
 
     from dataframes_jl_spark.oracle import compare, duckdb_run
     from dataframes_jl_spark.queries import ORACLES, QUERIES
     from dataframes_jl_spark.session import get_spark
+
+    unknown = [n for n in opts.queries if n not in QUERIES]
+    if unknown:
+        ap.error(f"unknown queries {unknown}; names come from the registry")
 
     spark = get_spark(
         app_name="ansi-replay",
@@ -37,14 +52,14 @@ def main() -> int:
     )
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
 
-    names = args or list(QUERIES)
+    names = opts.queries or list(QUERIES)
     failed: list[str] = []
     for name in names:
         t0 = time.time()
         try:
-            sdf = QUERIES[name](spark, sf)
+            sdf = QUERIES[name](spark, opts.sf)
             if name in ORACLES:
-                probs = compare(sdf, duckdb_run(ORACLES[name], sf))
+                probs = compare(sdf, duckdb_run(ORACLES[name], opts.sf))
             else:
                 sdf.count()
                 probs = []
