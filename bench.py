@@ -60,6 +60,10 @@ HEADLINE = [
     # round 5
     "q_global_running_sum",
     "q_hll_distinct",
+    # round 6
+    "q_hll_groups",
+    "q_kmv_overlap",
+    "q_merge_intervals",
 ]
 
 

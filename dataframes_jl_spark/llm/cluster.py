@@ -193,8 +193,11 @@ def kmeans_assign_np(
             qd_out = np.zeros(n, dtype="int64")
             mask = pdf["__v__"].notna().to_numpy()
             if mask.any():
-                V = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["__v__"][mask]]
+                # one stacked conversion, not one np.asarray per row —
+                # Arrow hands the list column over as an object array of
+                # ndarrays, which vstack concatenates in a single C call
+                V = np.vstack(pdf["__v__"][mask].to_numpy()).astype(
+                    np.float64, copy=False
                 )
                 v_sq = (V * V).sum(axis=1)
                 d2 = v_sq[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
@@ -279,7 +282,7 @@ def kmeans_probe_np(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v__"]])
+            V = np.vstack(pdf["__v__"].to_numpy()).astype(np.float64, copy=False)
             d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
             idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
             out = pdf[keep_cols].copy()

@@ -232,7 +232,12 @@ def _hll_parts(key: Column, m: int) -> tuple[Column, Column]:
     return reg, rho
 
 
-def hll_build(df: DataFrame, key: str | Column, p: int = 8) -> DataFrame:
+def hll_build(
+    df: DataFrame,
+    key: str | Column,
+    p: int = 8,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
     """HyperLogLog sketch of an integer key column: ``(reg, rho)`` with
     at most ``2^p`` rows — fixed-size no matter the input cardinality,
     built with ONE map-side-combining hash aggregate (max per register).
@@ -241,16 +246,23 @@ def hll_build(df: DataFrame, key: str | Column, p: int = 8) -> DataFrame:
     register (:func:`hll_merge`) equals the sketch of the union — the
     property that lets 1000 executors sketch 100 TB independently and
     combine 256-row results. NULL keys are skipped (COUNT DISTINCT
-    semantics)."""
+    semantics).
+
+    ``by`` builds ONE SKETCH PER GROUP in the same single aggregate —
+    ``(by…, reg, rho)``, at most ``2^p`` rows per group. This is the
+    per-source / per-language cardinality-audit pattern: a 100 TB scan
+    reduces to ``n_groups * 2^p`` rows in one pass, where per-group
+    ``COUNT(DISTINCT)`` would shuffle every distinct key."""
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4, 14], got {p}")
     kc = F.col(key) if isinstance(key, str) else key
+    by = list(by)
     reg, rho = _hll_parts(F.col("__k__"), 1 << p)
     return (
-        df.select(kc.alias("__k__"))
+        df.select(kc.alias("__k__"), *[F.col(b) for b in by])
         .filter(F.col("__k__").isNotNull())
-        .select(reg.alias("reg"), rho.alias("rho"))
-        .groupBy("reg")
+        .select(*by, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*by, "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -261,14 +273,18 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     All inputs must have been built with the SAME ``p`` (register ids
     from different precisions do not line up); a mixed merge is caught
     at :func:`hll_estimate` time when the register count exceeds
-    ``2^p`` — pass the build-time ``p`` there."""
+    ``2^p`` — pass the build-time ``p`` there. Grouped sketches merge
+    by passing the same ``by`` columns."""
     from functools import reduce
 
     un = reduce(lambda a, b: a.unionByName(b), sketches)
-    return un.groupBy("reg").agg(F.max("rho").alias("rho"))
+    keys = [c for c in un.columns if c != "rho"]
+    return un.groupBy(*keys).agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate(
+    sketch: DataFrame, p: int = 8, by: tuple[str, ...] = ()
+) -> DataFrame:
     """Cardinality estimate from a :func:`hll_build` sketch.
 
     Standard HLL estimator: ``alpha_m * m^2 / S`` where S sums
@@ -281,10 +297,11 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     engine-reproducible (round the final double; ln may differ by an
     ulp between libms).
 
-    Output: one row ``(method, n_regs, v_zero, estimate)``."""
+    Output: one row ``(method, n_regs, v_zero, estimate)`` — or one
+    row per group when ``by`` names the grouped-sketch key columns."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = sketch.agg(
+    agg = sketch.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s_used__"),
     )
@@ -309,10 +326,124 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
         ),
     )
     return agg.select(
+        *by,
         F.when(
             ok.isNull() & use_linear, F.lit("linear")
         ).otherwise(F.lit("hll")).alias("method"),
         F.col("n_regs").cast("bigint").alias("n_regs"),
         v.cast("bigint").alias("v_zero"),
         F.when(use_linear, linear).otherwise(raw).alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — Bar-Yossef et al. 2002 bottom-k
+# ---------------------------------------------------------------------------
+# HLL estimates ONE set's cardinality in 2^p registers; KMV keeps the k
+# SMALLEST hash values instead, which makes it closed under set algebra:
+# the bottom-k of a union is computable from the two sketches alone, and
+# the fraction of the union's bottom-k present in both sides is an
+# unbiased Jaccard estimator. That is the cross-corpus question HLL
+# cannot answer — "how much do corpus A and corpus B overlap?" — asked
+# before any expensive dedup/decontamination join is launched. Same
+# engine-portable discipline: the avalanche-mixed hash is exact int64
+# arithmetic any engine replays bit-for-bit, so the sketch (and every
+# estimate derived from it) is value-gated against an oracle rebuild.
+
+
+def kmv_build(df: DataFrame, key: str | Column, k: int = 256) -> DataFrame:
+    """Bottom-``k`` distinct mixed-hash values of an integer key column
+    — one column ``h``, at most ``k`` rows.
+
+    Plan: map-side hash projection, distinct on ``h`` (map-side
+    combining aggregate over DISTINCT VALUES, never raw rows), then a
+    ``TakeOrderedAndProject`` top-k — each partition contributes its
+    own bottom-k and the driver merges #partitions * k candidates, so
+    no global sort materializes. NULL keys are skipped."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    kc = F.col(key) if isinstance(key, str) else key
+    h = _hll_mix(F.pmod(kc, F.lit(_P)))
+    return (
+        df.select(h.alias("h"))
+        .filter(kc.isNotNull())
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Bottom-``k`` of the union: KMV's closure property — the union's
+    sketch is derivable from the two sketches alone (both are supersets
+    of the union's bottom-k candidates below their own k-th value)."""
+    return a.unionByName(b).dropDuplicates(["h"]).orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_build` sketch.
+
+    Fewer than ``k`` hashes -> the sketch saw EVERY distinct hash, so
+    the count is exact (method 'exact'). Otherwise the classic
+    order-statistics estimate ``(k-1) * P / h_(k)`` with ``h_(k)`` the
+    largest retained hash (uniform order statistic over [0, P)).
+    ``h_(k) = 0`` is impossible for k >= 2 distinct values, so the
+    division is ANSI-safe by construction (still when-guarded)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("__hk__"),
+    )
+    exact = F.col("n_hashes") < F.lit(k)
+    est = F.when(
+        F.col("__hk__") > 0,
+        F.lit(float(k - 1)) * F.lit(float(_P)) / F.col("__hk__").cast("double"),
+    )
+    return agg.select(
+        F.when(exact, F.lit("exact")).otherwise(F.lit("kmv")).alias("method"),
+        F.col("n_hashes").cast("bigint").alias("n_hashes"),
+        F.when(exact, F.col("n_hashes").cast("double"))
+        .otherwise(est)
+        .alias("estimate"),
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Jaccard / union / intersection estimates for two KMV sketches.
+
+    The union's bottom-k is a uniform sample of the union's distinct
+    hashes; the fraction of it present in BOTH input sketches is an
+    unbiased Jaccard estimator, and intersection = jaccard * union.
+    One row: ``(n_union_hashes, jaccard, union_est, inter_est)``.
+    Everything operates on <= k-row frames (broadcast-joined), so cost
+    is independent of the corpora the sketches summarize — the input
+    sketches are persisted here (k rows each) so the corpus scans
+    behind them run ONCE, not once per branch that references them."""
+    a = a.persist()
+    b = b.persist()
+    u = kmv_union(a, b, k)
+    both = (
+        u.join(F.broadcast(a.select(F.col("h").alias("h"))), "h", "semi")
+        .join(F.broadcast(b.select(F.col("h").alias("h"))), "h", "semi")
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n_union_hashes"), F.max("h").alias("__hk__")
+    ).crossJoin(both.agg(F.count(F.lit(1)).alias("__n_both__")))
+    exact = F.col("n_union_hashes") < F.lit(k)
+    union_est = F.when(exact, F.col("n_union_hashes").cast("double")).otherwise(
+        F.when(
+            F.col("__hk__") > 0,
+            F.lit(float(k - 1))
+            * F.lit(float(_P))
+            / F.col("__hk__").cast("double"),
+        )
+    )
+    jacc = F.when(
+        F.col("n_union_hashes") > 0,
+        F.col("__n_both__").cast("double") / F.col("n_union_hashes"),
+    )
+    return stats.select(
+        F.col("n_union_hashes").cast("bigint").alias("n_union_hashes"),
+        jacc.alias("jaccard"),
+        union_est.alias("union_est"),
+        (jacc * union_est).alias("inter_est"),
     )

@@ -1758,6 +1758,32 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
 
 
+def _mix_ctes(prefix: str, src: str, in_col: str, out_col: str,
+              carry: tuple[str, ...] = ()) -> str:
+    """DuckDB CTE chain replaying ops.bloom._hll_mix (the ARX avalanche
+    rounds) on column ``in_col`` of CTE ``src``, ending in a CTE named
+    ``prefix`` with columns (carry..., out_col). Generated from the SAME
+    _HLL_ROUNDS constants the Spark side uses, so the two engines
+    cannot drift."""
+    from .ops.bloom import _HLL_ROUNDS, _P
+
+    cc = "".join(f"{c}, " for c in carry)
+    parts = []
+    cur_src, cur_col = src, in_col
+    last = len(_HLL_ROUNDS) - 1
+    for i, (a, b, s) in enumerate(_HLL_ROUNDS):
+        n1 = f"{prefix}_{i}a"
+        parts.append(
+            f"{n1} AS (SELECT {cc}({cur_col} * {a} + {b}) % {_P} AS x "
+            f"FROM {cur_src})"
+        )
+        n2 = prefix if i == last else f"{prefix}_{i}b"
+        oc = out_col if i == last else "x"
+        parts.append(f"{n2} AS (SELECT {cc}xor(x, x >> {s}) AS {oc} FROM {n1})")
+        cur_src, cur_col = n2, oc
+    return ",\n    ".join(parts)
+
+
 @register(
     "q_hll_distinct",
     oracle=f"""
@@ -1840,6 +1866,235 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.round(F.col("estimate"), 4) / F.col("exact_distinct") - 1, 4
         ).alias("rel_err"),
+    )
+
+
+def _hll_groups_oracle() -> str:
+    est_raw = f"({_HLL_ALPHA_M2!r} / (s_used + v))"
+    return f"""
+    WITH k AS (
+      SELECT DISTINCT l_returnflag AS grp,
+             ((l_orderkey % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+    ),
+    {_mix_ctes("g1", "k", "ks", "h1", carry=("grp", "ks"))},
+    s0 AS (SELECT grp, h1,
+                  (ks * 913151717 + 776531401) % 1000000007 AS y FROM g1),
+    {_mix_ctes("g2", "s0", "y", "h2", carry=("grp", "h1"))},
+    r AS (
+      SELECT grp, CAST(h1 % {_HLL_M} AS INT) AS reg,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(FLOOR(log2(h2 - (h2 & (h2 - 1))) + 0.5) AS INT) + 1
+             END AS rho
+      FROM g2
+    ), sk AS (
+      SELECT grp, reg, MAX(rho) AS rho FROM r GROUP BY grp, reg
+    ), est AS (
+      SELECT grp, COUNT(*) AS n_regs,
+             COALESCE(SUM(POW(2.0, -rho)), 0.0) AS s_used,
+             {_HLL_M} - COUNT(*) AS v
+      FROM sk GROUP BY grp
+    ), e AS (
+      SELECT grp,
+             CASE WHEN {est_raw} <= {2.5 * _HLL_M} AND v > 0
+                  THEN 'linear' ELSE 'hll' END AS method,
+             CAST(n_regs AS BIGINT) AS n_regs,
+             CAST(v AS BIGINT) AS v_zero,
+             CASE WHEN {est_raw} <= {2.5 * _HLL_M} AND v > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                  ELSE {est_raw}
+             END AS estimate
+      FROM est
+    ), x AS (
+      SELECT l_returnflag AS grp,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.grp AS l_returnflag, method, n_regs, v_zero,
+           ROUND(estimate, 4) AS estimate, exact_distinct,
+           ROUND(ROUND(estimate, 4) / exact_distinct - 1, 4) AS rel_err
+    FROM e JOIN x ON e.grp = x.grp
+    """
+
+
+@register("q_hll_groups", oracle=_hll_groups_oracle())
+def q_hll_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: one 2^8-register sketch per l_returnflag in
+    a single map-side-combining aggregate (ops.bloom.hll_build(by=...)),
+    estimated per group and checked against the exact per-group COUNT
+    DISTINCT. This is the per-source/per-language cardinality-audit
+    pattern: a 100 TB scan reduces to n_groups x 256 rows in ONE pass,
+    where per-group COUNT(DISTINCT) would shuffle every distinct
+    (group, key) pair. The oracle rebuilds every group's sketch
+    bit-for-bit from the shared _HLL_ROUNDS constants."""
+    from .ops.bloom import hll_build, hll_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    by = ("l_returnflag",)
+    est = hll_estimate(hll_build(li, "l_orderkey", p=_HLL_P, by=by), p=_HLL_P, by=by)
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "method",
+        "n_regs",
+        "v_zero",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_distinct",
+        F.round(
+            F.round(F.col("estimate"), 4) / F.col("exact_distinct") - 1, 4
+        ).alias("rel_err"),
+    )
+
+
+_KMV_K = 256
+
+
+def _kmv_overlap_oracle() -> str:
+    k = _KMV_K
+    est = f"({float(k - 1)!r} * 1000000007.0 / hk)"
+    return f"""
+    WITH fa AS (
+      SELECT DISTINCT ((o_custkey % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+    ),
+    {_mix_ctes("ma", "fa", "ks", "h")},
+    sa AS (SELECT h FROM ma ORDER BY h LIMIT {k}),
+    fb AS (
+      SELECT DISTINCT ((o_custkey % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
+    ),
+    {_mix_ctes("mb", "fb", "ks", "h")},
+    sb AS (SELECT h FROM mb ORDER BY h LIMIT {k}),
+    u AS (
+      SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+      ORDER BY h LIMIT {k}
+    ),
+    st AS (SELECT COUNT(*) AS n_u, MAX(h) AS hk FROM u),
+    bo AS (
+      SELECT COUNT(*) AS n_both FROM u
+      WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ) t WHERE o_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      )
+    ),
+    calc AS (
+      SELECT CAST(n_u AS BIGINT) AS n_union_hashes,
+             CAST(n_both AS DOUBLE) / n_u AS jac,
+             CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE) ELSE {est} END AS ue,
+             exact_inter
+      FROM st, bo, ex
+    )
+    SELECT n_union_hashes,
+           ROUND(jac, 4) AS jaccard,
+           ROUND(ue, 4) AS union_est,
+           ROUND(jac * ue, 4) AS inter_est,
+           exact_inter,
+           ROUND(ROUND(jac * ue, 4) / exact_inter - 1, 4) AS rel_err
+    FROM calc
+    """
+
+
+@register("q_kmv_overlap", oracle=_kmv_overlap_oracle())
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch overlap (ops.bloom.kmv_build/kmv_overlap —
+    Bar-Yossef et al. 2002): how many customers placed BOTH finished
+    ('F') and open ('O') orders, estimated from two 256-value sketches
+    without joining the corpora — the pre-dedup / pre-decontamination
+    sizing question at 100 TB, answered from two single scans whose
+    outputs are 256 rows each. Value-gated: the oracle rebuilds both
+    sketches from the shared avalanche-mix constants, replays the
+    union/Jaccard arithmetic, and the exact intersection rides along
+    for the honesty columns (jaccard/union/intersection estimates and
+    rel_err vs exact)."""
+    from .ops.bloom import kmv_build, kmv_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    a = kmv_build(o.filter(F.col("o_orderstatus") == "F"), "o_custkey", k=_KMV_K)
+    b = kmv_build(o.filter(F.col("o_orderstatus") == "O"), "o_custkey", k=_KMV_K)
+    ov = kmv_overlap(a, b, _KMV_K)
+    fa = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    fb = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    exact = fa.join(fb, "o_custkey", "semi").agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    return ov.crossJoin(F.broadcast(exact)).select(
+        "n_union_hashes",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round("union_est", 4).alias("union_est"),
+        F.round("inter_est", 4).alias("inter_est"),
+        "exact_inter",
+        F.round(
+            F.when(
+                F.col("exact_inter") > 0,
+                F.round(F.col("inter_est"), 4) / F.col("exact_inter") - 1,
+            ),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "q_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(1 + FLOOR(value) AS BIGINT) * 1000000 AS e,
+             event_id
+      FROM events
+    ), o AS (
+      SELECT s, e, event_id,
+             MAX(e) OVER (ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+      FROM iv
+    ), f AS (
+      SELECT s, e, event_id,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+      FROM o
+    ), g AS (
+      SELECT s, e,
+             SUM(flag) OVER (ORDER BY s, e, event_id
+                             ROWS UNBOUNDED PRECEDING) AS gid
+      FROM f
+    )
+    SELECT CAST(gid AS BIGINT) AS gid, MIN(s) AS start_us, MAX(e) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY gid
+    """,
+)
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-TABLE overlapping-interval merge (ops.intervals.
+    merge_intervals): every event opens a [ts, ts + (1+floor(value))
+    seconds] busy span; merge all spans into maximal disjoint periods.
+    The textbook algorithm is a sequential sweep; the distributed plan
+    is ONE range shuffle + two #partitions-row carry jobs (prefix max
+    of ends, prefix sum of opened groups) — the same carry discipline
+    as the ops/window.py prefix scan, pinned SinglePartition-free in
+    tests/test_plans.py. The oracle replays the sweep with DuckDB
+    global windows."""
+    from .ops.intervals import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        s.alias("s"),
+        (
+            s + (F.lit(1) + F.floor("value")).cast("bigint") * F.lit(1_000_000)
+        ).alias("e"),
+        "event_id",
+    )
+    out = merge_intervals(iv, "s", "e", tiebreak=("event_id",))
+    return out.select(
+        "gid",
+        F.col("s").alias("start_us"),
+        F.col("e").alias("end_us"),
+        "n",
     )
 
 
@@ -5595,6 +5850,10 @@ _PRIORITY = [
     "q_global_running_sum",
     "q_hll_distinct",
     "q_zorder_roundtrip",
+    # --- first-ever driver rows (round-6 operators) -------------------
+    "q_hll_groups",
+    "q_kmv_overlap",
+    "q_merge_intervals",
     # --- changed this round: external revalidation --------------------
     "q_dedup_minhash_lsh",
     "q_semdedup",
@@ -5641,10 +5900,7 @@ _PRIORITY = [
     "q_multimodal_decode",
     "q_sliding_window",
     "q_dedup_clusters",
-    "q_systematic_sample",
-    "q_pack_sequences",
     "q_decontaminate",
-    "q_mixture_weights",
     "q_bm25_search",
 ]
 

@@ -361,6 +361,70 @@ def test_hll_estimate_accuracy_and_empty(spark):
     assert hll_build(nulls, "key", p).count() == 1
 
 
+def test_hll_grouped_equals_per_group_sketches(spark):
+    """A grouped build must produce, per group, EXACTLY the sketch a
+    separate filtered build would — the single-aggregate grouped path
+    is a pure re-partitioning of the same work."""
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.bloom import hll_build
+
+    df = spark.range(1, 30_001).select(
+        F.col("id").alias("key"), (F.col("id") % 3).cast("int").alias("g")
+    )
+    grouped = {
+        (r.g, r.reg): r.rho
+        for r in hll_build(df, "key", p=6, by=("g",)).collect()
+    }
+    for g in (0, 1, 2):
+        solo = {
+            r.reg: r.rho
+            for r in hll_build(df.filter(F.col("g") == g), "key", p=6).collect()
+        }
+        assert solo == {reg: rho for (gg, reg), rho in grouped.items() if gg == g}
+
+
+def test_kmv_exact_regime_union_closure_and_overlap(spark):
+    """KMV invariants: below k the estimate is the exact distinct
+    count; the union of two sketches re-sketched equals the sketch of
+    the union (closure); a fully-contained union gives the exact
+    Jaccard; and at scale the estimate lands within 4 sigma."""
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.bloom import (
+        kmv_build,
+        kmv_estimate,
+        kmv_overlap,
+        kmv_union,
+    )
+
+    k = 256
+    # exact regime: 100 distinct keys < k
+    small = spark.range(1, 101).select(F.col("id").alias("key"))
+    row = kmv_estimate(kmv_build(small, "key", k), k).collect()[0]
+    assert row.method == "exact" and row.estimate == 100.0
+
+    # closure: union of sketches == sketch of union
+    a = spark.range(1, 50_001).select(F.col("id").alias("key"))
+    b = spark.range(25_000, 90_001).select(F.col("id").alias("key"))
+    merged = sorted(r.h for r in kmv_union(
+        kmv_build(a, "key", k), kmv_build(b, "key", k), k).collect())
+    direct = sorted(r.h for r in kmv_build(a.unionAll(b), "key", k).collect())
+    assert merged == direct
+
+    # sub-k union: jaccard is EXACT set jaccard (sketch saw everything)
+    xa = spark.range(1, 101).select(F.col("id").alias("key"))
+    xb = spark.range(51, 151).select(F.col("id").alias("key"))
+    ov = kmv_overlap(kmv_build(xa, "key", k), kmv_build(xb, "key", k), k).collect()[0]
+    assert abs(ov.jaccard - 50 / 150) < 1e-12
+    assert abs(ov.inter_est - 50.0) < 1e-9
+
+    # estimator regime accuracy: 4 sigma of 1/sqrt(k-1)
+    est = kmv_estimate(kmv_build(a, "key", k), k).collect()[0]
+    assert est.method == "kmv"
+    assert abs(est.estimate / 50_000 - 1) < 4 / (k - 1) ** 0.5
+
+
 def test_hll_estimate_p_mismatch_raises(spark):
     """Estimating a higher-precision sketch under a lower p must fail
     LOUDLY (round-5 advice): register ids don't line up, and without

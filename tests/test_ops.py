@@ -345,6 +345,55 @@ def test_with_running_broadcast_carry_path(spark, monkeypatch):
         assert (nan | (np.abs(a - b) < 1e-12)).all(), c
 
 
+def test_merge_intervals_fixture_and_paths_agree(spark):
+    """Hand-checkable fixture: touching intervals merge, contained
+    ones collapse, gaps split; the whole-table carry path and the
+    partitioned window path must produce identical spans; NULL bounds
+    drop; the whole-table plan stays SinglePartition-free."""
+    from dataframes_jl_spark.ops.intervals import merge_intervals
+
+    rows = [
+        # (id, s, e) — [1,3]+[3,5] touch -> [1,5]; [4,5] contained;
+        # [8,9] alone; [12,15]+[13,14] -> [12,15]
+        (1, 1, 3), (2, 3, 5), (3, 4, 5), (4, 8, 9),
+        (5, 12, 15), (6, 13, 14), (7, None, 4), (8, 2, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long").repartition(4)
+    got = sorted(
+        (r.s, r.e, r.n)
+        for r in merge_intervals(df, "s", "e", tiebreak=("id",)).collect()
+    )
+    assert got == [(1, 5, 3), (8, 9, 1), (12, 15, 2)]
+
+    # whole-table == partitioned-by-constant (same sweep, same spans)
+    const = df.withColumn("k", F.lit(1))
+    via_part = sorted(
+        (r.s, r.e, r.n)
+        for r in merge_intervals(
+            const, "s", "e", partition_by="k", tiebreak=("id",)
+        ).collect()
+    )
+    assert via_part == got
+
+    plan = merge_intervals(df, "s", "e", tiebreak=("id",))._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_merge_intervals_cross_partition_spans(spark):
+    """A long interval that swallows everything after it: the carry max
+    must propagate across MANY range partitions, and rows belonging to
+    a group opened partitions earlier must inherit its gid."""
+    from dataframes_jl_spark.ops.intervals import merge_intervals
+
+    # 0: [0, 10_000] covers all; 1..999: [i*10, i*10+1]
+    rows = [(0, 0, 10_000)] + [(i, i * 10, i * 10 + 1) for i in range(1, 1000)]
+    df = spark.createDataFrame(rows, "id long, s long, e long").repartition(13)
+    out = merge_intervals(df, "s", "e", tiebreak=("id",)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.gid, r.s, r.e, r.n) == (1, 0, 10_000, 1000)
+
+
 def test_na_agg_propagates(spark):
     df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
     row = df.agg(

@@ -107,6 +107,26 @@ def test_with_running_not_single_partition(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_merge_intervals_not_single_partition(spark):
+    """Whole-table interval merge must plan the range-partitioned
+    carry sweep, never a global ORDER BY window."""
+    plan = plan_of(QUERIES["q_merge_intervals"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_kmv_sketch_is_take_ordered(spark):
+    """kmv_build's bottom-k must be a TakeOrderedAndProject over the
+    distinct hashes — per-partition bottom-k merged on the driver, no
+    global sort materialized."""
+    from dataframes_jl_spark.ops.bloom import kmv_build
+    from dataframes_jl_spark.session import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    plan = plan_of(kmv_build(o, "o_custkey", k=64))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_facade_row_id_not_single_partition(spark):
     """flipud/duplicated/positional access route through the facade's
     with_row_id — must be the range-partitioned rank, never a global

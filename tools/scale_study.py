@@ -67,6 +67,10 @@ STUDY = [
     "q_global_running_sum",
     "q_hll_distinct",
     "q_zorder_roundtrip",
+    # round-6: whole-table interval merge (range shuffle + carry jobs)
+    # and KMV overlap (two scans -> two 256-row sketches)
+    "q_merge_intervals",
+    "q_kmv_overlap",
 ]
 
 
