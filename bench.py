@@ -64,6 +64,8 @@ HEADLINE = [
     "q_hll_groups",
     "q_kmv_overlap",
     "q_merge_intervals",
+    "q_fuzzy_match",
+    "q_table_diff",
 ]
 
 

@@ -24,6 +24,7 @@ from .dedup import (  # noqa: F401
     simhash_pairs,
     simhash_signatures,
 )
+from .fuzzy import fuzzy_pairs  # noqa: F401
 from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .text import (  # noqa: F401
     c4_clean_lines,

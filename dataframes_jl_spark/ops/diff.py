@@ -1,0 +1,84 @@
+"""Snapshot diff: compare two versions of a keyed table.
+
+The data-ops question behind every pipeline rerun — "what changed
+between yesterday's table and today's?" — is ONE full-outer equi-join
+on the key with null-safe column comparison. At 100 TB both sides
+shuffle on the same key (or join exchange-free if both snapshots were
+bucket-written on it, io/parquet.py:save), so the diff costs what one
+join costs; no driver materialization, no row hashing that an oracle
+engine could not replay (null-safe column equality is portable SQL —
+``IS NOT DISTINCT FROM`` — where a private 64-bit row hash is not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-status diff of two keyed snapshots.
+
+    Returns one row per key present in either side: the key columns,
+    ``status`` in ``added`` (key only in ``new``), ``removed`` (only in
+    ``old``), ``changed`` (both, any compared column differs under
+    null-safe equality), ``unchanged`` — plus every compared column in
+    its ``old_``/``new_`` form for changed-row inspection.
+
+    ``compare_cols`` defaults to all shared non-key columns; the keys
+    must be unique per side (a duplicate key makes "the" old/new row
+    ill-defined — enforce upstream with exact dedup).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("table_diff needs at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    compare_cols = list(compare_cols)
+
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__in_old__"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__in_new__"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *keys,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-status row counts of :func:`table_diff` — the one-look
+    answer ("12 added, 3 changed, 0 removed") that gates a publish."""
+    d = table_diff(old, new, keys, compare_cols)
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

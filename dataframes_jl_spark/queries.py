@@ -1026,6 +1026,31 @@ ORACLES["q_dedup_simhash"] = ORACLES["q_dedup_simhash_pairs"]
 
 
 @register(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-bounded entity matching (llm.fuzzy.fuzzy_pairs):
+    every customer-name pair within levenshtein distance 1, found via
+    FastSS deletion-neighborhood blocking (linear explode + hash
+    equi-join, recall exactly 1 by the FastSS theorem) and verified
+    with the built-in levenshtein — the oracle is the brute-force
+    all-pairs definition, so this gate proves the blocking loses NO
+    pair while the Spark plan never goes quadratic in the corpus."""
+    from .llm import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+@register(
     "q_dedup_exact_groups",
     oracle="""
     SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs,
@@ -2095,6 +2120,60 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("start_us"),
         F.col("e").alias("end_us"),
         "n",
+    )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+      FROM orders
+    ), new AS (
+      SELECT k, CASE WHEN k % 89 = 0 THEN p + 1.5 ELSE p END AS p, s
+      FROM old WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 10000000 AS k, p, s FROM old WHERE k % 101 = 0
+    ), j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN (o.p IS NOT DISTINCT FROM n.p)
+                       AND (o.s IS NOT DISTINCT FROM n.s) THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM j GROUP BY status
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (ops.diff.table_diff): orders vs a deterministic
+    mutation of itself (every 97th key removed, every 89th price
+    bumped, every 101st re-keyed as an insert) — one full-outer join
+    on the key with null-safe column comparison, summarized per
+    status with a key checksum. The oracle replays the mutation and
+    the diff in SQL (IS NOT DISTINCT FROM = eqNullSafe), so the
+    status assignment is value-checked row-for-row via the sums."""
+    from .ops.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    mutated = old.filter(key % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(key % 89 == 0, F.col("o_totalprice") + 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = old.filter(key % 101 == 0).select(
+        (key + 10_000_000).alias("o_orderkey"), "o_totalprice", "o_orderstatus"
+    )
+    d = table_diff(old, mutated.unionByName(added), ["o_orderkey"])
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
     )
 
 
@@ -5854,6 +5933,8 @@ _PRIORITY = [
     "q_hll_groups",
     "q_kmv_overlap",
     "q_merge_intervals",
+    "q_fuzzy_match",
+    "q_table_diff",
     # --- changed this round: external revalidation --------------------
     "q_dedup_minhash_lsh",
     "q_semdedup",
@@ -5887,7 +5968,6 @@ _PRIORITY = [
     "q_window_running_sum",
     "q_row_reductions",
     "q_describe",
-    "q_colwise_grouped",
     "q_pivot_table_lib",
     "q_dedup_jaccard_exact",
     "q_dedup_exact_groups",
@@ -5898,7 +5978,6 @@ _PRIORITY = [
     "q_ann_lsh",
     "q_dedup_embedding",
     "q_multimodal_decode",
-    "q_sliding_window",
     "q_dedup_clusters",
     "q_decontaminate",
     "q_bm25_search",

@@ -863,3 +863,73 @@ def test_assign_np_qdist_units_match_literal(spark):
     vec = {r.cluster: (r.n_vecs, round(r.avg_dist2, 4))
            for r in cluster_profile(kmeans_assign_np(emb, cents)).collect()}
     assert lit == vec
+
+
+def test_fuzzy_pairs_fixture_and_bruteforce(spark):
+    """FastSS blocking must find EXACTLY the brute-force levenshtein
+    pairs: a hand fixture (substitution, insertion, deletion, miss),
+    then a randomized corpus cross-checked against the quadratic
+    definition computed in-Spark."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.llm import fuzzy_pairs
+
+    rows = [
+        (1, "martha"),
+        (2, "marhta"),   # transposition: dist 2 to martha, but dist 1
+        #                  to marta (delete the h)
+        (3, "marta"),    # deletion of 'h' -> dist 1 to martha
+        (4, "martha"),   # exact dup -> dist 0
+        (5, "zebra"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    )
+    assert got == [(1, 3, 1), (1, 4, 0), (2, 3, 1), (3, 4, 1)]
+
+    rng = random.Random(17)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(3, 6)))
+        for _ in range(60)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, name string"
+    )
+    fast = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(corpus, "id", "name", max_dist=1).collect()
+    )
+    # brute force via Spark's own levenshtein (same function verified)
+    a = corpus.select(F.col("id").alias("id_a"), F.col("name").alias("na"))
+    b = corpus.select(F.col("id").alias("id_b"), F.col("name").alias("nb"))
+    brute = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("na", "nb").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .collect()
+    )
+    assert fast == brute
+
+
+def test_fuzzy_pairs_depth2_and_guards(spark):
+    """max_dist=2 catches the transposition the depth-1 pass cannot;
+    over-long strings raise instead of exploding the block table."""
+    import pytest
+    from dataframes_jl_spark.llm import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "martha"), (2, "marhta")], "id long, name string"
+    )
+    got = fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 2)]
+
+    long_df = spark.createDataFrame([(1, "x" * 300)], "id long, name string")
+    with pytest.raises(Exception, match="max_len"):
+        fuzzy_pairs(long_df, "id", "name", max_dist=1).collect()

@@ -379,6 +379,31 @@ def test_merge_intervals_fixture_and_paths_agree(spark):
     assert "SinglePartition" not in plan
 
 
+def test_table_diff_statuses_and_null_safety(spark):
+    """All four statuses on a hand fixture; NULL-to-NULL compares as
+    unchanged (eqNullSafe), NULL-to-value as changed."""
+    from dataframes_jl_spark.ops.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, v string, x double",
+    )
+    got = {r.k: r.status for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",  # identical
+        2: "changed",    # NULL -> 2.0
+        3: "removed",
+        4: "unchanged",  # NULL v on both sides
+        5: "added",
+    }
+    summary = {r.status: r.n for r in diff_summary(old, new, ["k"]).collect()}
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
 def test_merge_intervals_cross_partition_spans(spark):
     """A long interval that swallows everything after it: the carry max
     must propagate across MANY range partitions, and rows belonging to

@@ -115,6 +115,14 @@ def test_merge_intervals_not_single_partition(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_fuzzy_match_no_cartesian(spark):
+    """Deletion-neighborhood blocking must plan a hash equi-join on the
+    variant hash — the brute-force cross join is the oracle's job."""
+    plan = plan_of(QUERIES["q_fuzzy_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kmv_sketch_is_take_ordered(spark):
     """kmv_build's bottom-k must be a TakeOrderedAndProject over the
     distinct hashes — per-partition bottom-k merged on the driver, no

@@ -22,6 +22,14 @@ Usage:
                                         # caught only by re-measuring).
 Points included: sf0.1 always; .scale_data/sf1 and .scale_data/sf10
 when present.
+
+Heap sizing: the default single-JVM session is 8g
+(SPARK_GRAFT_DRIVER_MEM); the full sf10 study holds localCheckpoint
+blocks (pagerank) and determinism-persists (with_running,
+global_row_number) near the edge of that — run the study with
+SPARK_GRAFT_DRIVER_MEM=24g to keep storage pressure out of the
+measurements (the machine budget is 128 GiB; a real cluster sizes
+executor memory separately).
 """
 
 from __future__ import annotations
@@ -141,7 +149,11 @@ def check() -> int:
         q = QUERIES[name]
         for _, d in seg:  # warm codegen + parquet footers
             q(spark, d).write.format("noop").mode("overwrite").save()
-        ts = [_time_query(q, spark, d, repeats=1) for _, d in seg]
+        # repeats=2: single-shot sf10 walls of persist-heavy queries
+        # (with_running / global_row_number / merge_intervals) swing 2-3x
+        # with async block-cleanup timing — min-of-2 keeps the gate about
+        # SLOPES, not storage-pool luck
+        ts = [_time_query(q, spark, d, repeats=2) for _, d in seg]
         slope = _slope([sf for sf, _ in seg], ts)
         drift = slope - pin["seg_slope"]
         status = "FAIL" if drift > SLOPE_TOLERANCE else "ok"
@@ -218,10 +230,11 @@ def main() -> int:
         q = QUERIES[name]
         for _, d in points:  # warm both scales (codegen, parquet footers)
             q(spark, d).write.format("noop").mode("overwrite").save()
-        # fewer repeats at the big points: run-to-run noise is a fixed
-        # few hundred ms, negligible against multi-second sf10 walls
+        # min-of-2 at the big points too: persist/localCheckpoint-heavy
+        # queries swing 2-3x on single shots (async block cleanup), and
+        # a noisy pin makes every later --check re-measure flaky
         ts = [
-            _time_query(q, spark, d, repeats=(3 if sf <= 0.1 else 2 if sf <= 1 else 1))
+            _time_query(q, spark, d, repeats=(3 if sf <= 0.1 else 2))
             for sf, d in points
         ]
         exp = _slope([sf for sf, _ in points], ts)
