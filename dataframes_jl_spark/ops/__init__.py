@@ -46,3 +46,7 @@ from .scd import funnel_counts, funnel_steps  # noqa: F401
 from .graph import pagerank  # noqa: F401
 from .bloom import bloom_build, bloom_prefilter  # noqa: F401
 from .bloom import cm_build, cm_estimate  # noqa: F401
+from .bloom import hll_build, hll_estimate, hll_merge  # noqa: F401
+from .bloom import kmv_build, kmv_estimate, kmv_overlap, kmv_union  # noqa: F401
+from .intervals import merge_intervals  # noqa: F401
+from .diff import diff_summary, table_diff  # noqa: F401

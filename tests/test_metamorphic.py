@@ -441,3 +441,35 @@ def test_hll_estimate_p_mismatch_raises(spark):
     # matched p still estimates fine
     row = hll_estimate(sk10, p=10).collect()[0]
     assert abs(row.estimate / 20_000 - 1) < 4 * (1.04 / (1024**0.5))
+
+
+ivals = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 25)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(iv=ivals)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_intervals_matches_reference_sweep(spark, iv):
+    """Whole-table distributed merge == the sequential textbook sweep
+    computed in plain Python on the same (start, start+len) intervals."""
+    from dataframes_jl_spark.ops.intervals import merge_intervals
+
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "id long, s long, e long").repartition(5)
+    got = sorted(
+        (r.s, r.e, r.n)
+        for r in merge_intervals(df, "s", "e", tiebreak=("id",)).collect()
+    )
+    # reference sweep: sort by (s, e, id), open a new span when s > max
+    # end seen so far
+    exp = []
+    for _, s, e in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        if exp and s <= exp[-1][1]:
+            exp[-1] = (exp[-1][0], max(exp[-1][1], e), exp[-1][2] + 1)
+        else:
+            exp.append((s, e, 1))
+    assert got == sorted(exp)
