@@ -66,6 +66,11 @@ HEADLINE = [
     "q_merge_intervals",
     "q_fuzzy_match",
     "q_table_diff",
+    "q_heavy_hitters",
+    "q_mad_outliers",
+    "q_ngram_counts",
+    "q_skew_report",
+    "q_temperature_mix",
 ]
 
 

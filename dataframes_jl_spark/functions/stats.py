@@ -545,3 +545,53 @@ def profile(df: DataFrame) -> DataFrame:
         "max",
         "mean",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: str,
+    by: str | Sequence[str],
+    z: float = 3.5,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Per-group robust outlier flags via the modified z-score
+    0.6745 * |x - median| / MAD  (Iglewicz & Hoaglin 1993): rows whose
+    score exceeds ``z`` are flagged. Median/MAD resist the very
+    outliers they detect, unlike mean/stddev gates which a single
+    extreme value drags toward itself.
+
+    Appends columns ``med``, ``mad``, ``robust_z``, ``is_outlier`` to
+    the input rows (NULL values of ``value`` get NULL score/flag).
+
+    Two grouped aggregates (median, then median-of-deviations), each a
+    single shuffle on ``by``; the tiny per-group stats tables join back
+    broadcast-hinted. With ``accuracy=None`` the medians are EXACT
+    (Spark's ``percentile``) — that aggregate buffers each group's
+    values, so the contract is the same bounded-group one as the repo's
+    other exact-quantile paths: fine for per-segment audits (thousands
+    of rows per group), wrong for a 100 TB single group. For that,
+    pass ``accuracy`` (e.g. 10_000) to switch both medians to
+    ``percentile_approx``'s fixed-memory GK sketch — same plan shape,
+    bounded state, ±1/accuracy rank error.
+
+    A zero-MAD group (>=50% of the group at one value) yields NULL
+    robust_z / false flags rather than an ANSI divide-by-zero raise.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    vc = F.col(value)
+    if accuracy is None:
+        med_agg = lambda c: F.expr(f"percentile({c}, 0.5D)")
+    else:
+        med_agg = lambda c: F.expr(f"percentile_approx({c}, 0.5D, {int(accuracy)})")
+    med = df.groupBy(*by).agg(med_agg(value).alias("med"))
+    dev = df.join(F.broadcast(med), by).withColumn(
+        "__ad__", F.abs(vc - F.col("med"))
+    )
+    mad = dev.groupBy(*by).agg(med_agg("__ad__").alias("mad"))
+    scored = dev.join(F.broadcast(mad), by).withColumn(
+        "robust_z",
+        F.lit(0.6745) * F.try_divide(F.col("__ad__"), F.col("mad")),
+    )
+    return scored.withColumn(
+        "is_outlier", F.coalesce(F.col("robust_z") > F.lit(float(z)), F.lit(False))
+    ).drop("__ad__")

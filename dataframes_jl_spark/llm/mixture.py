@@ -140,3 +140,47 @@ def take_token_budget(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= cap)
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 2.0,
+    scale: int = 9,
+) -> DataFrame:
+    """Temperature-flattened mixture (the multilingual/UniMax sampling
+    rule): target share proportional to token_share^(1/T). T=1 keeps
+    the natural mix, T->inf approaches uniform; 1<T<4 up-samples tail
+    domains without letting any single domain dominate.
+
+    Same two-aggregate shape as mixture_weights (tiny per-domain stats,
+    broadcast total). Engine-portability: pow is NOT correctly rounded
+    in every runtime (Java Math.pow is 1-ulp), so the powered shares
+    are quantized to 10^-scale units BEFORE normalizing and the
+    normalizer is a sum of exact int64 units — the dsum discipline —
+    keeping target_share/weight bit-stable across engines and
+    partition orders.
+
+    Returns (domain, n_docs, n_tokens, token_share, target_share,
+    weight) with weight = target_share / token_share.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    stats = domain_stats(docs, domain_col, text_col)
+    m = F.lit(float(10**scale))
+    powed = stats.withColumn(
+        "__pq__",
+        F.floor(F.pow(F.col("token_share"), F.lit(1.0 / temperature)) * m + F.lit(0.5)),
+    )
+    tot = powed.agg(F.sum("__pq__").alias("__z__"))
+    out = powed.crossJoin(F.broadcast(tot))
+    target = F.col("__pq__") / F.col("__z__")
+    return out.select(
+        domain_col,
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        target.alias("target_share"),
+        (target / F.col("token_share")).alias("weight"),
+    )

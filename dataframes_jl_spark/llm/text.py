@@ -388,3 +388,51 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("chunk_n_tokens"),
     )
+
+
+def ngrams(col: str | Column, n: int) -> Column:
+    """Consecutive word n-grams (space-joined) for arbitrary n — [] for
+    short/NULL docs. Generalizes :func:`bigrams`: the token array is
+    let1-bound once, and each gram is an array_join over a slice — the
+    per-doc cost is O(tokens * n) with no re-split per element."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    c = F.col(col) if isinstance(col, str) else col
+    return let1(
+        tokens(col),
+        lambda t: F.when(
+            # blank text must short-circuit: split('', '\s+') is ['']
+            # — one EMPTY token — which at n=1 would emit a '' gram.
+            c.isNull() | (F.trim(c) == "") | (F.size(t) < n),
+            F.array().cast("array<string>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    )
+
+
+def ngram_counts(
+    docs, col: str = "text", n: int = 3, min_count: int = 2
+):
+    """Corpus n-gram frequency table pruned to grams seen at least
+    ``min_count`` times — the count-based LM / contamination-fingerprint
+    building block. explode → ONE count aggregate with map-side partial
+    combine (each partition collapses to its distinct grams before the
+    exchange) → post-aggregate HAVING; returns (ngram, cnt).
+
+    The shuffle carries (gram, partial-count) pairs. When the distinct-
+    gram population itself is the bottleneck (trillions at 100 TB), cap
+    the shuffle with the Misra-Gries path instead:
+    ``ops.frequency.heavy_hitters`` over the exploded grams bounds the
+    exchange at partitions x k regardless of cardinality."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    return (
+        docs.select(F.explode(ngrams(col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

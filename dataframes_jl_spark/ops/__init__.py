@@ -26,7 +26,7 @@ from .reshape import (  # noqa: F401
     unstack,
 )
 from .sampling import sample, sample_by, systematic_sample  # noqa: F401
-from .skew import salted_join  # noqa: F401
+from .skew import key_skew_report, salted_join  # noqa: F401
 from .privacy import k_anonymity_report, k_anonymize  # noqa: F401
 from .window import (  # noqa: F401
     cummax,
@@ -50,3 +50,4 @@ from .bloom import hll_build, hll_estimate, hll_merge  # noqa: F401
 from .bloom import kmv_build, kmv_estimate, kmv_overlap, kmv_union  # noqa: F401
 from .intervals import merge_intervals  # noqa: F401
 from .diff import diff_summary, table_diff  # noqa: F401
+from .frequency import heavy_hitters, mg_partition_summaries  # noqa: F401

@@ -1,0 +1,150 @@
+"""Exact heavy hitters with a Misra-Gries shuffle bound.
+
+The operator answers "which keys exceed a 1/k share of the table?" —
+power users, hot shards, dominant n-grams — EXACTLY, without ever
+shuffling the full distinct-key set. A plain
+``groupBy(col).count().filter(cnt*k > n)`` is correct but its shuffle
+width is the number of DISTINCT keys: over token or n-gram columns at
+100 TB that is billions-to-trillions of rows of shuffle for an answer
+of at most k rows. Here the shuffle is bounded by ``partitions x k``
+regardless of key cardinality:
+
+1. One pass builds a Misra-Gries summary (Misra & Gries 1982) per
+   input partition inside ``mapInPandas`` — at most ``k`` counters per
+   partition, batch-merged via vectorized ``value_counts`` so the
+   Python loop touches counters, not rows. Each summary also carries
+   its partition's non-null row count in a sentinel row, so the global
+   ``n`` comes from the same scan (no separate count job).
+2. The union of per-partition candidate keys is a guaranteed SUPERSET
+   of the true heavy hitters: if ``freq(x) > n/k`` globally then by
+   pigeonhole some partition has ``freq_p(x) > n_p/k > n_p/(k+1)``,
+   and an MG summary with k counters retains every key whose
+   partition frequency exceeds ``n_p/(k+1)``.
+3. A second scan exact-counts ONLY the candidates (a broadcast
+   semi-join of at most ``partitions x k`` keys) and applies the
+   threshold. The result is exact and deterministic — the sketch only
+   bounds the shuffle, it never decides membership.
+
+Cost: two scans of the input instead of one, in exchange for a shuffle
+that cannot exceed ``partitions x k`` rows. At 100 TB the second scan
+is sequential parquet read (cheap, column-pruned to one column); the
+avoided shuffle of the full key set is the bottleneck that matters.
+
+Reference parity: the reference engine has no heavy-hitter operator;
+this is part of the beyond-reference LLM-pipeline surface (corpus
+token/domain audits) the build brief asks for.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _mg_compact(counters: dict, k: int) -> dict:
+    """One Misra-Gries decrement round: subtract the (k+1)-th largest
+    stored count from every counter and drop the non-positive ones,
+    leaving at most k. Each round removes >= (k+1)*dec total mass, so
+    cumulative decrement per partition is <= n_p/(k+1) — the classic
+    MG error bound, which the superset argument in the module
+    docstring relies on."""
+    if len(counters) <= k:
+        return counters
+    vals = sorted(counters.values(), reverse=True)
+    dec = vals[k]
+    return {key: c - dec for key, c in counters.items() if c > dec}
+
+
+def mg_partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most k (key, lower-bound
+    count) rows per input partition, plus one sentinel row (key NULL)
+    carrying the partition's non-null row count. Arrow-batched; the
+    per-row work is pandas ``value_counts`` (C speed), the Python loop
+    is over counter entries only (<= 4k at any time)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    field = df.schema[col]
+    out_schema = StructType(
+        [
+            StructField(field.name, field.dataType, True),
+            StructField("__mg_cnt__", LongType(), False),
+        ]
+    )
+    # compact lazily at 4k entries: amortizes the sort to O(log) rounds
+    # per partition while keeping the dict small enough to stay cheap.
+    bound = 4 * k
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts(dropna=True)
+            n_p += int(vc.sum())
+            for key, c in vc.items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > bound:
+                counters = _mg_compact(counters, k)
+        counters = _mg_compact(counters, k)
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                col: keys + [None],
+                "__mg_cnt__": [counters[key] for key in keys] + [n_p],
+            }
+        )
+
+    return df.select(col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+    *,
+    summaries: DataFrame | None = None,
+) -> DataFrame:
+    """All values of ``col`` with count strictly greater than n/k
+    (n = non-null rows), exactly, with shuffle bounded by
+    ``partitions x k`` instead of the distinct-key count.
+
+    Returns (col, cnt, share) sorted nowhere — at most k rows, so the
+    caller can order. ``summaries`` lets a caller reuse a
+    pre-materialized sketch DataFrame.
+
+    The summary table is collected to the driver — it is BOUNDED at
+    ``partitions x (k+1)`` rows by construction (the MG invariant, not
+    data luck), so this is a documented bounded fit in the same sense
+    as the k-means / formula-levels collects elsewhere in the repo.
+    Collecting (rather than joining the summary DataFrame lazily)
+    means the one mapInPandas scan is materialized exactly once, and
+    the candidate set ships back out as a broadcast literal table."""
+    spark = df.sparkSession
+    if summaries is None:
+        summaries = mg_partition_summaries(df, col, k)
+    rows = summaries.collect()
+    n = sum(r[1] for r in rows if r[0] is None)
+    cand_keys = sorted({r[0] for r in rows if r[0] is not None})
+    if n == 0 or not cand_keys:
+        empty = df.select(
+            F.col(col),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0.0).alias("share"),
+        )
+        return empty.filter(F.lit(False))
+    field = df.schema[col]
+    cands = spark.createDataFrame(
+        [(key,) for key in cand_keys], StructType([StructField(field.name, field.dataType, True)])
+    )
+    exact = (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .join(F.broadcast(cands), col, "semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(n))
+    )
+    return exact.withColumn("share", F.col("cnt") / F.lit(float(n)))

@@ -42,3 +42,89 @@ def salted_join(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt__", F.col("__salt__").cast("int"))
     return big_s.join(small_s, on=[*on, "__salt__"], how=how).drop("__salt__")
+
+
+def key_skew_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    top_k: int = 5,
+    hot_share: float = 0.2,
+) -> DataFrame:
+    """Pre-shuffle skew audit for candidate join/group keys: for each
+    column, the top-k hottest values with their share of rows, the
+    column's distinct count, and a strategy hint — the numbers that
+    decide broadcast vs salt vs plain shuffle BEFORE a 100 TB join
+    launches (a single key holding 20% of rows means one reducer gets
+    20% of the shuffle no matter how many executors exist).
+
+    All columns explode into string-cast (col, value) pairs so ONE
+    count shuffle serves every column; the exchange carries
+    (col, distinct-value) partial counts, not rows. The top-k is then
+    found WITHOUT a per-column global sort window — a rank window
+    partitioned only by ``col`` would put every distinct value of a
+    column into one task, the exact single-reducer trap this report
+    exists to detect. Instead: a salted local rank (window over
+    (col, salt), each task seeing ~1/S of the values) nominates S*k
+    candidates per column, and the final rank runs over that bounded
+    candidate set. Per-column totals (distinct count, non-null rows)
+    come from a plain map-side-combining aggregate and join back
+    broadcast. Hints: 'hot:salt-or-AQE' when the top value exceeds
+    ``hot_share`` of non-null rows, else 'ok'.
+
+    Returns (col, value, cnt, share, rank, n_distinct, hint); ``value``
+    is the string form (diagnostic, not a join payload). NULLs are
+    excluded from counts (they never collide in an equi-join).
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.value").filter(F.col("value").isNotNull())
+    counts = pairs.groupBy("col", "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+    n_salt = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    salted = counts.withColumn(
+        "__salt__", F.pmod(F.xxhash64("value"), F.lit(n_salt)).cast("int")
+    )
+    local_w = Window.partitionBy("col", "__salt__").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    cand = (
+        salted.withColumn("__lr__", F.row_number().over(local_w))
+        .filter(F.col("__lr__") <= top_k)
+        .drop("__salt__", "__lr__")
+    )
+    final_w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("value"))
+    top = (
+        cand.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= top_k)
+    )
+    totals = counts.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    share = F.col("cnt") / F.col("n_rows")
+    return top.join(F.broadcast(totals), "col").select(
+        "col",
+        "value",
+        "cnt",
+        share.alias("share"),
+        "rank",
+        "n_distinct",
+        F.when(share > F.lit(float(hot_share)), F.lit("hot:salt-or-AQE"))
+        .otherwise(F.lit("ok"))
+        .alias("hint"),
+    )

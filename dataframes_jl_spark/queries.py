@@ -5207,6 +5207,54 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temperature_mix",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total_tokens FROM per
+    ), sh AS (
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+             CAST(FLOOR(POW(CAST(n_tokens AS DOUBLE) / total_tokens, 0.5)
+                        * 1e9 + 0.5) AS BIGINT) AS pq
+      FROM per CROSS JOIN tot
+    ), z AS (
+      SELECT SUM(pq) AS z FROM sh
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(token_share, 6) AS token_share,
+           ROUND(CAST(pq AS DOUBLE) / z, 6) AS target_share,
+           ROUND((CAST(pq AS DOUBLE) / z) / token_share, 6) AS weight
+    FROM sh CROSS JOIN z
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture at T=2
+    (llm.mixture.temperature_weights): target share proportional to
+    sqrt(token_share), the multilingual up-sample-the-tail rule. The
+    powered shares are int64-quantized before normalizing (pow is
+    1-ulp across runtimes; the dsum discipline absorbs it), so both
+    engines normalize by the same exact integer sum."""
+    from .llm.mixture import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_weights(docs, "source", "text", temperature=2.0)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+@register(
     "q_mixture_weights",
     oracle=r"""
     WITH per AS (
@@ -5904,6 +5952,169 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=20)
 
 
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH n AS (SELECT COUNT(user_id) AS n FROM events),
+    c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT c.user_id, c.cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / n.n, 6) AS share
+    FROM c, n WHERE c.cnt * 140 > n.n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (users with > n/140 of all events) via the
+    Misra-Gries two-pass (ops.frequency.heavy_hitters): per-partition
+    MG summaries bound the shuffle at partitions x k rows regardless of
+    distinct-key cardinality — the plain groupBy alternative shuffles
+    every distinct key, which over token/n-gram columns at 100 TB is
+    billions of rows for an answer of at most k. The sketch only
+    prunes candidates (a guaranteed superset by the pigeonhole + MG
+    retention bound); the verdict is an exact count of candidates
+    only, so the oracle is the straight GROUP BY ... HAVING."""
+    from .ops.frequency import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, "user_id", 140)
+    return hh.select("user_id", "cnt", F.round("share", 6).alias("share"))
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, ABS(v.value - m.med) AS ad, m.med
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN 0.6745 * (d.ad / m.mad) > 3.5
+                           THEN 1 END) AS BIGINT) AS n_out,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier audit on event values
+    (functions.stats.mad_outliers): modified z-score
+    0.6745*|x-med|/MAD > 3.5 (Iglewicz-Hoaglin), which mean/stddev
+    gates get wrong because the outliers drag the gate. Two grouped
+    EXACT-median aggregates + broadcast joins back; the oracle replays
+    median/MAD/score with the same operation order so the strict
+    inequality cannot ulp-flip between engines."""
+    from .functions.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = mad_outliers(ev.select("event_type", "value"), "value", "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_out"),
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+    )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS value
+      FROM events WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT 'event_type', event_type
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT col, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY col, value
+    ),
+    t AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM c GROUP BY col
+    ),
+    r AS (
+      SELECT c.*, ROW_NUMBER() OVER (
+        PARTITION BY col ORDER BY cnt DESC, value ASC
+      ) AS rank
+      FROM c
+    )
+    SELECT r.col, r.value, r.cnt,
+           ROUND(CAST(r.cnt AS DOUBLE) / t.n_rows, 6) AS share,
+           CAST(r.rank AS INT) AS rank,
+           t.n_distinct,
+           CASE WHEN CAST(r.cnt AS DOUBLE) / t.n_rows > 0.2
+                THEN 'hot:salt-or-AQE' ELSE 'ok' END AS hint
+    FROM r JOIN t USING (col) WHERE r.rank <= 5
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (ops.skew.key_skew_report): top-5 hottest
+    values + distinct counts + a broadcast/salt/AQE hint for candidate
+    keys, in one count shuffle for ALL columns. The top-k itself is
+    found via a salted two-phase rank — a window partitioned only by
+    column name would funnel every distinct value of a key into one
+    task, the exact single-reducer trap the report detects. events'
+    event_type (5 values at ~20% each) trips the hot hint; user_id
+    does not."""
+    from .ops.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    rep = key_skew_report(ev, ["user_id", "event_type"], top_k=5)
+    return rep.withColumn("share", F.round("share", 6))
+
+
+@register(
+    "q_ngram_counts",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    w AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM d
+    ),
+    g AS (
+      SELECT w1.tok || ' ' || w2.tok || ' ' || w3.tok AS ngram
+      FROM w w1
+      JOIN w w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+      JOIN w w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY ngram HAVING COUNT(*) >= 2
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram frequency table pruned to repeated grams
+    (llm.text.ngram_counts, generalizing the bigram helper to any n):
+    pure higher-order-function gram build (no UDF), one map-side-
+    combining count aggregate, HAVING prune. The count-based-LM /
+    contamination-fingerprint primitive; the oracle rebuilds grams via
+    a positional self-join, a deliberately different construction that
+    must agree exactly."""
+    from .llm.text import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=3, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -5967,8 +6178,8 @@ _PRIORITY = [
     "q_join_semi_anti",
     "q_window_running_sum",
     "q_row_reductions",
-    "q_describe",
-    "q_pivot_table_lib",
+    "q_temperature_mix",
+    "q_skew_report",
     "q_dedup_jaccard_exact",
     "q_dedup_exact_groups",
     "q_text_stats",
@@ -5978,9 +6189,10 @@ _PRIORITY = [
     "q_ann_lsh",
     "q_dedup_embedding",
     "q_multimodal_decode",
-    "q_dedup_clusters",
-    "q_decontaminate",
-    "q_bm25_search",
+    # --- first-ever driver rows (round-6 session-2 operators) ---------
+    "q_heavy_hitters",
+    "q_mad_outliers",
+    "q_ngram_counts",
 ]
 
 

@@ -8,3 +8,4 @@ from .datastream import (  # noqa: F401
 from .datastream import dedup_stream  # noqa: F401
 from .sessionize import sessionize, sessionize_stream  # noqa: F401
 from .datastream import curate_stream  # noqa: F401
+from .topk import heavy_hitters_stream, merge_hh_snapshots  # noqa: F401

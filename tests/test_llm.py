@@ -933,3 +933,30 @@ def test_fuzzy_pairs_depth2_and_guards(spark):
     long_df = spark.createDataFrame([(1, "x" * 300)], "id long, name string")
     with pytest.raises(Exception, match="max_len"):
         fuzzy_pairs(long_df, "id", "name", max_dist=1).collect()
+
+
+def test_temperature_weights_limits(spark):
+    """T=1 reproduces the natural mix (weight ~= 1 for every domain);
+    higher T flattens: the heaviest domain's target share shrinks and
+    the lightest grows, monotonically in T."""
+    from dataframes_jl_spark.llm.mixture import temperature_weights
+
+    rows = (
+        [("big", "w " * 90)] * 10
+        + [("mid", "w " * 9)] * 10
+        + [("small", "w")] * 10
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    t1 = {r.source: r for r in temperature_weights(df, temperature=1.0).collect()}
+    assert all(abs(r.weight - 1.0) < 1e-6 for r in t1.values())
+    assert abs(sum(r.target_share for r in t1.values()) - 1.0) < 1e-9
+
+    prev_big, prev_small = t1["big"].target_share, t1["small"].target_share
+    for T in (2.0, 4.0, 16.0):
+        tw = {r.source: r for r in temperature_weights(df, temperature=T).collect()}
+        assert tw["big"].target_share < prev_big
+        assert tw["small"].target_share > prev_small
+        prev_big, prev_small = tw["big"].target_share, tw["small"].target_share
+    # near-uniform at high T
+    assert abs(prev_big - 1 / 3) < 0.05 and abs(prev_small - 1 / 3) < 0.05

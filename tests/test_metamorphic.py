@@ -473,3 +473,89 @@ def test_merge_intervals_matches_reference_sweep(spark, iv):
         else:
             exp.append((s, e, 1))
     assert got == sorted(exp)
+
+
+hh_keys = st.lists(
+    st.one_of(st.integers(0, 8), st.integers(0, 2000), st.none()),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(k=hh_keys, hk=st.integers(1, 12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_matches_exact_counter(spark, k, hk):
+    """heavy_hitters (Misra-Gries prefilter + exact verify) == the
+    definitional Counter answer {x : count(x)*k > n} on random keys,
+    independent of partitioning (the MG superset guarantee is what is
+    really under test — the verify pass cannot add keys back)."""
+    from collections import Counter
+
+    from dataframes_jl_spark.ops.frequency import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in k], "k long").repartition(4)
+    got = sorted((r.k, r.cnt) for r in heavy_hitters(df, "k", hk).collect())
+    c = Counter(x for x in k if x is not None)
+    n = sum(c.values())
+    exp = sorted((key, cnt) for key, cnt in c.items() if cnt * hk > n)
+    assert got == exp
+
+
+def test_mad_outliers_matches_numpy(spark):
+    """Per-group modified z-scores agree with a numpy reference (exact
+    medians, 0.6745*|x-med|/MAD > 3.5), incl. a zero-MAD group (no
+    ANSI divide raise, zero flags) and NULL values (NULL score)."""
+    import numpy as np
+
+    from dataframes_jl_spark.functions.stats import mad_outliers
+
+    rng = np.random.default_rng(11)
+    rows = (
+        [("g1", float(v)) for v in rng.normal(0, 1, 301)]
+        + [("g1", 25.0), ("g1", -30.0)]
+        + [("g2", 7.0)] * 9          # zero-MAD group
+        + [("g2", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", "g").collect()
+    v = np.array([r[1] for r in rows if r[0] == "g1"])
+    med = np.median(v)
+    mad = np.median(np.abs(v - med))
+    exp_flags = int((0.6745 * np.abs(v - med) / mad > 3.5).sum())
+    got_flags = sum(1 for r in out if r.g == "g1" and r.is_outlier)
+    assert got_flags == exp_flags
+    g2 = [r for r in out if r.g == "g2"]
+    assert all(not r.is_outlier for r in g2)
+    assert all(r.robust_z is None for r in g2)  # mad==0 -> try_divide NULL
+    assert [r.mad for r in g2 if r.v is not None][0] == 0.0
+
+
+texts = st.lists(
+    st.one_of(st.text(alphabet="ab x", max_size=30), st.none()),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(t=texts, n=st.integers(1, 4), mc=st.integers(1, 3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngram_counts_matches_python_reference(spark, t, n, mc):
+    """ngram_counts == a plain Python sliding-window count over the
+    same whitespace tokenization, for arbitrary n and min_count."""
+    from collections import Counter
+
+    from dataframes_jl_spark.llm.text import ngram_counts
+
+    df = spark.createDataFrame([(x,) for x in t], "text string").repartition(3)
+    got = sorted((r.ngram, r.cnt) for r in ngram_counts(df, "text", n, mc).collect())
+    c = Counter()
+    for x in t:
+        if x is None or not x.strip():
+            continue
+        toks = x.strip().split()
+        for i in range(len(toks) - n + 1):
+            c[" ".join(toks[i : i + n])] += 1
+    exp = sorted((g, cnt) for g, cnt in c.items() if cnt >= mc)
+    assert got == exp

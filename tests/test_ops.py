@@ -1226,3 +1226,24 @@ def test_profile_mixed_types_and_nulls(spark):
     assert rows["s"].n_na == 1 and abs(rows["s"].na_frac - 1 / 3) < 1e-9
     assert rows["s"].min is None and rows["s"].mean is None
     assert rows["d"].min == 1.5 and rows["d"].max == 2.5 and rows["d"].mean == 2.0
+
+
+def test_key_skew_report(spark):
+    """Salted two-phase top-k == definitional per-column answer; the
+    hot hint trips only above the share threshold; NULLs excluded."""
+    from dataframes_jl_spark.ops.skew import key_skew_report
+
+    rows = (
+        [("hot", 1)] * 60 + [("b", 2)] * 25 + [("c", 3)] * 10
+        + [("d", 4)] * 5 + [(None, 5)] * 7
+    )
+    df = spark.createDataFrame(rows, "k string, v int").repartition(5)
+    rep = {(r.col, r.value): r for r in key_skew_report(df, ["k", "v"], top_k=3).collect()}
+    hot = rep[("k", "hot")]
+    assert hot.rank == 1 and hot.cnt == 60 and hot.hint == "hot:salt-or-AQE"
+    assert abs(hot.share - 0.6) < 1e-12      # 60 of 100 non-null
+    assert hot.n_distinct == 4               # NULL key excluded
+    assert rep[("k", "c")].hint == "ok"        # 10% < hot_share=0.2
+    assert ("k", "d") not in rep             # top_k=3 cuts it
+    v1 = rep[("v", "1")]
+    assert v1.cnt == 60 and v1.n_distinct == 5   # NULL k rows still count v

@@ -410,3 +410,79 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     assert ids == {1, 3}          # 2 too short, 4 lorem-ipsum, 1 deduped
     redacted = next(t for i, t in got if i == 3)
     assert "bob@example.com" not in redacted and "[PII]" in redacted
+
+
+def test_heavy_hitters_stream_bounded_state(spark, tmp_path):
+    """Sharded streaming MG sketch: state carries across micro-batches
+    (maxFilesPerTrigger=1), the merged snapshot is a SUPERSET of the
+    true heavy hitters, lower bounds never exceed true counts, and with
+    fewer distinct keys than k the counts are exact."""
+    import random
+    from collections import Counter
+
+    from dataframes_jl_spark.streaming.topk import (
+        heavy_hitters_stream,
+        merge_hh_snapshots,
+    )
+
+    d = tmp_path / "hh_in"
+    d.mkdir()
+    rng = random.Random(5)
+    vocab = ["hot"] * 40 + [f"w{i}" for i in range(30)]
+    batches = [[rng.choice(vocab) for _ in range(200)] for _ in range(3)]
+    for i, b in enumerate(batches):
+        (d / f"{i}.csv").write_text("k\n" + "\n".join(b) + "\n")
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        heavy_hitters_stream(stream, "k", k=8, shards=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snaps = spark.sql("SELECT * FROM t_hh")
+        merged = {r.key: r for r in merge_hh_snapshots(snaps, k=8).collect()}
+    finally:
+        q.stop()
+    c = Counter(x for b in batches for x in b)
+    n = sum(c.values())
+    true_hh = {k for k, v in c.items() if v * 8 > n}
+    assert true_hh <= set(merged)                     # superset guarantee
+    for key, r in merged.items():
+        assert r.lb_count <= c[key] <= r.ub_count     # MG bound
+        assert r.n_total == n
+
+    # exact regime: distinct keys < k -> no decrements ever, counts exact
+    d2 = tmp_path / "hh_exact"
+    d2.mkdir()
+    (d2 / "0.csv").write_text("k\na\na\nb\n")
+    (d2 / "1.csv").write_text("k\na\nc\n")
+    stream2 = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d2))
+    )
+    q2 = (
+        heavy_hitters_stream(stream2, "k", k=10, shards=2)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_hh2")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        latest = merge_hh_snapshots(spark.sql("SELECT * FROM t_hh2"), k=10)
+        got = {r.key: r.lb_count for r in latest.collect()}
+    finally:
+        q2.stop()
+    # distinct < k: no decrements ever, every lb is the EXACT count
+    # (all three keys clear 5/k=0.5, so all are reported)
+    assert got == {"a": 3, "b": 1, "c": 1}

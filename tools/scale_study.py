@@ -79,6 +79,14 @@ STUDY = [
     # and KMV overlap (two scans -> two 256-row sketches)
     "q_merge_intervals",
     "q_kmv_overlap",
+    # round-6 session 2: MG-bounded exact heavy hitters (two scans, one
+    # candidates-only shuffle) and per-group exact-median MAD outliers
+    # (two grouped aggregates + broadcast joins)
+    "q_heavy_hitters",
+    "q_mad_outliers",
+    "q_ngram_counts",
+    "q_skew_report",
+    "q_temperature_mix",
 ]
 
 
