@@ -71,6 +71,7 @@ HEADLINE = [
     "q_ngram_counts",
     "q_skew_report",
     "q_temperature_mix",
+    "q_exact_quantiles",
 ]
 
 

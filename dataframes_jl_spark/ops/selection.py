@@ -1,0 +1,213 @@
+"""Distributed selection: EXACT order statistics / quantiles of a
+column without ever buffering the column.
+
+Spark's exact ``percentile`` aggregate materializes every (value,
+count) pair of a group in executor memory — fine for per-segment
+audits, impossible for a 100 TB single group. ``percentile_approx``
+bounds memory but is approximate. This module computes EXACT quantiles
+with bounded memory via iterative histogram refinement (the classic
+distributed-selection scheme): each round is ONE aggregate job that
+buckets the surviving candidates into ``n_buckets`` counts, the target
+rank picks its bucket, and the candidate set shrinks by ~n_buckets per
+round — 3 rounds at 8192 buckets resolve ~5e11 rows to a collectable
+remainder. Every round is a scan + map-side-combined count whose
+shuffle is n_buckets rows; driver state is O(n_buckets +
+collect_limit) regardless of input size.
+
+Float-boundary discipline: the filter that carries a rank's candidate
+set from round to round is the SAME floor-bucket expression the
+histogram counted with (a chained Column predicate), never a
+re-derived numeric interval — so a value that rounds across a bucket
+edge in ``lo + i*width`` arithmetic cannot be counted in one bucket
+and collected from another. The affine (lo, hi) pair is only the next
+round's bucketing frame and is widened by one bucket on each side,
+which is harmless: membership is decided by the predicate chain.
+
+Repeated-value pileups (a value occurring > collect_limit times) stall
+the narrowing at an ulp-wide interval; the remainder is then resolved
+from (value, count) pairs — one groupBy over the pinched candidate
+set — so a value repeated 10^12 times never needs 10^12 rows moved.
+
+Interpolation matches ``percentile_cont`` / DuckDB ``quantile_cont``
+(linear on h = (n-1)q). NaN inputs are rejected loudly (Spark orders
+NaN above all doubles; silently ranking it would corrupt the result);
+NULLs are ignored as in every quantile implementation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    n_buckets: int = 8192,
+    collect_limit: int = 200_000,
+    max_rounds: int = 8,
+) -> list[float]:
+    """Exact linear-interpolated quantiles of ``df[col]``, one result
+    per entry of ``qs``, computed with bounded memory (module doc).
+
+    All requested order statistics are narrowed together; ranks whose
+    candidate sets coincide (the common case: the two bracketing ranks
+    of one quantile) share each round's single histogram job.
+    """
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    vals = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+
+    head = vals.agg(
+        F.count("v").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.max(F.isnan("v").cast("int")).alias("has_nan"),
+    ).collect()[0]
+    n = int(head.n)
+    if n == 0:
+        return [float("nan")] * len(qs)
+    if head.has_nan:
+        raise ValueError(f"exact_quantiles: NaN values in {col!r}")
+
+    hs = [(n - 1) * q for q in qs]
+    ranks = sorted({r for h in hs for r in (math.floor(h), math.ceil(h))})
+    found = _select_ranks(
+        vals, ranks, n, float(head.lo), float(head.hi),
+        n_buckets, collect_limit, max_rounds,
+    )
+    out = []
+    for h in hs:
+        flo, fhi = found[math.floor(h)], found[math.ceil(h)]
+        out.append(flo + (fhi - flo) * (h - math.floor(h)))
+    return out
+
+
+def exact_median(df: DataFrame, col: str, **kw) -> float:
+    """Exact interpolated median with bounded memory."""
+    return exact_quantiles(df, col, [0.5], **kw)[0]
+
+
+class _Bracket:
+    """One rank's narrowing state: predicate chain (the truth), the
+    affine frame for the next histogram, rows known below the set,
+    and the candidate-set size (from the last histogram)."""
+
+    __slots__ = ("ranks", "pred", "lo", "hi", "n_below", "size", "depth")
+
+    def __init__(self, ranks, pred, lo, hi, n_below, size, depth):
+        self.ranks = ranks
+        self.pred = pred
+        self.lo = lo
+        self.hi = hi
+        self.n_below = n_below
+        self.size = size
+        self.depth = depth
+
+
+def _select_ranks(
+    vals: DataFrame,
+    ranks: list[int],
+    n: int,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    collect_limit: int,
+    max_rounds: int,
+) -> dict[int, float]:
+    found: dict[int, float] = {}
+    if lo == hi:
+        return {r: lo for r in ranks}
+    open_brackets = [
+        _Bracket(list(ranks), F.lit(True), lo, hi, 0, n, 0)
+    ]
+
+    while open_brackets:
+        b = open_brackets.pop()
+        if b.size <= collect_limit:
+            rows = sorted(x.v for x in vals.filter(b.pred).collect())
+            assert len(rows) == b.size, "histogram/collection drift"
+            for r in b.ranks:
+                found[r] = rows[r - b.n_below]
+            continue
+        width = (b.hi - b.lo) / n_buckets
+        if b.depth >= max_rounds or width <= 0.0 or not math.isfinite(width):
+            # pinched by repeated values: resolve from (value, count)
+            pairs = sorted(
+                (row.v, int(row.cnt))
+                for row in vals.filter(b.pred)
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            for r in b.ranks:
+                idx, cum = r - b.n_below, 0
+                for v, cnt in pairs:
+                    if cum + cnt > idx:
+                        found[r] = v
+                        break
+                    cum += cnt
+            continue
+        bucket: Column = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.lit(b.lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        hist = (
+            vals.filter(b.pred)
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        counts = [0] * n_buckets
+        for row in hist:
+            counts[int(row.b)] = int(row.cnt)
+        # place each rank in its bucket; ranks sharing a bucket share
+        # the child bracket (and therefore later jobs)
+        cums = [0] * (n_buckets + 1)
+        for i in range(n_buckets):
+            cums[i + 1] = cums[i] + counts[i]
+        children: dict[int, _Bracket] = {}
+        for r in b.ranks:
+            idx = r - b.n_below
+            # rightmost bucket whose cumulative start is <= idx
+            bi = _bucket_of(cums, idx)
+            child = children.get(bi)
+            if child is None:
+                # frame widened a bucket each side; membership is the
+                # predicate, the frame only shapes the next histogram
+                child = _Bracket(
+                    [],
+                    b.pred & (bucket == F.lit(bi)),
+                    b.lo + max(bi - 1, 0) * width,
+                    min(b.lo + (bi + 2) * width, b.hi),
+                    b.n_below + cums[bi],
+                    counts[bi],
+                    b.depth + 1,
+                )
+                children[bi] = child
+            child.ranks.append(r)
+        open_brackets.extend(children.values())
+    return found
+
+
+def _bucket_of(cums: list[int], idx: int) -> int:
+    """Largest bi with cums[bi] <= idx < cums[bi+1] (binary search)."""
+    lo_i, hi_i = 0, len(cums) - 2
+    while lo_i < hi_i:
+        mid = (lo_i + hi_i + 1) // 2
+        if cums[mid] <= idx:
+            lo_i = mid
+        else:
+            hi_i = mid - 1
+    return lo_i

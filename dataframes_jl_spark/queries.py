@@ -6031,6 +6031,37 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_exact_quantiles",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT whole-column quantiles with bounded memory
+    (ops.selection.exact_quantiles): iterative histogram refinement —
+    each round one scan + an n_buckets-row count shuffle, candidates
+    shrink ~8192x per round — where Spark's exact percentile aggregate
+    would buffer the entire column in one executor and
+    percentile_approx would be approximate. The 100 TB-safe exact
+    median. Repeated-value pileups resolve from (value, count) pairs.
+    Oracle: DuckDB's exact quantile_cont, same linear interpolation."""
+    from .ops.selection import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    p25, med, p75, p99 = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99]
+    )
+    return spark.createDataFrame(
+        [(round(p25, 4), round(med, 4), round(p75, 4), round(p99, 4))],
+        "p25 double, median double, p75 double, p99 double",
+    )
+
+
+@register(
     "q_skew_report",
     oracle="""
     WITH pairs AS (
@@ -6180,7 +6211,7 @@ _PRIORITY = [
     "q_row_reductions",
     "q_temperature_mix",
     "q_skew_report",
-    "q_dedup_jaccard_exact",
+    "q_exact_quantiles",
     "q_dedup_exact_groups",
     "q_text_stats",
     "q_language_id",

@@ -6,6 +6,7 @@ driven by hypothesis over small generated frames."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -559,3 +560,32 @@ def test_ngram_counts_matches_python_reference(spark, t, n, mc):
             c[" ".join(toks[i : i + n])] += 1
     exp = sorted((g, cnt) for g, cnt in c.items() if cnt >= mc)
     assert got == exp
+
+
+qvals = st.lists(
+    st.one_of(
+        st.floats(-1e6, 1e6, allow_nan=False),
+        st.sampled_from([7.0]),  # force pileups
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(v=qvals, q=st.floats(0, 1))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_quantiles_matches_numpy(spark, v, q):
+    """Iterative-histogram exact quantiles == numpy linear quantiles,
+    with tiny buckets/limits so multi-round narrowing, the collect
+    leaf, and the repeated-value (value,count) fallback all exercise."""
+    import numpy as np
+
+    from dataframes_jl_spark.ops.selection import exact_quantiles
+
+    df = spark.createDataFrame([(float(x),) for x in v], "x double").repartition(3)
+    got = exact_quantiles(df, "x", [q, 0.5], n_buckets=4,
+                          collect_limit=3, max_rounds=6)
+    exp = np.quantile(np.array(v), [q, 0.5], method="linear")
+    assert got[0] == pytest.approx(float(exp[0]), rel=1e-12, abs=1e-12)
+    assert got[1] == pytest.approx(float(exp[1]), rel=1e-12, abs=1e-12)

@@ -87,6 +87,9 @@ STUDY = [
     "q_ngram_counts",
     "q_skew_report",
     "q_temperature_mix",
+    # distributed selection: exact whole-column quantiles, log-rounds
+    # of scan+histogram (no full-column buffering anywhere)
+    "q_exact_quantiles",
 ]
 
 
