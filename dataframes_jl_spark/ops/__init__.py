@@ -52,3 +52,4 @@ from .intervals import merge_intervals  # noqa: F401
 from .diff import diff_summary, table_diff  # noqa: F401
 from .frequency import heavy_hitters, mg_partition_summaries  # noqa: F401
 from .selection import exact_median, exact_quantiles  # noqa: F401
+from .resample import resample  # noqa: F401

@@ -6031,6 +6031,55 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_resample_locf",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, to_timestamp(FLOOR(EPOCH(ts)/86400)*86400) AS bucket,
+             SUM(value) AS day_value, COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), g AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 86400 SECONDS)) AS bucket
+      FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM c GROUP BY 1)
+    )
+    SELECT g.user_id, CAST(EPOCH(g.bucket) AS BIGINT) AS bucket_epoch,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           ROUND(LAST_VALUE(day_value IGNORE NULLS) OVER
+             (PARTITION BY g.user_id ORDER BY g.bucket
+              ROWS UNBOUNDED PRECEDING), 4) AS day_value
+    FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
+    """,
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample of the event stream with gap
+    materialization (ops.resample.resample): one (key, bucket) shuffle
+    aggregates, the per-key grid comes from a guarded sequence()
+    explode, gaps LEFT-JOIN in, and day_value carries forward via a
+    per-key LOCF window (n_events zero-fills — a day with no events
+    has count 0, not a carried count). The oracle rebuilds the
+    identical grid with generate_series + LAST_VALUE IGNORE NULLS."""
+    from .ops.resample import resample
+
+    ev = _t(spark, sf_dir, "events")
+    r = resample(
+        ev,
+        "ts",
+        86400,
+        {"day_value": F.sum("value"), "n_events": F.count(F.lit(1))},
+        by="user_id",
+        fill="locf",
+        fill_cols=["day_value"],
+    )
+    return r.select(
+        "user_id",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round("day_value", 4).alias("day_value"),
+    )
+
+
+@register(
     "q_exact_quantiles",
     oracle="""
     SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -6214,7 +6263,7 @@ _PRIORITY = [
     "q_exact_quantiles",
     "q_dedup_exact_groups",
     "q_text_stats",
-    "q_language_id",
+    "q_resample_locf",
     "q_quality_score",
     "q_ann_bruteforce",
     "q_ann_lsh",

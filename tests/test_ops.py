@@ -1247,3 +1247,79 @@ def test_key_skew_report(spark):
     assert ("k", "d") not in rep             # top_k=3 cuts it
     v1 = rep[("v", "1")]
     assert v1.cnt == 60 and v1.n_distinct == 5   # NULL k rows still count v
+
+
+def test_resample_grid_fills(spark):
+    """Grid materializes every bucket between each key's first/last;
+    zero/locf/linear impute correctly; linear matches pandas
+    interpolate(limit_direction='forward') on the epoch axis."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.resample import resample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(hours=3, minutes=7), 40.0),  # 2 gap hours
+        ("a", t0 + dt.timedelta(hours=4), 1.0),
+        ("b", t0 + dt.timedelta(hours=1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double").repartition(3)
+
+    base = dict(ts_col="ts", every_seconds=3600,
+                aggs={"v": F.sum("v")}, by="k")
+    got = {
+        (r.k, r.bucket.hour): r.v
+        for r in resample(df, fill="null", **base).collect()
+    }
+    assert got[("a", 1)] is None and got[("a", 2)] is None
+    assert got[("a", 0)] == 10.0 and got[("a", 3)] == 40.0
+    assert ("b", 1) in got and len(got) == 6  # a: 0-4, b: 1
+
+    zero = {(r.k, r.bucket.hour): r.v
+            for r in resample(df, fill="zero", **base).collect()}
+    assert zero[("a", 1)] == 0.0 and zero[("a", 2)] == 0.0
+
+    locf = {(r.k, r.bucket.hour): r.v
+            for r in resample(df, fill="locf", **base).collect()}
+    assert locf[("a", 1)] == 10.0 and locf[("a", 2)] == 10.0
+
+    lin = {(r.k, r.bucket.hour): r.v
+           for r in resample(df, fill="linear", **base).collect()}
+    assert lin[("a", 1)] == 20.0 and lin[("a", 2)] == 30.0  # 10 -> 40 over 3h
+    assert lin[("a", 4)] == 1.0 and lin[("b", 1)] == 5.0
+
+
+def test_resample_guards(spark):
+    """by=None refuses window fills; oversized per-key grids raise via
+    the in-plan assert; bad fill/agg names raise up front."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from dataframes_jl_spark.ops.resample import resample
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(days=40), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="SinglePartition"):
+        resample(df, "ts", 3600, {"v": F.sum("v")}, by=None, fill="locf")
+    with pytest.raises(ValueError, match="fill must be"):
+        resample(df, "ts", 3600, {"v": F.sum("v")}, by="k", fill="ffill")
+    with pytest.raises(ValueError, match="collide"):
+        resample(df, "ts", 3600, {"k": F.sum("v")}, by="k")
+    with pytest.raises(ValueError, match="fill_cols"):
+        resample(df, "ts", 3600, {"v": F.sum("v")}, by="k",
+                 fill="locf", fill_cols=["w"])
+    # 40 days at 1s grid = 3.5M cells > max_grid_per_key
+    with pytest.raises(SparkRuntimeException, match="grid exceeds"):
+        resample(df, "ts", 1, {"v": F.sum("v")}, by="k",
+                 max_grid_per_key=1_000_000).count()
+    # whole-table grid without window fill is allowed
+    assert resample(df, "ts", 86400, {"v": F.sum("v")}, fill="zero").count() == 41

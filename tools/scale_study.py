@@ -90,6 +90,8 @@ STUDY = [
     # distributed selection: exact whole-column quantiles, log-rounds
     # of scan+histogram (no full-column buffering anywhere)
     "q_exact_quantiles",
+    # time-series resample: keyed grid explode + per-key fill windows
+    "q_resample_locf",
 ]
 
 
