@@ -6080,6 +6080,68 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_resample_linear",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, to_timestamp(FLOOR(EPOCH(ts)/3600)*3600) AS bucket,
+             {dsum_sql('value', 4)} AS v
+      FROM events WHERE ts IS NOT NULL AND user_id < 30 GROUP BY 1, 2
+    ), g AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 3600 SECONDS)) AS bucket
+      FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM c GROUP BY 1)
+    ), j AS (
+      SELECT g.user_id, g.bucket, c.v,
+             CAST(EPOCH(g.bucket) AS DOUBLE) AS t,
+             CASE WHEN c.v IS NOT NULL
+                  THEN CAST(EPOCH(g.bucket) AS DOUBLE) END AS obs_t
+      FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
+    ), w AS (
+      SELECT user_id, bucket, v, t,
+             LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(obs_t IGNORE NULLS) OVER wp AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+             FIRST_VALUE(obs_t IGNORE NULLS) OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING),
+             wn AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(EPOCH(bucket) AS BIGINT) AS bucket_epoch,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pt IS NULL THEN NULL
+                       WHEN nt IS NULL THEN pv
+                       ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                  END) * 1e4 + 0.5) / 1e4 AS v
+    FROM w
+    """,
+)
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resample with LINEAR gap interpolation on the
+    epoch axis (ops.resample.resample fill='linear'): gaps with both
+    brackets interpolate pv + (nv-pv)*(t-pt)/(nt-pt), leading gaps stay
+    NULL, trailing gaps carry forward. The oracle replays the exact
+    bracketing windows (LAST/FIRST IGNORE NULLS) and the identical
+    left-to-right float expression over dsum-quantized bucket values.
+    Output quantizes via floor(x*1e4+0.5)/1e4, NOT ROUND: interpolated
+    gap values land exactly on .xxxx5 midpoints, where Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-float round disagree by one
+    final digit; the floor form is the same float ops on both sides."""
+    from .ops.resample import resample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    r = resample(ev, "ts", 3600, {"v": dsum("value")},
+                 by="user_id", fill="linear")
+    return r.select(
+        "user_id",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        (F.floor(F.col("v") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("v"),
+    )
+
+
+@register(
     "q_exact_quantiles",
     oracle="""
     SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
