@@ -58,6 +58,7 @@ def resample(
     fill_cols: Sequence[str] | None = None,
     max_grid_per_key: int = 1_000_000,
     bucket_col: str = "bucket",
+    persist_cells: bool = False,
 ) -> DataFrame:
     """Aggregate ``df`` onto a regular ``every_seconds`` grid per
     ``by``-key and materialize every grid cell between each key's
@@ -67,6 +68,14 @@ def resample(
     rows of one (key, bucket) cell. ``fill`` imputes gap cells for
     ``fill_cols`` (default: every agg output); non-filled columns keep
     NULL in gap cells.
+
+    The grid's bounds derive from the cell aggregate, so the plan scans
+    the source twice — the bounds pass column-pruned to (keys, ts)
+    only, which is usually cheap on columnar sources. When the input is
+    an expensive derived pipeline (not a parquet scan), pass
+    ``persist_cells=True`` to materialize the (key, bucket) cells once
+    (MEMORY_AND_DISK; caller owns unpersisting via
+    ``spark.catalog.clearCache``).
     """
     if fill not in _FILLS:
         raise ValueError(f"fill must be one of {_FILLS}, got {fill!r}")
@@ -93,6 +102,10 @@ def resample(
         .groupBy(*keys, bucket.alias(bucket_col))
         .agg(*[c.alias(name) for name, c in aggs.items()])
     )
+    if persist_cells:
+        from pyspark import StorageLevel
+
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
 
     bounds = cells.groupBy(*keys).agg(
         F.min(bucket_col).alias("__lo__"), F.max(bucket_col).alias("__hi__")

@@ -1323,3 +1323,25 @@ def test_resample_guards(spark):
                  max_grid_per_key=1_000_000).count()
     # whole-table grid without window fill is allowed
     assert resample(df, "ts", 86400, {"v": F.sum("v")}, fill="zero").count() == 41
+
+
+def test_resample_persist_cells_same_result(spark):
+    """persist_cells materializes the cell aggregate once for the
+    bounds + join reads; results identical to the unpersisted plan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.resample import resample
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=h), float(h)) for h in (0, 3, 5)],
+        "k string, ts timestamp, v double",
+    )
+    kw = dict(ts_col="ts", every_seconds=3600,
+              aggs={"v": F.sum("v")}, by="k", fill="locf")
+    plain = sorted(map(tuple, resample(df, **kw).collect()))
+    persisted = sorted(map(tuple, resample(df, persist_cells=True, **kw).collect()))
+    spark.catalog.clearCache()
+    assert plain == persisted and len(plain) == 6
