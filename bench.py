@@ -72,6 +72,7 @@ HEADLINE = [
     "q_skew_report",
     "q_temperature_mix",
     "q_exact_quantiles",
+    "q_weighted_quantiles",
     "q_resample_locf",
 ]
 

@@ -51,5 +51,10 @@ from .bloom import kmv_build, kmv_estimate, kmv_overlap, kmv_union  # noqa: F401
 from .intervals import merge_intervals  # noqa: F401
 from .diff import diff_summary, table_diff  # noqa: F401
 from .frequency import heavy_hitters, mg_partition_summaries  # noqa: F401
-from .selection import exact_median, exact_quantiles  # noqa: F401
+from .selection import (  # noqa: F401
+    exact_median,
+    exact_quantiles,
+    weighted_median,
+    weighted_quantiles,
+)
 from .resample import resample  # noqa: F401

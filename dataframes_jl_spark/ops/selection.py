@@ -14,6 +14,14 @@ remainder. Every round is a scan + map-side-combined count whose
 shuffle is n_buckets rows; driver state is O(n_buckets +
 collect_limit) regardless of input size.
 
+The selector is WEIGHT-AWARE: one engine serves both the row-ranked
+path (``exact_quantiles``/``exact_median``, weight 1 per row) and the
+weighted path (``weighted_quantiles``/``weighted_median`` — e.g. the
+token-weighted median document length, where each document counts with
+its token mass). Histograms aggregate ``sum(weight)`` for rank
+placement and ``count(*)`` for collectability; a row's weight never
+inflates the collected remainder.
+
 Float-boundary discipline: the filter that carries a rank's candidate
 set from round to round is the SAME floor-bucket expression the
 histogram counted with (a chained Column predicate), never a
@@ -25,13 +33,16 @@ which is harmless: membership is decided by the predicate chain.
 
 Repeated-value pileups (a value occurring > collect_limit times) stall
 the narrowing at an ulp-wide interval; the remainder is then resolved
-from (value, count) pairs — one groupBy over the pinched candidate
+from (value, weight) pairs — one groupBy over the pinched candidate
 set — so a value repeated 10^12 times never needs 10^12 rows moved.
 
-Interpolation matches ``percentile_cont`` / DuckDB ``quantile_cont``
-(linear on h = (n-1)q). NaN inputs are rejected loudly (Spark orders
-NaN above all doubles; silently ranking it would corrupt the result);
-NULLs are ignored as in every quantile implementation.
+Interpolation (unweighted path) matches ``percentile_cont`` / DuckDB
+``quantile_cont`` (linear on h = (n-1)q). The weighted path returns
+the LOWER weighted quantile: the smallest v whose cumulative weight
+reaches ``ceil(q * W)`` — the mass-based definition an oracle can
+replay with a cumulative-sum window. NaN inputs are rejected loudly
+(Spark orders NaN above all doubles; silently ranking it would corrupt
+the result); NULLs are ignored as in every quantile implementation.
 """
 
 from __future__ import annotations
@@ -64,6 +75,7 @@ def exact_quantiles(
     vals = (
         df.select(F.col(col).cast("double").alias("v"))
         .filter(F.col("v").isNotNull())
+        .withColumn("w", F.lit(1).cast("long"))
     )
 
     head = vals.agg(
@@ -79,14 +91,16 @@ def exact_quantiles(
         raise ValueError(f"exact_quantiles: NaN values in {col!r}")
 
     hs = [(n - 1) * q for q in qs]
-    ranks = sorted({r for h in hs for r in (math.floor(h), math.ceil(h))})
+    # 1-indexed weighted ranks: row at 0-indexed position i is the
+    # value whose cumulative unit weight reaches i+1
+    ranks = sorted({r for h in hs for r in (math.floor(h) + 1, math.ceil(h) + 1)})
     found = _select_ranks(
         vals, ranks, n, float(head.lo), float(head.hi),
         n_buckets, collect_limit, max_rounds,
     )
     out = []
     for h in hs:
-        flo, fhi = found[math.floor(h)], found[math.ceil(h)]
+        flo, fhi = found[math.floor(h) + 1], found[math.ceil(h) + 1]
         out.append(flo + (fhi - flo) * (h - math.floor(h)))
     return out
 
@@ -96,65 +110,128 @@ def exact_median(df: DataFrame, col: str, **kw) -> float:
     return exact_quantiles(df, col, [0.5], **kw)[0]
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    n_buckets: int = 8192,
+    collect_limit: int = 200_000,
+    max_rounds: int = 8,
+) -> list[float]:
+    """Exact LOWER weighted quantiles of ``df[col]`` under integer
+    weights ``df[weight_col]``: for each q, the smallest value whose
+    cumulative weight (in value order) reaches ``ceil(q * W)`` where W
+    is the total weight — e.g. the token-weighted median document
+    length. Bounded memory (module doc); weights must be positive
+    integers (loud error otherwise — a silent cast would corrupt the
+    mass distribution).
+    """
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    w = F.col(weight_col)
+    vals = (
+        df.select(
+            F.col(col).cast("double").alias("v"),
+            w.cast("long").alias("w"),
+            (w.isNull() | (w.cast("double") != F.floor(w)) | (w <= 0))
+            .cast("int").alias("bad_w"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    head = vals.agg(
+        F.count("v").alias("n"),
+        F.sum("w").alias("total_w"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.max(F.isnan("v").cast("int")).alias("has_nan"),
+        F.max("bad_w").alias("bad_w"),
+    ).collect()[0]
+    if int(head.n or 0) == 0:
+        return [float("nan")] * len(qs)
+    if head.has_nan:
+        raise ValueError(f"weighted_quantiles: NaN values in {col!r}")
+    if head.bad_w:
+        raise ValueError(
+            f"weighted_quantiles: {weight_col!r} must be positive integers "
+            "(NULL / non-integer / non-positive weight found)"
+        )
+    total_w = int(head.total_w)
+    vals = vals.drop("bad_w")
+    # same double arithmetic as the oracle's CEIL(q * W)
+    ranks = sorted({max(1, math.ceil(q * total_w)) for q in qs})
+    found = _select_ranks(
+        vals, ranks, int(head.n), float(head.lo), float(head.hi),
+        n_buckets, collect_limit, max_rounds,
+    )
+    return [found[max(1, math.ceil(q * total_w))] for q in qs]
+
+
+def weighted_median(df: DataFrame, col: str, weight_col: str, **kw) -> float:
+    """Exact lower weighted median with bounded memory."""
+    return weighted_quantiles(df, col, weight_col, [0.5], **kw)[0]
+
+
 class _Bracket:
-    """One rank's narrowing state: predicate chain (the truth), the
-    affine frame for the next histogram, rows known below the set,
-    and the candidate-set size (from the last histogram)."""
+    """One rank-set's narrowing state: predicate chain (the truth), the
+    affine frame for the next histogram, total weight strictly below
+    the candidate set, row count (collectability) and weight of the
+    set (from the last histogram)."""
 
-    __slots__ = ("ranks", "pred", "lo", "hi", "n_below", "size", "depth")
+    __slots__ = ("ranks", "pred", "lo", "hi", "w_below", "rows", "depth")
 
-    def __init__(self, ranks, pred, lo, hi, n_below, size, depth):
+    def __init__(self, ranks, pred, lo, hi, w_below, rows, depth):
         self.ranks = ranks
         self.pred = pred
         self.lo = lo
         self.hi = hi
-        self.n_below = n_below
-        self.size = size
+        self.w_below = w_below
+        self.rows = rows
         self.depth = depth
 
 
 def _select_ranks(
     vals: DataFrame,
     ranks: list[int],
-    n: int,
+    total_rows_hint: int,
     lo: float,
     hi: float,
     n_buckets: int,
     collect_limit: int,
     max_rounds: int,
 ) -> dict[int, float]:
+    """Value at each 1-indexed WEIGHTED rank of ``vals`` (columns
+    ``v`` double, ``w`` long): the smallest v whose cumulative weight
+    in value order reaches the rank. Unit weights reduce to row order
+    statistics."""
     found: dict[int, float] = {}
     if lo == hi:
         return {r: lo for r in ranks}
     open_brackets = [
-        _Bracket(list(ranks), F.lit(True), lo, hi, 0, n, 0)
+        _Bracket(list(ranks), F.lit(True), lo, hi, 0, total_rows_hint, 0)
     ]
 
     while open_brackets:
         b = open_brackets.pop()
-        if b.size <= collect_limit:
-            rows = sorted(x.v for x in vals.filter(b.pred).collect())
-            assert len(rows) == b.size, "histogram/collection drift"
-            for r in b.ranks:
-                found[r] = rows[r - b.n_below]
+        if b.rows <= collect_limit:
+            rows = sorted(
+                (x.v, int(x.w)) for x in vals.filter(b.pred).collect()
+            )
+            assert len(rows) == b.rows, "histogram/collection drift"
+            _resolve(found, b, rows)
             continue
         width = (b.hi - b.lo) / n_buckets
         if b.depth >= max_rounds or width <= 0.0 or not math.isfinite(width):
-            # pinched by repeated values: resolve from (value, count)
+            # pinched by repeated values: resolve from (value, weight)
             pairs = sorted(
-                (row.v, int(row.cnt))
+                (row.v, int(row.tw))
                 for row in vals.filter(b.pred)
                 .groupBy("v")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(F.sum("w").alias("tw"))
                 .collect()
             )
-            for r in b.ranks:
-                idx, cum = r - b.n_below, 0
-                for v, cnt in pairs:
-                    if cum + cnt > idx:
-                        found[r] = v
-                        break
-                    cum += cnt
+            _resolve(found, b, pairs)
             continue
         bucket: Column = F.least(
             F.lit(n_buckets - 1),
@@ -166,22 +243,25 @@ def _select_ranks(
         hist = (
             vals.filter(b.pred)
             .groupBy(bucket.alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("rc"))
             .collect()
         )
-        counts = [0] * n_buckets
+        weights = [0] * n_buckets
+        rowcounts = [0] * n_buckets
         for row in hist:
-            counts[int(row.b)] = int(row.cnt)
+            weights[int(row.b)] = int(row.tw)
+            rowcounts[int(row.b)] = int(row.rc)
         # place each rank in its bucket; ranks sharing a bucket share
         # the child bracket (and therefore later jobs)
         cums = [0] * (n_buckets + 1)
         for i in range(n_buckets):
-            cums[i + 1] = cums[i] + counts[i]
+            cums[i + 1] = cums[i] + weights[i]
         children: dict[int, _Bracket] = {}
         for r in b.ranks:
-            idx = r - b.n_below
-            # rightmost bucket whose cumulative start is <= idx
-            bi = _bucket_of(cums, idx)
+            # local 1-indexed weighted target within this bracket
+            t = r - b.w_below
+            # rightmost bucket whose cumulative weight start is < t
+            bi = _bucket_of(cums, t - 1)
             child = children.get(bi)
             if child is None:
                 # frame widened a bucket each side; membership is the
@@ -191,14 +271,31 @@ def _select_ranks(
                     b.pred & (bucket == F.lit(bi)),
                     b.lo + max(bi - 1, 0) * width,
                     min(b.lo + (bi + 2) * width, b.hi),
-                    b.n_below + cums[bi],
-                    counts[bi],
+                    b.w_below + cums[bi],
+                    rowcounts[bi],
                     b.depth + 1,
                 )
                 children[bi] = child
             child.ranks.append(r)
         open_brackets.extend(children.values())
     return found
+
+
+def _resolve(
+    found: dict[int, float], b: _Bracket, pairs: list[tuple[float, int]]
+) -> None:
+    """Walk sorted (value, weight) pairs to place every rank of the
+    bracket: rank r lands on the first value whose local cumulative
+    weight reaches r - w_below."""
+    for r in b.ranks:
+        t, cum = r - b.w_below, 0
+        for v, wt in pairs:
+            cum += wt
+            if cum >= t:
+                found[r] = v
+                break
+        else:  # pragma: no cover - histogram invariant
+            raise AssertionError("rank beyond bracket weight")
 
 
 def _bucket_of(cums: list[int], idx: int) -> int:

@@ -6031,6 +6031,46 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_weighted_quantiles",
+    oracle="""
+    WITH t AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM t),
+    c AS (
+      SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM t
+    )
+    SELECT ROUND(MIN(CASE WHEN cw >= CEIL(0.25 * tw) THEN v END), 4) AS p25,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.50 * tw) THEN v END), 4) AS median,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.75 * tw) THEN v END), 4) AS p75,
+           ROUND(MIN(CASE WHEN cw >= CEIL(0.90 * tw) THEN v END), 4) AS p90
+    FROM c, tot
+    """,
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted EXACT price quantiles
+    (ops.selection.weighted_quantiles): the smallest price whose
+    cumulative ordered quantity mass reaches ceil(q*W) — the
+    token-weighted-median pattern a corpus report needs at 100 TB,
+    where per-group percentile aggregates would buffer the column.
+    Same bounded-memory histogram refinement as q_exact_quantiles with
+    sum(weight) rank placement. Oracle replays the mass definition
+    with a cumulative-weight window and the identical CEIL(q*W)
+    double arithmetic."""
+    from .ops.selection import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    p25, med, p75, p90 = weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.75, 0.9]
+    )
+    return spark.createDataFrame(
+        [(round(p25, 4), round(med, 4), round(p75, 4), round(p90, 4))],
+        "p25 double, median double, p75 double, p90 double",
+    )
+
+
+@register(
     "q_resample_locf",
     oracle="""
     WITH c AS (
@@ -6324,9 +6364,9 @@ _PRIORITY = [
     "q_skew_report",
     "q_exact_quantiles",
     "q_dedup_exact_groups",
-    "q_text_stats",
+    "q_resample_linear",
     "q_resample_locf",
-    "q_quality_score",
+    "q_weighted_quantiles",
     "q_ann_bruteforce",
     "q_ann_lsh",
     "q_dedup_embedding",

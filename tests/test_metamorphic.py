@@ -589,3 +589,53 @@ def test_exact_quantiles_matches_numpy(spark, v, q):
     exp = np.quantile(np.array(v), [q, 0.5], method="linear")
     assert got[0] == pytest.approx(float(exp[0]), rel=1e-12, abs=1e-12)
     assert got[1] == pytest.approx(float(exp[1]), rel=1e-12, abs=1e-12)
+
+
+wq_rows = st.lists(
+    st.tuples(
+        st.one_of(st.floats(-1e6, 1e6, allow_nan=False), st.sampled_from([7.0])),
+        st.integers(1, 9),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=wq_rows, q=st.floats(0, 1))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_quantiles_matches_expansion(spark, rows, q):
+    """Weighted selector == brute force over the weight-expanded
+    multiset (value repeated w times, rank ceil(q*W)); tiny buckets
+    force multi-round narrowing and the pileup fallback."""
+    import math
+
+    from dataframes_jl_spark.ops.selection import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v), int(w)) for v, w in rows], "x double, w long"
+    ).repartition(3)
+    got = weighted_quantiles(df, "x", "w", [q, 0.5], n_buckets=4,
+                             collect_limit=3, max_rounds=6)
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    W = len(expanded)
+
+    def ref(qq):
+        return expanded[max(1, math.ceil(qq * W)) - 1]
+
+    assert got[0] == ref(q) and got[1] == ref(0.5)
+
+
+def test_weighted_quantiles_rejects_bad_weights(spark):
+    from dataframes_jl_spark.ops.selection import weighted_quantiles
+
+    for w in (0, -3):
+        df = spark.createDataFrame([(1.0, w)], "x double, w long")
+        with pytest.raises(ValueError, match="positive integers"):
+            weighted_quantiles(df, "x", "w", [0.5])
+    df = spark.createDataFrame([(1.0, 1.5)], "x double, w double")
+    with pytest.raises(ValueError, match="positive integers"):
+        weighted_quantiles(df, "x", "w", [0.5])
+    df = spark.createDataFrame([(1.0, None)], "x double, w bigint")
+    with pytest.raises(ValueError, match="positive integers"):
+        weighted_quantiles(df, "x", "w", [0.5])

@@ -92,6 +92,8 @@ STUDY = [
     "q_exact_quantiles",
     # time-series resample: keyed grid explode + per-key fill windows
     "q_resample_locf",
+    # weighted selection: same histogram refinement, sum(weight) ranks
+    "q_weighted_quantiles",
 ]
 
 
