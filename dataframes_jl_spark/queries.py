@@ -5885,6 +5885,56 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           FLOOR(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6 * 1e4
+                 + 0.5) / 1e4 AS mean_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics: the gap from each event to
+    the SAME USER's previous event (any type), aggregated by the later
+    event's type — the burstiness profile behind rate limits and bot
+    heuristics. One per-user window (lag over a keyed sort, never
+    global) feeding one map-side-combining aggregate; first events per
+    user contribute no gap. Gaps are EXACT integer microseconds
+    (unix_micros / EPOCH_US — second-truncating unix_timestamp loses
+    the sub-second part differently per engine), so sum/min/max are
+    engine-exact and the mean floor-quantizes identically both sides.
+    Every step is keyed — the shape survives any user count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    mean_s = F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1e6)
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        (F.floor(mean_s * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+            "mean_gap_s"
+        ),
+    )
+
+
+@register(
     "q_ewma",
     oracle="""
     WITH r AS (
