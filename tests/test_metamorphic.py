@@ -639,3 +639,59 @@ def test_weighted_quantiles_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1.0, None)], "x double, w bigint")
     with pytest.raises(ValueError, match="positive integers"):
         weighted_quantiles(df, "x", "w", [0.5])
+
+
+rs_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 3600 * 48),          # offset seconds over 2 days
+        st.floats(-100, 100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rs_rows)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_resample_matches_pandas(spark, rows):
+    """resample(locf/linear/zero) == pandas resample('1h') with
+    sum + ffill / time-interpolate / fillna(0) on random irregular
+    per-key series (duplicate timestamps collapse into one bucket)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataframes_jl_spark.ops.resample import resample
+
+    t0 = dt.datetime(2024, 3, 1)
+    data = [(k, t0 + dt.timedelta(seconds=s), float(v)) for k, s, v in rows]
+    df = spark.createDataFrame(data, "k string, ts timestamp, v double").repartition(3)
+
+    pdf = pd.DataFrame(data, columns=["k", "ts", "v"])
+    for fill in ("locf", "linear", "zero"):
+        got = {
+            (r.k, r.bucket): r.v
+            for r in resample(df, "ts", 3600, {"v": F.sum("v")},
+                              by="k", fill=fill).collect()
+        }
+        exp = {}
+        for k, grp in pdf.groupby("k"):
+            s = grp.set_index("ts")["v"].resample("1h").sum(min_count=1)
+            if fill == "locf":
+                s = s.ffill()
+            elif fill == "zero":
+                s = s.fillna(0.0)
+            else:
+                s = s.interpolate(method="time", limit_direction="forward")
+            for ts, v in s.items():
+                exp[(k, ts.to_pydatetime())] = None if pd.isna(v) else float(v)
+        assert set(got) == set(exp), fill
+        for key in exp:
+            g, x = got[key], exp[key]
+            if x is None:
+                assert g is None, (fill, key)
+            else:
+                assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (fill, key)
