@@ -74,6 +74,7 @@ HEADLINE = [
     "q_exact_quantiles",
     "q_weighted_quantiles",
     "q_resample_locf",
+    "q_rolling_distinct",
 ]
 
 

@@ -1973,6 +1973,115 @@ def q_hll_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_rolling_oracle() -> str:
+    est_raw = f"({_HLL_ALPHA_M2!r} / (s_used + v))"
+    return f"""
+    WITH k AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS grp,
+             ((user_id % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    {_mix_ctes("g1", "k", "ks", "h1", carry=("grp", "ks"))},
+    s0 AS (SELECT grp, h1,
+                  (ks * 913151717 + 776531401) % 1000000007 AS y FROM g1),
+    {_mix_ctes("g2", "s0", "y", "h2", carry=("grp", "h1"))},
+    r AS (
+      SELECT grp, CAST(h1 % {_HLL_M} AS INT) AS reg,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(FLOOR(log2(h2 - (h2 & (h2 - 1))) + 0.5) AS INT) + 1
+             END AS rho
+      FROM g2
+    ), sk AS (
+      SELECT grp, reg, MAX(rho) AS rho FROM r GROUP BY grp, reg
+    ), b AS (SELECT MAX(grp) AS max_day FROM sk),
+    m AS (
+      SELECT grp + CAST(i AS INT) AS win, reg, MAX(rho) AS rho
+      FROM sk, generate_series(0, 6) AS t(i)
+      WHERE grp + CAST(i AS INT) <= (SELECT max_day FROM b)
+      GROUP BY 1, reg
+    ), est AS (
+      SELECT win, COUNT(*) AS n_regs,
+             COALESCE(SUM(POW(2.0, -rho)), 0.0) AS s_used,
+             {_HLL_M} - COUNT(*) AS v
+      FROM m GROUP BY win
+    ), e AS (
+      SELECT win,
+             CASE WHEN {est_raw} <= {2.5 * _HLL_M} AND v > 0
+                  THEN 'linear' ELSE 'hll' END AS method,
+             CAST(n_regs AS BIGINT) AS n_regs,
+             CAST(v AS BIGINT) AS v_zero,
+             CASE WHEN {est_raw} <= {2.5 * _HLL_M} AND v > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                  ELSE {est_raw}
+             END AS estimate
+      FROM est
+    ), x AS (
+      SELECT CAST(ts AS DATE) + CAST(i AS INT) AS win,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events, generate_series(0, 6) AS t(i)
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND CAST(ts AS DATE) + CAST(i AS INT)
+              <= (SELECT MAX(CAST(ts AS DATE)) FROM events
+                  WHERE ts IS NOT NULL)
+      GROUP BY 1
+    )
+    SELECT CAST(e.win AS VARCHAR) AS window_end, method, n_regs, v_zero,
+           ROUND(estimate, 4) AS estimate, exact_distinct,
+           ROUND(ROUND(estimate, 4) / exact_distinct - 1, 4) AS rel_err
+    FROM e JOIN x ON e.win = x.win
+    """
+
+
+@register("q_rolling_distinct", oracle=_hll_rolling_oracle())
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) via SLIDING SKETCH MERGES:
+    one grouped hll_build per calendar day (256 rows/day), each day's
+    sketch exploded to the <=7 windows it feeds, max-merged per
+    (window, register), estimated per window — the 100 TB rolling-
+    cardinality pattern, where exact per-window COUNT(DISTINCT) would
+    re-shuffle every (window, user) pair 7x and a count-distinct
+    window function would buffer key sets. The sketch path moves
+    days x 256 x 7 rows TOTAL regardless of event volume; the exact
+    per-window distinct here is the audit column (rel_err), not the
+    production path. Oracle rebuilds every day's sketch bit-for-bit
+    (shared _HLL_ROUNDS constants) and replays the window merge."""
+    from .ops.bloom import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+    sk = hll_build(days, "user_id", p=_HLL_P, by=("day",))
+    bounds = sk.agg(F.max("day").alias("max_day"))
+    win7 = F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("win")
+    contrib = (
+        sk.crossJoin(F.broadcast(bounds))
+        .select(win7, "reg", "rho", "max_day")
+        .filter(F.col("win") <= F.col("max_day"))
+        .drop("max_day")
+    )
+    merged = contrib.groupBy("win", "reg").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(merged, p=_HLL_P, by=("win",))
+    e7 = (
+        days.crossJoin(F.broadcast(bounds))
+        .select(win7, "user_id", "max_day")
+        .filter(F.col("win") <= F.col("max_day"))
+        .drop("max_day")
+    )
+    exact = e7.groupBy("win").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "win").select(
+        F.col("win").cast("string").alias("window_end"),
+        "method",
+        "n_regs",
+        "v_zero",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_distinct",
+        F.round(
+            F.round(F.col("estimate"), 4) / F.col("exact_distinct") - 1, 4
+        ).alias("rel_err"),
+    )
+
+
 _KMV_K = 256
 
 
@@ -6408,8 +6517,8 @@ _PRIORITY = [
     "q_dedup_simhash",
     # --- round-3-era refresh ------------------------------------------
     "q_join_semi_anti",
-    "q_window_running_sum",
-    "q_row_reductions",
+    "q_interarrival",
+    "q_rolling_distinct",
     "q_temperature_mix",
     "q_skew_report",
     "q_exact_quantiles",

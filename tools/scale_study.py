@@ -94,6 +94,8 @@ STUDY = [
     "q_resample_locf",
     # weighted selection: same histogram refinement, sum(weight) ranks
     "q_weighted_quantiles",
+    # rolling WAU: per-day HLL sketches, sliding max-merge per window
+    "q_rolling_distinct",
 ]
 
 
