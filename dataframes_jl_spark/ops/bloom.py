@@ -232,6 +232,37 @@ def _hll_parts(key: Column, m: int) -> tuple[Column, Column]:
     return reg, rho
 
 
+def _hll_parts_np(keys, m: int):
+    """Numpy twin of :func:`_hll_parts` — BIT-IDENTICAL (register, rho)
+    arrays for an int64 key vector, from the same _HLL_ROUNDS /
+    _HLL_RHO_SEED constants. Exists so streaming state operators
+    (streaming/distinct.py) build sketches that max-merge exactly with
+    batch :func:`hll_build` output. Overflow-safe for the same reason
+    as the Column path: every mixed value stays < _P < 2^30, so each
+    ``h * a`` product is < 2^60 inside int64."""
+    import numpy as np
+
+    ks = np.mod(keys.astype(np.int64), _P)  # pmod: non-negative, as Spark
+
+    def mix(h):
+        for a, b, s in _HLL_ROUNDS:
+            h = np.mod(h * a + b, _P)
+            h = h ^ (h >> s)
+        return h
+
+    h1 = mix(ks)
+    a0, b0 = _HLL_RHO_SEED
+    h2 = mix(np.mod(ks * a0 + b0, _P))
+    reg = np.mod(h1, m).astype(np.int32)
+    low = h2 - (h2 & (h2 - 1))
+    rho = np.where(
+        h2 == 0,
+        np.int32(_HLL_MAX_RHO),
+        (np.floor(np.log2(np.maximum(low, 1)) + 0.5)).astype(np.int32) + 1,
+    ).astype(np.int32)
+    return reg, rho
+
+
 def hll_build(
     df: DataFrame,
     key: str | Column,

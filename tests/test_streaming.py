@@ -486,3 +486,69 @@ def test_heavy_hitters_stream_bounded_state(spark, tmp_path):
     # distinct < k: no decrements ever, every lb is the EXACT count
     # (all three keys clear 5/k=0.5, so all are reported)
     assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_distinct_stream_matches_batch_sketch(spark, tmp_path):
+    """Sharded streaming HLL: state carries across micro-batches, the
+    max-merge of ALL accumulated emissions is BIT-IDENTICAL to the
+    batch hll_build sketch of the same rows (cross-mergeable lanes),
+    and the estimate tracks the true cardinality."""
+    import random
+
+    from dataframes_jl_spark.ops.bloom import hll_build, hll_estimate
+    from dataframes_jl_spark.streaming.distinct import (
+        distinct_stream,
+        merge_distinct_snapshots,
+    )
+
+    d = tmp_path / "dc_in"
+    d.mkdir()
+    rng = random.Random(11)
+    batches = [[rng.randrange(0, 5000) for _ in range(400)] for _ in range(3)]
+    for i, b in enumerate(batches):
+        (d / f"{i}.csv").write_text("k\n" + "\n".join(map(str, b)) + "\n")
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        distinct_stream(stream, "k", p=8, shards=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_dc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snaps = spark.sql("SELECT * FROM t_dc")
+        stream_sketch = sorted(
+            (r.reg, r.rho)
+            for r in snaps.groupBy("reg").agg(F.max("rho").alias("rho")).collect()
+        )
+        est = merge_distinct_snapshots(snaps, p=8).collect()[0]
+    finally:
+        q.stop()
+
+    flat = [x for b in batches for x in b]
+    bdf = spark.createDataFrame([(x,) for x in flat], "k long")
+    batch_sketch = sorted(
+        (r.reg, r.rho) for r in hll_build(bdf, "k", p=8).collect()
+    )
+    assert stream_sketch == batch_sketch          # bit-identical lanes
+    best = hll_estimate(hll_build(bdf, "k", p=8), p=8).collect()[0]
+    assert est.estimate == best.estimate and est.method == best.method
+    true_n = len(set(flat))
+    assert abs(est.estimate / true_n - 1) < 0.25  # ~1.04/sqrt(256)*4
+
+
+def test_distinct_stream_null_keys_and_guards(spark):
+    import pytest
+
+    from dataframes_jl_spark.streaming.distinct import distinct_stream
+
+    with pytest.raises(ValueError, match="p must be"):
+        distinct_stream(spark.range(1), "id", p=3)
+    with pytest.raises(ValueError, match="shards"):
+        distinct_stream(spark.range(1), "id", shards=0)

@@ -107,6 +107,14 @@ SHOWCASE = [
         "estimate + exact sides join by 1-row broadcast.",
     ),
     (
+        "q_rolling_distinct",
+        "Per-day 256-register sketches from ONE map-side-combining "
+        "aggregate; the sliding window is an explode of days x 7 "
+        "anchors + a second max aggregate over (window, register) — "
+        "row volume is days x 256 x 7 regardless of event count; the "
+        "exact COUNT DISTINCT audit is the only event-volume branch.",
+    ),
+    (
         "q_resample_locf",
         "One (user_id, bucket) two-phase aggregate over the raw scan; "
         "the per-key grid explodes from the #keys-row bounds aggregate "
