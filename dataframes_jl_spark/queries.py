@@ -6044,6 +6044,76 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_seasonal_residuals",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             {dsum_sql('value', 4)} / COUNT(value) AS seasonal,
+             CAST(COUNT(value) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT e.event_type, s.hod, e.value - s.seasonal AS resid
+      FROM events e
+      JOIN s ON e.event_type = s.event_type
+            AND CAST(EXTRACT(hour FROM e.ts) AS INT) = s.hod
+      WHERE e.value IS NOT NULL
+    ), sd AS (
+      SELECT event_type,
+             SQRT({dsum_sql('resid * resid', 4)} / (COUNT(resid) - 1))
+               AS resid_sd
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN ABS(resid) > 3.0 * resid_sd THEN 1 END)
+                AS BIGINT) AS n_anomalies,
+           FLOOR(MAX(resid_sd) * 1e4 + 0.5) / 1e4 AS resid_sd
+    FROM r JOIN sd USING (event_type)
+    GROUP BY r.event_type
+    """,
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly counts: per (event_type, hour-of-day)
+    mean as the seasonal component — the simplest seasonal decompose a
+    metrics pipeline runs before alerting — residual = value -
+    seasonal, flagged beyond 3 residual-sigma per type. Two grouped
+    aggregates + broadcast joins back, everything map-side-combining;
+    seasonal means and the residual variance use dsum quantization so
+    both engines agree bit-for-bit, and the output sd floor-quantizes
+    (computed values can land on .xxxx5 midpoints where ROUND
+    diverges between engines)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    seasonal = base.groupBy("event_type", "hod").agg(
+        (dsum("value") / F.count("value")).alias("seasonal"),
+        F.count("value").alias("n"),
+    )
+    r = base.join(
+        F.broadcast(seasonal.select("event_type", "hod", "seasonal")),
+        ["event_type", "hod"],
+    ).select("event_type", "hod", (F.col("value") - F.col("seasonal")).alias("resid"))
+    sd = r.groupBy("event_type").agg(
+        F.sqrt(
+            dsum(F.col("resid") * F.col("resid"))
+            / (F.count("resid") - F.lit(1))
+        ).alias("resid_sd")
+    )
+    out = r.join(F.broadcast(sd), "event_type")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.abs(F.col("resid")) > F.lit(3.0) * F.col("resid_sd"))
+            .cast("long")
+        ).alias("n_anomalies"),
+        (F.floor(F.max("resid_sd") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4))
+        .alias("resid_sd"),
+    )
+
+
+@register(
     "q_ewma",
     oracle="""
     WITH r AS (
