@@ -43,6 +43,11 @@ reaches ``ceil(q * W)`` — the mass-based definition an oracle can
 replay with a cumulative-sum window. NaN inputs are rejected loudly
 (Spark orders NaN above all doubles; silently ranking it would corrupt
 the result); NULLs are ignored as in every quantile implementation.
+Infinities are legal: their masses are counted in the head job and
+their ranks resolved arithmetically, so the histogram refinement only
+ever sees the finite sub-range — an infinite min/max would otherwise
+make every bucket width infinite and degenerate the narrowing into
+collecting the whole column.
 """
 
 from __future__ import annotations
@@ -78,30 +83,24 @@ def exact_quantiles(
         .withColumn("w", F.lit(1).cast("long"))
     )
 
-    head = vals.agg(
-        F.count("v").alias("n"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.max(F.isnan("v").cast("int")).alias("has_nan"),
-    ).collect()[0]
-    n = int(head.n)
+    head, n, w_ninf, w_pinf = _head_stats(vals, col, "exact_quantiles")
     if n == 0:
         return [float("nan")] * len(qs)
-    if head.has_nan:
-        raise ValueError(f"exact_quantiles: NaN values in {col!r}")
 
     hs = [(n - 1) * q for q in qs]
     # 1-indexed weighted ranks: row at 0-indexed position i is the
     # value whose cumulative unit weight reaches i+1
     ranks = sorted({r for h in hs for r in (math.floor(h) + 1, math.ceil(h) + 1)})
-    found = _select_ranks(
-        vals, ranks, n, float(head.lo), float(head.hi),
+    found = _select_with_infinities(
+        vals, ranks, head, n, w_ninf, w_pinf,
         n_buckets, collect_limit, max_rounds,
     )
     out = []
     for h in hs:
         flo, fhi = found[math.floor(h) + 1], found[math.ceil(h) + 1]
-        out.append(flo + (fhi - flo) * (h - math.floor(h)))
+        # explicit equal-rank return: the lerp below is NaN for two
+        # equal infinities (inf - inf)
+        out.append(flo if flo == fhi else flo + (fhi - flo) * (h - math.floor(h)))
     return out
 
 
@@ -140,29 +139,21 @@ def weighted_quantiles(
         )
         .filter(F.col("v").isNotNull())
     )
-    head = vals.agg(
-        F.count("v").alias("n"),
-        F.sum("w").alias("total_w"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.max(F.isnan("v").cast("int")).alias("has_nan"),
-        F.max("bad_w").alias("bad_w"),
-    ).collect()[0]
-    if int(head.n or 0) == 0:
-        return [float("nan")] * len(qs)
-    if head.has_nan:
-        raise ValueError(f"weighted_quantiles: NaN values in {col!r}")
-    if head.bad_w:
+    bad = vals.agg(F.max("bad_w").alias("bad_w")).collect()[0].bad_w
+    if bad:
         raise ValueError(
             f"weighted_quantiles: {weight_col!r} must be positive integers "
             "(NULL / non-integer / non-positive weight found)"
         )
-    total_w = int(head.total_w)
     vals = vals.drop("bad_w")
+    head, n, w_ninf, w_pinf = _head_stats(vals, col, "weighted_quantiles")
+    if n == 0:
+        return [float("nan")] * len(qs)
+    total_w = int(head.total_w)
     # same double arithmetic as the oracle's CEIL(q * W)
     ranks = sorted({max(1, math.ceil(q * total_w)) for q in qs})
-    found = _select_ranks(
-        vals, ranks, int(head.n), float(head.lo), float(head.hi),
+    found = _select_with_infinities(
+        vals, ranks, head, total_w, w_ninf, w_pinf,
         n_buckets, collect_limit, max_rounds,
     )
     return [found[max(1, math.ceil(q * total_w))] for q in qs]
@@ -171,6 +162,83 @@ def weighted_quantiles(
 def weighted_median(df: DataFrame, col: str, weight_col: str, **kw) -> float:
     """Exact lower weighted median with bounded memory."""
     return weighted_quantiles(df, col, weight_col, [0.5], **kw)[0]
+
+
+_NINF, _PINF = float("-inf"), float("inf")
+
+
+def _finite_pred() -> Column:
+    return (
+        ~F.isnan("v")
+        & (F.col("v") != F.lit(_NINF))
+        & (F.col("v") != F.lit(_PINF))
+    )
+
+
+def _head_stats(vals: DataFrame, col: str, fname: str):
+    """ONE job over (v, w): total/infinite weight masses, finite row
+    count and min/max, NaN flag. Infinities are legal inputs — their
+    ranks resolve arithmetically (module doc) — NaN is not."""
+    fin = _finite_pred()
+    row = vals.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).alias("total_w"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") == F.lit(_NINF), F.col("w"))), F.lit(0)
+        ).alias("w_ninf"),
+        F.coalesce(
+            F.sum(F.when(F.col("v") == F.lit(_PINF), F.col("w"))), F.lit(0)
+        ).alias("w_pinf"),
+        F.count(F.when(fin, F.lit(1))).alias("n_fin"),
+        F.min(F.when(fin, F.col("v"))).alias("lo"),
+        F.max(F.when(fin, F.col("v"))).alias("hi"),
+        F.max(F.isnan("v").cast("int")).alias("has_nan"),
+    ).collect()[0]
+    if row.has_nan:
+        raise ValueError(f"{fname}: NaN values in {col!r}")
+    return row, int(row.total_w), int(row.w_ninf), int(row.w_pinf)
+
+
+def _select_with_infinities(
+    vals: DataFrame,
+    ranks: list[int],
+    head,
+    W: int,
+    w_ninf: int,
+    w_pinf: int,
+    n_buckets: int,
+    collect_limit: int,
+    max_rounds: int,
+) -> dict[int, float]:
+    """Route each 1-indexed weighted rank: the lowest ``w_ninf`` mass
+    is -inf, the highest ``w_pinf`` mass is +inf, everything between
+    narrows over the FINITE sub-range only. Without this split an
+    infinite min/max makes every histogram width infinite and the
+    refinement would degenerate to collecting every distinct value —
+    the exact driver-buffering trap this module exists to avoid."""
+    found: dict[int, float] = {}
+    fin_ranks = set()
+    for r in ranks:
+        if r <= w_ninf:
+            found[r] = _NINF
+        elif r > W - w_pinf:
+            found[r] = _PINF
+        else:
+            fin_ranks.add(r - w_ninf)
+    if fin_ranks:
+        sub = _select_ranks(
+            vals.filter(_finite_pred()),
+            sorted(fin_ranks),
+            int(head.n_fin),
+            float(head.lo),
+            float(head.hi),
+            n_buckets,
+            collect_limit,
+            max_rounds,
+        )
+        for r in ranks:
+            if r not in found:
+                found[r] = sub[r - w_ninf]
+    return found
 
 
 class _Bracket:

@@ -695,3 +695,44 @@ def test_resample_matches_pandas(spark, rows):
                 assert g is None, (fill, key)
             else:
                 assert g == pytest.approx(x, rel=1e-9, abs=1e-9), (fill, key)
+
+
+def test_quantiles_with_infinities_stay_bounded(spark):
+    """±inf inputs resolve arithmetically from the head job: the
+    histogram refinement only sees the finite sub-range (an infinite
+    min/max would degenerate every bucket width), equal-rank
+    infinities return the infinity, and a cross-infinity interpolation
+    is NaN (the IEEE lerp)."""
+    import math
+
+    from dataframes_jl_spark.ops.selection import (
+        exact_quantiles,
+        weighted_quantiles,
+    )
+
+    inf = float("inf")
+    vals = [-inf, *(float(i) for i in range(20)), inf, inf]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(3)
+    # tiny limits force real narrowing over the finite 0..19 range
+    q0, q25, q50, q1 = exact_quantiles(
+        df, "x", [0.0, 0.25, 0.5, 1.0], n_buckets=4, collect_limit=3,
+        max_rounds=6,
+    )
+    assert q0 == -inf and q1 == inf
+    # n=23: h = 22*0.25 = 5.5 -> ranks 6,7 -> finite 4.0/5.0 -> 4.5;
+    # h = 11 -> rank 12 -> finite rank 11 -> 10.0
+    assert q25 == 4.5 and q50 == 10.0
+
+    # lerp across -inf/finite is NaN; equal-rank -inf returns -inf
+    got = exact_quantiles(
+        spark.createDataFrame([(-inf,), (0.0,), (1.0,)], "x double"),
+        "x", [0.0, 0.25, 0.5, 1.0],
+    )
+    assert got[0] == -inf and math.isnan(got[1])
+    assert got[2] == 0.0 and got[3] == 1.0
+
+    wdf = spark.createDataFrame(
+        [(-inf, 2), (5.0, 3), (inf, 1)], "x double, w long"
+    )
+    w = weighted_quantiles(wdf, "x", "w", [0.3, 0.5, 5 / 6, 0.9])
+    assert w == [-inf, 5.0, 5.0, inf]
