@@ -96,6 +96,9 @@ STUDY = [
     "q_weighted_quantiles",
     # rolling WAU: per-day HLL sketches, sliding max-merge per window
     "q_rolling_distinct",
+    # time-series analytics: seasonal baseline + inter-arrival gaps
+    "q_seasonal_residuals",
+    "q_interarrival",
 ]
 
 
