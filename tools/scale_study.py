@@ -182,12 +182,33 @@ def check() -> int:
               f"walls {dict(zip([s for s, _ in seg], ts))}")
         if drift > SLOPE_TOLERANCE:
             failures.append(name)
-    if failures:
-        print(f"\nSCALING REGRESSION: {failures} — a change made the "
-              "sf1->sf10 segment materially steeper; investigate before "
-              "trusting at 100 TB", file=sys.stderr)
+    # Retry pass: a single in-sequence shot of a heavy query can read
+    # 2x its true wall from storage/GC backlog the earlier queries left
+    # behind (observed twice in round 6: q_bm25_search under a
+    # concurrent session, q_ann_bruteforce within one solo run — both
+    # re-measured clean). Re-measure each failure at the END of the
+    # run, min-of-3, and fail only if the drift reproduces.
+    confirmed = []
+    for name in failures:
+        pin, q = pins[name], QUERIES[name]
+        ts = [_time_query(q, spark, d, repeats=3) for _, d in seg]
+        slope = _slope([sf for sf, _ in seg], ts)
+        drift = slope - pin["seg_slope"]
+        status = "FAIL" if drift > SLOPE_TOLERANCE else "ok"
+        print(f"retry {status:4} {name:24} seg_slope {slope:+.2f} "
+              f"(pinned {pin['seg_slope']:+.2f}, drift {drift:+.2f}) "
+              f"walls {dict(zip([s for s, _ in seg], ts))}")
+        if drift > SLOPE_TOLERANCE:
+            confirmed.append(name)
+    if confirmed:
+        print(f"\nSCALING REGRESSION: {confirmed} — a change made the "
+              "sf1->sf10 segment materially steeper (reproduced on a "
+              "min-of-3 retry); investigate before trusting at 100 TB",
+              file=sys.stderr)
         return 1
-    print("\nall segment slopes within tolerance of pins")
+    print("\nall segment slopes within tolerance of pins"
+          + (f" ({len(failures)} first-pass flags cleared on retry)"
+             if failures else ""))
     return 0
 
 
