@@ -107,10 +107,33 @@ def main() -> None:
         # cache blocks across 3x39 runs
         spark.catalog.clearCache()
         gc.collect()
+        # System.gc() is ASYNC: fired immediately before t0 it bleeds
+        # GC pause time INTO the measured window (round-6 verdict: an
+        # unexplained ~8% bench-wide drift, 1.5-1.9x on sub-second
+        # queries). Trigger it, then WAIT for the collection cycle to
+        # register on the GC MXBeans before returning, plus a short
+        # settle so concurrent phases finish outside the window.
         try:
-            spark.sparkContext._jvm.System.gc()
+            jvm = spark.sparkContext._jvm
+            beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+
+            def _gc_count():
+                total = 0
+                it = beans.iterator()
+                while it.hasNext():
+                    c = it.next().getCollectionCount()
+                    if c > 0:
+                        total += c
+                return total
+
+            before = _gc_count()
+            jvm.System.gc()
+            deadline = time.perf_counter() + 1.0
+            while time.perf_counter() < deadline and _gc_count() <= before:
+                time.sleep(0.02)
         except Exception:
             pass
+        time.sleep(0.15)
 
     timings: dict[str, float] = {}
     for _ in range(3):

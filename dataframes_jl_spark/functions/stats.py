@@ -561,7 +561,10 @@ def mad_outliers(
     extreme value drags toward itself.
 
     Appends columns ``med``, ``mad``, ``robust_z``, ``is_outlier`` to
-    the input rows (NULL values of ``value`` get NULL score/flag).
+    the input rows. NULL values of ``value`` get a NULL ``robust_z``
+    and a ``False`` flag (a missing measurement is not evidence of an
+    outlier). NULL group KEYS form their own group — the stats joins
+    are null-safe, so no input row is ever dropped.
 
     Two grouped aggregates (median, then median-of-deviations), each a
     single shuffle on ``by``; the tiny per-group stats tables join back
@@ -583,12 +586,28 @@ def mad_outliers(
         med_agg = lambda c: F.expr(f"percentile({c}, 0.5D)")
     else:
         med_agg = lambda c: F.expr(f"percentile_approx({c}, 0.5D, {int(accuracy)})")
+
+    def _nullsafe_join(left: DataFrame, stats: DataFrame, keep: str) -> DataFrame:
+        # groupBy puts NULL keys in their own group; a plain equi-join
+        # would then drop exactly those input rows. eqNullSafe keeps
+        # the "appends columns to the input rows" contract for every
+        # row. Prefixed aliases dodge the ambiguous-column trap.
+        aliased = stats.select(
+            *[F.col(c).alias(f"__s_{c}") for c in by], keep
+        )
+        cond = None
+        for c in by:
+            term = left[c].eqNullSafe(F.col(f"__s_{c}"))
+            cond = term if cond is None else (cond & term)
+        joined = left.join(F.broadcast(aliased), cond, "left")
+        return joined.drop(*[f"__s_{c}" for c in by])
+
     med = df.groupBy(*by).agg(med_agg(value).alias("med"))
-    dev = df.join(F.broadcast(med), by).withColumn(
+    dev = _nullsafe_join(df, med, "med").withColumn(
         "__ad__", F.abs(vc - F.col("med"))
     )
     mad = dev.groupBy(*by).agg(med_agg("__ad__").alias("mad"))
-    scored = dev.join(F.broadcast(mad), by).withColumn(
+    scored = _nullsafe_join(dev, mad, "mad").withColumn(
         "robust_z",
         F.lit(0.6745) * F.try_divide(F.col("__ad__"), F.col("mad")),
     )

@@ -347,6 +347,10 @@ def hll_estimate(
     # lower one would silently mis-scale (n_regs can exceed m with no
     # other symptom) — fail the job loudly instead. assert_true returns
     # NULL when the predicate holds, so the wrap is value-transparent.
+    # Folded into EVERY output column that carries the mis-scaled value
+    # (method AND estimate): a caller selecting just `estimate` lets
+    # column pruning drop the other columns, and a guard living only in
+    # `method` would be pruned away with it.
     ok = F.assert_true(
         F.col("n_regs") <= F.lit(m),
         F.concat(
@@ -363,7 +367,9 @@ def hll_estimate(
         ).otherwise(F.lit("hll")).alias("method"),
         F.col("n_regs").cast("bigint").alias("n_regs"),
         v.cast("bigint").alias("v_zero"),
-        F.when(use_linear, linear).otherwise(raw).alias("estimate"),
+        F.when(
+            ok.isNull() & use_linear, linear
+        ).otherwise(raw).alias("estimate"),
     )
 
 
@@ -446,35 +452,44 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     unbiased Jaccard estimator, and intersection = jaccard * union.
     One row: ``(n_union_hashes, jaccard, union_est, inter_est)``.
     Everything operates on <= k-row frames (broadcast-joined), so cost
-    is independent of the corpora the sketches summarize — the input
-    sketches are persisted here (k rows each) so the corpus scans
-    behind them run ONCE, not once per branch that references them."""
+    is independent of the corpora the sketches summarize. The input
+    sketches are persisted ONLY for the duration of this call (the
+    corpus scans behind them run once, not once per branch), the
+    one-row result is materialized eagerly, and both caches are
+    released before returning — repeated calls in a long-lived
+    session leave no cache blocks behind."""
     a = a.persist()
     b = b.persist()
-    u = kmv_union(a, b, k)
-    both = (
-        u.join(F.broadcast(a.select(F.col("h").alias("h"))), "h", "semi")
-        .join(F.broadcast(b.select(F.col("h").alias("h"))), "h", "semi")
-    )
-    stats = u.agg(
-        F.count(F.lit(1)).alias("n_union_hashes"), F.max("h").alias("__hk__")
-    ).crossJoin(both.agg(F.count(F.lit(1)).alias("__n_both__")))
-    exact = F.col("n_union_hashes") < F.lit(k)
-    union_est = F.when(exact, F.col("n_union_hashes").cast("double")).otherwise(
-        F.when(
-            F.col("__hk__") > 0,
-            F.lit(float(k - 1))
-            * F.lit(float(_P))
-            / F.col("__hk__").cast("double"),
+    try:
+        u = kmv_union(a, b, k)
+        both = (
+            u.join(F.broadcast(a.select(F.col("h").alias("h"))), "h", "semi")
+            .join(F.broadcast(b.select(F.col("h").alias("h"))), "h", "semi")
         )
-    )
-    jacc = F.when(
-        F.col("n_union_hashes") > 0,
-        F.col("__n_both__").cast("double") / F.col("n_union_hashes"),
-    )
-    return stats.select(
-        F.col("n_union_hashes").cast("bigint").alias("n_union_hashes"),
-        jacc.alias("jaccard"),
-        union_est.alias("union_est"),
-        (jacc * union_est).alias("inter_est"),
-    )
+        stats = u.agg(
+            F.count(F.lit(1)).alias("n_union_hashes"), F.max("h").alias("__hk__")
+        ).crossJoin(both.agg(F.count(F.lit(1)).alias("__n_both__")))
+        exact = F.col("n_union_hashes") < F.lit(k)
+        union_est = F.when(exact, F.col("n_union_hashes").cast("double")).otherwise(
+            F.when(
+                F.col("__hk__") > 0,
+                F.lit(float(k - 1))
+                * F.lit(float(_P))
+                / F.col("__hk__").cast("double"),
+            )
+        )
+        jacc = F.when(
+            F.col("n_union_hashes") > 0,
+            F.col("__n_both__").cast("double") / F.col("n_union_hashes"),
+        )
+        out = stats.select(
+            F.col("n_union_hashes").cast("bigint").alias("n_union_hashes"),
+            jacc.alias("jaccard"),
+            union_est.alias("union_est"),
+            (jacc * union_est).alias("inter_est"),
+        )
+        rows = out.collect()
+        return a.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        a.unpersist()
+        b.unpersist()

@@ -81,7 +81,10 @@ def mg_partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         n_p = 0
+        key_dtype = None
         for pdf in batches:
+            if key_dtype is None:
+                key_dtype = pdf[col].dtype
             vc = pdf[col].value_counts(dropna=True)
             n_p += int(vc.sum())
             for key, c in vc.items():
@@ -90,14 +93,28 @@ def mg_partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
                 counters = _mg_compact(counters, k)
         counters = _mg_compact(counters, k)
         keys = list(counters.keys())
+        # keep keys in a dtype that round-trips EXACTLY through Arrow:
+        # appending a plain None to an int64 list coerces the column to
+        # float64, silently rounding bigint keys above 2^53 (which then
+        # miss the exact-count semi-join). Nullable Int64 keeps the
+        # sentinel NULL without touching key bits.
+        if key_dtype is not None and pd.api.types.is_integer_dtype(key_dtype):
+            key_arr = pd.array([int(key) for key in keys] + [pd.NA], dtype="Int64")
+        else:
+            key_arr = pd.Series(keys + [None], dtype="object")
         yield pd.DataFrame(
             {
-                col: keys + [None],
+                col: key_arr,
                 "__mg_cnt__": [counters[key] for key in keys] + [n_p],
             }
         )
 
-    return df.select(col).mapInPandas(summarize, out_schema)
+    # drop NULL keys BEFORE Arrow: an int64 column containing nulls
+    # arrives in pandas as float64, corrupting >2^53 keys at the batch
+    # boundary (same failure mode as the sentinel, one layer earlier).
+    return (
+        df.select(col).filter(F.col(col).isNotNull()).mapInPandas(summarize, out_schema)
+    )
 
 
 def heavy_hitters(
@@ -106,6 +123,7 @@ def heavy_hitters(
     k: int,
     *,
     summaries: DataFrame | None = None,
+    collect_limit: int = 1_000_000,
 ) -> DataFrame:
     """All values of ``col`` with count strictly greater than n/k
     (n = non-null rows), exactly, with shuffle bounded by
@@ -115,16 +133,29 @@ def heavy_hitters(
     caller can order. ``summaries`` lets a caller reuse a
     pre-materialized sketch DataFrame.
 
-    The summary table is collected to the driver — it is BOUNDED at
-    ``partitions x (k+1)`` rows by construction (the MG invariant, not
-    data luck), so this is a documented bounded fit in the same sense
-    as the k-means / formula-levels collects elsewhere in the repo.
-    Collecting (rather than joining the summary DataFrame lazily)
-    means the one mapInPandas scan is materialized exactly once, and
-    the candidate set ships back out as a broadcast literal table."""
+    The candidate summary is BOUNDED at ``partitions x (k+1)`` rows by
+    the MG invariant — but unlike the repo's other bounded fits that
+    bound GROWS with cluster size (50k partitions x k=1000 is 50M
+    rows). So the driver round-trip is gated: when the static bound
+    ``input_partitions x (k+1)`` fits under ``collect_limit``, the
+    summary collects once and the candidate set ships back out as a
+    broadcast literal (one mapInPandas scan, materialized exactly
+    once). Above the limit NOTHING touches the driver: ``n`` rides the
+    plan as a broadcast 1-row cross join and the candidates come from
+    a distinct over the summary DataFrame feeding a semi-join. That
+    path evaluates the summary subtree twice (the n-branch and the
+    candidate-branch), trading one extra column-pruned scan for a
+    driver footprint of zero — the right trade at exactly the cluster
+    sizes where the bound is large. Either path is exact: the superset
+    property holds per-evaluation and ``n`` is the true non-null count
+    regardless of partitioning."""
     spark = df.sparkSession
     if summaries is None:
         summaries = mg_partition_summaries(df, col, k)
+    # static bound, known without running a job: partitions x (k+1)
+    bound_rows = df.rdd.getNumPartitions() * (k + 1)
+    if bound_rows > collect_limit:
+        return _heavy_hitters_distributed(df, col, k, summaries)
     rows = summaries.collect()
     n = sum(r[1] for r in rows if r[0] is None)
     cand_keys = sorted({r[0] for r in rows if r[0] is not None})
@@ -148,3 +179,33 @@ def heavy_hitters(
         .filter(F.col("cnt") * k > F.lit(n))
     )
     return exact.withColumn("share", F.col("cnt") / F.lit(float(n)))
+
+
+def _heavy_hitters_distributed(
+    df: DataFrame, col: str, k: int, summaries: DataFrame
+) -> DataFrame:
+    """Driver-free verdict: ``n`` and the candidate set stay in-plan.
+
+    The sentinel rows (key NULL) aggregate to the exact non-null count
+    ``n`` — one row, broadcast into the verdict via cross join; the
+    non-sentinel keys distinct into the candidate table for the
+    semi-join. No collect, no createDataFrame, no persist: the summary
+    mapInPandas runs once per branch (two column-pruned scans), which
+    is the documented price of a zero driver footprint."""
+    n_df = (
+        summaries.filter(F.col(col).isNull())
+        .agg(F.sum("__mg_cnt__").alias("__n__"))
+        .select(F.coalesce(F.col("__n__"), F.lit(0)).alias("__n__"))
+    )
+    cands = summaries.filter(F.col(col).isNotNull()).select(col).distinct()
+    return (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .join(cands, col, "semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("cnt") * k > F.col("__n__"))
+        .withColumn("share", F.col("cnt") / F.col("__n__").cast("double"))
+        .drop("__n__")
+    )

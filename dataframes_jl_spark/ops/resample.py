@@ -1,11 +1,13 @@
 """Time-series resampling: aggregate onto a regular time grid, then
 MATERIALIZE the gaps and impute them (NULL / zero / LOCF / linear).
 
-The op the reference's as-of join users reach for next (reference
-src/join.jl's temporal alignment family): align an irregular event
-stream onto an every-N-seconds grid so rolling/EWMA/drift operators
-see an evenly-spaced series. Spark has no native resample; the naive
-recipe (collect distinct buckets, cross join) is a driver trap.
+Beyond-reference operator: the reference engine (whose join family
+lives in src/merge.jl) has no temporal-alignment ops at all — this
+is part of the LLM-pipeline surface the build brief asks for. Align
+an irregular event stream onto an every-N-seconds grid so
+rolling/EWMA/drift operators see an evenly-spaced series. Spark has
+no native resample; the naive recipe (collect distinct buckets,
+cross join) is a driver trap.
 
 Scale shape — every step is keyed, nothing single-reducer:
 

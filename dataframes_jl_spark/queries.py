@@ -6231,7 +6231,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(COUNT(CASE WHEN 0.6745 * (d.ad / m.mad) > 3.5
+           CAST(COUNT(CASE WHEN m.mad <> 0
+                            AND 0.6745 * (d.ad / m.mad) > 3.5
                            THEN 1 END) AS BIGINT) AS n_out,
            ROUND(MAX(d.med), 4) AS med,
            ROUND(MAX(m.mad), 4) AS mad
