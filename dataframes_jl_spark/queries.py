@@ -6528,6 +6528,202 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 7: streaming snapshot-merge math, oracle-gated (round-6 verdict
+# #6). The stateful stream itself cannot be driver-replayed, but its
+# consumer-side merge functions are BATCH functions over an archived
+# update-stream sink — so a static simulation of the sink (complete
+# with stale intermediate snapshots) gates the merge math externally.
+# ---------------------------------------------------------------------------
+
+
+def _stream_distinct_oracle() -> str:
+    est_raw = f"({_HLL_ALPHA_M2!r} / (s_used + v))"
+    return f"""
+    WITH k AS (
+      SELECT DISTINCT ((user_id % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    {_mix_ctes("m1", "k", "ks", "h1", carry=("ks",))},
+    s0 AS (SELECT h1, (ks * 913151717 + 776531401) % 1000000007 AS y FROM m1),
+    {_mix_ctes("m2", "s0", "y", "h2", carry=("h1",))},
+    r AS (
+      SELECT CAST(h1 % {_HLL_M} AS INT) AS reg,
+             CASE WHEN h2 = 0 THEN 31
+                  ELSE CAST(FLOOR(log2(h2 - (h2 & (h2 - 1))) + 0.5) AS INT) + 1
+             END AS rho
+      FROM m2
+    ), sk AS (
+      SELECT reg, MAX(rho) AS rho FROM r GROUP BY reg
+    ), est AS (
+      SELECT COUNT(*) AS n_regs,
+             COALESCE(SUM(POW(2.0, -rho)), 0.0) AS s_used,
+             {_HLL_M} - COUNT(*) AS v
+      FROM sk
+    ), e AS (
+      SELECT CASE WHEN {est_raw} <= {2.5 * _HLL_M} AND v > 0
+                  THEN 'linear' ELSE 'hll' END AS method,
+             CAST(n_regs AS BIGINT) AS n_regs,
+             CAST(v AS BIGINT) AS v_zero,
+             CASE WHEN {est_raw} <= {2.5 * _HLL_M} AND v > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                  ELSE {est_raw}
+             END AS estimate
+      FROM est
+    ), x AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT method, n_regs, v_zero, ROUND(estimate, 4) AS estimate,
+           exact_distinct,
+           ROUND(ROUND(estimate, 4) / exact_distinct - 1, 4) AS rel_err
+    FROM e, x
+    """
+
+
+@register("q_stream_distinct_merge", oracle=_stream_distinct_oracle())
+def q_stream_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count SNAPSHOT-MERGE gate
+    (streaming.distinct.merge_distinct_snapshots): a static simulation
+    of the update-stream sink — per (shard, day) the touched registers'
+    CUMULATIVE max rho, i.e. exactly what the stateful stream emits,
+    stale intermediates included — reduced by the real consumer-side
+    merge and estimated. The oracle never sees the snapshot structure:
+    it rebuilds the sketch DIRECTLY from the distinct keys (bit-for-bit
+    ARX-mix replay), so equality proves the merge collapses any
+    emission history to the true union sketch (per-register rho is
+    monotone — stale snapshots can never inflate it). The simulation's
+    day-windows are fixture scaffolding; the operator under test is the
+    merge, whose cost is the sink size (days x shards x 256 max), never
+    the event volume."""
+    from pyspark.sql import Window
+
+    from .ops.bloom import _hll_parts
+    from .streaming.distinct import merge_distinct_snapshots
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    reg, rho = _hll_parts(F.col("user_id"), _HLL_M)
+    base = ev.select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("shard"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("b"),
+        reg.alias("reg"),
+        rho.alias("rho"),
+    )
+    per_batch = base.groupBy("shard", "b", "reg").agg(F.max("rho").alias("r0"))
+    w = (
+        Window.partitionBy("shard", "reg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    snaps = per_batch.select(
+        "shard", "reg", F.max("r0").over(w).cast("int").alias("rho")
+    )
+    merged = merge_distinct_snapshots(snaps, p=_HLL_P)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "method",
+        "n_regs",
+        "v_zero",
+        F.round("estimate", 4).alias("estimate"),
+        "exact_distinct",
+        F.round(
+            F.round(F.col("estimate"), 4) / F.col("exact_distinct") - 1, 4
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "q_stream_topk_merge",
+    oracle="""
+    WITH e AS (
+      SELECT ((user_id % 50) + 50) % 50 AS key
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (
+      SELECT key, ((key % 4) + 4) % 4 AS shard, COUNT(*) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    sh AS (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS n_shard
+           FROM c GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+    SELECT CAST(c.key AS VARCHAR) AS key,
+           CAST(c.cnt AS BIGINT) AS lb_count,
+           CAST(c.cnt + FLOOR(sh.n_shard / 61) AS BIGINT) AS ub_count,
+           tot.n AS n_total
+    FROM c JOIN sh USING (shard), tot
+    WHERE (c.cnt + FLOOR(sh.n_shard / 61)) * 60 > tot.n
+    """,
+)
+def q_stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter SNAPSHOT-MERGE gate
+    (streaming.topk.merge_hh_snapshots): a static simulation of the
+    sharded Misra-Gries update sink — at every (shard, day) the FULL
+    summary of all keys seen so far (cumulative counts carried forward
+    to each emission, so stale snapshots outnumber final ones 50:1) —
+    reduced by the real consumer-side merge: latest-emission selection
+    via max n_shard, per-key lower-bound sum, the MG upper bound
+    ub = lb + floor(n_shard/(k+1)), and the ub-side threshold (lb-side
+    filtering could drop a decremented true heavy hitter). Keys are
+    coarse (user_id mod 50) so every shard summary stays under k=60
+    counters — the exact-counter regime, which is what makes the
+    verdict DuckDB-replayable: the oracle computes the final counts
+    DIRECTLY from events, never seeing the emission history, so
+    equality proves the merge selects complete final summaries and
+    applies the exact ub/threshold arithmetic. Compaction math is
+    hypothesis-gated in the batch tests (same _mg_compact)."""
+    from pyspark.sql import Window
+
+    from .streaming.topk import merge_hh_snapshots
+
+    hh_k = 60
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    key = F.pmod(F.col("user_id"), F.lit(50))
+    base = ev.select(
+        key.alias("key"),
+        F.pmod(key, F.lit(4)).cast("int").alias("shard"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("b"),
+    )
+    ck = base.groupBy("shard", "key", "b").agg(F.count(F.lit(1)).alias("c"))
+    wk = (
+        Window.partitionBy("shard", "key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ck = ck.withColumn("cum", F.sum("c").over(wk))
+    sb = base.groupBy("shard", "b").agg(F.count(F.lit(1)).alias("sc"))
+    ws = (
+        Window.partitionBy("shard")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tb = (
+        sb.withColumn("n_shard", F.sum("sc").over(ws))
+        .select(F.col("shard").alias("s2"), F.col("b").alias("bb"), "n_shard")
+    )
+    # carry every key's last-known cumulative count forward to each of
+    # its shard's later emissions: join ck rows to all touched batches
+    # bb >= b, keep the newest b per (shard, key, bb)
+    pairs = ck.join(tb, (F.col("shard") == F.col("s2")) & (F.col("b") <= F.col("bb")))
+    wlast = Window.partitionBy("shard", "key", "bb").orderBy(F.col("b").desc())
+    snap = (
+        pairs.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "shard",
+            F.col("key").cast("string").alias("key"),
+            F.col("cum").alias("lb_count"),
+            "n_shard",
+        )
+    )
+    return merge_hh_snapshots(snap, hh_k).select(
+        "key", "lb_count", "ub_count", "n_total"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
 # positions 1-50 and nothing after). Put a curated 50 at the head so every

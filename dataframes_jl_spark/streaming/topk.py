@@ -129,6 +129,6 @@ def merge_hh_snapshots(snapshots: DataFrame, k: int) -> DataFrame:
             F.sum("lb_count").alias("lb_count"),
             F.sum(ub).alias("ub_count"),
         )
-        .withColumn("n_total", F.lit(int(n_total)))
+        .withColumn("n_total", F.lit(int(n_total)).cast("long"))
         .filter(F.col("ub_count") * k > F.col("n_total"))
     )

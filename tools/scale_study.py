@@ -99,6 +99,13 @@ STUDY = [
     # time-series analytics: seasonal baseline + inter-arrival gaps
     "q_seasonal_residuals",
     "q_interarrival",
+    # round-7 (round-6 verdict #4): the three round-6 operators shipped
+    # without pins — FastSS fuzzy matching (bounded explode + hash
+    # equi-join), keyed snapshot diff (one full-outer join), grouped HLL
+    # (one map-side-combining aggregate to groups x 256 rows)
+    "q_fuzzy_match",
+    "q_table_diff",
+    "q_hll_groups",
 ]
 
 
@@ -345,5 +352,53 @@ def main() -> int:
     return 0
 
 
+def measure(names: list[str]) -> int:
+    """Measure ONLY the named queries at every available scale point and
+    MERGE their pins into tools/scale_pins.json — the incremental path
+    for pinning newly added operators without re-running the full study
+    (the next full run folds them into SCALING.md's table)."""
+    import json
+
+    points = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
+    if len(points) < 3 or points[-1][0] < 10.0:
+        print("measure needs sf0.1 + .scale_data/sf1 + sf10", file=sys.stderr)
+        return 1
+
+    from dataframes_jl_spark.queries import QUERIES
+    from dataframes_jl_spark.session import get_spark
+
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="djs-scale-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pins = json.load(open(PINS_PATH)) if os.path.exists(PINS_PATH) else {}
+    seg_sfs = [sf for sf, _ in points[-2:]]
+    for name in names:
+        q = QUERIES[name]
+        for _, d in points:
+            q(spark, d).write.format("noop").mode("overwrite").save()
+        ts = [
+            _time_query(q, spark, d, repeats=(3 if sf <= 0.1 else 2))
+            for sf, d in points
+        ]
+        exp = _slope([sf for sf, _ in points], ts)
+        pins[name] = {
+            "exponent": exp,
+            "seg_slope": _slope(seg_sfs, ts[-2:]),
+            "walls": dict(zip([str(sf) for sf, _ in points], ts)),
+        }
+        print(name, dict(zip([sf for sf, _ in points], ts)), "slope", exp,
+              "seg", pins[name]["seg_slope"])
+    with open(PINS_PATH, "w") as fh:
+        json.dump(pins, fh, indent=1, sort_keys=True)
+    print(f"merged {len(names)} pins -> {PINS_PATH}")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--measure" in sys.argv:
+        sys.exit(measure(sys.argv[sys.argv.index("--measure") + 1:]))
     sys.exit(check() if "--check" in sys.argv else main())
