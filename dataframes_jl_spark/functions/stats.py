@@ -614,3 +614,96 @@ def mad_outliers(
     return scored.withColumn(
         "is_outlier", F.coalesce(F.col("robust_z") > F.lit(float(z)), F.lit(False))
     ).drop("__ad__")
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 8,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the distributions
+    of ``col`` in two frames — the bin-free drift test that complements
+    :func:`psi` (PSI needs caller-chosen edges; KS is edge-free:
+    D = sup_x |ECDF_a(x) - ECDF_b(x)|).
+
+    Returns one row ``(n_a, n_b, ks_stat, ks_at)``: the statistic and
+    the (smallest) value where the ECDF gap attains it.
+
+    Scale shape: each side collapses map-side to per-VALUE counts (the
+    shuffle carries |distinct values| rows, not |rows|), one full-outer
+    merge aligns the two count tables, and the two ECDFs come from ONE
+    distributed prefix scan (ops.window.with_running's range-partition +
+    carry machinery — never a SinglePartition window). The final sup is
+    a map-side-combining max.
+
+    Determinism: the gap is compared as the EXACT integer
+    |cum_a * n_b - cum_b * n_a| (ECDF differences are rationals with
+    denominator n_a*n_b; cross-multiplying keeps the comparison in
+    int64, immune to float rounding in any engine). The returned
+    ``ks_stat`` divides once at the end, floor-quantized to ``scale``
+    decimals. Contract: n_a * n_b must fit int64 (each side < ~3e9
+    rows — beyond that, pre-aggregate or sample; the in-plan assert
+    raises loudly instead of wrapping). NULLs are excluded; NaN is one
+    ordinary greatest-sorting value in both engines.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    from ..ops.window import with_running
+
+    run = with_running(
+        merged,
+        {"cum_a": ("sum", "ca"), "cum_b": ("sum", "cb")},
+        order_by="v",
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    j = run.crossJoin(F.broadcast(totals))
+    # int64 safety: |cum*n| <= n_a*n_b; verify the product in double
+    # space (cannot overflow) and fold the guard into the output
+    ok = F.assert_true(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        < F.lit(9.0e18),
+        F.lit("ks_statistic: n_a*n_b exceeds int64 — pre-aggregate"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    best = j.agg(
+        F.max(
+            F.struct(
+                gap.alias("g"),
+                (-F.col("v")).alias("nv"),
+                F.coalesce(ok.cast("long"), F.lit(0)).alias("ok"),
+            )
+        ).alias("s"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    m = F.lit(float(10**scale))
+    stat = (
+        F.col("s.g")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        (F.floor(stat * m + F.lit(0.5)) / m).alias("ks_stat"),
+        (-F.col("s.nv")).alias("ks_at"),
+    )

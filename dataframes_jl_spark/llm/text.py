@@ -436,3 +436,59 @@ def ngram_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-class entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+# Regexes partition every character into exactly one class, so the five
+# counts sum to length(text) and the shares form a distribution. All
+# counts come from length-difference arithmetic (regexp_replace strips
+# the class), so the whole signal is codegen'd string ops — no explode,
+# no UDF: per-document cost is O(chars) map-side, shuffle cost zero.
+_CHAR_CLASSES = {
+    "lower": "[a-z]",
+    "upper": "[A-Z]",
+    "digit": "[0-9]",
+    "space": r"[ \t\n\r]",
+    # everything else (punctuation, symbols, non-ASCII)
+}
+
+
+def char_class_counts(col: str | Column) -> dict[str, Column]:
+    """Per-class character counts; 'other' is the complement so the
+    five always sum to the document length."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    out: dict[str, Column] = {}
+    rest = n
+    for name, pat in _CHAR_CLASSES.items():
+        cnt = n - F.length(F.regexp_replace(c, pat, ""))
+        out[name] = cnt
+        rest = rest - cnt
+    out["other"] = rest
+    return out
+
+
+def char_class_entropy(col: str | Column, scale: int = 6) -> Column:
+    """Shannon entropy (nats) of the 5-way character-class distribution
+    — a cheap garbage detector: natural prose sits near ~1.0-1.2 nats
+    (mixed case+space+punct), base64/hex blobs and repeated-char runs
+    collapse toward 0-at-one-class or pin at the class-uniform maximum.
+
+    Entropy term per class: -(k/n) ln(k/n), summed only over k > 0 (the
+    0 ln 0 = 0 convention), floor-quantized to ``scale`` decimals so
+    the libm ln's last ulp cannot flip a gate. Empty/NULL text yields
+    NULL (no distribution to score).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    counts = char_class_counts(c)
+    h: Column = F.lit(0.0)
+    for cnt in counts.values():
+        k = cnt.cast("double")
+        p = k / n
+        h = h + F.when(cnt > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    m = F.lit(float(10**scale))
+    return F.when(n > 0, F.floor(h * m + F.lit(0.5)) / m)

@@ -54,7 +54,14 @@ from .frequency import heavy_hitters, mg_partition_summaries  # noqa: F401
 from .selection import (  # noqa: F401
     exact_median,
     exact_quantiles,
+    exact_ranks,
     weighted_median,
     weighted_quantiles,
 )
 from .resample import resample  # noqa: F401
+from .markov import transition_counts, transition_matrix  # noqa: F401
+from .basket import frequent_pairs  # noqa: F401
+from .histogram import equidepth_histogram  # noqa: F401
+from .integrity import check_relation, integrity_report  # noqa: F401
+from .diff import apply_diff  # noqa: F401
+from .graph import triangle_count  # noqa: F401

@@ -1,0 +1,149 @@
+"""Frequent item pairs (market-basket co-occurrence) with support,
+confidence, and lift.
+
+Beyond-reference operator: co-occurrence mining — "parts ordered
+together", "domains cited together", token collocations — is the
+2-itemset core of Apriori (Agrawal & Srikant 1994, public). Higher
+orders fall out by re-applying the same prune+join; the pair level is
+what a curation pipeline actually reads (lift tables, co-citation
+graphs).
+
+Scale shape — the whole design is the Apriori prune, applied BEFORE the
+quadratic step:
+
+1. distinct (basket, item) — one shuffle, removes within-basket dupes
+   so a basket contributes each pair once;
+2. item support counts — map-side-combining aggregate, |items| rows;
+3. **prune**: only items with count >= min_count survive (downward
+   closure: a pair can never be frequent if either member is not).
+   The pruned item list joins back as a broadcast semi-join when small;
+4. pair generation: self-join ON basket with item_a < item_b — the
+   only quadratic step, and it is quadratic per basket in the PRUNED
+   width, not the raw width;
+5. pair counts + metrics from the (tiny) pair table joined to the
+   (tiny) item-count table.
+
+A pathological basket (one order holding 10^5 frequent items) makes
+step 4 explode quadratically; ``max_basket`` bounds it — oversized
+baskets raise loudly (in-plan assert) rather than silently OOM a
+worker, same contract as the fuzzy-match length guard.
+
+Metrics are exact ratios of exact longs, floor-quantized (the dsum
+discipline) so every engine reports identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket: str | Column,
+    item: str | Column,
+    min_count: int = 2,
+    max_basket: int = 10_000,
+    metric_scale: int = 6,
+) -> DataFrame:
+    """Frequent co-occurring item pairs.
+
+    Returns ``(item_a, item_b, n_pair, n_a, n_b, support, confidence,
+    lift)`` for unordered pairs whose BOTH members appear in at least
+    ``min_count`` distinct baskets — and only pairs that co-occur at
+    least once, with:
+
+    - ``support``     n_pair / n_baskets
+    - ``confidence``  n_pair / n_a (P(b in basket | a in basket),
+                      directional: reported for the a->b direction;
+                      the b->a value is n_pair / n_b)
+    - ``lift``        n_pair * n_baskets / (n_a * n_b)
+
+    ``item_a < item_b`` under the column's natural ordering; items must
+    be non-NULL (NULL items are dropped — a NULL co-occurrence is
+    meaningless).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    b = (F.col(basket) if isinstance(basket, str) else basket).alias("basket")
+    i = (F.col(item) if isinstance(item, str) else item).alias("item")
+    pairs_src = (
+        df.select(b, i)
+        .filter(F.col("item").isNotNull() & F.col("basket").isNotNull())
+        .distinct()
+    )
+    n_baskets_df = pairs_src.select(
+        F.count_distinct("basket").alias("n_baskets")
+    )
+    item_counts = pairs_src.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    frequent = item_counts.filter(F.col("n_item") >= min_count)
+
+    # no forced broadcast: the pruned item list is usually tiny (AQE
+    # converts to a broadcast semi-join at runtime) but CAN be large at
+    # corpus scale, where the shuffle semi-join is the correct plan
+    kept = pairs_src.join(frequent.select("item"), "item", "semi")
+    # loud bound on the quadratic step: a basket wider than max_basket
+    # after pruning would generate ~width^2/2 pairs on one key
+    wb = Window.partitionBy("basket")
+    kept = kept.withColumn("__bw__", F.count(F.lit(1)).over(wb))
+    guard = F.assert_true(
+        F.col("__bw__") <= F.lit(max_basket),
+        F.lit(f"frequent_pairs: basket wider than max_basket={max_basket} "
+              "after pruning; raise max_basket or min_count"),
+    )
+    kept = kept.withColumn("__g__", guard)
+
+    left = kept.select(
+        F.col("basket"), F.col("item").alias("item_a"), F.col("__g__")
+    )
+    right = kept.select(
+        F.col("basket").alias("basket_r"), F.col("item").alias("item_b")
+    )
+    pair_counts = (
+        left.join(
+            right,
+            (F.col("basket") == F.col("basket_r"))
+            & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        # MAX carries the assert guard through the aggregate so column
+        # pruning cannot drop it (the hll_estimate lesson)
+        .agg(F.count(F.lit(1)).alias("n_pair"), F.max("__g__").alias("__g__"))
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    m = F.lit(float(10**metric_scale))
+
+    def _q(x: Column) -> Column:
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    out = (
+        pair_counts.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets_df))
+    )
+    nb = F.col("n_baskets").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        # guard folded as when(isnull(assert), x) WITHOUT otherwise —
+        # both-branches-equal forms get simplified away by Catalyst,
+        # this one cannot be (assert_true is null iff it didn't raise)
+        F.when(F.col("__g__").isNull(), F.col("n_pair")).alias("n_pair"),
+        "n_a",
+        "n_b",
+        _q(F.col("n_pair") / nb).alias("support"),
+        _q(F.col("n_pair") / F.col("n_a")).alias("confidence"),
+        # n_a*n_b multiplies as DOUBLE: two longs can overflow int64 at
+        # corpus scale (ANSI would raise; the double product cannot)
+        _q(
+            F.col("n_pair") * nb
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )

@@ -72,6 +72,66 @@ def table_diff(
     )
 
 
+def apply_diff(
+    snapshot: DataFrame,
+    changeset: DataFrame,
+    keys: Sequence[str],
+    status_col: str = "status",
+    new_prefix: str = "new_",
+) -> DataFrame:
+    """Apply a :func:`table_diff`-shaped changeset to ``snapshot`` —
+    the inverse operation, so ``apply_diff(old, table_diff(old, new))``
+    reproduces ``new`` exactly (the gate asserts this identity).
+
+    The changeset carries ``status`` in added/removed/changed/unchanged
+    and the ``new_``-prefixed payload columns. Semantics (CDC
+    last-writer-wins):
+
+    - keys marked ``removed`` are dropped;
+    - keys marked ``added``/``changed`` take the changeset's ``new_``
+      values (upsert);
+    - keys absent from the changeset — or present as ``unchanged`` —
+      keep the snapshot row.
+
+    One left join on the key (both sides shuffle once; exchange-free if
+    both were bucket-written on the key), then a column-wise coalesce:
+    no windows, no driver state, the cost of one join at any scale.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("apply_diff needs at least one key column")
+    payload = [c for c in snapshot.columns if c not in keys]
+    missing = [c for c in payload if new_prefix + c not in changeset.columns]
+    if missing:
+        raise ValueError(
+            f"changeset lacks {new_prefix}* columns for {missing}"
+        )
+    ch = changeset.select(
+        *keys,
+        F.col(status_col).alias("__st__"),
+        *[F.col(new_prefix + c).alias(f"__nv_{c}__") for c in payload],
+    )
+    j = snapshot.join(ch, keys, "left").filter(
+        F.col("__st__").isNull() | (F.col("__st__") != "removed")
+    )
+    take_new = F.col("__st__").isin("added", "changed")
+    updated = j.select(
+        *keys,
+        *[
+            F.when(take_new, F.col(f"__nv_{c}__"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+    )
+    inserts = ch.filter(F.col("__st__") == "added").join(
+        snapshot.select(*keys), keys, "anti"
+    ).select(
+        *keys, *[F.col(f"__nv_{c}__").alias(c) for c in payload]
+    )
+    return updated.unionByName(inserts)
+
+
 def diff_summary(
     old: DataFrame,
     new: DataFrame,

@@ -129,3 +129,64 @@ def pagerank_oracle_sql(
         )
     parts.append(f"SELECT id, rank FROM r{n_iter}")
     return "\n".join(parts)
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph spanned by
+    an edge list (self-loops dropped, direction and multiplicity
+    collapsed). Output: one row ``(n_nodes, n_edges, n_triangles)``.
+
+    The clustering-backbone statistic (community quality, spam/bot
+    subgraph detection). Algorithm: compact-forward with DEGREE
+    ORIENTATION (Latapy 2008, public) — orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, so each
+    triangle {a,b,c} is generated by exactly one wedge and, crucially,
+    every node's OUT-degree is O(sqrt(m)) no matter how skewed the raw
+    degree distribution is: a celebrity node with 10^7 neighbours
+    receives its wedges from low-degree sources instead of exploding
+    10^14 wedge pairs on one key. Plan: two self-joins of the oriented
+    edge table (wedge build + closing-edge semi check), all keyed
+    equi-joins, no windows, no driver state.
+    """
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    und = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(u, v)
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ann = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = oriented.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

@@ -1,0 +1,110 @@
+"""Referential-integrity audit: orphan foreign keys, NULL rates, and
+parent-key duplication across table relations.
+
+Beyond-reference operator: the data-contract check every pipeline runs
+before publishing — "does every lineitem point at a real part?" — as
+one row per declared relation.
+
+Scale shape, per relation: the child aggregates map-side to its
+DISTINCT fk values WITH counts first (|distinct keys| rows move, not
+|child| rows), then ONE equi-join against the parent's distinct keys
+answers both orphan questions; totals ride along in single-row
+broadcast frames. Nothing proportional to the child's row count
+crosses the wire after the first combine, no driver state, and the
+per-relation results union into one report.
+
+(If the parent is known-small a broadcast join is free via AQE; the
+code does not force it — at 100 TB a parent can be the big side.)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_relation(
+    name: str,
+    child: DataFrame,
+    fk: str,
+    parent: DataFrame,
+    pk: str,
+) -> DataFrame:
+    """One-row integrity report for ``child.fk -> parent.pk``.
+
+    Columns: ``relation, n_child, n_null_fk, n_orphan_rows,
+    n_orphan_keys, n_parent, n_parent_dup_keys, orphan_rate`` — where
+    orphan rows/keys are child rows / distinct fk values with a
+    non-NULL fk that matches no parent key, and ``n_parent_dup_keys``
+    counts parent keys that appear more than once (a duplicated pk is
+    an integrity defect even when no child is orphaned).
+    ``orphan_rate`` is over non-NULL child rows, floor-quantized to 6
+    decimals (engine-stable ratio of exact longs).
+    """
+    fkeys = (
+        child.select(F.col(fk).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    pkeys = (
+        parent.select(F.col(pk).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pk"))
+    )
+    joined = fkeys.join(pkeys, "k", "left")
+    orphan = joined.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_nonnull"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_pk").isNull(), F.col("n_rows"))), F.lit(0)
+        ).alias("n_orphan_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_pk").isNull(), 1)), F.lit(0)
+        ).alias("n_orphan_keys"),
+    )
+    child_tot = child.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+    )
+    parent_tot = pkeys.agg(
+        F.coalesce(F.sum("n_pk"), F.lit(0)).alias("n_parent"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_pk") > 1, 1)), F.lit(0)
+        ).alias("n_parent_dup_keys"),
+    )
+    m = F.lit(1e6)
+    rate = F.when(
+        F.col("n_nonnull") > 0,
+        F.floor(F.col("n_orphan_rows") / F.col("n_nonnull") * m + F.lit(0.5))
+        / m,
+    ).otherwise(F.lit(0.0))
+    return (
+        orphan.crossJoin(F.broadcast(child_tot))
+        .crossJoin(F.broadcast(parent_tot))
+        .select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_null_fk",
+            "n_orphan_rows",
+            "n_orphan_keys",
+            "n_parent",
+            "n_parent_dup_keys",
+            rate.alias("orphan_rate"),
+        )
+    )
+
+
+def integrity_report(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Union of :func:`check_relation` over ``(name, child, fk, parent,
+    pk)`` tuples — the table a publish gate reads."""
+    if not relations:
+        raise ValueError("integrity_report needs at least one relation")
+    return reduce(
+        DataFrame.unionByName,
+        [check_relation(*r) for r in relations],
+    )

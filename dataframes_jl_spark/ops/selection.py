@@ -104,6 +104,37 @@ def exact_quantiles(
     return out
 
 
+def exact_ranks(
+    df: DataFrame,
+    col: str,
+    ranks: Sequence[int],
+    n_buckets: int = 8192,
+    collect_limit: int = 200_000,
+    max_rounds: int = 8,
+) -> list[float]:
+    """Exact order statistics at the given 1-indexed ranks — the
+    DISCRETE counterpart of :func:`exact_quantiles`: every returned
+    value is an element of the column (no interpolation), so the
+    result is bit-reproducible in any engine that can sort (an
+    interpolated quantile's last ulp depends on the engine's lerp
+    formula; a selected element does not). Same bounded-memory
+    narrowing engine, all ranks share each round's histogram job."""
+    rs = sorted(set(int(r) for r in ranks))
+    vals = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    head, n, w_ninf, w_pinf = _head_stats(vals, col, "exact_ranks")
+    if any(r < 1 or r > n for r in rs):
+        raise ValueError(f"ranks must lie in [1, {n}]")
+    found = _select_with_infinities(
+        vals, rs, head, n, w_ninf, w_pinf,
+        n_buckets, collect_limit, max_rounds,
+    )
+    return [found[int(r)] for r in ranks]
+
+
 def exact_median(df: DataFrame, col: str, **kw) -> float:
     """Exact interpolated median with bounded memory."""
     return exact_quantiles(df, col, [0.5], **kw)[0]

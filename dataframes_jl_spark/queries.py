@@ -6724,6 +6724,525 @@ def q_stream_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 7: sequence, association, histogram, co-occurrence, CDC-apply,
+# integrity, drift, and graph operators — each a new module gated here.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ), c AS (
+      SELECT event_type AS from_state, to_state,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ), f AS (
+      SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1
+    )
+    SELECT c.from_state, c.to_state, c.n, f.n_from,
+           FLOOR(CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS prob
+    FROM c JOIN f USING (from_state)
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (ops.markov.transition_matrix): ONE shuffle on user_id
+    for the lead window, then a map-side-combining aggregate to the
+    |states|^2 pair table — row probabilities come from a window over
+    that tiny table, never a second data pass. Order is total
+    ((ts, event_id) — the unique tiebreak makes the lead
+    engine-reproducible); probabilities are floor-quantized ratios of
+    exact longs."""
+    from .ops.markov import transition_matrix
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    return transition_matrix(
+        ev, "user_id", "event_type", ["ts", "event_id"], prob_scale=6
+    )
+
+
+@register(
+    "q_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), t AS (
+      SELECT a, b, n,
+             CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+             CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS n_b,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_total
+      FROM cells
+    ), q AS (
+      SELECT n_total,
+             CAST(FLOOR(
+               (CAST(n AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / CAST(n_total AS DOUBLE))
+               * (CAST(n AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / CAST(n_total AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / CAST(n_total AS DOUBLE))
+               * 1e8 + 0.5) AS BIGINT) AS chi_q,
+             CAST(FLOOR(
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   / CAST(n_total AS DOUBLE)
+               * 1e8 + 0.5) AS BIGINT) AS e_q,
+             CAST(FLOOR(
+               (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1e8 + 0.5) AS BIGINT) AS mi_q,
+             a, b
+      FROM t
+    ), agg AS (
+      SELECT MAX(n_total) AS n_total,
+             CAST(COUNT(DISTINCT a)
+                  + MAX(CASE WHEN a IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_levels_a,
+             CAST(COUNT(DISTINCT b)
+                  + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_levels_b,
+             CAST(SUM(chi_q) AS DOUBLE) / 1e8
+               + (MAX(n_total) - CAST(SUM(e_q) AS DOUBLE) / 1e8) AS chi2,
+             CAST(SUM(mi_q) AS DOUBLE) / 1e8 AS mutual_info
+      FROM q
+    )
+    SELECT n_total, n_levels_a, n_levels_b,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(mutual_info, 6) AS mutual_info,
+           FLOOR(CASE WHEN LEAST(n_levels_a, n_levels_b) - 1 > 0
+                 THEN sqrt(GREATEST(chi2, 0.0)
+                           / (n_total * (LEAST(n_levels_a, n_levels_b) - 1)))
+                 ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS cramers_v
+    FROM agg
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association audit between order status and priority
+    (functions.infotheory.association): mutual information, Pearson
+    chi-square, and Cramér's V from ONE map-side-combining aggregate to
+    the |A|x|B| contingency table — the statistics are sums over that
+    bounded cell table, each per-cell term int64-quantized so the
+    result is partition- and engine-independent."""
+    from .functions.infotheory import association
+
+    orders = _t(spark, sf_dir, "orders")
+    out = association(orders, "o_orderstatus", "o_orderpriority", term_scale=8)
+    m6 = F.lit(1e6)
+    return out.select(
+        "n_total",
+        "n_levels_a",
+        "n_levels_b",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("mutual_info", 6).alias("mutual_info"),
+        (F.floor(F.col("cramers_v") * m6 + F.lit(0.5)) / m6).alias("cramers_v"),
+    )
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle="""
+    WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM v),
+    ranks AS (
+      SELECT i,
+             CASE WHEN i = 0 THEN 1
+                  WHEN i = 8 THEN (SELECT n FROM nn)
+                  ELSE (i * (SELECT n FROM nn) + 7) // 8
+             END AS rk
+      FROM range(0, 9) t(i)
+    ),
+    bounds AS (SELECT i, r.v AS bv FROM ranks JOIN r USING (rk)),
+    asg AS (
+      SELECT v.v,
+             (SELECT COUNT(*) FROM bounds b
+              WHERE b.i BETWEEN 1 AND 7 AND v.v > b.bv) AS bucket
+      FROM v
+    ),
+    cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM asg GROUP BY 1)
+    SELECT CAST(lo.i AS INT) AS bucket, lo.bv AS lo, hi.bv AS hi,
+           CAST(COALESCE(cnt.n_rows, 0) AS BIGINT) AS n_rows
+    FROM bounds lo
+    JOIN bounds hi ON hi.i = lo.i + 1
+    LEFT JOIN cnt ON cnt.bucket = lo.i
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equal-frequency histogram of event values with EXACT
+    DISCRETE boundaries (ops.histogram.equidepth_histogram on
+    ops.selection.exact_ranks): boundaries are elements at ranks
+    ceil(i*n/8) found by the bounded-memory selection engine (each
+    round one scan + an n_buckets-row shuffle), bucket assignment is a
+    branch-free literal comparison, counts one k-row aggregate. The
+    oracle re-derives every boundary by rank — discrete boundaries are
+    bit-identical across engines where interpolated ones are not."""
+    from .ops.histogram import equidepth_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return equidepth_histogram(ev, "value", k=8)
+
+
+@register(
+    "q_frequent_pairs",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY 1),
+    kb AS (SELECT basket, item FROM bi
+           WHERE item IN (SELECT item FROM ic WHERE n_item >= 20)),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+    pc AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM kb a JOIN kb b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT pc.item_a, pc.item_b, pc.n_pair,
+           ca.n_item AS n_a, cb.n_item AS n_b,
+           FLOOR(CAST(pc.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS support,
+           FLOOR(CAST(pc.n_pair AS DOUBLE) / CAST(ca.n_item AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS confidence,
+           FLOOR(CAST(pc.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS lift
+    FROM pc
+    JOIN ic ca ON ca.item = pc.item_a
+    JOIN ic cb ON cb.item = pc.item_b, nb
+    WHERE pc.n_pair >= 2
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs over order baskets
+    (ops.basket.frequent_pairs): the Apriori downward-closure prune
+    (items in >= 20 baskets) runs BEFORE the only quadratic step, the
+    per-basket self-join — so pair generation is quadratic in the
+    PRUNED basket width, with an in-plan width guard against
+    pathological baskets. Support/confidence/lift are floor-quantized
+    ratios of exact longs. Gate keeps pairs co-occurring >= 2 times."""
+    from .ops.basket import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_count=20, metric_scale=6
+    )
+    return out.filter(F.col("n_pair") >= 2)
+
+
+@register(
+    "q_apply_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, value FROM events WHERE user_id IS NOT NULL
+    ),
+    snap AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS v_cents
+      FROM ev GROUP BY 1
+    )
+    SELECT CAST(n_events % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS sum_events,
+           CAST(SUM(v_cents) AS BIGINT) AS sum_cents
+    FROM snap GROUP BY 1
+    """,
+)
+def q_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset apply (ops.diff.apply_diff) gated by the identity
+    diff-then-apply == target: OLD is the per-user snapshot of ~90% of
+    events, NEW the full snapshot; the gate diffs them with table_diff,
+    applies the changeset back onto OLD, and aggregates the result —
+    the oracle aggregates NEW directly, so equality proves apply_diff
+    inverts table_diff exactly (adds, upserts, deletes and untouched
+    rows all land). One left join + one anti join on the key — the
+    cost of a join at any scale. Payloads are integer (count + cent-
+    quantized value sum) so the compare is float-free."""
+    from .ops.diff import apply_diff, table_diff
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def snap(src: DataFrame) -> DataFrame:
+        return src.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("v_cents"),
+        )
+
+    old = snap(ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0))
+    new = snap(ev)
+    changes = table_diff(old, new, ["user_id"])
+    applied = apply_diff(old, changes, ["user_id"])
+    return applied.groupBy(
+        F.pmod(F.col("n_events"), F.lit(7)).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("sum_events"),
+        F.sum("v_cents").alias("sum_cents"),
+    )
+
+
+def _ri_oracle_one(name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    orphan_rows = f"""(SELECT CAST(COUNT(*) AS BIGINT) FROM {child} ch
+        WHERE ch.{fk} IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM {parent} p WHERE p.{pk} = ch.{fk}))"""
+    nonnull = f"(SELECT COUNT(*) FROM {child} WHERE {fk} IS NOT NULL)"
+    return f"""
+    SELECT '{name}' AS relation,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+      (SELECT CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM {child}) AS n_null_fk,
+      {orphan_rows} AS n_orphan_rows,
+      (SELECT CAST(COUNT(DISTINCT ch.{fk}) AS BIGINT) FROM {child} ch
+        WHERE ch.{fk} IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM {parent} p WHERE p.{pk} = ch.{fk})) AS n_orphan_keys,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent}
+         WHERE {pk} IS NOT NULL) AS n_parent,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL
+          GROUP BY 1 HAVING COUNT(*) > 1)) AS n_parent_dup_keys,
+      CASE WHEN {nonnull} > 0
+           THEN FLOOR(CAST({orphan_rows} AS DOUBLE)
+                      / CAST({nonnull} AS DOUBLE) * 1e6 + 0.5) / 1e6
+           ELSE 0.0 END AS orphan_rate
+    """
+
+
+@register(
+    "q_ref_integrity",
+    oracle=" UNION ALL ".join(
+        _ri_oracle_one(*r)
+        for r in [
+            ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem_suppkey", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("events_user", "events", "user_id", "customer", "c_custkey"),
+        ]
+    ),
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across four declared relations
+    (ops.integrity.integrity_report): per relation the child collapses
+    map-side to DISTINCT fk values WITH counts before the single
+    parent join — |distinct keys| rows move, not |child| rows — and
+    totals ride along as one-row broadcasts. The events->customer
+    relation is the intentionally-violated one (user ids are not
+    customer keys), exercising the orphan counters."""
+    from .ops.integrity import integrity_report
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return integrity_report([
+        ("orders_custkey", t("orders"), "o_custkey",
+         t("customer"), "c_custkey"),
+        ("lineitem_partkey", t("lineitem"), "l_partkey",
+         t("part"), "p_partkey"),
+        ("lineitem_suppkey", t("lineitem"), "l_suppkey",
+         t("supplier"), "s_suppkey"),
+        ("events_user", t("events"), "user_id",
+         t("customer"), "c_custkey"),
+    ])
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH a AS (
+      SELECT o_totalprice AS v, COUNT(*) AS ca FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), b AS (
+      SELECT o_totalprice AS v, COUNT(*) AS cb FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), m AS (
+      SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM m
+    ), r AS (
+      SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM m
+    ), g AS (
+      SELECT v, ABS(cum_a * (SELECT n_b FROM t)
+                    - cum_b * (SELECT n_a FROM t)) AS gap
+      FROM r
+    ), best AS (SELECT v, gap FROM g ORDER BY gap DESC, v ASC LIMIT 1)
+    SELECT t.n_a, t.n_b,
+           FLOOR(CAST(best.gap AS DOUBLE)
+                 / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                 * 1e8 + 0.5) / 1e8 AS ks_stat,
+           best.v AS ks_at
+    FROM best, t
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between pre- and post-1998
+    order prices (functions.stats.ks_statistic) — the bin-free
+    counterpart of q_psi_drift. Each side collapses map-side to
+    per-value counts, the two ECDFs come from ONE distributed prefix
+    scan (range partition + broadcast carries, never a SinglePartition
+    window), and the sup-gap comparison is EXACT int64 cross-
+    multiplication — float rounding cannot reorder candidates in
+    either engine."""
+    from .functions.stats import ks_statistic
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return ks_statistic(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        "o_totalprice",
+        scale=8,
+    )
+
+
+def _entropy_oracle() -> str:
+    classes = {
+        "c_lower": "[a-z]",
+        "c_upper": "[A-Z]",
+        "c_digit": "[0-9]",
+        "c_space": r"[ \t\n\r]",
+    }
+    cnt_cols = ",\n             ".join(
+        f"LENGTH(text) - LENGTH(regexp_replace(text, '{pat}', '', 'g'))"
+        f" AS {name}"
+        for name, pat in classes.items()
+    )
+    names = list(classes) + ["c_other"]
+    h_terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * ln(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)"
+        for c in names
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, LENGTH(text) AS n,
+             {cnt_cols}
+      FROM documents
+    ), d2 AS (
+      SELECT source, n, c_lower, c_upper, c_digit, c_space,
+             n - c_lower - c_upper - c_digit - c_space AS c_other
+      FROM d
+    ), e AS (
+      SELECT source,
+             CASE WHEN n > 0
+                  THEN FLOOR(({h_terms}) * 1e6 + 0.5) / 1e6
+             END AS h
+      FROM d2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(h) AS BIGINT) AS n_scored,
+           FLOOR(CAST(SUM(CAST(FLOOR(h * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / COUNT(h) * 1e6 + 0.5) / 1e6 AS mean_entropy,
+           CAST(SUM(CASE WHEN h < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM e GROUP BY source
+    """
+
+
+@register("q_char_entropy", oracle=_entropy_oracle())
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class entropy quality signal (llm.text.
+    char_class_entropy): Shannon entropy of the 5-way character-class
+    distribution per document — garbage (base64 blobs, repeated-char
+    runs) collapses toward zero, prose sits near ~1 nat. All counts
+    are codegen'd length-difference string ops (no explode, no UDF);
+    per-doc entropy is floor-quantized so the grouped mean is an exact
+    integer sum divided once."""
+    from .llm.text import char_class_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    h = char_class_entropy("text", scale=6)
+    m6 = F.lit(1e6)
+    scored = docs.select("source", h.alias("h"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("h").alias("n_scored"),
+        (
+            F.floor(
+                (F.sum(F.floor(F.col("h") * m6 + F.lit(0.5)).cast("long"))
+                 .cast("double") / m6)
+                / F.count("h") * m6 + F.lit(0.5)
+            ) / m6
+        ).alias("mean_entropy"),
+        F.sum(F.when(F.col("h") < 0.9, 1).otherwise(0)).alias("n_low"),
+    )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    ic AS (SELECT item, COUNT(*) AS n_item FROM bi GROUP BY 1),
+    kb AS (SELECT basket, item FROM bi
+           WHERE item IN (SELECT item FROM ic WHERE n_item >= 20)),
+    pe AS (
+      SELECT a.item AS u, b.item AS v
+      FROM kb a JOIN kb b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    nodes AS (
+      SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_nodes FROM
+        (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe)
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pe),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pe e1
+      JOIN pe e2 ON e2.u = e1.v
+      JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (ops.graph.
+    triangle_count over ops.basket.frequent_pairs edges): compact-
+    forward with DEGREE ORIENTATION — every node's out-degree is
+    O(sqrt(m)) however skewed the raw degrees, so the wedge join never
+    piles a celebrity node's neighbourhood onto one key. Two keyed
+    self-joins plus a closing-edge semi join; the oracle counts the
+    same triangles via the canonical a<b<c three-way join."""
+    from .ops.basket import frequent_pairs
+    from .ops.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_count=20)
+    edges = pairs.filter(F.col("n_pair") >= 2).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
 # positions 1-50 and nothing after). Put a curated 50 at the head so every
