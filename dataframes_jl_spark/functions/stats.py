@@ -685,11 +685,20 @@ def ks_statistic(
     gap = F.abs(
         F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
     )
+    # Tie-break at the max gap: SMALLEST value wins, with NaN ranked
+    # strictly below every finite/infinite value. A bare max(-v) would
+    # let NaN win any tie (NaN sorts greatest in Spark, and -NaN is
+    # NaN), diverging from the oracle's ORDER BY gap DESC, v ASC; the
+    # `fin` field demotes NaN before -v is ever compared, while a
+    # NaN-only max gap still reports ks_at = NaN via the `at` payload.
+    is_nan = F.isnan(F.col("v"))
     best = j.agg(
         F.max(
             F.struct(
                 gap.alias("g"),
-                (-F.col("v")).alias("nv"),
+                F.when(is_nan, F.lit(0)).otherwise(F.lit(1)).alias("fin"),
+                F.when(is_nan, F.lit(0.0)).otherwise(-F.col("v")).alias("nv"),
+                F.col("v").alias("at"),
                 F.coalesce(ok.cast("long"), F.lit(0)).alias("ok"),
             )
         ).alias("s"),
@@ -705,5 +714,5 @@ def ks_statistic(
         "n_a",
         "n_b",
         (F.floor(stat * m + F.lit(0.5)) / m).alias("ks_stat"),
-        (-F.col("s.nv")).alias("ks_at"),
+        F.col("s.at").alias("ks_at"),
     )

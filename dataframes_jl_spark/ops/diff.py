@@ -14,8 +14,20 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _nullsafe_key_cond(
+    left_alias: str, right_alias: str, keys: Sequence[str]
+) -> Column:
+    """``AND`` of per-key null-safe equalities between two aliased sides."""
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"{left_alias}.{k}").eqNullSafe(
+            F.col(f"{right_alias}.{k}")
+        )
+    return cond
 
 
 def table_diff(
@@ -48,13 +60,27 @@ def table_diff(
         *keys,
         F.lit(1).alias("__in_old__"),
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
-    )
+    ).alias("__o__")
     n = new.select(
         *keys,
         F.lit(1).alias("__in_new__"),
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    ).alias("__n__")
+    # Null-safe key equality (<=>): a NULL key is a value like any other,
+    # so a NULL-keyed row pairs with its counterpart instead of splitting
+    # into a spurious added+removed pair. Spark still plans <=> join keys
+    # as an equi-join (SMJ/BHJ), so the one-shuffle cost claim holds.
+    cond = _nullsafe_key_cond("__o__", "__n__", keys)
+    j = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__o__.{k}"), F.col(f"__n__.{k}")).alias(k)
+            for k in keys
+        ],
+        "__in_old__",
+        "__in_new__",
+        *[f"old_{c}" for c in compare_cols],
+        *[f"new_{c}" for c in compare_cols],
     )
-    j = o.join(n, keys, "full_outer")
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
@@ -111,23 +137,34 @@ def apply_diff(
         F.col(status_col).alias("__st__"),
         *[F.col(new_prefix + c).alias(f"__nv_{c}__") for c in payload],
     )
-    j = snapshot.join(ch, keys, "left").filter(
-        F.col("__st__").isNull() | (F.col("__st__") != "removed")
-    )
+    # Null-safe joins throughout so NULL key values round-trip the
+    # documented identity apply(old, diff(old, new)) == new: a plain
+    # equi-join never matches NULL keys, which would let a NULL-keyed
+    # 'removed' row survive and duplicate a NULL-keyed 'added' row.
+    s = snapshot.alias("__s__")
+    c_ = ch.alias("__c__")
+    j = s.join(
+        c_, _nullsafe_key_cond("__s__", "__c__", keys), "left"
+    ).filter(F.col("__st__").isNull() | (F.col("__st__") != "removed"))
     take_new = F.col("__st__").isin("added", "changed")
     updated = j.select(
-        *keys,
+        *[F.col(f"__s__.{k}").alias(k) for k in keys],
         *[
             F.when(take_new, F.col(f"__nv_{c}__"))
-            .otherwise(F.col(c))
+            .otherwise(F.col(f"__s__.{c}"))
             .alias(c)
             for c in payload
         ],
     )
-    inserts = ch.filter(F.col("__st__") == "added").join(
-        snapshot.select(*keys), keys, "anti"
-    ).select(
-        *keys, *[F.col(f"__nv_{c}__").alias(c) for c in payload]
+    inserts = (
+        ch.filter(F.col("__st__") == "added")
+        .alias("__c__")
+        .join(
+            snapshot.select(*keys).alias("__s__"),
+            _nullsafe_key_cond("__c__", "__s__", keys),
+            "anti",
+        )
+        .select(*keys, *[F.col(f"__nv_{c}__").alias(c) for c in payload])
     )
     return updated.unionByName(inserts)
 

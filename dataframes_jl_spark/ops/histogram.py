@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .selection import exact_ranks
+from .selection import exact_ranks_n
 
 
 def equidepth_histogram(
@@ -53,15 +53,20 @@ def equidepth_histogram(
     if k < 1:
         raise ValueError("k must be >= 1")
     c = F.col(col).cast("double")
-    n = df.filter(c.isNotNull()).count()
+    # ranks 1 (min), ceil(i*n/k) for i=1..k-1, n (max) — integer ceil
+    # division (float i*n/k loses exactness past 2^53 rows). n comes
+    # from the selection engine's OWN head-stats scan (exact_ranks_n),
+    # never a separate count() job: one fewer full scan, and the rank
+    # bounds can't disagree with the engine on a re-evaluated source.
+    bounds, n = exact_ranks_n(
+        df, col,
+        lambda n: [1] + [(i * n + k - 1) // k for i in range(1, k)] + [n],
+        **selection_kw,
+    )
     if n == 0:
         return df.sparkSession.createDataFrame(
             [], "bucket int, lo double, hi double, n_rows long"
         )
-    # ranks 1 (min), ceil(i*n/k) for i=1..k-1, n (max) — integer ceil
-    # division (float i*n/k loses exactness past 2^53 rows)
-    ranks = [1] + [(i * n + k - 1) // k for i in range(1, k)] + [n]
-    bounds = exact_ranks(df, col, ranks, **selection_kw)
     interior = bounds[1:-1]
     bucket: Column = F.lit(0)
     for b in interior:

@@ -119,20 +119,50 @@ def exact_ranks(
     interpolated quantile's last ulp depends on the engine's lerp
     formula; a selected element does not). Same bounded-memory
     narrowing engine, all ranks share each round's histogram job."""
-    rs = sorted(set(int(r) for r in ranks))
+    found, n = exact_ranks_n(
+        df, col, lambda n: ranks,
+        n_buckets=n_buckets, collect_limit=collect_limit,
+        max_rounds=max_rounds,
+    )
+    if n == 0:
+        raise ValueError("ranks must lie in [1, 0]")
+    return found
+
+
+def exact_ranks_n(
+    df: DataFrame,
+    col: str,
+    ranks_fn,
+    n_buckets: int = 8192,
+    collect_limit: int = 200_000,
+    max_rounds: int = 8,
+) -> tuple[list[float], int]:
+    """:func:`exact_ranks` with the ranks DERIVED from the row count:
+    ``ranks_fn(n)`` receives the non-null count the engine's own
+    head-stats scan measured and returns the 1-indexed ranks to select.
+
+    This is the single-scan contract callers like equi-depth histograms
+    need — deriving ranks from a separate ``count()`` job both costs an
+    extra full scan and can disagree with the engine's n on a
+    re-evaluated non-deterministic source, tripping the bounds check.
+    Returns ``(values, n)``; ``([], 0)`` on an all-null column."""
     vals = (
         df.select(F.col(col).cast("double").alias("v"))
         .filter(F.col("v").isNotNull())
         .withColumn("w", F.lit(1).cast("long"))
     )
     head, n, w_ninf, w_pinf = _head_stats(vals, col, "exact_ranks")
+    if n == 0:
+        return [], 0
+    ranks = list(ranks_fn(int(n)))
+    rs = sorted(set(int(r) for r in ranks))
     if any(r < 1 or r > n for r in rs):
         raise ValueError(f"ranks must lie in [1, {n}]")
     found = _select_with_infinities(
         vals, rs, head, n, w_ninf, w_pinf,
         n_buckets, collect_limit, max_rounds,
     )
-    return [found[int(r)] for r in ranks]
+    return [found[int(r)] for r in ranks], int(n)
 
 
 def exact_median(df: DataFrame, col: str, **kw) -> float:

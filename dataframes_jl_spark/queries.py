@@ -7253,73 +7253,68 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all of which were driver-green in round 1 or pass the local replay).
 # ---------------------------------------------------------------------------
 
-# Round-6 rotation (round-5 verdict #1): the three round-5 operators
-# that have never had a driver CORRECTNESS row go first — their green
-# rows close the registry to 139/139 with driver evidence. The rest of
-# the window refreshes the STALEST evidence: every round-1-era query
-# (no driver row since r1), the retired-alias q_dedup_simhash (now
-# value-gated, last sampled rows-only in r2), 23 round-3-era queries,
-# and the two queries whose implementation changed this round
-# (minhash pre-partition regime switch; kmeans margin + vectorized
-# output) so the driver revalidates the changed code externally.
+# Round-8 rotation (round-7 verdict #1, two rounds overdue): the 12
+# registry names with ZERO driver evidence go first — q_seasonal_residuals
+# (added r6), the two streaming snapshot-merge gates, and the nine round-7
+# operators. Their green rows restore full cumulative driver coverage.
+# The rest of the window refreshes the STALEST evidence: all 27 names whose
+# last driver row was round 3, then the oldest round-4 rows. Round-8 NEW
+# operators are spliced into the tail as they land (replacing r4 refreshes,
+# which retain r4 evidence either way).
 _PRIORITY = [
-    # --- first-ever driver rows (round-5 scale operators) -------------
-    "q_global_running_sum",
-    "q_hll_distinct",
-    "q_zorder_roundtrip",
-    # --- first-ever driver rows (round-6 operators) -------------------
-    "q_hll_groups",
-    "q_kmv_overlap",
-    "q_merge_intervals",
-    "q_fuzzy_match",
-    "q_table_diff",
-    # --- changed this round: external revalidation --------------------
-    "q_dedup_minhash_lsh",
-    "q_semdedup",
-    "q_kmeans_clusters",
-    # --- stalest evidence: round-1-era (all 21) -----------------------
-    "q03_nation_revenue",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q_join_left",
-    "q_distinct",
-    "q_union_by_name",
-    "q_window_topk_per_group",
-    "q_pivot_status",
-    "q_colwise_stats",
-    "q_na_propagating_agg",
-    "q_cut_histogram",
-    "q_cumulative_user_value",
-    "q_doc_fingerprint",
-    "q_crosstab",
-    "q_sortperm",
-    "q_corr_cov",
-    "q_moments",
-    "q_pct_change",
-    "q_paste_columns",
-    "q_rollup",
-    "q_rank_windows",
-    # --- value-gated for the first time (was rows-only in r2) ---------
-    "q_dedup_simhash",
-    # --- round-3-era refresh ------------------------------------------
-    "q_join_semi_anti",
-    "q_interarrival",
-    "q_rolling_distinct",
-    "q_temperature_mix",
-    "q_skew_report",
-    "q_exact_quantiles",
-    "q_dedup_exact_groups",
-    "q_resample_linear",
-    "q_resample_locf",
-    "q_weighted_quantiles",
-    "q_ann_bruteforce",
-    "q_ann_lsh",
-    "q_dedup_embedding",
-    "q_multimodal_decode",
-    # --- first-ever driver rows (round-6 session-2 operators) ---------
-    "q_heavy_hitters",
-    "q_mad_outliers",
-    "q_ngram_counts",
+    # --- first-ever driver rows (zero-evidence backlog) ----------------
+    "q_seasonal_residuals",
+    "q_stream_distinct_merge",
+    "q_stream_topk_merge",
+    "q_transition_matrix",
+    "q_mutual_info",
+    "q_equidepth_histogram",
+    "q_frequent_pairs",
+    "q_apply_diff",
+    "q_ref_integrity",
+    "q_ks_drift",
+    "q_char_entropy",
+    "q_triangle_count",
+    # --- stalest evidence: round-3-era (all 27) ------------------------
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q_any_all_tristate",
+    "q_bm25_search",
+    "q_colwise_grouped",
+    "q_complete_cases",
+    "q_corpus_shuffle",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_jaccard_exact",
+    "q_describe",
+    "q_join_natural_right",
+    "q_language_id",
+    "q_mixture_weights",
+    "q_pack_sequences",
+    "q_pivot_table_lib",
+    "q_positional_rows",
+    "q_quality_score",
+    "q_row_reductions",
+    "q_set_ops",
+    "q_sliding_window",
+    "q_special_functions",
+    "q_string_functions",
+    "q_systematic_sample",
+    "q_text_stats",
+    "q_window_running_sum",
+    "q_windowed_rollup",
+    # --- round-4-era refresh (replaced by round-8 additions as they land)
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_bracket_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
+    "q_bucketed_join",
+    "q_chunk_documents",
 ]
 
 

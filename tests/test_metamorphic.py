@@ -829,12 +829,28 @@ def test_hll_guard_survives_estimate_only_projection(spark):
 def test_kmv_overlap_releases_its_caches(spark):
     """Round-6 advice: kmv_overlap persisted both sketches and never
     unpersisted — repeated calls accumulated cache blocks. The result
-    is now materialized eagerly and the caches dropped on return."""
+    is now materialized eagerly and the caches dropped on return.
+
+    Asserts a cache-entry DELTA, not global emptiness: the suite shares one
+    session, and earlier tests legitimately leave caller-owned persisted
+    blocks (with_running's boundary draw, global_row_number, merge_intervals).
+    kmv_overlap must simply add NO net new entries."""
     from dataframes_jl_spark.ops.bloom import kmv_build, kmv_overlap
 
+    jvm = spark._jvm
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def _n_cached():
+        # CacheManager keeps an IndexedSeq of CachedData; size() is the
+        # stable cross-version probe (isEmpty() is too coarse for a delta).
+        return cm.cachedData().size()
+
+    before = _n_cached()
     a = kmv_build(spark.range(0, 3000).select(F.col("id").alias("k")), "k", 64)
     b = kmv_build(spark.range(1500, 4500).select(F.col("id").alias("k")), "k", 64)
     row = kmv_overlap(a, b, 64).collect()[0]
     assert row.n_union_hashes == 64 and 0.0 < row.jaccard < 1.0
-    cm = spark._jsparkSession.sharedState().cacheManager()
-    assert cm.isEmpty(), "kmv_overlap left persisted blocks behind"
+    after = _n_cached()
+    assert after <= before, (
+        f"kmv_overlap left {after - before} net new persisted blocks behind"
+    )
