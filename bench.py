@@ -153,6 +153,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r7 battery-vs-solo drift root cause (tools/bench_forensics.py):
+        # the default 100-entry codegen class cache thrashed across 53
+        # distinct queries, re-compiling Janino classes inside the timed
+        # window. session.py now raises it to 10k (static conf).
+        "notes": "codegen cache 10k (r8: fixes battery-vs-solo compile churn)",
     }
     # per-query delta vs the newest recorded BENCH_r{N}.json so a
     # regressed query is nameable directly from the output

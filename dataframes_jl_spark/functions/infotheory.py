@@ -116,3 +116,71 @@ def association(
         ),
     ).otherwise(F.lit(0.0))
     return agg.withColumn("cramers_v", v)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a: str | Column,
+    b: str | Column,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns over the same rows
+    — chance-corrected agreement, the standard audit when two labelers
+    (model vs heuristic, old pipeline vs new) tag the same corpus:
+    ``kappa = (p_o - p_e) / (1 - p_e)`` with ``p_o`` the observed
+    agreement ``Σ diag / n`` and ``p_e`` the chance agreement
+    ``Σ_k n_a(k)·n_b(k) / n²``.
+
+    Same scale shape as :func:`association`: ONE aggregate to the
+    bounded contingency table, statistics over that tiny table.
+    Determinism is stronger here: kappa is a ratio of exact integer
+    sums — ``p_o - p_e = (n·Σdiag - Σ n_a·n_b) / (n² - Σ n_a·n_b)``
+    after clearing denominators — so the ONLY float op is the final
+    division (correctly rounded IEEE), then floor-quantization. The
+    int64 products are guarded by an in-plan assert (n < ~3e9 rows;
+    beyond that the cleared-denominator products need decimal128).
+
+    Returns one row ``(n_total, p_observed, p_expected, kappa)``.
+    """
+    t = contingency(df, a, b)
+    diag = F.when(
+        F.col("a").eqNullSafe(F.col("b")), F.col("n")
+    ).otherwise(F.lit(0))
+    # Σ n_a·n_b over matching LEVELS: each level k contributes once —
+    # take it from one representative cell per (a-level) joined against
+    # b-margins... simpler exactly: chance term needs per-level product
+    # of the two margins for the SAME label value. Recover margins by
+    # re-aggregating the cell table (still bounded).
+    ma = t.groupBy("a").agg(F.max("n_a").alias("na")).withColumnRenamed("a", "k")
+    mb = t.groupBy("b").agg(F.max("n_b").alias("nb")).withColumnRenamed("b", "k")
+    # |levels| rows per side — broadcast the inner join of margins
+    chance = ma.join(F.broadcast(mb), ma["k"].eqNullSafe(mb["k"]), "inner").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("sum_nanb")
+    )
+    ok = F.assert_true(
+        F.col("n_total").cast("double") < F.lit(3.0e9),
+        F.lit("cohens_kappa: n too large for int64 cross-products"),
+    )
+    base = t.agg(
+        F.max("n_total").alias("n_total"),
+        F.sum(diag).alias("sum_diag"),
+    ).crossJoin(F.broadcast(chance))
+    n = F.col("n_total")
+    m = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    po = F.col("sum_diag").cast("double") / n.cast("double")
+    pe = F.col("sum_nanb").cast("double") / (n * n).cast("double")
+    kappa_num = (n * F.col("sum_diag") - F.col("sum_nanb")).cast("double")
+    kappa_den = (n * n - F.col("sum_nanb")).cast("double")
+    kappa = F.when(kappa_den > 0, kappa_num / kappa_den).otherwise(
+        F.lit(1.0)
+    ) + F.when(ok.isNull(), F.lit(0.0))
+    return base.select(
+        "n_total",
+        _q(po).alias("p_observed"),
+        _q(pe).alias("p_expected"),
+        _q(kappa).alias("kappa"),
+    )

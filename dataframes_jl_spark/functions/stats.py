@@ -716,3 +716,284 @@ def ks_statistic(
         (F.floor(stat * m + F.lit(0.5)) / m).alias("ks_stat"),
         F.col("s.at").alias("ks_at"),
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    group_by: Sequence[str],
+    half_life_days: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group exponential time-decayed sum of ``value``:
+    ``Σ value_i · 0.5^(age_i / half_life)`` with age measured in WHOLE
+    half-life periods from the newest timestamp in the data — the
+    recency-weighted engagement/importance score behind freshness
+    ranking and retention features.
+
+    Determinism: the decay exponent is an INTEGER period count
+    (``datediff // half_life_days``), so the decay factor is an exact
+    power of two (2^-k is exact in binary floating point for k ≤ 1074,
+    and exactly 0.0 beyond — both engines agree bit-for-bit, where a
+    fractional exponent would hinge on libm pow). Each term is one IEEE
+    multiply of the raw value by that exact factor, floor-quantized to
+    int64 units before the order-independent integer sum (the dsum
+    discipline).
+
+    Scale shape: one tiny aggregate for the global reference day
+    (broadcast as a 1-row frame), one map-side-combining aggregate to
+    |groups| rows. Two jobs, nothing proportional to row count moves.
+    """
+    gb = list(group_by)
+    ref = df.agg(F.max(F.to_date(F.col(ts))).alias("__ref_day__"))
+    periods = F.floor(
+        F.datediff(F.col("__ref_day__"), F.to_date(F.col(ts)))
+        / F.lit(int(half_life_days))
+    ).cast("int")
+    term = F.col(value).cast("double") * F.pow(F.lit(0.5), periods)
+    m = F.lit(float(10**out_scale))
+    q = F.floor(term * m + F.lit(0.5)).cast("long")
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .filter(F.col(value).isNotNull() & F.col(ts).isNotNull())
+        .groupBy(*gb)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(q) / m.cast("double")).alias("decayed_sum"),
+        )
+    )
+
+
+def cusum_peaks(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group CUSUM change-point scan over the group's DAILY event
+    counts: where did the arrival rate shift up the hardest?
+
+    The one-sided CUSUM against the group's own mean rate is, in
+    closed form, ``C_t = S_t - min_{i<=t} S_i`` with
+    ``S_t = Σ_{d<=t} (x_d - μ)`` — a prefix sum minus its running
+    minimum, i.e. two windows over the group's DAY table (bounded by
+    the calendar: a year of data is ≤ 366 rows per group regardless of
+    event volume, so the per-group window is bounded by construction —
+    the aggregate-then-window pattern that keeps window partitions
+    tiny at any scale).
+
+    Determinism: deviations are cleared of the float mean —
+    ``dev_d = x_d · n_days - total`` is EXACT int64 (x_d·n_days ≤
+    total ≤ 9e18 guarded by the same int64 contract as ks_statistic) —
+    so the entire CUSUM path is integer arithmetic; only the final
+    normalization ``peak / (total/n_days)`` divides, floor-quantized.
+    Ties at the peak resolve to the EARLIEST day.
+
+    Returns per group: ``(group, n_days, total_events, peak_day,
+    peak_cusum)`` with ``peak_cusum`` normalized to units of the mean
+    daily count.
+    """
+    gb = list(group_by)
+    daily = (
+        df.filter(F.col(ts).isNotNull())
+        .groupBy(*gb, F.to_date(F.col(ts)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = daily.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("total"),
+    )
+    j = daily.join(stats, gb, "inner")
+    dev = F.col("x") * F.col("n_days") - F.col("total")
+    w = (
+        Window.partitionBy(*gb)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(dev).over(w)
+    path = j.select(
+        *gb, "day", "n_days", "total",
+        s.alias("__s__"),
+        F.min(s).over(w).alias("__smin__"),
+    )
+    # C_t = S_t - min(0, min_{i<=t} S_i): the empty prefix contributes 0
+    cus = F.col("__s__") - F.least(F.col("__smin__"), F.lit(0).cast("long"))
+    m = F.lit(float(10**out_scale))
+    best = path.groupBy(*gb).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("total").alias("total_events"),
+        F.max(
+            F.struct(
+                cus.alias("c"),
+                (F.lit(0) - F.unix_date(F.col("day"))).alias("nd"),
+                F.col("day").alias("at"),
+            )
+        ).alias("__b__"),
+    )
+    # normalized peak: cusum is in units of (count·n_days); divide by
+    # total to express it in mean-day units — one float division
+    norm = F.col("__b__.c").cast("double") / F.col(
+        "total_events"
+    ).cast("double")
+    return best.select(
+        *gb,
+        "n_days",
+        "total_events",
+        F.col("__b__.at").alias("peak_day"),
+        (F.floor(norm * m + F.lit(0.5)) / m).alias("peak_cusum"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant: str | Column,
+    success: str | Column,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Two-proportion pooled z-test between exactly two variants — the
+    A/B-test read-out. ``variant`` must take exactly 2 distinct values
+    (asserted in-plan); ``success`` is a boolean.
+
+    One map-side-combining aggregate to 2 rows, then closed-form
+    arithmetic. The z statistic uses only +,-,*,/ and sqrt — ALL
+    correctly-rounded IEEE operations — over exact integer counts, so
+    it is bit-identical in any engine before the final quantization
+    (no libm-sensitive exp/log anywhere).
+
+    Returns one row: ``(variant_a, n_a, x_a, variant_b, n_b, x_b,
+    rate_a, rate_b, z_score)`` with variants ordered ascending.
+    """
+    vc = F.col(variant) if isinstance(variant, str) else variant
+    sc = F.col(success) if isinstance(success, str) else success
+    per = df.groupBy(vc.alias("v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sc.cast("long")).alias("x"),
+    )
+    two = F.assert_true(
+        F.count(F.lit(1)) == 2,
+        F.lit("two_proportion_ztest: variant must have exactly 2 levels"),
+    )
+    wide = per.agg(
+        F.min_by(F.col("v"), F.col("v")).alias("variant_a"),
+        F.min_by(F.col("n"), F.col("v")).alias("n_a"),
+        F.min_by(F.col("x"), F.col("v")).alias("x_a"),
+        F.max_by(F.col("v"), F.col("v")).alias("variant_b"),
+        F.max_by(F.col("n"), F.col("v")).alias("n_b"),
+        F.max_by(F.col("x"), F.col("v")).alias("x_b"),
+        two.alias("__ok__"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    p_pool = (xa + xb) / (na + nb)
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (xa / na - xb / nb) / se).otherwise(F.lit(0.0))
+    m = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * m + F.lit(0.5)) / m
+
+    return wide.select(
+        "variant_a", "n_a", "x_a", "variant_b", "n_b", "x_b",
+        _q(xa / na).alias("rate_a"),
+        _q(xb / nb).alias("rate_b"),
+        (_q(z) + F.when(F.col("__ok__").isNull(), F.lit(0.0))).alias("z_score"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str],
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    scale: int = 2,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group winsorized mean: clamp ``value`` at the group's
+    DISCRETE lo_q/hi_q order statistics, then average — the outlier-
+    robust mean that, unlike trimming, keeps n constant.
+
+    The bounds are discrete order statistics (the element at rank
+    ``max(1, ceil(q·n))``) — selected values, never interpolated, so
+    they are bit-identical across engines (an interpolated bound's last
+    ulp depends on the lerp formula). Values are quantized to int64
+    units up front; the winsorized sum is then exact integer math.
+
+    Scale shape: one ``row_number``/``count`` window keyed by the group
+    (a keyed external sort — spills, never OOMs, same cost class as any
+    per-group ranking), then one map-side-combining aggregate on the
+    same key: the window's conditional rank-pick (``max(case when rn =
+    lo_rank ...)``) rides the partitioning the window already created.
+    For groups too large to sort comfortably, the unbounded-memory-safe
+    alternative is ops.selection.exact_ranks per group — this keyed
+    form is the right default while |group| ≪ |table|.
+
+    Returns ``(group, n, lo_bound, hi_bound, winsorized_mean)`` in
+    original units.
+    """
+    gb = list(group_by)
+    m = F.lit(float(10**scale))
+    x = F.floor(F.col(value).cast("double") * m + F.lit(0.5)).cast("long")
+    base = df.filter(F.col(value).isNotNull()).select(*gb, x.alias("__x__"))
+    w = Window.partitionBy(*gb).orderBy("__x__")
+    wall = Window.partitionBy(*gb)
+    ranked = base.select(
+        *gb,
+        "__x__",
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(wall).alias("__n__"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(float(lo_q)) * F.col("__n__"))
+    )
+    hi_rank = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(float(hi_q)) * F.col("__n__"))
+    )
+    marked = ranked.select(
+        *gb,
+        "__x__",
+        F.when(F.col("__rn__") == lo_rank, F.col("__x__")).alias("__lo__"),
+        F.when(F.col("__rn__") == hi_rank, F.col("__x__")).alias("__hi__"),
+    )
+    bounds = marked.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__lo__").alias("__lob__"),
+        F.max("__hi__").alias("__hib__"),
+    )
+    # Second pass over the RANKED frame (same key — the join and the
+    # final aggregate reuse the window's partitioning; the bounds side
+    # is |groups| rows and broadcasts): clamp against the per-group
+    # bounds and sum exactly.
+    clamped = (
+        ranked.join(bounds, gb, "inner")
+        .select(
+            *gb,
+            "n",
+            "__lob__",
+            "__hib__",
+            F.greatest(
+                F.col("__lob__"), F.least(F.col("__hib__"), F.col("__x__"))
+            ).alias("__cx__"),
+        )
+        .groupBy(*gb)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("__lob__").alias("__lob__"),
+            F.max("__hib__").alias("__hib__"),
+            F.sum("__cx__").alias("__scx__"),
+        )
+    )
+    om = F.lit(float(10**out_scale))
+    mean = (
+        F.col("__scx__").cast("double")
+        / F.col("n").cast("double")
+        / m.cast("double")
+    )
+    return clamped.select(
+        *gb,
+        "n",
+        (F.col("__lob__").cast("double") / m).alias("lo_bound"),
+        (F.col("__hib__").cast("double") / m).alias("hi_bound"),
+        (F.floor(mean * om + F.lit(0.5)) / om).alias("winsorized_mean"),
+    )

@@ -1,0 +1,139 @@
+"""Concentration / inequality measures: Gini coefficient and Lorenz
+curve over a grouped value column.
+
+Beyond-reference operator for corpus and revenue auditing — "how
+concentrated is the token mass over sources?" / "what share of revenue
+do the top decile of customers hold?" is the first question a skew or
+curation audit asks at 100 TB.
+
+Determinism contract (the repo's engine-portability discipline): the
+value is quantized to an int64 BEFORE any ranking or summation, ranks
+come from ``row_number`` over ``(value, tiebreak)`` (equal values may
+receive their consecutive ranks in any order — the rank-weighted sum
+``Σ i·x_i`` is invariant under permuting equal ``x_i``, so the
+tiebreak only pins the row identity, not the statistic), and the
+rank-weighted sum accumulates in ``DECIMAL(38,0)`` (rank ≤ n can reach
+10^10 and x_i 10^9 at scale — their product overflows int64; a 38-digit
+decimal holds Σ i·x_i for any realistic table). The final coefficient
+is one float division, floor-quantized.
+
+Scale shape: one shuffle to rank within each group (a keyed sort —
+Spark's window external-sorts and spills, so a billion-row group is
+slow but safe), one map-side-combining aggregate to |groups| rows.
+The Lorenz curve adds an ``ntile`` over the same sorted order — no
+extra shuffle (same partitioning/ordering, one window stage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _q64(col, scale: int):
+    m = F.lit(float(10**scale))
+    return F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+
+
+def gini(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str] = (),
+    tiebreak: str | None = None,
+    scale: int = 2,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of ``value``.
+
+    Uses the rank form on ascending-sorted non-negative values:
+    ``G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n`` — exact (no binning), all
+    integer until the final division. Negative or NULL values are
+    excluded (Gini is defined on non-negative mass). Returns
+    ``(*group_by, n, total, gini)`` with ``total`` in quantized units
+    (``value·10^scale`` as int64).
+    """
+    gb = list(group_by)
+    x = _q64(value, scale)
+    base = (
+        df.filter(F.col(value).isNotNull() & (F.col(value) >= 0))
+        .select(*gb, x.alias("__x__"), *( [tiebreak] if tiebreak else [] ))
+    )
+    order = [F.col("__x__")] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*gb).orderBy(*order) if gb else Window.orderBy(*order)
+    ranked = base.select(
+        *gb, "__x__", F.row_number().over(w).alias("__i__")
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("total"),
+        F.sum(
+            (F.col("__i__").cast(dec) * F.col("__x__").cast(dec))
+        ).alias("__iwx__"),
+    )
+    n = F.col("n").cast("double")
+    tot = F.col("total").cast("double")
+    g = (
+        F.lit(2.0) * F.col("__iwx__").cast("double") / (n * tot)
+        - (n + F.lit(1.0)) / n
+    )
+    m = F.lit(float(10**out_scale))
+    return agg.select(
+        *gb,
+        "n",
+        "total",
+        F.when(
+            F.col("total") > 0, F.floor(g * m + F.lit(0.5)) / m
+        ).alias("gini"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str] = (),
+    tiebreak: str | None = None,
+    scale: int = 2,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Lorenz curve sampled at deciles: for each group and decile d
+    (1..10 over ascending ``value``), the cumulative share of total
+    mass held by the bottom d/10 of rows.
+
+    ``ntile(10)`` over the same deterministic order as :func:`gini`;
+    equal values split across a decile edge get their decile from the
+    tiebreak order — share values are only tiebreak-sensitive when a
+    tie straddles an edge, which the tiebreak pins deterministically.
+    Returns ``(*group_by, decile, n_rows, cum_share)``.
+    """
+    gb = list(group_by)
+    x = _q64(value, scale)
+    base = (
+        df.filter(F.col(value).isNotNull() & (F.col(value) >= 0))
+        .select(*gb, x.alias("__x__"), *( [tiebreak] if tiebreak else [] ))
+    )
+    order = [F.col("__x__")] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*gb).orderBy(*order) if gb else Window.orderBy(*order)
+    tiled = base.select(*gb, "__x__", F.ntile(10).over(w).alias("decile"))
+    per = tiled.groupBy(*gb, "decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__x__").alias("__mass__"),
+    )
+    wc = (
+        Window.partitionBy(*gb).orderBy("decile")
+        if gb
+        else Window.orderBy("decile")
+    )
+    # cumulative over ≤10 rows per group — the window input is already
+    # the decile aggregate, so its partitions are bounded by 10
+    cum = F.sum("__mass__").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("__mass__").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    m = F.lit(float(10**out_scale))
+    share = F.floor(cum.cast("double") / tot.cast("double") * m + F.lit(0.5)) / m
+    return per.select(*gb, "decile", "n_rows", share.alias("cum_share"))

@@ -108,3 +108,68 @@ def integrity_report(
         DataFrame.unionByName,
         [check_relation(*r) for r in relations],
     )
+
+
+# Benford first-digit frequencies log10(1 + 1/d), d = 1..9, as ppm
+# LITERALS (computed once here, never via in-engine log10 — libm log
+# is not correctly-rounded, so an in-plan log10 could differ by an ulp
+# between engines; nine constants cannot).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    col: str,
+    cents_scale: int = 2,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column against Benford's law — the classic fabricated-/synthetic-
+    data smell test for financial and count columns.
+
+    Returns 9 rows ``(digit, n_values, obs_ppm, exp_ppm, dev_ppm)``:
+    observed and expected frequency in parts-per-million, and their
+    signed difference. Rows with NULL or ``<= 0`` values are excluded
+    (Benford is defined on positive magnitudes).
+
+    Determinism: the value is quantized to integer units
+    (``·10^cents_scale``, floor+0.5) and the first digit is the first
+    character of the INTEGER's decimal rendering — integer-to-string is
+    exact and identical in every engine, where ``floor(x / 10^floor(
+    log10 x))`` would hinge on libm log10 at exact powers of ten. The
+    expected ppm are nine literal constants (see ``_BENFORD_PPM``).
+    obs_ppm is floor(n·10^6/total + 0.5) computed in double — exact for
+    n < 2^53, i.e. any table this side of 9e15 rows.
+
+    Scale shape: one map-side-combining aggregate to ≤ 9 rows, then
+    arithmetic over those 9 rows. Nothing else moves.
+    """
+    m = F.lit(float(10**cents_scale))
+    units = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+    digits = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        .select(F.substring(units.cast("string"), 1, 1).cast("int").alias("digit"))
+        .filter(F.col("digit") > 0)  # 0.001 at scale 2 quantizes to 0
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    from pyspark.sql import Window
+
+    # total via a window over the ≤9-row digit table (bounded, not data)
+    total = F.sum("n_values").over(Window.partitionBy())
+    exp_ppm = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )[F.col("digit")]
+    obs_ppm = F.floor(
+        F.col("n_values").cast("double") * F.lit(1e6) / total.cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return digits.select(
+        "digit",
+        "n_values",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        (obs_ppm - exp_ppm).alias("dev_ppm"),
+    )

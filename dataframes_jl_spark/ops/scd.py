@@ -345,3 +345,55 @@ def scd2_lookup(
     # drop the helper AND the matched valid_from the as-of join emits —
     # neither is part of the documented output schema
     return cleaned.drop("__vt__", f"{ts_col}__scd2__")
+
+
+def survivorship(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Golden-record (survivorship) merge: collapse every key's row
+    versions to ONE record taking, per column independently, the value
+    from the LATEST row where that column is non-NULL — the standard
+    MDM rule ("most recent known value per field"), which a plain
+    "latest row wins" gets wrong the moment the newest row has gaps.
+
+    ``order_by`` defines recency (later = higher), with the FULL tuple
+    required to be unique per key (pass a row id as the last element —
+    an ambiguous tie would make "the latest non-null" nondeterministic;
+    this is the same determinism contract as sorting.global_row_number).
+
+    Implementation: one ``row_number`` window over (keys, order_by) to
+    turn recency into a dense int, then ONE aggregate with per-column
+    ``max_by(col, rn) FILTER (WHERE col IS NOT NULL)`` — a single
+    shuffle on the key for the window and a map-side-combining agg on
+    the same key (AQE coalesces the second exchange; the partitioning
+    is reused). No join, no collect; |keys| rows out.
+
+    Returns one row per key: the key columns, every payload column's
+    survivor value, ``n_versions``, and ``last_rn`` (= n_versions, an
+    invariant the tests pin).
+    """
+    keys = list(keys)
+    order_by = list(order_by)
+    if not keys or not order_by:
+        raise ValueError("survivorship needs keys and order_by")
+    if cols is None:
+        cols = [c for c in df.columns if c not in keys and c not in order_by]
+    cols = list(cols)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    ranked = df.select(
+        *keys, *cols, F.row_number().over(w).alias("__rn__")
+    )
+    survivors = [
+        F.expr(
+            f"max_by(`{c}`, __rn__) FILTER (WHERE `{c}` IS NOT NULL)"
+        ).alias(c)
+        for c in cols
+    ]
+    return ranked.groupBy(*keys).agg(
+        *survivors,
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max("__rn__").alias("last_rn"),
+    )

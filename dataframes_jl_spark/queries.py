@@ -7243,6 +7243,373 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 8: concentration, agreement, forensic audit, golden record, decay,
+# change-point, A/B testing, robust means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, c_custkey) AS i
+      FROM rev
+    ),
+    agg AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total,
+             SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS iwx
+      FROM ranked GROUP BY 1
+    )
+    SELECT segment, n, total,
+           FLOOR((2.0 * CAST(iwx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+    FROM agg
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: per market segment, the Gini
+    coefficient of per-customer order revenue (ops.inequality.gini).
+    Revenue is quantized to integer cents BEFORE the per-customer sum
+    (order-independent), ranks are one keyed window, and the rank-
+    weighted sum accumulates in decimal(38,0) — everything integer
+    until the final division, so the oracle replays it exactly."""
+    from .ops.inequality import gini
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return gini(rev, "cents", group_by=["segment"], tiebreak="c_custkey", scale=0)
+
+
+@register(
+    "q_kappa_agreement",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    lab AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) AS f,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) AS l
+      FROM r GROUP BY 1
+    ),
+    cell AS (SELECT f, l, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN f = l THEN n ELSE 0 END) AS BIGINT) AS diag
+      FROM cell
+    ),
+    ma AS (SELECT f AS k, CAST(SUM(n) AS BIGINT) AS na FROM cell GROUP BY 1),
+    mb AS (SELECT l AS k, CAST(SUM(n) AS BIGINT) AS nb FROM cell GROUP BY 1),
+    ch AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS sum_nanb FROM ma JOIN mb USING (k))
+    SELECT nt AS n_total,
+           FLOOR(CAST(diag AS DOUBLE) / CAST(nt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_observed,
+           FLOOR(CAST(sum_nanb AS DOUBLE) / CAST(nt * nt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_expected,
+           FLOOR((CASE WHEN nt * nt - sum_nanb > 0
+                       THEN CAST(nt * diag - sum_nanb AS DOUBLE)
+                            / CAST(nt * nt - sum_nanb AS DOUBLE)
+                       ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS kappa
+    FROM tot, ch
+    """,
+)
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between each user's FIRST and LAST event type
+    (functions.infotheory.cohens_kappa) — do users end where they
+    start? Labels come from two row_number windows over the same keyed
+    sort; kappa itself is a ratio of exact integer sums over the
+    bounded contingency table (the only float op is the final
+    division), so it is bit-identical in any engine."""
+    from pyspark.sql import Window
+
+    from .functions.infotheory import cohens_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    lab = r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("f"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("l"),
+    )
+    return cohens_kappa(lab, "f", "l")
+
+
+@register(
+    "q_benford_prices",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values FROM d WHERE digit > 0 GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_values) AS DOUBLE) AS total FROM g),
+    o AS (
+      SELECT digit, n_values,
+             CAST(FLOOR(CAST(n_values AS DOUBLE) * 1e6 / total + 0.5) AS BIGINT) AS obs_ppm,
+             CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                        WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm
+      FROM g, t
+    )
+    SELECT digit, n_values, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm FROM o
+    """,
+)
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of extended prices (ops.integrity.
+    benford_audit): the fabricated-data smell test. One map-side-
+    combining aggregate to <= 9 rows; the first digit comes from the
+    integer-cents decimal rendering (exact in every engine) and the
+    expected frequencies are nine literal ppm constants, never an
+    in-plan log10."""
+    from .ops.integrity import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
+@register(
+    "q_survivorship",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CASE WHEN value >= 50 THEN value END AS big_value,
+             event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           arg_max(big_value, rn) FILTER (WHERE big_value IS NOT NULL) AS big_value,
+           arg_max(event_type, rn) FILTER (WHERE event_type IS NOT NULL) AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(MAX(rn) AS BIGINT) AS last_rn
+    FROM r GROUP BY 1
+    """,
+)
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record merge (ops.scd.survivorship): collapse each user's
+    event history to one record taking, per column, the value from the
+    latest row where that column is non-NULL ("most recent known value
+    per field" — plain latest-row-wins is wrong when the newest row has
+    gaps; big_value is NULL on sub-50 rows to exercise exactly that).
+    One keyed window + one max_by-FILTER aggregate, no join."""
+    from .ops.scd import survivorship
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 50, F.col("value")).alias("big_value"),
+        "event_type",
+    )
+    return survivorship(
+        staged, ["user_id"], ["ts", "event_id"], cols=["big_value", "event_type"]
+    )
+
+
+@register(
+    "q_decayed_engagement",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+    t AS (
+      SELECT event_type,
+             value * POWER(0.5, CAST(FLOOR(DATE_DIFF('day', CAST(ts AS DATE), ref_day) / 7.0)
+                                     AS INTEGER)) AS term
+      FROM events, ref
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(term * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS decayed_sum
+    FROM t GROUP BY 1
+    """,
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per event type (functions.stats.
+    decayed_sum, half-life 7 days): Sum value * 0.5^(age // 7) from the
+    newest day in the data. The decay factor is an exact power of two
+    (integer period count — never libm pow on a fractional exponent),
+    each term is one IEEE multiply, and the sum is dsum-quantized: two
+    tiny jobs, bit-identical cross-engine."""
+    from .functions.stats import decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_sum(ev, "value", "ts", ["event_type"], half_life_days=7)
+
+
+@register(
+    "q_cusum_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    p1 AS (
+      SELECT daily.event_type AS event_type, day, n_days, total,
+             SUM(x * n_days - total)
+               OVER (PARTITION BY daily.event_type ORDER BY day) AS s
+      FROM daily JOIN st ON daily.event_type = st.event_type
+    ),
+    p2 AS (
+      SELECT event_type, day, n_days, total,
+             s - LEAST(MIN(s) OVER (PARTITION BY event_type ORDER BY day),
+                       CAST(0 AS BIGINT)) AS c
+      FROM p1
+    ),
+    best AS (
+      SELECT event_type, n_days, total AS total_events, day AS peak_day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, day ASC) AS rk
+      FROM p2
+    )
+    SELECT event_type, n_days, total_events,
+           CAST(peak_day AS VARCHAR) AS peak_day,
+           FLOOR(CAST(c AS DOUBLE) / CAST(total_events AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS peak_cusum
+    FROM best WHERE rk = 1
+    """,
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM change-point over daily event counts
+    (functions.stats.cusum_peaks): C_t = S_t - min(0, min S_i) in
+    closed form — two windows over the DAY table (bounded by the
+    calendar, never by event volume). Deviations are cleared of the
+    float mean (x*n_days - total is exact int64), so the whole CUSUM
+    path is integer arithmetic; ties resolve to the earliest day."""
+    from .functions.stats import cusum_peaks
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_peaks(ev, "ts", ["event_type"])
+    # DATE renders as date vs pandas Timestamp across the two engines'
+    # pandas bridges — string-render for the value-hash compare
+    return out.withColumn("peak_day", F.col("peak_day").cast("string"))
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH per AS (
+      SELECT user_id % 2 AS v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    a AS (SELECT v, n, x FROM per ORDER BY v LIMIT 1),
+    b AS (SELECT v, n, x FROM per ORDER BY v DESC LIMIT 1),
+    w AS (
+      SELECT a.v AS variant_a, a.n AS n_a, a.x AS x_a,
+             b.v AS variant_b, b.n AS n_b, b.x AS x_b
+      FROM a, b
+    ),
+    z AS (
+      SELECT *, (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
+      FROM w
+    )
+    SELECT variant_a, n_a, x_a, variant_b, n_b, x_b,
+           FLOOR(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rate_a,
+           FLOOR(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rate_b,
+           FLOOR((CASE WHEN SQRT(p_pool * (1.0 - p_pool)
+                             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+                       THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                             - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                            / SQRT(p_pool * (1.0 - p_pool)
+                                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z_score
+    FROM z
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test (functions.stats.
+    two_proportion_ztest): purchase-conversion gap between the
+    user_id-parity split. One aggregate to 2 rows, then closed-form
+    arithmetic using only +,-,*,/ and sqrt — all correctly-rounded
+    IEEE ops over exact integer counts, bit-identical cross-engine
+    before the final quantization."""
+    from .functions.stats import two_proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return two_proportion_ztest(staged, "variant", "converted")
+
+
+@register(
+    "q_winsorized_balance",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    r AS (
+      SELECT segment, x,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM b
+    ),
+    m AS (
+      SELECT segment, x,
+             CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT)) THEN x END AS lo,
+             CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN x END AS hi
+      FROM r
+    ),
+    a AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, MAX(lo) AS lob, MAX(hi) AS hib
+      FROM m GROUP BY 1
+    )
+    SELECT m.segment AS segment, MAX(a.n) AS n,
+           CAST(MAX(a.lob) AS DOUBLE) / 100 AS lo_bound,
+           CAST(MAX(a.hib) AS DOUBLE) / 100 AS hi_bound,
+           FLOOR(CAST(SUM(GREATEST(a.lob, LEAST(a.hib, m.x))) AS DOUBLE)
+                 / CAST(MAX(a.n) AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS winsorized_mean
+    FROM m JOIN a ON m.segment = a.segment
+    GROUP BY m.segment
+    """,
+)
+def q_winsorized_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorized mean of account balances (functions.
+    stats.winsorized_stats): clamp at the DISCRETE p05/p95 order
+    statistics (selected elements — bit-identical across engines,
+    where interpolated bounds hinge on the lerp formula), then an
+    exact integer-cents mean. One keyed ranking window + one keyed
+    aggregate."""
+    from .functions.stats import winsorized_stats
+
+    c = _t(spark, sf_dir, "customer")
+    w = winsorized_stats(c, "c_acctbal", ["c_mktsegment"])
+    return w.withColumnRenamed("c_mktsegment", "segment")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
 # positions 1-50 and nothing after). Put a curated 50 at the head so every
@@ -7303,18 +7670,19 @@ _PRIORITY = [
     "q_text_stats",
     "q_window_running_sum",
     "q_windowed_rollup",
-    # --- round-4-era refresh (replaced by round-8 additions as they land)
+    # --- first-ever driver rows (round-8 operators) --------------------
+    "q_gini_revenue",
+    "q_kappa_agreement",
+    "q_benford_prices",
+    "q_survivorship",
+    "q_decayed_engagement",
+    "q_cusum_shift",
+    "q_ab_test",
+    "q_winsorized_balance",
+    # --- round-4-era refresh -------------------------------------------
     "q02_min_cost_supplier",
     "q07_volume_shipping",
     "q13_order_count_dist",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_bracket_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_balances",
-    "q_bucketed_join",
-    "q_chunk_documents",
 ]
 
 

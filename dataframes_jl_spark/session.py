@@ -30,6 +30,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Timestamps in testdata are ns/ms; read them without rebasing drama.
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Generated-class cache (STATIC conf — only applies at session build).
+    # The default 100 entries thrash when a workload cycles through >100
+    # distinct codegen'd stages (the 53-query bench battery does): every
+    # revisit re-compiles Janino classes inside the measured window,
+    # inflating steady-state latencies 1.5-2x (round-7 "battery vs solo"
+    # drift, root-caused round 8: with the cache raised, churned and hot
+    # timings agree). 10k entries ≈ a few hundred MB of metaspace at
+    # worst — the right trade on any long-lived session, local or cluster.
+    "spark.sql.codegen.cache.maxEntries": "10000",
     # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
     # read as long nanos and normalize in load_table().
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -138,3 +138,217 @@ def test_equidepth_histogram_single_head_scan(spark):
     assert sum(r.n_rows for r in out.values()) == 40
     for b in range(4):
         assert out[b].n_rows == 10
+
+
+# ----------------------------------------------------------- gini / lorenz
+
+def test_gini_known_values(spark):
+    from dataframes_jl_spark.ops.inequality import gini
+
+    # perfectly equal: G = (2*Σi*x)/(n*Σx) - (n+1)/n with x=c →
+    # 2*(n(n+1)/2)/(n*n) - (n+1)/n = 0
+    eq = spark.createDataFrame([(float(10),) for _ in range(5)], "v double")
+    assert gini(eq, "v").collect()[0].gini == 0.0
+
+    # maximal concentration: one holder of everything, n=5 →
+    # G = 2*5*x/(5*x) - 6/5 = 2 - 1.2 = 0.8 (= (n-1)/n)
+    conc = spark.createDataFrame(
+        [(0.0,), (0.0,), (0.0,), (0.0,), (100.0,)], "v double"
+    )
+    assert abs(gini(conc, "v").collect()[0].gini - 0.8) < 1e-9
+
+
+def test_gini_grouped_and_negative_excluded(spark):
+    from dataframes_jl_spark.ops.inequality import gini
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 10.0), ("b", 0.0), ("b", 100.0), ("b", -5.0)],
+        "g string, v double",
+    )
+    out = {r.g: r for r in gini(df, "v", group_by=["g"]).collect()}
+    assert out["a"].gini == 0.0 and out["a"].n == 2
+    assert out["b"].n == 2  # negative excluded
+    assert abs(out["b"].gini - 0.5) < 1e-9  # n=2, one holds all: (n-1)/n
+
+
+def test_lorenz_deciles_monotone(spark):
+    from dataframes_jl_spark.ops.inequality import lorenz_deciles
+
+    df = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v", "id AS k")
+    rows = sorted(
+        lorenz_deciles(df, "v", tiebreak="k").collect(),
+        key=lambda r: r.decile,
+    )
+    shares = [r.cum_share for r in rows]
+    assert len(shares) == 10
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-9
+    # bottom decile of 1..100 holds (1+..+10)/5050
+    assert abs(shares[0] - 55.0 / 5050.0) < 1e-5
+
+
+# ------------------------------------------------------------ cohens kappa
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from dataframes_jl_spark.functions.infotheory import cohens_kappa
+
+    same = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")], "a string, b string"
+    )
+    r = cohens_kappa(same, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.p_observed == 1.0
+
+    # independent margins, agreement exactly at chance -> kappa 0
+    rows = [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")]
+    ind = spark.createDataFrame(rows, "a string, b string")
+    r2 = cohens_kappa(ind, "a", "b").collect()[0]
+    assert r2.kappa == 0.0 and r2.p_observed == 0.5 and r2.p_expected == 0.5
+
+
+# ----------------------------------------------------------------- benford
+
+def test_benford_audit_shape(spark):
+    from dataframes_jl_spark.ops.integrity import benford_audit
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.range(1, 1000).select(
+        (F.col("id").cast("double") / 100.0).alias("v")
+    )
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert sum(r.n_values for r in rows.values()) == 999
+    total_ppm = sum(r.obs_ppm for r in rows.values())
+    assert abs(total_ppm - 1_000_000) <= len(rows)  # floor rounding slack
+    # uniform 1..999 puts ~111/999 on each leading digit -> obs far from
+    # Benford's 30.1% for digit 1
+    assert rows[1].exp_ppm == 301030
+    assert rows[1].dev_ppm == rows[1].obs_ppm - rows[1].exp_ppm
+
+
+def test_benford_excludes_nonpositive(spark):
+    from dataframes_jl_spark.ops.integrity import benford_audit
+
+    df = spark.createDataFrame(
+        [(0.0,), (-12.0,), (None,), (19.0,), (1.2,)], "v double"
+    )
+    rows = {r.digit: r.n_values for r in benford_audit(df, "v").collect()}
+    assert rows == {1: 2}
+
+
+# ------------------------------------------------------------ survivorship
+
+def test_survivorship_latest_non_null(spark):
+    from dataframes_jl_spark.ops.scd import survivorship
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "old@x", "NY"),
+            (1, 2, None, "LA"),      # newest row has a gap in email
+            (2, 1, "b@x", None),
+            (2, 2, None, None),
+        ],
+        "k int, seq int, email string, city string",
+    )
+    out = {r.k: r for r in survivorship(df, ["k"], ["seq"]).collect()}
+    assert out[1].email == "old@x" and out[1].city == "LA"
+    assert out[2].email == "b@x" and out[2].city is None
+    assert out[1].n_versions == 2 and out[1].last_rn == 2
+
+
+def test_survivorship_requires_keys(spark):
+    from dataframes_jl_spark.ops.scd import survivorship
+
+    df = spark.createDataFrame([(1, 1)], "k int, seq int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        survivorship(df, [], ["seq"])
+
+
+# ------------------------------------------------------------- decayed sum
+
+def test_decayed_sum_halving(spark):
+    from dataframes_jl_spark.functions.stats import decayed_sum
+
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-15 00:00:00", 8.0),   # newest -> weight 1
+            ("u", "2024-01-08 00:00:00", 8.0),   # 7 days -> 1 period -> 0.5
+            ("u", "2024-01-01 00:00:00", 8.0),   # 14 days -> 2 -> 0.25
+        ],
+        "g string, ts string, v double",
+    ).selectExpr("g", "CAST(ts AS TIMESTAMP) AS ts", "v AS v")
+    r = decayed_sum(df, "v", "ts", ["g"]).collect()[0]
+    assert r.n_events == 3
+    assert abs(r.decayed_sum - (8.0 + 4.0 + 2.0)) < 1e-9
+
+
+# ------------------------------------------------------------------- cusum
+
+def test_cusum_detects_level_shift(spark):
+    from dataframes_jl_spark.functions.stats import cusum_peaks
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # 10 quiet days (1 event/day) then 5 loud days (5 events/day):
+    # the CUSUM peak lands on the last loud day
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        rows.append((f"2024-01-{d:02d} 10:00:00",))
+    for d in range(11, 16):
+        for _ in range(5):
+            rows.append((f"2024-01-{d:02d} 10:00:00",))
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts"), F.lit("t").alias("g")
+    )
+    r = cusum_peaks(df, "ts", ["g"]).collect()[0]
+    assert str(r.peak_day) == "2024-01-15"
+    assert r.n_days == 15 and r.total_events == 35
+    assert r.peak_cusum > 0
+
+
+# ----------------------------------------------------------------- ab test
+
+def test_two_proportion_ztest_known(spark):
+    import math as _m
+
+    from dataframes_jl_spark.functions.stats import two_proportion_ztest
+
+    rows = [(0, True)] * 30 + [(0, False)] * 70 + [(1, True)] * 50 + [(1, False)] * 50
+    df = spark.createDataFrame(rows, "variant int, converted boolean")
+    r = two_proportion_ztest(df, "variant", "converted").collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 30, 100, 50)
+    p = 80 / 200
+    z = (0.3 - 0.5) / _m.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(r.z_score - z) < 1e-5
+
+
+def test_two_proportion_ztest_rejects_three_variants(spark):
+    import pytest as _pt
+
+    from dataframes_jl_spark.functions.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [(0, True), (1, False), (2, True)], "variant int, converted boolean"
+    )
+    with _pt.raises(Exception, match="exactly 2 levels"):
+        two_proportion_ztest(df, "variant", "converted").collect()
+
+
+# --------------------------------------------------------------- winsorize
+
+def test_winsorized_stats_clamps_tails(spark):
+    from dataframes_jl_spark.functions.stats import winsorized_stats
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # 1..100 with winsorize at p05/p95: bounds are the elements at
+    # rank ceil(0.05*100)=5 and ceil(0.95*100)=95
+    df = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("v"), F.lit("g").alias("seg")
+    )
+    r = winsorized_stats(df, "v", ["seg"]).collect()[0]
+    assert r.lo_bound == 5.0 and r.hi_bound == 95.0
+    # clamped sum: 4 values raised to 5 (+10 -1-2-3-4=+10), 5 values
+    # lowered to 95 (96..100 -> -1-2-3-4-5 = -15): 5050 + 10 - 15 = 5045
+    assert abs(r.winsorized_mean - 50.45) < 1e-9
+    assert r.n == 100
