@@ -184,3 +184,69 @@ def cohens_kappa(
         _q(pe).alias("p_expected"),
         _q(kappa).alias("kappa"),
     )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    truth: str | Column,
+    pred: str | Column,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-class precision / recall / F1 between a truth and a
+    predicted categorical column — the per-class companion to the
+    scalar :func:`cohens_kappa` (a relabeling pipeline wants to know
+    WHICH class degraded, not just that agreement dropped).
+
+    One aggregate to the bounded contingency table; per class c:
+    ``tp = n(truth=c, pred=c)``, ``pred_pos = Σ n(·, c)``,
+    ``actual_pos = Σ n(c, ·)``. All counts exact int64; the three
+    ratios are single divisions of exact integers (F1 is computed as
+    ``2·tp / (pred_pos + actual_pos)`` — the cleared-denominator form,
+    one division instead of a p/r compound), floor-quantized.
+
+    Returns one row per class present in EITHER column:
+    ``(label, tp, pred_pos, actual_pos, precision, recall, f1)``.
+    """
+    t = contingency(df, truth, pred)
+    # per-class rows: classes from both margins (full outer on level)
+    ma = t.groupBy("a").agg(F.max("n_a").alias("actual_pos"))
+    mb = t.groupBy("b").agg(F.max("n_b").alias("pred_pos"))
+    diag = t.filter(F.col("a").eqNullSafe(F.col("b"))).select(
+        F.col("a").alias("label"), F.col("n").alias("tp")
+    )
+    base = (
+        ma.withColumnRenamed("a", "label")
+        .join(
+            mb.withColumnRenamed("b", "label"),
+            ["label"],
+            "full_outer",
+        )
+        .join(diag, ["label"], "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_pos", F.lit(0)).alias("pred_pos"),
+            F.coalesce("actual_pos", F.lit(0)).alias("actual_pos"),
+        )
+    )
+    m = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    tp = F.col("tp").cast("double")
+    prec = F.when(F.col("pred_pos") > 0, tp / F.col("pred_pos").cast("double")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("actual_pos") > 0, tp / F.col("actual_pos").cast("double")).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (F.col("pred_pos") + F.col("actual_pos")) > 0,
+        F.lit(2.0) * tp / (F.col("pred_pos") + F.col("actual_pos")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "label",
+        "tp",
+        "pred_pos",
+        "actual_pos",
+        _q(prec).alias("precision"),
+        _q(rec).alias("recall"),
+        _q(f1).alias("f1"),
+    )

@@ -126,6 +126,69 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: for documents sharing
+    shingles, ``containment_a = |A∩B| / |A|`` and the mirror for B —
+    the asymmetric companion to :func:`jaccard_pairs` that catches
+    quote/subset relationships Jaccard misses (a paragraph quoted
+    inside a long article has tiny Jaccard but containment ~1 from the
+    paragraph's side). Emits unordered pairs (id_a < id_b) where
+    EITHER direction reaches ``threshold``.
+
+    Same plan as jaccard_pairs (explode distinct shingles → inverted-
+    index self equi-join → per-pair common count); the filter compares
+    the QUANTIZED scores so the threshold cannot flip on a final-ulp
+    difference between engines. Same 100 TB posture too: this is the
+    exact baseline; at scale, feed LSH candidates instead of the full
+    self-join (minhash_lsh_pairs's band machinery applies unchanged).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text__"))
+        .repartition(par, "id")
+        .select("id", shingles("__text__", n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    ex = (
+        sh.select("id", "n_sh", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    m = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    ca = _q(F.col("common").cast("double") / F.col("na").cast("double"))
+    cb = _q(F.col("common").cast("double") / F.col("nb").cast("double"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(float(threshold))
+        )
+    )
+
+
 # --------------------------------------------------------------- minhash
 
 # Deterministic affine-permutation constants: sig[i] = min(h*A[i]+B[i])

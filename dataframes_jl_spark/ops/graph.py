@@ -190,3 +190,75 @@ def triangle_count(
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes", "n_edges", "n_triangles"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph:
+    the Pearson correlation of endpoint degrees over all edge stubs
+    (each undirected edge contributes BOTH (d_u, d_v) and (d_v, d_u) —
+    the standard definition, which also makes the statistic symmetric
+    by construction). Positive = hubs link to hubs (social graphs),
+    negative = hubs link to leaves (the web, spam/bot subgraphs) —
+    the one-number homophily audit of any entity graph.
+
+    Determinism: the five Pearson sums (Σx, Σy=Σx, Σxy, Σx², Σy²=Σx²)
+    are EXACT decimal(38,0) sums of integer degree products; only the
+    final correlation arithmetic (+,-,*,/ and sqrt — all correctly-
+    rounded IEEE) touches floats, so the quantized coefficient is
+    bit-identical in any engine. 38 digits hold Σd_u·d_v for any graph
+    this side of 10^12 edges with 10^7-degree hubs.
+
+    Scale shape: one degree aggregate, two broadcast-friendly joins to
+    annotate edges, one map-side-combining sum to a single row — the
+    same cost class as a degree histogram, nothing quadratic.
+    """
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    und = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col(src) != F.col(dst))
+        .select(u, v)
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ann = und.join(du, "u").join(dv, "v")
+    # both stub directions in one pass: symmetric sums collapse to
+    # sx (= sy) and sxx (= syy); only sxy needs the cross product
+    dec = "decimal(38,0)"
+    agg = ann.agg(
+        (F.count(F.lit(1)) * 2).alias("n_stubs"),
+        F.sum((F.col("du") + F.col("dv")).cast(dec)).alias("sx"),
+        F.sum(
+            (F.lit(2).cast(dec) * F.col("du").cast(dec) * F.col("dv").cast(dec))
+        ).alias("sxy"),
+        F.sum(
+            (
+                F.col("du").cast(dec) * F.col("du").cast(dec)
+                + F.col("dv").cast(dec) * F.col("dv").cast(dec)
+            )
+        ).alias("sxx"),
+    )
+    n = F.col("n_stubs").cast("double")
+    sx = F.col("sx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    m = F.lit(float(10**out_scale))
+    r = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_stubs",
+        (F.floor(r * m + F.lit(0.5)) / m).alias("assortativity"),
+    )

@@ -128,3 +128,45 @@ def crosstab(df: DataFrame, c1: str, c2: str) -> DataFrame:
     """xtab/xtabs/table (reference exports src/DataFrames.jl:153,162-163,
     impl vestigial) → native stat.crosstab."""
     return df.stat.crosstab(c1, c2)
+
+
+def collapse_rare(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other=None,
+):
+    """Long-tail category hygiene: replace every level of ``col`` whose
+    GLOBAL occurrence count is below ``min_count`` with the ``other``
+    sentinel (same type as the column — e.g. ``-1`` for ids, ``"OTHER"``
+    for strings). The standard pre-encoding step before one-hot /
+    embedding feature builds, and a k-anonymity coarsener.
+
+    Plan: one map-side-combining distinct-with-counts aggregate
+    (|levels| rows move, never |rows|), filtered to the KEEP set, then
+    a broadcast-friendly left join marks survivors — at 100 TB the
+    keep set is bounded by |levels above threshold|, which min_count
+    itself caps at n/min_count entries. NULL levels pass through as
+    NULL (they are "missing", not "rare").
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    keep = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__lvl__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= min_count)
+        .select("__lvl__", F.lit(True).alias("__keep__"))
+    )
+    j = df.join(
+        F.broadcast(keep), df[col] == keep["__lvl__"], "left"
+    )
+    replaced = (
+        F.when(F.col(col).isNull(), F.col(col))
+        .when(F.col("__keep__"), F.col(col))
+        .otherwise(F.lit(other))
+        .alias(col)
+    )
+    return j.select(
+        *[replaced if c == col else F.col(c) for c in df.columns]
+    )

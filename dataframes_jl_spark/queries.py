@@ -7609,6 +7609,203 @@ def q_winsorized_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.withColumnRenamed("c_mktsegment", "segment")
 
 
+@register(
+    "q_containment_pairs",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)]) AS shl
+      FROM tok WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), cpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(ANY_VALUE(a.n_sh) AS BIGINT) AS na,
+             CAST(ANY_VALUE(b.n_sh) AS BIGINT) AS nb
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT id_a, id_b,
+             FLOOR(CAST(common AS DOUBLE) / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS containment_a,
+             FLOOR(CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS containment_b
+      FROM cpairs
+    )
+    SELECT id_a, id_b, containment_a, containment_b
+    FROM scored
+    WHERE GREATEST(containment_a, containment_b) >= 0.8
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (llm.dedup.containment_pairs):
+    the asymmetric near-dup signal that catches quote/subset inclusion
+    Jaccard misses. Same inverted-index self-join plan as the exact
+    Jaccard baseline; scores are quantized BEFORE the threshold filter
+    so the cut cannot flip on a final ulp."""
+    from .llm.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "q_assortativity",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    ic AS (SELECT item, COUNT(*) AS n_item FROM bi GROUP BY 1),
+    kb AS (SELECT basket, item FROM bi
+           WHERE item IN (SELECT item FROM ic WHERE n_item >= 20)),
+    pe AS (
+      SELECT a.item AS u, b.item AS v
+      FROM kb a JOIN kb b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        (SELECT u AS id FROM pe UNION ALL SELECT v FROM pe) GROUP BY 1
+    ),
+    ann AS (
+      SELECT du.deg AS du, dv.deg AS dv
+      FROM pe JOIN deg du ON pe.u = du.id JOIN deg dv ON pe.v = dv.id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_stubs,
+             SUM(CAST(du + dv AS HUGEINT)) AS sx,
+             SUM(2 * CAST(du AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxy,
+             SUM(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)
+                 + CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS sxx
+      FROM ann
+    )
+    SELECT n_stubs,
+           FLOOR((CASE WHEN CAST(n_stubs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       THEN (CAST(n_stubs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            / (CAST(n_stubs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS assortativity
+    FROM s
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (ops.graph.
+    degree_assortativity over the same frequent_pairs edges as
+    q_triangle_count): do popular parts co-occur with popular parts?
+    The Pearson sums are exact decimal(38,0) integers; only the final
+    correlation divides — bit-identical cross-engine."""
+    from .ops.basket import frequent_pairs
+    from .ops.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = frequent_pairs(li, "l_orderkey", "l_partkey", min_count=20)
+    edges = pairs.filter(F.col("n_pair") >= 2).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+@register(
+    "q_label_confusion",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    lab AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) AS f,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) AS l
+      FROM r GROUP BY 1
+    ),
+    cell AS (SELECT f, l, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
+    ma AS (SELECT f AS label, CAST(SUM(n) AS BIGINT) AS actual_pos FROM cell GROUP BY 1),
+    mb AS (SELECT l AS label, CAST(SUM(n) AS BIGINT) AS pred_pos FROM cell GROUP BY 1),
+    diag AS (SELECT f AS label, n AS tp FROM cell WHERE f = l),
+    base AS (
+      SELECT COALESCE(ma.label, mb.label) AS label,
+             COALESCE(tp, 0) AS tp,
+             COALESCE(pred_pos, 0) AS pred_pos,
+             COALESCE(actual_pos, 0) AS actual_pos
+      FROM ma FULL OUTER JOIN mb ON ma.label = mb.label
+      LEFT JOIN diag ON COALESCE(ma.label, mb.label) = diag.label
+    )
+    SELECT label, tp, pred_pos, actual_pos,
+           FLOOR((CASE WHEN pred_pos > 0
+                       THEN CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE)
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS precision,
+           FLOOR((CASE WHEN actual_pos > 0
+                       THEN CAST(tp AS DOUBLE) / CAST(actual_pos AS DOUBLE)
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS recall,
+           FLOOR((CASE WHEN pred_pos + actual_pos > 0
+                       THEN 2.0 * CAST(tp AS DOUBLE)
+                            / CAST(pred_pos + actual_pos AS DOUBLE)
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS f1
+    FROM base
+    """,
+)
+def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 between each user's first and last
+    event type (functions.infotheory.confusion_metrics) — the per-class
+    companion to q_kappa_agreement: WHICH label drifts, not just that
+    agreement dropped. All counts exact; F1 uses the cleared-denominator
+    2tp/(pred+actual) form — one division per metric."""
+    from pyspark.sql import Window
+
+    from .functions.infotheory import confusion_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    lab = r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("f"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("l"),
+    )
+    return confusion_metrics(lab, "f", "l")
+
+
+@register(
+    "q_rare_collapse",
+    oracle="""
+    WITH cnt AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    keep AS (SELECT user_id FROM cnt WHERE n >= 80)
+    SELECT CASE WHEN k.user_id IS NOT NULL THEN e.user_id ELSE -1 END AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e LEFT JOIN keep k ON e.user_id = k.user_id
+    GROUP BY 1
+    """,
+)
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail category collapse (ops.reshape.collapse_rare): users
+    with < 80 events fold into the -1 sentinel, then a per-level count
+    proves the replacement. The keep set is a distinct-with-counts
+    aggregate (|levels| rows move, never |rows|) broadcast to a left
+    join — the standard pre-encoding feature-hygiene step."""
+    from .ops.reshape import collapse_rare
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    collapsed = collapse_rare(ev, "user_id", 80, other=-1)
+    return collapsed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -7669,7 +7866,6 @@ _PRIORITY = [
     "q_systematic_sample",
     "q_text_stats",
     "q_window_running_sum",
-    "q_windowed_rollup",
     # --- first-ever driver rows (round-8 operators) --------------------
     "q_gini_revenue",
     "q_kappa_agreement",
@@ -7679,10 +7875,10 @@ _PRIORITY = [
     "q_cusum_shift",
     "q_ab_test",
     "q_winsorized_balance",
-    # --- round-4-era refresh -------------------------------------------
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q13_order_count_dist",
+    "q_containment_pairs",
+    "q_assortativity",
+    "q_label_confusion",
+    "q_rare_collapse",
 ]
 
 

@@ -352,3 +352,101 @@ def test_winsorized_stats_clamps_tails(spark):
     # lowered to 95 (96..100 -> -1-2-3-4-5 = -15): 5050 + 10 - 15 = 5045
     assert abs(r.winsorized_mean - 50.45) < 1e-9
     assert r.n == 100
+
+
+# ------------------------------------------------------------- containment
+
+def test_containment_detects_subset(spark):
+    from dataframes_jl_spark.llm.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = quote + " and then it ran far away into the woods tonight"
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "completely unrelated text here okay")],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r for r in
+            containment_pairs(df, "doc_id", "text", threshold=0.8).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    # every shingle of the quote appears in the article
+    assert r.containment_a == 1.0
+    assert r.containment_b < 1.0
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+# ----------------------------------------------------------- assortativity
+
+def test_assortativity_star_negative_clique_flat(spark):
+    from dataframes_jl_spark.ops.graph import degree_assortativity
+
+    # star: hub degree 5, leaves degree 1 -> perfectly disassortative
+    star = spark.createDataFrame(
+        [(9, leaf) for leaf in range(5)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_stubs == 10
+    assert r.assortativity == -1.0
+
+    # K4: all degrees equal -> zero variance -> defined 0.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r2 = degree_assortativity(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect()[0]
+    assert r2.assortativity == 0.0
+
+
+# ------------------------------------------------------- confusion metrics
+
+def test_confusion_metrics_known(spark):
+    from dataframes_jl_spark.functions.infotheory import confusion_metrics
+
+    # truth: 3 x, 2 y; pred: x right twice, y always called x
+    rows = [("x", "x"), ("x", "x"), ("x", "y"), ("y", "x"), ("y", "x")]
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    out = {r.label: r for r in confusion_metrics(df, "truth", "pred").collect()}
+    x = out["x"]
+    assert (x.tp, x.pred_pos, x.actual_pos) == (2, 4, 3)
+    assert x.precision == 0.5 and abs(x.recall - 2 / 3) < 1e-5
+    assert abs(x.f1 - 4 / 7) < 1e-5
+    y = out["y"]
+    assert (y.tp, y.pred_pos, y.actual_pos) == (0, 1, 2)
+    assert y.precision == 0.0 and y.recall == 0.0 and y.f1 == 0.0
+
+
+def test_confusion_metrics_class_only_in_pred(spark):
+    from dataframes_jl_spark.functions.infotheory import confusion_metrics
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "a")], "truth string, pred string"
+    )
+    out = {r.label: r for r in confusion_metrics(df, "truth", "pred").collect()}
+    assert out["b"].actual_pos == 0 and out["b"].pred_pos == 1
+    assert out["b"].recall == 0.0
+
+
+# ----------------------------------------------------------- rare collapse
+
+def test_collapse_rare_folds_tail(spark):
+    from dataframes_jl_spark.ops.reshape import collapse_rare
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    out = collapse_rare(df, "cat", 3, other="OTHER")
+    counts = {
+        r.cat: r.n for r in out.groupBy("cat").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"a": 5, "OTHER": 3, None: 1}
+    assert out.columns == ["cat"]
+
+
+def test_collapse_rare_preserves_other_columns(spark):
+    from dataframes_jl_spark.ops.reshape import collapse_rare
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "k int, v int"
+    )
+    out = collapse_rare(df, "k", 2, other=-1)
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(-1, 30), (1, 10), (1, 20)]

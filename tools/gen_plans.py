@@ -122,6 +122,45 @@ SHOWCASE = [
         "LOCF window is partitioned by user_id — no SinglePartition, "
         "no driver-side grid.",
     ),
+    # round-8 (round-7 verdict #6): record plan evidence for the claimed
+    # round-7 shapes — the degree-oriented wedge join, the Apriori-pruned
+    # self-join, and the KS single prefix scan
+    (
+        "q_triangle_count",
+        "Degree orientation before the wedge join: edges re-keyed by "
+        "(degree, node) so every self-join key has O(sqrt(m)) fan-out; "
+        "the closing edge is a LeftSemi join — two keyed SortMergeJoins "
+        "+ one semi, no CartesianProduct, no SinglePartition.",
+    ),
+    (
+        "q_frequent_pairs",
+        "Downward-closure prune BEFORE the only quadratic step: the "
+        "frequent-item semi-join shrinks baskets, the in-plan width "
+        "assert rides the projection, and the pair self-join keys on "
+        "basket id — the quadratic term is bounded by the pruned "
+        "basket width, never raw basket size.",
+    ),
+    (
+        "q_ks_drift",
+        "Both ECDFs from ONE distributed prefix scan: per-value counts "
+        "full-outer merged, then with_running's rangepartitioning + "
+        "broadcast-carry machinery — no SinglePartition window; the "
+        "sup-gap is a map-side-combining max over exact int64 "
+        "cross-products.",
+    ),
+    (
+        "q_gini_revenue",
+        "Rank-form Gini: one hashpartitioning(segment) window for "
+        "row_number over the cents sort, then a map-side-combining "
+        "aggregate on the same key — the decimal(38,0) rank-weighted "
+        "sum is the only non-long accumulator; no SinglePartition.",
+    ),
+    (
+        "q_survivorship",
+        "One keyed window (row_number over user history) feeding one "
+        "max_by-FILTER aggregate on the SAME key — AQE reuses the "
+        "window's exchange; no join, no second shuffle.",
+    ),
 ]
 
 

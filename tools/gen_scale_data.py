@@ -18,11 +18,20 @@ Design notes (what makes the replication an honest scale model):
   cross-replica docs are NOT near-duplicates and the near-dup pair
   count scales linearly with K (replicating text verbatim would grow
   within-group pairs quadratically and fake a super-linear exponent).
+* Customer names get a per-replica tag for the same reason (round-8:
+  verbatim replication left each c_name duplicated K times, so
+  q_fuzzy_match's CORRECT output alone was ~K^2/2 exact-dup pairs per
+  name — the sf10 warm-up spilled the disk dry computing an honest but
+  quadratic answer the replica design, not the plan, created). The tag
+  doubles every digit of the replica number ("-r1177" for replica 17),
+  so any two distinct tags are >= 2 edits apart and max_dist=1 fuzzy
+  matching never pairs across replicas: pair count scales linearly,
+  the model a real growing customer table follows.
 * Timestamps are left unchanged — event-time range is a property of
   the window, not the corpus size.
 
-Usage: python tools/gen_scale_data.py [K] [outdir]
-Defaults: K=10 (i.e. sf1 from sf0.1), outdir=.scale_data/sf1
+Usage: python tools/gen_scale_data.py [K] [outdir] [--tables t1,t2]
+Defaults: K=10 (i.e. sf1 from sf0.1), outdir=.scale_data/sf1, all tables
 """
 
 from __future__ import annotations
@@ -49,8 +58,14 @@ COPY_TABLES = ["nation", "region"]
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(".scale_data", "sf1")
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    k = int(args[0]) if len(args) > 0 else 10
+    out = args[1] if len(args) > 1 else os.path.join(".scale_data", "sf1")
     os.makedirs(out, exist_ok=True)
 
     from pyspark.sql import functions as F
@@ -60,11 +75,15 @@ def main() -> int:
     spark = get_spark(app_name="djs-gen-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    for t in COPY_TABLES:
+    copy_tables = [t for t in COPY_TABLES if only is None or t in only]
+    shift_tables = {
+        t: ks for t, ks in SHIFT_KEYS.items() if only is None or t in only
+    }
+    for t in copy_tables:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
-    for t, keys in SHIFT_KEYS.items():
+    for t, keys in shift_tables.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for r in range(k):
@@ -76,6 +95,14 @@ def main() -> int:
                 # differ across replicas -> no cross-replica near-dups
                 p = p.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", rf"$1_r{r}")
+                )
+            if t == "customer" and r > 0:
+                # doubled-digit replica tag: any two tags differ by
+                # >= 2 edits, so distance-1 fuzzy matching never pairs
+                # across replicas (module docstring)
+                tag = "".join(ch * 2 for ch in f"{r:02d}")
+                p = p.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(f"-r{tag}"))
                 )
             parts.append(p)
         big = parts[0]

@@ -106,6 +106,21 @@ STUDY = [
     "q_fuzzy_match",
     "q_table_diff",
     "q_hll_groups",
+    # round-8 (round-7 verdict #5): the round-7 operators that move
+    # data in ways worth pinning — Apriori's pruned quadratic self-join,
+    # triangle counting's degree-oriented wedge join, KS's distributed
+    # dual-ECDF prefix scan, equi-depth's selection rounds
+    "q_frequent_pairs",
+    "q_triangle_count",
+    "q_ks_drift",
+    "q_equidepth_histogram",
+    # round-8 operators with whole-table keyed windows (rank-form gini,
+    # discrete-quantile winsorize) or keyed window + max_by agg
+    # (survivorship); cusum/benford/kappa/ab aggregate to bounded
+    # tables and ride shapes already pinned
+    "q_gini_revenue",
+    "q_winsorized_balance",
+    "q_survivorship",
 ]
 
 
@@ -261,6 +276,57 @@ def _carry_branch_note(spark, points) -> list[str]:
     return ["## with_running broadcast-carry branch", "", line, ""]
 
 
+def pin_new() -> int:
+    """Measure ONLY the STUDY queries that have no pin yet (all scale
+    points, full repeats) and merge their entries into scale_pins.json —
+    the incremental path for newly added operators, so pinning a round's
+    additions does not require re-running the whole study."""
+    import json
+
+    points = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
+    if len(points) < 2:
+        print("need at least two scale points; run tools/gen_scale_data.py",
+              file=sys.stderr)
+        return 1
+    pins = json.load(open(PINS_PATH)) if os.path.exists(PINS_PATH) else {}
+    todo = [n for n in STUDY if n not in pins]
+    if not todo:
+        print("nothing to pin: every STUDY query already has a pin")
+        return 0
+
+    from dataframes_jl_spark.queries import QUERIES
+    from dataframes_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="djs-scale-pin-new")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    seg = [(sf, d) for sf, d in points if sf >= 1.0]
+    for name in todo:
+        q = QUERIES[name]
+        for _, d in points:  # warm codegen + parquet footers
+            q(spark, d).write.format("noop").mode("overwrite").save()
+        ts = [
+            _time_query(q, spark, d, repeats=(3 if sf <= 0.1 else 2))
+            for sf, d in points
+        ]
+        exp = _slope([sf for sf, _ in points], ts)
+        seg_ts = ts[-len(seg):] if len(seg) >= 2 else ts
+        seg_slope = (
+            _slope([sf for sf, _ in seg], seg_ts) if len(seg) >= 2 else exp
+        )
+        pins[name] = {
+            "exponent": exp,
+            "seg_slope": seg_slope,
+            "walls": {str(sf): t for (sf, _), t in zip(points, ts)},
+        }
+        print(f"pinned {name:26} exponent {exp:+.2f} seg {seg_slope:+.2f} "
+              f"walls {dict(zip([sf for sf, _ in points], ts))}")
+    with open(PINS_PATH, "w") as fh:
+        json.dump(pins, fh, indent=2, sort_keys=True)
+    print(f"\nwrote {len(todo)} new pins to {PINS_PATH}")
+    return 0
+
+
 def main() -> int:
     points = [(sf, d) for sf, d in POINTS if os.path.isdir(d)]
     if len(points) < 2:
@@ -401,4 +467,6 @@ def measure(names: list[str]) -> int:
 if __name__ == "__main__":
     if "--measure" in sys.argv:
         sys.exit(measure(sys.argv[sys.argv.index("--measure") + 1:]))
+    if "--pin-new" in sys.argv:
+        sys.exit(pin_new())
     sys.exit(check() if "--check" in sys.argv else main())
