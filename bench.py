@@ -75,6 +75,13 @@ HEADLINE = [
     "q_weighted_quantiles",
     "q_resample_locf",
     "q_rolling_distinct",
+    # round 8
+    "q_gini_revenue",
+    "q_cusum_shift",
+    "q_survivorship",
+    "q_benford_prices",
+    "q_winsorized_balance",
+    "q_containment_pairs",
 ]
 
 

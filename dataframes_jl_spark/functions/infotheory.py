@@ -250,3 +250,80 @@ def confusion_metrics(
         _q(rec).alias("recall"),
         _q(f1).alias("f1"),
     )
+
+
+def jensen_shannon(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str | Column,
+    term_scale: int = 8,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between the categorical
+    distributions of ``col`` in two frames — the bounded, symmetric
+    drift measure for label/domain mixes: 0 = identical, ln 2 =
+    disjoint. Complements :func:`~.stats.psi` (PSI blows up on empty
+    bins; JSD is always finite) and :func:`~.stats.ks_statistic`
+    (which needs an ordered column; JSD works on any categorical).
+
+    One map-side-combining count per side to the bounded level table,
+    one full-outer merge, then per-level terms
+    ``p·ln(p/m) + q·ln(q/m)`` with ``m = (p+q)/2``, each floor-
+    quantized to ``term_scale`` decimals before the order-independent
+    integer sum (the dsum discipline — libm ln drift is absorbed by
+    the quantization). A level absent from one side contributes its
+    ``p·ln 2`` term exactly (its m is p/2).
+
+    Returns one row ``(n_a, n_b, n_levels, jsd, jsd_norm)`` with
+    ``jsd_norm`` = jsd/ln2 in [0, 1].
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(c.alias("lvl")).agg(F.count(F.lit(1)).alias(name))
+
+    merged = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), ["lvl"], "full_outer")
+        .select(
+            "lvl",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # totals as windows over the bounded LEVEL table (never the rows)
+    wt = Window.partitionBy()
+    t = merged.select(
+        "lvl",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    mid = (p + q) / F.lit(2.0)
+    term = (
+        F.when((F.col("ca") > 0) & (mid > 0), p * F.log(p / mid)).otherwise(F.lit(0.0))
+        + F.when((F.col("cb") > 0) & (mid > 0), q * F.log(q / mid)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    m = F.lit(float(10**term_scale))
+    agg = t.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_levels"),
+        (F.sum(F.floor(term * m + F.lit(0.5))) / m).alias("jsd"),
+    )
+    import math as _math
+
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_levels",
+        "jsd",
+        (
+            F.floor(F.col("jsd") / F.lit(_math.log(2.0)) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("jsd_norm"),
+    )

@@ -997,3 +997,171 @@ def winsorized_stats(
         (F.col("__hib__").cast("double") / m).alias("hi_bound"),
         (F.floor(mean * om + F.lit(0.5)) / om).alias("winsorized_mean"),
     )
+
+
+def welch_ttest(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the ``col``
+    distributions of two frames — the default "did the mean move?"
+    test (Student's equal-variance assumption is never safe on pipeline
+    data). Returns one row ``(n_a, n_b, mean_a, mean_b, t_stat, df)``
+    with Welch-Satterthwaite degrees of freedom.
+
+    Determinism: each side reduces to exact integer sums — Σq and Σq²
+    of the ``10^scale``-quantized values, with Σq² in decimal(38,0)
+    (q² ~ 1e16 per row overflows int64 under summation) — then mean,
+    variance, t and df are pure +,-,*,/ and sqrt over those exact
+    integers: correctly-rounded IEEE all the way, bit-identical in any
+    engine before the final floor-quantization.
+
+    Scale shape: ONE map-side-combining aggregate per side to a single
+    row each, cross-joined broadcast. Nothing else moves.
+    """
+    m = F.lit(float(10**scale))
+    dec = "decimal(38,0)"
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        q = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(q.alias("q"))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("q").alias(f"sq_{tag}"),
+                F.sum((F.col("q").cast(dec) * F.col("q").cast(dec))).alias(
+                    f"sqq_{tag}"
+                ),
+            )
+        )
+
+    j = side(df_a, "a").crossJoin(F.broadcast(side(df_b, "b")))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"sq_{tag}").cast("double")
+        ss = F.col(f"sqq_{tag}").cast("double")
+        mean = s / n / m
+        # sample variance in ORIGINAL units: (ss - s^2/n)/(n-1) / m^2
+        var = (ss - s * s / n) / (n - F.lit(1.0)) / (m * m)
+        return n, mean, var
+
+    na, ma_, va = stats("a")
+    nb, mb_, vb = stats("b")
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = F.when(se2 > 0, (ma_ - mb_) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    om = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * om + F.lit(0.5)) / om
+
+    return j.select(
+        "n_a",
+        "n_b",
+        _q(ma_).alias("mean_a"),
+        _q(mb_).alias("mean_b"),
+        _q(t).alias("t_stat"),
+        _q(dof).alias("df"),
+    )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two frames'
+    ``col`` distributions — the rank-based location test that, unlike
+    Welch, is immune to outliers and shape; with :func:`ks_statistic`
+    it completes the drift-test battery (KS asks "any difference?",
+    U asks "is one stochastically larger?").
+
+    EXACT integer path, including ties: both sides collapse to
+    per-VALUE counts, midranks come from the same distributed prefix
+    scan KS uses (cum counts via ops.window.with_running — never a
+    SinglePartition window), and everything is carried in DOUBLED units
+    so tie-midranks (k + 1/2) stay integral: ``2·midrank(v) = 2·cum_<v
+    + cnt_v + 1``. 2·R_a, 2·U, and the tie-correction Σ(t³-t) are exact
+    int64/decimal sums; only the final z normalization divides.
+    Contract: n_a·n_b·N must fit the decimal(38,0) guard — any real
+    table does.
+
+    Returns one row ``(n_a, n_b, u_stat, z_score)`` where ``u_stat``
+    is U for side A (in ordinary units, may end in .5 under odd tie
+    runs — exact, not rounded) and ``z_score`` the tie-corrected
+    normal approximation (0 when the variance degenerates, i.e. all
+    values tie).
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .withColumn("cnt", F.col("ca") + F.col("cb"))
+    )
+    from ..ops.window import with_running
+
+    run = with_running(merged, {"cum": ("sum", "cnt")}, order_by="v")
+    # 2*midrank = 2*(cum - cnt) + cnt + 1  (cum is INCLUSIVE of v)
+    two_mid = F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1)
+    dec = "decimal(38,0)"
+    agg = run.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum((F.col("ca").cast(dec) * two_mid.cast(dec))).alias("two_ra"),
+        # tie correction: sum over values of cnt^3 - cnt
+        F.sum(
+            (
+                F.col("cnt").cast(dec)
+                * F.col("cnt").cast(dec)
+                * F.col("cnt").cast(dec)
+                - F.col("cnt").cast(dec)
+            )
+        ).alias("tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ntot = na + nb
+    two_u = (
+        F.col("two_ra").cast("double") - na * (na + F.lit(1.0))
+    )  # 2*Ra - 2*na(na+1)/2
+    u = two_u / F.lit(2.0)
+    mean_u = na * nb / F.lit(2.0)
+    var_u = (
+        na * nb / F.lit(12.0)
+        * (
+            (ntot + F.lit(1.0))
+            - F.col("tie3").cast("double") / (ntot * (ntot - F.lit(1.0)))
+        )
+    )
+    z = F.when(var_u > 0, (u - mean_u) / F.sqrt(var_u)).otherwise(F.lit(0.0))
+    om = F.lit(float(10**out_scale))
+    return agg.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        (F.floor(z * om + F.lit(0.5)) / om).alias("z_score"),
+    )

@@ -7806,6 +7806,183 @@ def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_welch_ttest",
+    oracle="""
+    WITH qa AS (
+      SELECT CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS q
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    qb AS (
+      SELECT CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS q
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ),
+    sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a, SUM(q) AS s_a,
+                  SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss_a FROM qa),
+    sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b, SUM(q) AS s_b,
+                  SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss_b FROM qb),
+    d AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6 AS ma,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e6 AS mb,
+             (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+                / (1e6 * 1e6) / CAST(n_a AS DOUBLE) AS sea,
+             (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+                / (1e6 * 1e6) / CAST(n_b AS DOUBLE) AS seb
+      FROM sa, sb
+    )
+    SELECT n_a, n_b,
+           FLOOR(ma * 1e6 + 0.5) / 1e6 AS mean_a,
+           FLOOR(mb * 1e6 + 0.5) / 1e6 AS mean_b,
+           FLOOR((CASE WHEN sea + seb > 0
+                       THEN (ma - mb) / SQRT(sea + seb) ELSE 0.0 END)
+                 * 1e6 + 0.5) / 1e6 AS t_stat,
+           FLOOR((CASE WHEN sea + seb > 0
+                       THEN (sea + seb) * (sea + seb)
+                            / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                               + seb * seb / (CAST(n_b AS DOUBLE) - 1.0))
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS df
+    FROM d
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test between purchase and click event
+    values (functions.stats.welch_ttest): one single-row aggregate per
+    side over exact quantized sums (Sum q in int64, Sum q^2 in
+    decimal(38,0)); t and the Welch-Satterthwaite df are pure
+    correctly-rounded IEEE arithmetic over those integers."""
+    from .functions.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    return welch_ttest(a, b, "value")
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH av AS (
+      SELECT value AS v, COUNT(*) AS ca FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+    ),
+    bv AS (
+      SELECT value AS v, COUNT(*) AS cb FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+    ),
+    mv AS (
+      SELECT COALESCE(av.v, bv.v) AS v,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM av FULL OUTER JOIN bv ON av.v = bv.v
+    ),
+    c AS (
+      SELECT *, ca + cb AS cnt,
+             SUM(ca + cb) OVER (ORDER BY v) AS cum
+      FROM mv
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+             SUM(CAST(ca AS HUGEINT)
+                 * CAST(2 * (cum - cnt) + cnt + 1 AS HUGEINT)) AS two_ra,
+             SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+                 - CAST(cnt AS HUGEINT)) AS tie3
+      FROM c
+    ),
+    z AS (
+      SELECT n_a, n_b,
+             (CAST(two_ra AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS u,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS ntot,
+             CAST(tie3 AS DOUBLE) AS t3
+      FROM s
+    )
+    SELECT n_a, n_b, u AS u_stat,
+           FLOOR((CASE WHEN na * nb / 12.0 * ((ntot + 1.0) - t3 / (ntot * (ntot - 1.0))) > 0
+                       THEN (u - na * nb / 2.0)
+                            / SQRT(na * nb / 12.0
+                                   * ((ntot + 1.0) - t3 / (ntot * (ntot - 1.0))))
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z_score
+    FROM z
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between purchase and click values (functions.
+    stats.mann_whitney_u): per-value counts, midranks from the same
+    distributed prefix scan as KS (doubled units keep tie-midranks
+    integral), tie-corrected z — exact integers until the final
+    normalization."""
+    from .functions.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "click")
+    return mann_whitney_u(a, b, "value")
+
+
+@register(
+    "q_jsd_drift",
+    oracle="""
+    WITH ac AS (
+      SELECT event_type AS lvl, COUNT(*) AS ca FROM events
+      WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    bc AS (
+      SELECT event_type AS lvl, COUNT(*) AS cb FROM events
+      WHERE user_id % 2 = 1 GROUP BY 1
+    ),
+    mv AS (
+      SELECT COALESCE(ac.lvl, bc.lvl) AS lvl,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ac FULL OUTER JOIN bc ON ac.lvl = bc.lvl
+    ),
+    t AS (
+      SELECT lvl, ca, cb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM mv
+    ),
+    terms AS (
+      SELECT na, nb,
+             ((CASE WHEN ca > 0 AND (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                     + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 > 0
+                    THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                         * LN((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                              / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                  + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+                    ELSE 0.0 END)
+              + (CASE WHEN cb > 0 AND (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                       + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 > 0
+                      THEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                           * LN((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                    + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+                      ELSE 0.0 END)) / 2.0 AS term
+      FROM t
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_levels,
+           CAST(SUM(CAST(FLOOR(term * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 AS jsd,
+           FLOOR(CAST(SUM(CAST(FLOOR(term * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8
+                 / 0.6931471805599453 * 1e6 + 0.5) / 1e6 AS jsd_norm
+    FROM terms
+    """,
+)
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the event-type mixes of the
+    even- and odd-user cohorts (functions.infotheory.jensen_shannon):
+    the always-finite symmetric drift measure (PSI diverges on empty
+    bins). Per-level ln terms are quantized before the integer sum —
+    order- and engine-independent."""
+    from .functions.infotheory import jensen_shannon
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    b = ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    return jensen_shannon(a, b, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -7844,13 +8021,11 @@ _PRIORITY = [
     "q10_returned_items",
     "q_any_all_tristate",
     "q_bm25_search",
-    "q_colwise_grouped",
     "q_complete_cases",
     "q_corpus_shuffle",
     "q_decontaminate",
     "q_dedup_clusters",
     "q_dedup_jaccard_exact",
-    "q_describe",
     "q_join_natural_right",
     "q_language_id",
     "q_mixture_weights",
@@ -7865,7 +8040,6 @@ _PRIORITY = [
     "q_string_functions",
     "q_systematic_sample",
     "q_text_stats",
-    "q_window_running_sum",
     # --- first-ever driver rows (round-8 operators) --------------------
     "q_gini_revenue",
     "q_kappa_agreement",
@@ -7879,6 +8053,9 @@ _PRIORITY = [
     "q_assortativity",
     "q_label_confusion",
     "q_rare_collapse",
+    "q_welch_ttest",
+    "q_mann_whitney",
+    "q_jsd_drift",
 ]
 
 

@@ -450,3 +450,199 @@ def test_collapse_rare_preserves_other_columns(spark):
     out = collapse_rare(df, "k", 2, other=-1)
     got = sorted((r.k, r.v) for r in out.collect())
     assert got == [(-1, 30), (1, 10), (1, 20)]
+
+
+# ---------------------------------------------------------------- welch t
+
+def test_welch_ttest_known(spark):
+    import math as _m
+
+    from dataframes_jl_spark.functions.stats import welch_ttest
+
+    a = spark.createDataFrame([(x,) for x in [1.0, 2.0, 3.0, 4.0]], "v double")
+    b = spark.createDataFrame([(x,) for x in [3.0, 5.0, 7.0]], "v double")
+    r = welch_ttest(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 3)
+    # means 2.5 and 5, vars 5/3 and 4
+    sea, seb = (5 / 3) / 4, 4 / 3
+    t = (2.5 - 5.0) / _m.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (sea**2 / 3 + seb**2 / 2)
+    assert abs(r.t_stat - t) < 1e-5
+    assert abs(r.df - df) < 1e-5
+    assert r.mean_a == 2.5 and r.mean_b == 5.0
+
+
+def test_welch_ttest_identical_zero(spark):
+    from dataframes_jl_spark.functions.stats import welch_ttest
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    r = welch_ttest(a, a, "v").collect()[0]
+    assert r.t_stat == 0.0
+
+
+# ------------------------------------------------------------ mann-whitney
+
+def test_mann_whitney_known_no_ties(spark):
+    from dataframes_jl_spark.functions.stats import mann_whitney_u
+
+    # a = {1,2}, b = {3,4,5}: every b beats every a -> U_a = 0
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,)], "v double")
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 3)
+    assert r.u_stat == 0.0
+    assert r.z_score < 0
+
+    # symmetric swap: U_b = n_a*n_b - U_a = 6
+    r2 = mann_whitney_u(b, a, "v").collect()[0]
+    assert r2.u_stat == 6.0
+    assert abs(r2.z_score + r.z_score) < 1e-9
+
+
+def test_mann_whitney_ties_midrank(spark):
+    from dataframes_jl_spark.functions.stats import mann_whitney_u
+
+    # a = {1,1}, b = {1,2}: ranks of the three 1s are midrank 2 each.
+    # R_a = 4, U_a = R_a - n_a(n_a+1)/2 = 4 - 3 = 1
+    a = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert r.u_stat == 1.0
+
+
+def test_mann_whitney_all_tied_zero_z(spark):
+    from dataframes_jl_spark.functions.stats import mann_whitney_u
+
+    a = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    r = mann_whitney_u(a, a, "v").collect()[0]
+    assert r.z_score == 0.0  # variance degenerates under total ties
+
+
+# --------------------------------------------------------------------- jsd
+
+def test_jensen_shannon_bounds(spark):
+    import math as _m
+
+    from dataframes_jl_spark.functions.infotheory import jensen_shannon
+
+    same = spark.createDataFrame([("x",), ("y",), ("x",)], "c string")
+    r = jensen_shannon(same, same, "c").collect()[0]
+    assert r.jsd == 0.0 and r.jsd_norm == 0.0
+
+    a = spark.createDataFrame([("x",), ("x",)], "c string")
+    b = spark.createDataFrame([("y",), ("y",)], "c string")
+    r2 = jensen_shannon(a, b, "c").collect()[0]
+    assert abs(r2.jsd - _m.log(2.0)) < 1e-6
+    assert abs(r2.jsd_norm - 1.0) < 1e-6
+    assert r2.n_levels == 2
+
+
+# ----------------------------------------------------- metamorphic laws
+
+def test_gini_scale_invariant(spark):
+    """Gini is invariant under positive scaling of the values."""
+    from dataframes_jl_spark.ops.inequality import gini
+
+    base = spark.createDataFrame(
+        [(float(x),) for x in [1, 5, 5, 20, 100]], "v double"
+    )
+    scaled = base.selectExpr("v * 7 AS v")
+    g1 = gini(base, "v").collect()[0].gini
+    g2 = gini(scaled, "v").collect()[0].gini
+    assert abs(g1 - g2) < 1e-6
+
+
+def test_kappa_symmetric(spark):
+    """Cohen's kappa is symmetric in its two raters."""
+    from dataframes_jl_spark.functions.infotheory import cohens_kappa
+
+    rows = [("x", "y"), ("x", "x"), ("y", "y"), ("y", "x"), ("x", "x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    k1 = cohens_kappa(df, "a", "b").collect()[0].kappa
+    k2 = cohens_kappa(df, "b", "a").collect()[0].kappa
+    assert k1 == k2
+
+
+def test_jsd_symmetric(spark):
+    from dataframes_jl_spark.functions.infotheory import jensen_shannon
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "c string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("z",)], "c string")
+    j1 = jensen_shannon(a, b, "c").collect()[0].jsd
+    j2 = jensen_shannon(b, a, "c").collect()[0].jsd
+    assert j1 == j2 and 0.0 < j1 < 0.6931472
+
+
+def test_welch_antisymmetric(spark):
+    from dataframes_jl_spark.functions.stats import welch_ttest
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (6.0,), (9.0,), (1.0,)], "v double")
+    t1 = welch_ttest(a, b, "v").collect()[0]
+    t2 = welch_ttest(b, a, "v").collect()[0]
+    assert abs(t1.t_stat + t2.t_stat) < 2e-6  # quantization slack
+    assert abs(t1.df - t2.df) < 2e-6
+
+
+def test_decayed_sum_shift_invariant(spark):
+    """Shifting ALL timestamps by the same delta leaves the decayed sum
+    unchanged (age is measured from the data's own max day)."""
+    from dataframes_jl_spark.functions.stats import decayed_sum
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame(
+        [("g", "2024-01-01 00:00:00", 5.0), ("g", "2024-01-10 00:00:00", 3.0)],
+        "g string, ts string, v double",
+    ).select("g", F.col("ts").cast("timestamp").alias("ts"), F.col("v"))
+    shifted = df.select("g", (F.col("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"), "v")
+    d1 = decayed_sum(df, "v", "ts", ["g"]).collect()[0].decayed_sum
+    d2 = decayed_sum(shifted, "v", "ts", ["g"]).collect()[0].decayed_sum
+    assert d1 == d2
+
+
+def test_benford_scale_by_power_of_ten_invariant(spark):
+    """Multiplying every value by 10 leaves first digits unchanged."""
+    from dataframes_jl_spark.ops.integrity import benford_audit
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.range(1, 500).select((F.col("id") * 1.37).alias("v"))
+    d1 = {r.digit: r.n_values for r in benford_audit(df, "v").collect()}
+    d2 = {
+        r.digit: r.n_values
+        for r in benford_audit(df.selectExpr("v * 10 AS v"), "v").collect()
+    }
+    assert d1 == d2
+
+
+def test_survivorship_idempotent(spark):
+    """Running survivorship on its own single-version output returns
+    the same records."""
+    from dataframes_jl_spark.ops.scd import survivorship
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", None), (1, 2, None, "b"), (2, 1, "c", "d")],
+        "k int, seq int, x string, y string",
+    )
+    once = survivorship(df, ["k"], ["seq"]).select("k", "x", "y")
+    again = survivorship(
+        once.withColumn("seq", F.lit(1)), ["k"], ["seq"]
+    ).select("k", "x", "y")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_containment_subset_of_jaccard_candidates(spark):
+    """Every jaccard>=t pair is a containment pair at the same common
+    count; containment at threshold 0 reproduces all sharing pairs."""
+    from dataframes_jl_spark.llm.dedup import containment_pairs, jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    jp = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    cp = {(r.id_a, r.id_b) for r in containment_pairs(docs, "doc_id", "text", threshold=0.0).collect()}
+    assert jp <= cp
