@@ -7983,6 +7983,107 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jensen_shannon(a, b, "event_type")
 
 
+@register(
+    "q_stream_drift_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS lvl,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ref AS (
+      SELECT event_type AS lvl, CAST(COUNT(*) AS BIGINT) AS ref_n
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL GROUP BY 1
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    grid AS (SELECT d, lvl, ref_n FROM days, ref),
+    filled AS (
+      SELECT g.d, g.lvl, COALESCE(daily.n, 0) AS n, g.ref_n
+      FROM grid g LEFT JOIN daily ON daily.d = g.d AND daily.lvl = g.lvl
+    ),
+    t AS (
+      SELECT d, n, ref_n,
+             SUM(n) OVER (PARTITION BY d) AS tot,
+             SUM(ref_n) OVER (PARTITION BY d) AS ref_tot
+      FROM filled
+    ),
+    terms AS (
+      SELECT d, tot,
+             ((CASE WHEN n > 0 AND (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                                    + CAST(ref_n AS DOUBLE) / CAST(ref_tot AS DOUBLE)) / 2.0 > 0
+                    THEN CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                         * LN((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                              / ((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                                  + CAST(ref_n AS DOUBLE) / CAST(ref_tot AS DOUBLE)) / 2.0))
+                    ELSE 0.0 END)
+              + (CASE WHEN ref_n > 0 AND (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                                          + CAST(ref_n AS DOUBLE) / CAST(ref_tot AS DOUBLE)) / 2.0 > 0
+                      THEN CAST(ref_n AS DOUBLE) / CAST(ref_tot AS DOUBLE)
+                           * LN((CAST(ref_n AS DOUBLE) / CAST(ref_tot AS DOUBLE))
+                                / ((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                                    + CAST(ref_n AS DOUBLE) / CAST(ref_tot AS DOUBLE)) / 2.0))
+                      ELSE 0.0 END)) / 2.0 AS term
+      FROM t
+    )
+    SELECT CAST(d AS VARCHAR) AS win_day,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_levels,
+           CAST(SUM(CAST(FLOOR(term * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 AS jsd,
+           FLOOR(CAST(SUM(CAST(FLOOR(term * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8
+                 / 0.6931471805599453 * 1e6 + 0.5) / 1e6 AS jsd_norm
+    FROM terms GROUP BY d
+    """,
+)
+def q_stream_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift-monitor SNAPSHOT-MERGE gate (streaming.drift.
+    merge_drift_snapshots): a static simulation of the update-mode sink
+    — per (day window, level) the CUMULATIVE count after each touched
+    micro-batch (event_id mod 3 plays the batch id), i.e. exactly what
+    the watermarked windowed aggregate emits, stale intermediates
+    included — reduced by the real consumer-side max-merge and JSD-
+    scored against the whole-table reference mix. The oracle never sees
+    the emission structure: it computes each day's JSD DIRECTLY from
+    the raw events, so equality proves the merge collapses any emission
+    history to the exact final counts (per-pair n is monotone under
+    update mode). Merge cost is the sink size (days x levels x
+    batches), never the event volume."""
+    from pyspark.sql import Window
+
+    from .streaming.drift import merge_drift_snapshots
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("win_start"),
+        F.col("event_type").alias("lvl"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("b"),
+    )
+    per_batch = base.groupBy("win_start", "lvl", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("win_start", "lvl")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    emissions = per_batch.select(
+        "win_start", "lvl", F.sum("c").over(w).alias("n")
+    )
+    reference = ev.groupBy(F.col("event_type").alias("lvl")).agg(
+        F.count(F.lit(1)).alias("ref_n")
+    )
+    merged = merge_drift_snapshots(emissions, reference)
+    return merged.select(
+        F.date_format("win_start", "yyyy-MM-dd").alias("win_day"),
+        "n_events",
+        "n_levels",
+        "jsd",
+        "jsd_norm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -8030,7 +8131,6 @@ _PRIORITY = [
     "q_language_id",
     "q_mixture_weights",
     "q_pack_sequences",
-    "q_pivot_table_lib",
     "q_positional_rows",
     "q_quality_score",
     "q_row_reductions",
@@ -8056,6 +8156,7 @@ _PRIORITY = [
     "q_welch_ttest",
     "q_mann_whitney",
     "q_jsd_drift",
+    "q_stream_drift_merge",
 ]
 
 

@@ -646,3 +646,81 @@ def test_containment_subset_of_jaccard_candidates(spark):
     jp = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
     cp = {(r.id_a, r.id_b) for r in containment_pairs(docs, "doc_id", "text", threshold=0.0).collect()}
     assert jp <= cp
+
+
+# ---------------------------------------------------------- stream drift
+
+def test_drift_stream_merge_matches_batch(spark, tmp_path):
+    """Update-mode emissions across micro-batches, max-merged by the
+    consumer, reconstruct the exact per-window counts — and the JSD
+    equals the batch computation over the same rows."""
+    from dataframes_jl_spark.streaming.drift import (
+        drift_stream,
+        merge_drift_snapshots,
+    )
+
+    d = tmp_path / "drift_in"
+    d.mkdir()
+    # two event-time hours; level mix shifts in hour 2; 3 micro-batches
+    rows = []
+    for i in range(120):
+        hour = 10 if i % 2 == 0 else 11
+        lvl = "a" if (i % 3 == 0 or hour == 10) else "b"
+        rows.append((f"2024-03-01 {hour}:{i % 60:02d}:00", lvl))
+    for b in range(3):
+        chunk = rows[b::3]
+        (d / f"{b}.csv").write_text(
+            "ts,lvl\n" + "\n".join(f"{t},{l}" for t, l in chunk) + "\n"
+        )
+    stream = (
+        spark.readStream.schema("ts timestamp, lvl string")
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        drift_stream(stream, "ts", "lvl", window="1 hour", watermark="4 hours")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_drift")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snaps = spark.sql("SELECT win_start, lvl, n FROM t_drift")
+        n_emissions = snaps.count()
+        bdf = spark.createDataFrame(rows, "ts string, lvl string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "lvl"
+        )
+        ref = bdf.groupBy(F.col("lvl")).agg(F.count(F.lit(1)).alias("ref_n"))
+        merged = {
+            str(r.win_start): r
+            for r in merge_drift_snapshots(snaps, ref).collect()
+        }
+    finally:
+        q.stop()
+
+    # consumer counts == exact batch per-window counts
+    exact = {
+        (str(r.win_start), r.lvl): r.n
+        for r in bdf.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("win_start"), "lvl"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (str(r.win_start), r.lvl): r.n
+        for r in spark.sql(
+            "SELECT win_start, lvl, MAX(n) AS n FROM t_drift GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == exact
+    # multiple batches touched hour 10 -> stale intermediates existed
+    assert n_emissions > len(exact)
+    # hour 10 is all 'a' (mix [1,0]); hour 11 is 1/3 a, 2/3 b: its JSD
+    # vs the global reference must be smaller than hour 10's
+    w10 = [v for k, v in merged.items() if "10:00:00" in k][0]
+    w11 = [v for k, v in merged.items() if "11:00:00" in k][0]
+    assert w10.jsd > w11.jsd >= 0.0
+    assert 0.0 <= w10.jsd_norm <= 1.0

@@ -121,6 +121,11 @@ STUDY = [
     "q_gini_revenue",
     "q_winsorized_balance",
     "q_survivorship",
+    # round-8 session 2: rank-sum test (the other per-value prefix-scan
+    # consumer besides KS) and directed containment (the inverted-index
+    # self-join shape at dedup_jaccard's cost class)
+    "q_mann_whitney",
+    "q_containment_pairs",
 ]
 
 
