@@ -226,3 +226,72 @@ def bm25_scores(
         agg_score.alias("score"),
         F.count(F.lit(1)).alias("n_matched"),
     )
+
+
+def vocab_topn(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 1000,
+) -> DataFrame:
+    """Top-``n`` corpus vocabulary by total occurrence count as
+    ``(term, cnt)``, ties broken by term ascending (deterministic —
+    an unordered tie at the vocabulary boundary would make OOV rates
+    flicker between runs and engines).
+
+    One explode + map-side-combining count + TakeOrderedAndProject:
+    the |distinct terms| table is the only thing ranked, never rows.
+    """
+    terms = (
+        docs.select(_norm_tokens(text_col).alias("toks"))
+        .select(F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return terms.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(n)
+
+
+def oov_stats(
+    docs: DataFrame,
+    group_by: str,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary audit per group: what fraction of each group's
+    token OCCURRENCES falls outside the corpus's own top-``vocab_size``
+    vocabulary — the tokenizer-fit / domain-shift signal a training
+    pipeline reads before committing a vocab (a source with 30% OOV
+    against the pooled top-N is a different register or language).
+
+    Plan: one explode + (group, term) count, the bounded vocab from
+    :func:`vocab_topn` broadcast to a left-semi-style membership mark
+    (a left join against ≤ vocab_size rows), then one aggregate to
+    |groups| rows. OOV is decided on exact counts; the rate is one
+    division, floor-quantized.
+    """
+    gt = (
+        docs.select(F.col(group_by).alias("g"), _norm_tokens(text_col).alias("toks"))
+        .select("g", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = vocab_topn(docs, text_col, vocab_size).select(
+        "term", F.lit(True).alias("__in__")
+    )
+    j = gt.join(F.broadcast(vocab), ["term"], "left")
+    m = F.lit(float(10**out_scale))
+    agg = j.groupBy("g").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("__in__").isNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return agg.select(
+        F.col("g").alias(group_by),
+        "n_tokens",
+        "n_oov",
+        (F.floor(rate * m + F.lit(0.5)) / m).alias("oov_rate"),
+    )

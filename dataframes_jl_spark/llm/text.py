@@ -492,3 +492,121 @@ def char_class_entropy(col: str | Column, scale: int = 6) -> Column:
         h = h + F.when(cnt > 0, -p * F.log(p)).otherwise(F.lit(0.0))
     m = F.lit(float(10**scale))
     return F.when(n > 0, F.floor(h * m + F.lit(0.5)) / m)
+
+
+def char_bigram_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    term_scale: int = 8,
+) -> DataFrame:
+    """Corpus character-bigram log-probability table
+    ``(bg, cnt, ctx_cnt, logp)`` — the training half of the KenLM-style
+    perplexity proxy (:func:`char_lm_scores`): ``logp = ln(cnt /
+    ctx_cnt)`` where ``ctx_cnt`` is the first character's total
+    continuation count.
+
+    The table is bounded by |alphabet|² regardless of corpus size; the
+    extraction is one codegen'd transform+explode and one
+    map-side-combining count. ``logp`` is floor-quantized to
+    ``term_scale`` decimals IN the table, so every downstream sum over
+    it is exact integer arithmetic (the dsum discipline — libm ln
+    drift is absorbed here, once, not per document).
+    """
+    c = F.col(text_col)
+    bgs = F.transform(
+        F.sequence(F.lit(1), F.length(c) - 1),
+        lambda i: F.substring(c, i, 2),
+    )
+    ex = (
+        docs.select(F.when(F.length(c) >= 2, bgs).alias("bgs"))
+        .select(F.explode_outer("bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    # context totals as a window over the bounded bigram table
+    wc = Window.partitionBy(F.substring(F.col("bg"), 1, 1))
+    m = F.lit(float(10**term_scale))
+    ctx = F.sum("cnt").over(wc)
+    logp = F.floor(
+        F.log(F.col("cnt").cast("double") / ctx.cast("double")) * m + F.lit(0.5)
+    ) / m
+    return ex.select(
+        "bg", "cnt", ctx.alias("ctx_cnt"), logp.alias("logp")
+    )
+
+
+def char_lm_scores(
+    docs: DataFrame,
+    table: DataFrame,
+    group_by: str,
+    text_col: str = "text",
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Average per-bigram log-probability per group under a
+    :func:`char_bigram_table` model — the cheap perplexity proxy that
+    separates prose from base64/garbage without an external LM: garbage
+    hits rare transitions and scores far more negative.
+
+    Per (doc-group, bigram) counts join the broadcast bounded model
+    table; unseen bigrams take the floor penalty ``ln(1/(ctx_max+1))``
+    of the whole model (quantized like every other term). The group
+    score is the POOLED mean — exact integer sum of quantized logp
+    weighted by occurrence counts, divided once.
+
+    Returns ``(group, n_bigrams, avg_logp)``.
+    """
+    c = F.col(text_col)
+    bgs = F.transform(
+        F.sequence(F.lit(1), F.length(c) - 1),
+        lambda i: F.substring(c, i, 2),
+    )
+    gb = (
+        docs.select(
+            F.col(group_by).alias("g"),
+            F.when(F.length(c) >= 2, bgs).alias("bgs"),
+        )
+        .select("g", F.explode_outer("bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .groupBy("g", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.lit(float(10**term_scale))
+    # unseen-bigram floor: one row, ln(1/(max ctx + 1)), same quantization
+    floor_row = table.agg(
+        (
+            F.floor(
+                F.log(F.lit(1.0) / (F.max("ctx_cnt").cast("double") + F.lit(1.0)))
+                * m
+                + F.lit(0.5)
+            )
+            / m
+        ).alias("__floor_logp__")
+    )
+    j = (
+        gb.join(F.broadcast(table.select("bg", "logp")), ["bg"], "left")
+        .crossJoin(F.broadcast(floor_row))
+        .select(
+            "g",
+            "cnt",
+            F.coalesce("logp", F.col("__floor_logp__")).alias("lp"),
+        )
+    )
+    om = F.lit(float(10**out_scale))
+    # lp is k/10^term_scale for integer k, but lp*m only recovers k to
+    # within an ulp — floor(x+0.5) re-integerizes exactly, so the
+    # weighted sum is pure int64 arithmetic (order-independent)
+    units = F.floor(F.col("lp") * m + F.lit(0.5)).cast("long")
+    agg = j.groupBy("g").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        (F.sum(F.col("cnt") * units) / m).alias("__slp__"),
+    )
+    avg = F.col("__slp__") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        F.col("g").alias(group_by),
+        "n_bigrams",
+        (F.floor(avg * om + F.lit(0.5)) / om).alias("avg_logp"),
+    )

@@ -8084,6 +8084,96 @@ def q_stream_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_vocab_oov",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT term FROM tc ORDER BY cnt DESC, term ASC LIMIT 40),
+    gt AS (SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(gt.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN gt.cnt ELSE 0 END) AS BIGINT) AS n_oov,
+           FLOOR(CAST(SUM(CASE WHEN v.term IS NULL THEN gt.cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(gt.cnt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS oov_rate
+    FROM gt LEFT JOIN vocab v ON gt.term = v.term
+    GROUP BY source
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit per source (llm.relevance.oov_stats):
+    the share of token occurrences outside the corpus's own top-40
+    vocabulary — the tokenizer-fit / domain-shift signal read before
+    committing a vocab. The vocabulary boundary is deterministic
+    (count desc, term asc); membership is a broadcast join against the
+    bounded vocab; the rate is one division over exact counts. (Top-40
+    of this synthetic corpus's ~50-word vocabulary leaves a real OOV
+    tail; production would use 30k+.)"""
+    from .llm.relevance import oov_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_stats(docs, "source", "text", vocab_size=40)
+
+
+@register(
+    "q_char_lm_quality",
+    oracle="""
+    WITH ex AS (
+      SELECT source, substr(text, CAST(i AS INTEGER), 2) AS bg
+      FROM documents, UNNEST(range(1, length(text))) AS t(i)
+      WHERE length(text) >= 2
+    ),
+    tbl AS (SELECT bg, COUNT(*) AS cnt FROM ex GROUP BY 1),
+    tbl2 AS (
+      SELECT bg, cnt,
+             SUM(cnt) OVER (PARTITION BY substr(bg, 1, 1)) AS ctx
+      FROM tbl
+    ),
+    model AS (
+      SELECT bg,
+             FLOOR(LN(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)) * 1e8 + 0.5) / 1e8
+               AS logp
+      FROM tbl2
+    ),
+    fl AS (
+      SELECT FLOOR(LN(1.0 / (CAST(MAX(ctx) AS DOUBLE) + 1.0)) * 1e8 + 0.5) / 1e8
+               AS floor_logp
+      FROM tbl2
+    ),
+    gb AS (SELECT source, bg, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+    j AS (
+      SELECT gb.source, gb.cnt,
+             CAST(FLOOR(COALESCE(m.logp, f.floor_logp) * 1e8 + 0.5) AS BIGINT)
+               AS units
+      FROM gb LEFT JOIN model m ON gb.bg = m.bg, fl f
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(cnt * units) AS DOUBLE) / 1e8
+                 / CAST(SUM(cnt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_logp
+    FROM j GROUP BY source
+    """,
+)
+def q_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM quality proxy per source (llm.text.
+    char_bigram_table + char_lm_scores): train the bounded
+    |alphabet|^2 transition table on the corpus itself, score each
+    source's pooled average log-probability — the KenLM-style
+    perplexity stand-in that flags base64/garbage without an external
+    model. log-probs are quantized IN the model table (libm ln drift
+    absorbed once), so every downstream sum is exact int64."""
+    from .llm.text import char_bigram_table, char_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    table = char_bigram_table(docs, "text")
+    return char_lm_scores(docs, table, "source", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -8118,8 +8208,6 @@ _PRIORITY = [
     "q_char_entropy",
     "q_triangle_count",
     # --- stalest evidence: round-3-era (all 27) ------------------------
-    "q05_local_supplier_volume",
-    "q10_returned_items",
     "q_any_all_tristate",
     "q_bm25_search",
     "q_complete_cases",
@@ -8157,6 +8245,8 @@ _PRIORITY = [
     "q_mann_whitney",
     "q_jsd_drift",
     "q_stream_drift_merge",
+    "q_vocab_oov",
+    "q_char_lm_quality",
 ]
 
 

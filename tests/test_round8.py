@@ -724,3 +724,73 @@ def test_drift_stream_merge_matches_batch(spark, tmp_path):
     w11 = [v for k, v in merged.items() if "11:00:00" in k][0]
     assert w10.jsd > w11.jsd >= 0.0
     assert 0.0 <= w10.jsd_norm <= 1.0
+
+
+# ------------------------------------------------------------ vocab / oov
+
+def test_oov_stats_known(spark):
+    from dataframes_jl_spark.llm.relevance import oov_stats, vocab_topn
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "cat dog cat dog cat"),
+            ("b", "cat zebra quokka dog"),
+        ],
+        "src string, text string",
+    )
+    v = {r.term for r in vocab_topn(docs, "text", n=2).collect()}
+    assert v == {"cat", "dog"}
+    out = {r.src: r for r in oov_stats(docs, "src", "text", vocab_size=2).collect()}
+    assert out["a"].n_oov == 0 and out["a"].oov_rate == 0.0
+    assert out["b"].n_tokens == 4 and out["b"].n_oov == 2
+    assert out["b"].oov_rate == 0.5
+
+
+def test_vocab_topn_boundary_tie_deterministic(spark):
+    from dataframes_jl_spark.llm.relevance import vocab_topn
+
+    # b and c tie at count 2; term-asc tiebreak keeps 'b' at n=2
+    docs = spark.createDataFrame(
+        [("x", "a a a b b c c")], "src string, text string"
+    )
+    v = [r.term for r in vocab_topn(docs, "text", n=2).collect()]
+    assert v == ["a", "b"]
+
+
+# ------------------------------------------------------------ char-lm score
+
+def test_char_lm_scores_separate_garbage(spark):
+    from dataframes_jl_spark.llm.text import char_bigram_table, char_lm_scores
+
+    prose = "the quick brown fox jumps over the lazy dog and runs home"
+    train = spark.createDataFrame(
+        [("good", prose), ("good", prose[::-1])], "src string, text string"
+    )
+    table = char_bigram_table(train, "text")
+    rows = {r.bg: r for r in table.collect()}
+    # logp is a true conditional log-prob: sums to ~1 per context
+    import math as _m
+    by_ctx = {}
+    for bg, r in rows.items():
+        by_ctx.setdefault(bg[0], []).append(_m.exp(r.logp))
+    for probs in by_ctx.values():
+        assert abs(sum(probs) - 1.0) < 1e-4
+    # held-out scoring: junk hits unseen transitions -> floor penalties
+    score = spark.createDataFrame(
+        [("good", prose), ("junk", "qxqzqjqxqzqj")], "src string, text string"
+    )
+    out = {r.src: r for r in char_lm_scores(score, table, "src", "text").collect()}
+    assert out["junk"].avg_logp < out["good"].avg_logp
+
+
+def test_char_lm_unseen_bigram_floor(spark):
+    from dataframes_jl_spark.llm.text import char_bigram_table, char_lm_scores
+
+    train = spark.createDataFrame([("t", "ababab")], "src string, text string")
+    table = char_bigram_table(train, "text")
+    score_new = spark.createDataFrame(
+        [("new", "zz")], "src string, text string"
+    )
+    out = char_lm_scores(score_new, table, "src", "text").collect()[0]
+    assert out.n_bigrams == 1
+    assert out.avg_logp < 0  # floor penalty applied, not NULL/crash
