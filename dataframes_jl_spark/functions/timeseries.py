@@ -1,0 +1,157 @@
+"""Time-series diagnostics over per-group DAILY aggregates: Theil-Sen
+robust trend and autocorrelation.
+
+Both operators follow the aggregate-then-analyze shape that keeps them
+scale-free: the analysis input is the group's DAY table — bounded by
+the calendar (366 rows/group/year) no matter how many events the group
+logged — so the per-group quadratic (Theil-Sen's pairwise slopes) and
+the per-lag windows cost O(days²) and O(days·lags), never anything
+proportional to event volume. The only event-volume job is the first
+map-side-combining daily count.
+
+Determinism: daily counts are exact longs; Theil-Sen slopes are single
+IEEE divisions of integer differences (correctly rounded — identical
+in any engine), ranked with a fully-pinned order; the ACF clears the
+float mean the same way cusum_peaks does — ``dev_d = n·x_d − total``
+is exact int64, and the n² factors cancel in the ACF ratio, so
+numerator and denominator are exact integer sums (decimal(38,0) —
+dev² can exceed int64 under summation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _daily(df: DataFrame, ts: str, gb: list) -> DataFrame:
+    return (
+        df.filter(F.col(ts).isNotNull())
+        .groupBy(*gb, F.to_date(F.col(ts)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Theil-Sen estimator of the daily-count trend: the
+    MEDIAN of all pairwise slopes ``(x_j - x_i) / (day_j - day_i)`` —
+    the robust alternative to OLS that one outage-day or spike cannot
+    drag (breakdown point ~29%).
+
+    The pair join is keyed by the group over the bounded day table
+    (module doc). The median is the DISCRETE lower median — the
+    element at rank ``ceil(n_pairs/2)`` under the fully-pinned order
+    (slope, day_i, day_j) — a selected value, bit-identical across
+    engines. Returns ``(group, n_days, n_pairs, trend_per_day)`` in
+    events/day units.
+    """
+    gb = list(group_by)
+    d = _daily(df, ts, gb)
+    a = d.select(
+        *gb, F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = d.select(
+        *gb, F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    pairs = a.join(b, gb, "inner").filter(F.col("d1") < F.col("d2"))
+    slope = (F.col("x2") - F.col("x1")).cast("double") / (
+        F.unix_date(F.col("d2")) - F.unix_date(F.col("d1"))
+    ).cast("double")
+    w = Window.partitionBy(*gb).orderBy("__s__", "d1", "d2")
+    wn = Window.partitionBy(*gb)
+    ranked = pairs.select(*gb, slope.alias("__s__"), "d1", "d2").select(
+        *gb,
+        "__s__",
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(wn).alias("__np__"),
+    )
+    med = ranked.filter(
+        F.col("__rn__") == F.ceil(F.col("__np__").cast("double") / F.lit(2.0))
+    )
+    days = d.groupBy(*gb).agg(F.count(F.lit(1)).alias("n_days"))
+    m = F.lit(float(10**out_scale))
+    return days.join(med, gb, "left").select(
+        *gb,
+        "n_days",
+        F.coalesce("__np__", F.lit(0)).alias("n_pairs"),
+        (F.floor(F.col("__s__") * m + F.lit(0.5)) / m).alias("trend_per_day"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    max_lag: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group autocorrelation of the daily count series at lags
+    1..``max_lag`` — the seasonality fingerprint (a weekly cycle shows
+    as a peak at lag 7) that complements the seasonal-residual and
+    CUSUM operators.
+
+    ACF_k = Σ dev_t·dev_{t+k} / Σ dev_t² over the OBSERVED day sequence
+    (positional lags via row_number — for gap-free calendars, identical
+    to calendar lags), with ``dev_t = n·x_t − total`` exact int64 (the
+    n² factors cancel in the ratio). One row per (group, lag); lags
+    with no overlapping pairs return NULL.
+    """
+    gb = list(group_by)
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    d = _daily(df, ts, gb)
+    stats = d.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("total")
+    )
+    j = d.join(stats, gb, "inner")
+    dev = (F.col("x") * F.col("n_days") - F.col("total")).alias("dev")
+    w = Window.partitionBy(*gb).orderBy("day")
+    base = j.select(*gb, "n_days", F.col("day"), dev).select(
+        *gb,
+        "n_days",
+        "dev",
+        *[
+            F.lag("dev", k).over(w).alias(f"__l{k}__")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    dec = "decimal(38,0)"
+    den = F.sum((F.col("dev").cast(dec) * F.col("dev").cast(dec)))
+    aggs = [F.max("n_days").alias("n_days"), den.alias("__den__")]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(
+                (F.col("dev").cast(dec) * F.col(f"__l{k}__").cast(dec))
+            ).alias(f"__num{k}__")
+        )
+    agg = base.groupBy(*gb).agg(*aggs)
+    m = F.lit(float(10**out_scale))
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.when(
+                    F.col("__den__") > 0,
+                    F.floor(
+                        F.col(f"__num{k}__").cast("double")
+                        / F.col("__den__").cast("double")
+                        * m
+                        + F.lit(0.5)
+                    )
+                    / m,
+                ).alias("acf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    ex = agg.select(*gb, "n_days", F.explode(lags).alias("s"))
+    return ex.select(
+        *gb, "n_days", F.col("s.lag").alias("lag"), F.col("s.acf").alias("acf")
+    )

@@ -13,6 +13,7 @@ Design rules for 100 TB:
 
 from .dedup import (  # noqa: F401
     embedding_dup_pairs,
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,

@@ -65,3 +65,9 @@ from .histogram import equidepth_histogram  # noqa: F401
 from .integrity import check_relation, integrity_report  # noqa: F401
 from .diff import apply_diff  # noqa: F401
 from .graph import triangle_count  # noqa: F401
+from .inequality import gini, lorenz_deciles  # noqa: F401
+from .integrity import benford_audit  # noqa: F401
+from .scd import survivorship  # noqa: F401
+from .graph import degree_assortativity  # noqa: F401
+from .reshape import collapse_rare  # noqa: F401
+from .selection import exact_ranks_n  # noqa: F401

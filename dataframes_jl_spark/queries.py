@@ -8174,6 +8174,141 @@ def q_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_lm_scores(docs, table, "source", "text")
 
 
+@register(
+    "q_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS event_type,
+             CAST(b.x - a.x AS DOUBLE)
+               / CAST(DATE_DIFF('day', a.day, b.day) AS DOUBLE) AS s,
+             a.day AS d1, b.day AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    r AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM p
+    ),
+    med AS (
+      SELECT event_type, s, np FROM r
+      WHERE rn = CAST(CEIL(CAST(np AS DOUBLE) / 2.0) AS BIGINT)
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT nd.event_type AS event_type, n_days,
+           CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+           FLOOR(s * 1e6 + 0.5) / 1e6 AS trend_per_day
+    FROM nd LEFT JOIN med ON nd.event_type = med.event_type
+    """,
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-count trend per event type (functions.
+    timeseries.theilsen_trend): the median of all pairwise slopes —
+    one spike cannot drag it, unlike OLS. The pair join is keyed over
+    the calendar-bounded day table; the median is a discrete selected
+    element under a fully-pinned order (slope, d1, d2)."""
+    from .functions.timeseries import theilsen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return theilsen_trend(ev, "ts", ["event_type"])
+
+
+@register(
+    "q_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    j AS (
+      SELECT daily.event_type AS event_type, day,
+             x * n_days - total AS dev, n_days
+      FROM daily JOIN st ON daily.event_type = st.event_type
+    ),
+    l AS (
+      SELECT event_type, n_days, dev,
+             LAG(dev, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+             LAG(dev, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+             LAG(dev, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3,
+             LAG(dev, 4) OVER (PARTITION BY event_type ORDER BY day) AS l4,
+             LAG(dev, 5) OVER (PARTITION BY event_type ORDER BY day) AS l5,
+             LAG(dev, 6) OVER (PARTITION BY event_type ORDER BY day) AS l6,
+             LAG(dev, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+      FROM j
+    ),
+    a AS (
+      SELECT event_type, MAX(n_days) AS n_days,
+             SUM(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)) AS den,
+             SUM(CAST(dev AS HUGEINT) * CAST(l1 AS HUGEINT)) AS n1,
+             SUM(CAST(dev AS HUGEINT) * CAST(l2 AS HUGEINT)) AS n2,
+             SUM(CAST(dev AS HUGEINT) * CAST(l3 AS HUGEINT)) AS n3,
+             SUM(CAST(dev AS HUGEINT) * CAST(l4 AS HUGEINT)) AS n4,
+             SUM(CAST(dev AS HUGEINT) * CAST(l5 AS HUGEINT)) AS n5,
+             SUM(CAST(dev AS HUGEINT) * CAST(l6 AS HUGEINT)) AS n6,
+             SUM(CAST(dev AS HUGEINT) * CAST(l7 AS HUGEINT)) AS n7
+      FROM l GROUP BY 1
+    )
+    SELECT event_type, n_days, 1 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    UNION ALL
+    SELECT event_type, n_days, 2 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    UNION ALL
+    SELECT event_type, n_days, 3 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    UNION ALL
+    SELECT event_type, n_days, 4 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    UNION ALL
+    SELECT event_type, n_days, 5 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    UNION ALL
+    SELECT event_type, n_days, 6 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n6 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    UNION ALL
+    SELECT event_type, n_days, 7 AS lag,
+           CASE WHEN den > 0 THEN FLOOR(CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE)
+                                        * 1e6 + 0.5) / 1e6 END AS acf
+    FROM a
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1..7 per event type
+    (functions.timeseries.autocorrelation) — the seasonality
+    fingerprint. Deviations are cleared of the float mean exactly
+    (n*x - total, the cusum trick; the n^2 factors cancel in the
+    ratio), so numerator and denominator are exact integer sums."""
+    from .functions.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(ev, "ts", ["event_type"], max_lag=7)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -8208,9 +8343,7 @@ _PRIORITY = [
     "q_char_entropy",
     "q_triangle_count",
     # --- stalest evidence: round-3-era (all 27) ------------------------
-    "q_any_all_tristate",
     "q_bm25_search",
-    "q_complete_cases",
     "q_corpus_shuffle",
     "q_decontaminate",
     "q_dedup_clusters",
@@ -8247,6 +8380,8 @@ _PRIORITY = [
     "q_stream_drift_merge",
     "q_vocab_oov",
     "q_char_lm_quality",
+    "q_theilsen_trend",
+    "q_autocorrelation",
 ]
 
 

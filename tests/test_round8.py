@@ -794,3 +794,68 @@ def test_char_lm_unseen_bigram_floor(spark):
     out = char_lm_scores(score_new, table, "src", "text").collect()[0]
     assert out.n_bigrams == 1
     assert out.avg_logp < 0  # floor penalty applied, not NULL/crash
+
+
+# ------------------------------------------------------------- theil-sen
+
+def test_theilsen_resists_outlier(spark):
+    from dataframes_jl_spark.functions.timeseries import theilsen_trend
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # counts 1,2,3,...,9 per day (slope 1) with day 5 spiked to 50:
+    # OLS would bend; the pairwise-slope median stays ~1
+    rows = []
+    for d in range(1, 10):
+        n = 50 if d == 5 else d
+        for i in range(n):
+            rows.append((f"2024-02-{d:02d} 08:{i % 60:02d}:{i // 60:02d}",))
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts"), F.lit("g").alias("k")
+    )
+    r = theilsen_trend(df, "ts", ["k"]).collect()[0]
+    assert r.n_days == 9 and r.n_pairs == 36
+    assert abs(r.trend_per_day - 1.0) < 0.35
+
+
+def test_theilsen_single_day_null(spark):
+    from dataframes_jl_spark.functions.timeseries import theilsen_trend
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame(
+        [("2024-02-01 00:00:00",)] * 3, "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), F.lit("g").alias("k"))
+    r = theilsen_trend(df, "ts", ["k"]).collect()[0]
+    assert r.n_days == 1 and r.n_pairs == 0 and r.trend_per_day is None
+
+
+# -------------------------------------------------------- autocorrelation
+
+def test_autocorrelation_period_two(spark):
+    from dataframes_jl_spark.functions.timeseries import autocorrelation
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # alternating 1,3,1,3,... daily counts: ACF(1) ~ -1, ACF(2) ~ +1
+    rows = []
+    for d in range(1, 13):
+        n = 3 if d % 2 == 0 else 1
+        for i in range(n):
+            rows.append((f"2024-02-{d:02d} 08:0{i}:00",))
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts"), F.lit("g").alias("k")
+    )
+    out = {r.lag: r.acf for r in autocorrelation(df, "ts", ["k"], max_lag=3).collect()}
+    assert out[1] < -0.8 and out[2] > 0.8
+    assert -1.0 <= out[3] <= 1.0
+
+
+def test_autocorrelation_constant_series_null(spark):
+    from dataframes_jl_spark.functions.timeseries import autocorrelation
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [(f"2024-02-{d:02d} 08:00:00",) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts"), F.lit("g").alias("k")
+    )
+    out = {r.lag: r.acf for r in autocorrelation(df, "ts", ["k"], max_lag=2).collect()}
+    # zero variance -> den = 0 -> NULL, not a crash or a fake 1.0
+    assert out == {1: None, 2: None}
