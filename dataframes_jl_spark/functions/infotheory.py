@@ -327,3 +327,43 @@ def jensen_shannon(
             / F.lit(1e6)
         ).alias("jsd_norm"),
     )
+
+
+def standardized_residuals(
+    df: DataFrame,
+    a: str | Column,
+    b: str | Column,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-cell standardized residuals ``(O - E) / sqrt(E)`` of the
+    contingency table — the cell-level diagnosis behind a significant
+    :func:`association` chi-square: WHICH (a, b) combination is over-
+    or under-represented, and by how many standard deviations.
+
+    Same bounded-table shape as every operator in this module; only
+    OBSERVED cells are emitted (an empty cell's residual is -sqrt(E) —
+    derivable from the margins if needed, and emitting the full |A|x|B|
+    grid is exactly the materialization :func:`association` avoids).
+    E and the residual use only +,-,*,/ and sqrt over exact counts —
+    correctly-rounded IEEE, quantized once at the end.
+    """
+    t = contingency(df, a, b)
+    n = F.col("n").cast("double")
+    e = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    resid = (n - e) / F.sqrt(e)
+    m = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    return t.select(
+        "a",
+        "b",
+        "n",
+        _q(e).alias("expected"),
+        _q(resid).alias("std_residual"),
+    )

@@ -1165,3 +1165,41 @@ def mann_whitney_u(
         u.alias("u_stat"),
         (F.floor(z * om + F.lit(0.5)) / om).alias("z_score"),
     )
+
+
+def null_matrix(
+    df: DataFrame,
+    group_by: str,
+    cols: Sequence[str] | None = None,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group per-column completeness audit: ``(group, column,
+    n_rows, n_null, null_rate)`` — the first table a data contract
+    review reads ("source X stopped filling column Y last Tuesday").
+
+    ONE aggregate pass computes every column's null count per group
+    (map-side combining, |groups| rows out), then a codegen'd
+    inline-struct unpivot to |groups| x |cols| rows — the same
+    one-pass-then-unpivot shape as :func:`describe`, never a per-column
+    job."""
+    if cols is None:
+        cols = [c for c in df.columns if c != group_by]
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).alias("__n__")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}__")
+        for c in cols
+    ]
+    row = df.groupBy(F.col(group_by).alias("g")).agg(*aggs)
+    pieces = ", ".join(
+        f"named_struct('column', '{c}', 'n_null', `__nn_{c}__`)" for c in cols
+    )
+    ex = row.selectExpr("g", "__n__", f"inline(array({pieces}))")
+    m = F.lit(float(10**out_scale))
+    rate = F.col("n_null").cast("double") / F.col("__n__").cast("double")
+    return ex.select(
+        F.col("g").alias(group_by),
+        F.col("column"),
+        F.col("__n__").alias("n_rows"),
+        "n_null",
+        (F.floor(rate * m + F.lit(0.5)) / m).alias("null_rate"),
+    )

@@ -128,3 +128,38 @@ def key_skew_report(
         .otherwise(F.lit("ok"))
         .alias("hint"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Exact inner-equi-join cardinality WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k ca(k)·cb(k)`` over the two sides' key histograms —
+    the planner-style audit that tells you whether a proposed join
+    explodes (a skewed key pair multiplying 10^6 x 10^6 shows up here
+    as a 10^12 BEFORE you shuffle a single payload byte).
+
+    Cost: one distinct-with-counts aggregate per side (|keys| rows
+    move, never |rows|), one equi-join of the two count tables, one
+    single-row sum in decimal(38,0) (per-key products overflow int64
+    exactly when the answer matters most). Also reports each side's
+    row/key counts and the largest single-key contribution — the skew
+    culprit."""
+    ca = left.filter(F.col(key).isNotNull()).groupBy(
+        F.col(key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("ca"))
+    cb = right.filter(F.col(key).isNotNull()).groupBy(
+        F.col(key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    dec = "decimal(38,0)"
+    prod = (F.col("ca").cast(dec) * F.col("cb").cast(dec))
+    j = ca.join(cb, "k", "inner")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.sum("ca").alias("left_rows_matched"),
+        F.sum("cb").alias("right_rows_matched"),
+        F.sum(prod).cast(dec).alias("est_join_rows"),
+        F.max(prod).cast(dec).alias("max_single_key_rows"),
+    )

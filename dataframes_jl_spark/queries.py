@@ -8309,6 +8309,151 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(ev, "ts", ["event_type"], max_lag=7)
 
 
+@register(
+    "q_join_size_estimate",
+    oracle="""
+    WITH ca AS (
+      SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders
+      WHERE o_orderkey IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+      WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ),
+    j AS (SELECT ca.ca, cb.cb FROM ca JOIN cb ON ca.k = cb.k),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_join_rows
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+           CAST(SUM(ca) AS BIGINT) AS left_rows_matched,
+           CAST(SUM(cb) AS BIGINT) AS right_rows_matched,
+           CAST(SUM(ca * cb) AS BIGINT) AS est_join_rows,
+           CAST(MAX(ca * cb) AS BIGINT) AS max_single_key_rows,
+           ANY_VALUE(actual_join_rows) AS actual_join_rows
+    FROM j, act
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-product join-cardinality estimate (ops.skew.
+    join_size_estimate) for orders x lineitem on orderkey, verified
+    against the ACTUAL join count in the same row — the planner-style
+    audit that prices a join from |keys|-row count tables before
+    shuffling a payload byte. est == actual is the operator's
+    correctness theorem for inner equi-joins, and this gate asserts it
+    through both engines."""
+    from .ops.skew import join_size_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # key columns differ by name across the two tables: align on a
+    # common name before the estimator (it joins on one key name)
+    est = join_size_estimate(
+        o.select(F.col("o_orderkey").alias("jk")),
+        li.select(F.col("l_orderkey").alias("jk")),
+        "jk",
+    )
+    actual = o.join(li, o["o_orderkey"] == li["l_orderkey"]).agg(
+        F.count(F.lit(1)).alias("actual_join_rows")
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "n_matching_keys",
+        "left_rows_matched",
+        "right_rows_matched",
+        F.col("est_join_rows").cast("long").alias("est_join_rows"),
+        F.col("max_single_key_rows").cast("long").alias("max_single_key_rows"),
+        "actual_join_rows",
+    )
+
+
+@register(
+    "q_cell_residuals",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS a, dayofweek(ts) + 1 AS b FROM events
+      WHERE ts IS NOT NULL
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+    t AS (
+      SELECT a, b, n,
+             SUM(n) OVER (PARTITION BY a) AS n_a,
+             SUM(n) OVER (PARTITION BY b) AS n_b,
+             SUM(n) OVER () AS n_total
+      FROM cells
+    )
+    SELECT a, b, n,
+           FLOOR(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS expected,
+           FLOOR((CAST(n AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS std_residual
+    FROM t
+    """,
+)
+def q_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized contingency residuals (functions.infotheory.
+    standardized_residuals) between event type and day-of-week: the
+    cell-level answer behind a significant chi-square — WHICH
+    (type, weekday) is over/under-represented, in standard deviations.
+    One aggregate to the bounded cell table; +,-,*,/,sqrt only."""
+    from .functions.infotheory import standardized_residuals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    staged = ev.select(
+        F.col("event_type").alias("et"), F.dayofweek("ts").alias("dow")
+    )
+    return standardized_residuals(staged, "et", "dow")
+
+
+@register(
+    "q_null_matrix",
+    oracle="""
+    WITH staged AS (
+      SELECT source,
+             CASE WHEN n_chars >= 800 THEN n_chars END AS big_chars,
+             CASE WHEN lang = 'en' THEN lang END AS en_lang,
+             text
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN big_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+             CAST(SUM(CASE WHEN en_lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3
+      FROM staged GROUP BY 1
+    )
+    SELECT source, 'big_chars' AS column, n_rows, nn1 AS n_null,
+           FLOOR(CAST(nn1 AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6 AS null_rate
+    FROM agg
+    UNION ALL
+    SELECT source, 'en_lang', n_rows, nn2,
+           FLOOR(CAST(nn2 AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6
+    FROM agg
+    UNION ALL
+    SELECT source, 'text', n_rows, nn3,
+           FLOOR(CAST(nn3 AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6
+    FROM agg
+    """,
+)
+def q_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source per-column completeness audit (functions.stats.
+    null_matrix): one aggregate pass computes every column's null count
+    per group, then a codegen'd inline-struct unpivot — the data-
+    contract table ("source X stopped filling column Y"). Derived
+    nullable columns exercise real null mass."""
+    from .functions.stats import null_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source",
+        F.when(F.col("n_chars") >= 800, F.col("n_chars")).alias("big_chars"),
+        F.when(F.col("lang") == "en", F.col("lang")).alias("en_lang"),
+        "text",
+    )
+    return null_matrix(staged, "source", ["big_chars", "en_lang", "text"])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -8344,7 +8489,6 @@ _PRIORITY = [
     "q_triangle_count",
     # --- stalest evidence: round-3-era (all 27) ------------------------
     "q_bm25_search",
-    "q_corpus_shuffle",
     "q_decontaminate",
     "q_dedup_clusters",
     "q_dedup_jaccard_exact",
@@ -8355,11 +8499,9 @@ _PRIORITY = [
     "q_positional_rows",
     "q_quality_score",
     "q_row_reductions",
-    "q_set_ops",
     "q_sliding_window",
     "q_special_functions",
     "q_string_functions",
-    "q_systematic_sample",
     "q_text_stats",
     # --- first-ever driver rows (round-8 operators) --------------------
     "q_gini_revenue",
@@ -8382,6 +8524,9 @@ _PRIORITY = [
     "q_char_lm_quality",
     "q_theilsen_trend",
     "q_autocorrelation",
+    "q_join_size_estimate",
+    "q_cell_residuals",
+    "q_null_matrix",
 ]
 
 

@@ -859,3 +859,65 @@ def test_autocorrelation_constant_series_null(spark):
     out = {r.lag: r.acf for r in autocorrelation(df, "ts", ["k"], max_lag=2).collect()}
     # zero variance -> den = 0 -> NULL, not a crash or a fake 1.0
     assert out == {1: None, 2: None}
+
+
+# --------------------------------------------------- join size estimate
+
+def test_join_size_estimate_equals_actual(spark):
+    from dataframes_jl_spark.ops.skew import join_size_estimate
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "jk int"
+    )
+    b = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,), (None,)], "jk int"
+    )
+    r = join_size_estimate(a, b, "jk").collect()[0]
+    # key 1: 2*1=2, key 2: 1*2=2 -> est 4; keys 3/4/None never match
+    assert int(r.est_join_rows) == 4
+    assert r.n_matching_keys == 2
+    assert int(r.max_single_key_rows) == 2
+    actual = a.join(b, "jk").count()
+    assert int(r.est_join_rows) == actual
+
+
+# ------------------------------------------------------- cell residuals
+
+def test_standardized_residuals_uniform_zero(spark):
+    from dataframes_jl_spark.functions.infotheory import standardized_residuals
+
+    # perfectly independent uniform 2x2: every residual is 0
+    rows = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = standardized_residuals(df, "a", "b").collect()
+    assert len(out) == 4
+    assert all(r.std_residual == 0.0 and r.expected == 5.0 for r in out)
+
+
+def test_standardized_residuals_detect_excess(spark):
+    from dataframes_jl_spark.functions.infotheory import standardized_residuals
+
+    rows = [("x", "u")] * 9 + [("x", "v")] * 1 + [("y", "u")] * 1 + [("y", "v")] * 9
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {(r.a, r.b): r.std_residual for r in standardized_residuals(df, "a", "b").collect()}
+    # E = 5 everywhere; (9-5)/sqrt(5) = 1.788854, (1-5)/sqrt(5) = -1.788854
+    assert abs(out[("x", "u")] - 1.788854) < 1e-6
+    assert abs(out[("y", "v")] - 1.788854) < 1e-6
+    assert abs(out[("x", "v")] + 1.788854) < 1e-6
+    assert abs(out[("y", "u")] + 1.788854) < 1e-6
+
+
+# ----------------------------------------------------------- null matrix
+
+def test_null_matrix_rates(spark):
+    from dataframes_jl_spark.functions.stats import null_matrix
+
+    df = spark.createDataFrame(
+        [("s1", 1, None), ("s1", None, "a"), ("s2", 3, "b"), ("s2", 4, "c")],
+        "src string, x int, y string",
+    )
+    out = {(r.src, r.column): r for r in null_matrix(df, "src").collect()}
+    assert out[("s1", "x")].n_null == 1 and out[("s1", "x")].null_rate == 0.5
+    assert out[("s1", "y")].n_null == 1
+    assert out[("s2", "x")].n_null == 0 and out[("s2", "x")].null_rate == 0.0
+    assert all(r.n_rows == 2 for r in out.values())
