@@ -214,16 +214,20 @@ def confusion_metrics(
     diag = t.filter(F.col("a").eqNullSafe(F.col("b"))).select(
         F.col("a").alias("label"), F.col("n").alias("tp")
     )
+    # NULL is a class (contingency keeps it, and its diagonal cell
+    # exists via eqNullSafe) — so the margin/diagonal merges must be
+    # NULL-safe too, or the NULL class splits into rows with tp=0 and
+    # mismatched margins. Rename keys per side (fresh exprIds), join
+    # eqNullSafe, coalesce.
+    ma_t = ma.select(F.col("a").alias("lma"), "actual_pos")
+    mb_t = mb.select(F.col("b").alias("lmb"), "pred_pos")
+    dg_t = diag.select(F.col("label").alias("ldg"), "tp")
     base = (
-        ma.withColumnRenamed("a", "label")
-        .join(
-            mb.withColumnRenamed("b", "label"),
-            ["label"],
-            "full_outer",
-        )
-        .join(diag, ["label"], "left")
+        ma_t.join(mb_t, F.col("lma").eqNullSafe(F.col("lmb")), "full_outer")
+        .withColumn("lbl", F.coalesce("lma", "lmb"))
+        .join(dg_t, F.col("lbl").eqNullSafe(F.col("ldg")), "left")
         .select(
-            "label",
+            F.col("lbl").alias("label"),
             F.coalesce("tp", F.lit(0)).alias("tp"),
             F.coalesce("pred_pos", F.lit(0)).alias("pred_pos"),
             F.coalesce("actual_pos", F.lit(0)).alias("actual_pos"),
@@ -281,14 +285,18 @@ def jensen_shannon(
     def counts(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy(c.alias("lvl")).agg(F.count(F.lit(1)).alias(name))
 
-    merged = (
-        counts(df_a, "ca")
-        .join(counts(df_b, "cb"), ["lvl"], "full_outer")
-        .select(
-            "lvl",
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
-        )
+    # NULL is a level (the contingency() convention): merge with an
+    # eqNullSafe key so a NULL level present on both sides lands in ONE
+    # row — a plain ["lvl"] equi-join would split it into two disjoint
+    # rows, double-count n_levels, and inflate the divergence
+    ca_t = counts(df_a, "ca").select(F.col("lvl").alias("la"), "ca")
+    cb_t = counts(df_b, "cb").select(F.col("lvl").alias("lb"), "cb")
+    merged = ca_t.join(
+        cb_t, F.col("la").eqNullSafe(F.col("lb")), "full_outer"
+    ).select(
+        F.coalesce("la", "lb").alias("lvl"),
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
     )
     from pyspark.sql import Window
 

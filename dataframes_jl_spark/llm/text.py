@@ -600,11 +600,17 @@ def char_lm_scores(
     # within an ulp — floor(x+0.5) re-integerizes exactly, so the
     # weighted sum is pure int64 arithmetic (order-independent)
     units = F.floor(F.col("lp") * m + F.lit(0.5)).cast("long")
+    # units reaches ~logp·10^8 ≈ 2.5e9 per bigram; Σ cnt·units overflows
+    # int64 around 4e9 occurrences — accumulate in decimal(38,0) like
+    # welch_ttest/autocorrelation, cast to double only for the final avg
+    dec = "decimal(38,0)"
     agg = j.groupBy("g").agg(
         F.sum("cnt").alias("n_bigrams"),
-        (F.sum(F.col("cnt") * units) / m).alias("__slp__"),
+        F.sum(F.col("cnt").cast(dec) * units.cast(dec)).alias("__su__"),
     )
-    avg = F.col("__slp__") / F.col("n_bigrams").cast("double")
+    avg = (
+        F.col("__su__").cast("double") / m / F.col("n_bigrams").cast("double")
+    )
     return agg.select(
         F.col("g").alias(group_by),
         "n_bigrams",

@@ -22,6 +22,16 @@ Spark's window external-sorts and spills, so a billion-row group is
 slow but safe), one map-side-combining aggregate to |groups| rows.
 The Lorenz curve adds an ``ntile`` over the same sorted order — no
 extra shuffle (same partitioning/ordering, one window stage).
+
+The UNGROUPED default (``group_by=()``) does NOT plan the
+``Window.orderBy`` SinglePartition exchange (every row through one
+task — the anti-pattern ops/window.py refuses outright). It routes
+the global rank through :func:`ops.sorting.global_row_number` /
+:func:`ops.sorting.global_ntile`: range-repartition on the sort key,
+per-partition ``row_number`` plus the cumulative partition offsets —
+a parallel sampled shuffle. The Σ i·x_i statistic is permutation-
+invariant over equal values, so the range-partitioned rank is a
+drop-in for the window rank.
 """
 
 from __future__ import annotations
@@ -61,10 +71,19 @@ def gini(
         .select(*gb, x.alias("__x__"), *( [tiebreak] if tiebreak else [] ))
     )
     order = [F.col("__x__")] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.partitionBy(*gb).orderBy(*order) if gb else Window.orderBy(*order)
-    ranked = base.select(
-        *gb, "__x__", F.row_number().over(w).alias("__i__")
-    )
+    if gb:
+        w = Window.partitionBy(*gb).orderBy(*order)
+        ranked = base.select(
+            *gb, "__x__", F.row_number().over(w).alias("__i__")
+        )
+    else:
+        # ungrouped: a bare Window.orderBy funnels every row through one
+        # SinglePartition task — use the range-partitioned global rank
+        from .sorting import global_row_number
+
+        ranked = global_row_number(
+            base, cols=order, col_name="__i__", persist=True
+        ).select("__x__", "__i__")
     dec = "decimal(38,0)"
     agg = ranked.groupBy(*gb).agg(
         F.count(F.lit(1)).alias("n"),
@@ -115,8 +134,17 @@ def lorenz_deciles(
         .select(*gb, x.alias("__x__"), *( [tiebreak] if tiebreak else [] ))
     )
     order = [F.col("__x__")] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.partitionBy(*gb).orderBy(*order) if gb else Window.orderBy(*order)
-    tiled = base.select(*gb, "__x__", F.ntile(10).over(w).alias("decile"))
+    if gb:
+        w = Window.partitionBy(*gb).orderBy(*order)
+        tiled = base.select(*gb, "__x__", F.ntile(10).over(w).alias("decile"))
+    else:
+        # ungrouped: global_ntile reproduces SQL NTILE's group sizing
+        # without the SinglePartition window exchange
+        from .sorting import global_ntile
+
+        tiled = global_ntile(base, cols=order, k=10, col_name="decile").select(
+            "__x__", "decile"
+        )
     per = tiled.groupBy(*gb, "decile").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("__x__").alias("__mass__"),

@@ -148,24 +148,38 @@ def benford_audit(
     """
     m = F.lit(float(10**cents_scale))
     units = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
-    digits = (
+    observed = (
         df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
         .select(F.substring(units.cast("string"), 1, 1).cast("int").alias("digit"))
         .filter(F.col("digit") > 0)  # 0.001 at scale 2 quantizes to 0
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_values"))
     )
+    # the 9-row contract is load-bearing: a digit with ZERO observations
+    # is the loudest Benford anomaly, and a grouped output simply omits
+    # it — so anchor on a literal 1..9 spine and coalesce counts to 0
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    digits = spine.join(observed, ["digit"], "left").select(
+        "digit", F.coalesce("n_values", F.lit(0)).alias("n_values")
+    )
     from pyspark.sql import Window
 
-    # total via a window over the ≤9-row digit table (bounded, not data)
+    # total via a window over the 9-row digit table (bounded, not data)
     total = F.sum("n_values").over(Window.partitionBy())
     exp_ppm = F.create_map(
         *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
     )[F.col("digit")]
-    obs_ppm = F.floor(
-        F.col("n_values").cast("double") * F.lit(1e6) / total.cast("double")
-        + F.lit(0.5)
-    ).cast("long")
+    # the spine guarantees 9 rows even on an EMPTY input, where total=0
+    # — guard the ratio (ANSI raises on /0) and report obs_ppm=0
+    obs_ppm = F.when(
+        total > 0,
+        F.floor(
+            F.col("n_values").cast("double") * F.lit(1e6) / total.cast("double")
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     return digits.select(
         "digit",
         "n_values",

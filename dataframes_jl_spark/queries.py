@@ -7294,6 +7294,95 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gini_global",
+    oracle="""
+    WITH rev AS (
+      SELECT c_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS i
+      FROM rev
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total,
+             SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS iwx
+      FROM ranked
+    )
+    SELECT n, total,
+           FLOOR((2.0 * CAST(iwx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+    FROM agg
+    """,
+)
+def q_gini_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED Gini over per-customer revenue — the whole-book
+    concentration number (ops.inequality.gini with the default
+    group_by=()). The point under test: the global rank rides
+    ops.sorting.global_row_number (range-repartitioned shuffle +
+    per-partition offsets), NEVER a bare Window.orderBy SinglePartition
+    exchange — the Σ i·x_i statistic is permutation-invariant over
+    equal values, so the range-partitioned rank is exact. Plan-pinned
+    in tests/test_plans.py."""
+    from .ops.inequality import gini
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return gini(rev, "cents", tiebreak="c_custkey", scale=0)
+
+
+@register(
+    "q_lorenz_global",
+    oracle="""
+    WITH rev AS (
+      SELECT c_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    tiled AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents, c_custkey) AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS mass
+      FROM tiled GROUP BY 1
+    )
+    SELECT decile, n_rows,
+           FLOOR(CAST(SUM(mass) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(SUM(mass) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_share
+    FROM per
+    """,
+)
+def q_lorenz_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED Lorenz deciles over per-customer revenue ("the bottom
+    70% of customers hold X% of revenue") — exercises
+    ops.sorting.global_ntile, whose closed form floor((rn-1)·k/n)+1
+    reproduces SQL NTILE's group sizing exactly without the
+    SinglePartition window exchange. Tiebreak pins decile edges."""
+    from .ops.inequality import lorenz_deciles
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    return lorenz_deciles(rev, "cents", tiebreak="c_custkey", scale=0)
+
+
+@register(
     "q_kappa_agreement",
     oracle="""
     WITH r AS (
@@ -7364,11 +7453,18 @@ def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
       FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
     ),
-    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values FROM d WHERE digit > 0 GROUP BY 1),
+    g0 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values FROM d WHERE digit > 0 GROUP BY 1),
+    spine AS (SELECT CAST(r.range AS INTEGER) AS digit FROM range(1, 10) r),
+    g AS (
+      SELECT spine.digit, CAST(COALESCE(g0.n_values, 0) AS BIGINT) AS n_values
+      FROM spine LEFT JOIN g0 ON spine.digit = g0.digit
+    ),
     t AS (SELECT CAST(SUM(n_values) AS DOUBLE) AS total FROM g),
     o AS (
       SELECT digit, n_values,
-             CAST(FLOOR(CAST(n_values AS DOUBLE) * 1e6 / total + 0.5) AS BIGINT) AS obs_ppm,
+             CASE WHEN total > 0
+                  THEN CAST(FLOOR(CAST(n_values AS DOUBLE) * 1e6 / total + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS obs_ppm,
              CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
                         WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
                         WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm
@@ -7729,14 +7825,14 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell AS (SELECT f, l, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
     ma AS (SELECT f AS label, CAST(SUM(n) AS BIGINT) AS actual_pos FROM cell GROUP BY 1),
     mb AS (SELECT l AS label, CAST(SUM(n) AS BIGINT) AS pred_pos FROM cell GROUP BY 1),
-    diag AS (SELECT f AS label, n AS tp FROM cell WHERE f = l),
+    diag AS (SELECT f AS label, n AS tp FROM cell WHERE f IS NOT DISTINCT FROM l),
     base AS (
       SELECT COALESCE(ma.label, mb.label) AS label,
              COALESCE(tp, 0) AS tp,
              COALESCE(pred_pos, 0) AS pred_pos,
              COALESCE(actual_pos, 0) AS actual_pos
-      FROM ma FULL OUTER JOIN mb ON ma.label = mb.label
-      LEFT JOIN diag ON COALESCE(ma.label, mb.label) = diag.label
+      FROM ma FULL OUTER JOIN mb ON ma.label IS NOT DISTINCT FROM mb.label
+      LEFT JOIN diag ON COALESCE(ma.label, mb.label) IS NOT DISTINCT FROM diag.label
     )
     SELECT label, tp, pred_pos, actual_pos,
            FLOOR((CASE WHEN pred_pos > 0
@@ -7936,7 +8032,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv AS (
       SELECT COALESCE(ac.lvl, bc.lvl) AS lvl,
              COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-      FROM ac FULL OUTER JOIN bc ON ac.lvl = bc.lvl
+      FROM ac FULL OUTER JOIN bc ON ac.lvl IS NOT DISTINCT FROM bc.lvl
     ),
     t AS (
       SELECT lvl, ca, cb,
@@ -8000,7 +8096,8 @@ def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (SELECT d, lvl, ref_n FROM days, ref),
     filled AS (
       SELECT g.d, g.lvl, COALESCE(daily.n, 0) AS n, g.ref_n
-      FROM grid g LEFT JOIN daily ON daily.d = g.d AND daily.lvl = g.lvl
+      FROM grid g LEFT JOIN daily
+        ON daily.d = g.d AND daily.lvl IS NOT DISTINCT FROM g.lvl
     ),
     t AS (
       SELECT d, n, ref_n,
@@ -8166,7 +8263,9 @@ def q_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's pooled average log-probability — the KenLM-style
     perplexity stand-in that flags base64/garbage without an external
     model. log-probs are quantized IN the model table (libm ln drift
-    absorbed once), so every downstream sum is exact int64."""
+    absorbed once), so every downstream sum is exact integer
+    arithmetic (decimal(38,0) — Sum cnt*units overflows int64 past
+    ~4e9 bigram occurrences)."""
     from .llm.text import char_bigram_table, char_lm_scores
 
     docs = _t(spark, sf_dir, "documents")

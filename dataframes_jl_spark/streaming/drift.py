@@ -42,14 +42,26 @@ def drift_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked per-window level counts (module doc). Emits
-    ``(win_start, lvl, n)``; run with ``outputMode('update')``."""
+    ``(win_start, lvl, n)``; run with ``outputMode('update')``.
+
+    The groupBy key is the FULL ``window()`` struct, not its ``start``
+    field: projecting ``.getField("start")`` inside the key strips the
+    event-time watermark metadata, so Spark would treat the aggregate
+    as unwatermarked — state never evicted, growth unbounded in window
+    count (and append mode refused outright). Grouping on the struct
+    keeps eviction live; ``win_start`` is projected AFTER the
+    aggregation, where metadata no longer matters.
+    """
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(
-            F.window(F.col(ts_col), window).getField("start").alias("win_start"),
+            F.window(F.col(ts_col), window).alias("__win__"),
             F.col(cat_col).alias("lvl"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__win__").getField("start").alias("win_start"), "lvl", "n"
+        )
     )
 
 

@@ -295,3 +295,29 @@ def test_semdedup_no_cartesian_cheap_scan_filters(spark):
     import re
     for m in re.finditer(r"DataFilters: \[([^\]]*)\]", plan):
         assert "array_min" not in m.group(1)
+
+
+def test_ungrouped_gini_no_single_partition(spark):
+    """gini/lorenz with the DEFAULT group_by=() must rank via the
+    range-partitioned global_row_number/global_ntile path, never a bare
+    Window.orderBy (SinglePartition = every row through one task)."""
+    from dataframes_jl_spark.ops.inequality import gini, lorenz_deciles
+    from dataframes_jl_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    for df in (
+        gini(li, "l_extendedprice", tiebreak="l_orderkey"),
+        lorenz_deciles(li, "l_extendedprice", tiebreak="l_orderkey"),
+    ):
+        plan = plan_of(df)
+        # the row-level rank must ride the range-partitioned shuffle +
+        # per-pid offset window — never a bare ORDER BY window
+        assert "rangepartitioning" in plan
+        assert "hashpartitioning(__pid__" in plan
+        assert "ntile(" not in plan  # global_ntile's closed form, not ntile()
+        # the one allowed SinglePartition exchange feeds the BOUNDED
+        # tail (1-row gini agg / <=10-row decile cum-window), never the
+        # row-level window
+        assert plan.count("SinglePartition") <= 1

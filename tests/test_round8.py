@@ -232,7 +232,23 @@ def test_benford_excludes_nonpositive(spark):
         [(0.0,), (-12.0,), (None,), (19.0,), (1.2,)], "v double"
     )
     rows = {r.digit: r.n_values for r in benford_audit(df, "v").collect()}
-    assert rows == {1: 2}
+    # 9-row contract: zero-observation digits report explicitly
+    assert rows == {1: 2, **{d: 0 for d in range(2, 10)}}
+
+
+def test_benford_nine_row_contract(spark):
+    """A digit with zero mass is the loudest anomaly — it must appear
+    with obs_ppm=0 and dev_ppm=-exp_ppm, and empty input still yields
+    the 9-row spine (no ANSI /0)."""
+    from dataframes_jl_spark.ops.integrity import benford_audit
+
+    df = spark.createDataFrame([(1.0,), (1.5,), (2.0,)], "v double")
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[9].n_values == 0 and rows[9].obs_ppm == 0
+    assert rows[9].dev_ppm == -rows[9].exp_ppm
+    empty = benford_audit(df.filter("v < 0"), "v").collect()
+    assert len(empty) == 9 and all(r.obs_ppm == 0 for r in empty)
 
 
 # ------------------------------------------------------------ survivorship
@@ -921,3 +937,75 @@ def test_null_matrix_rates(spark):
     assert out[("s1", "y")].n_null == 1
     assert out[("s2", "x")].n_null == 0 and out[("s2", "x")].null_rate == 0.0
     assert all(r.n_rows == 2 for r in out.values())
+
+
+def test_drift_stream_keeps_watermark_append_mode(spark, tmp_path):
+    """Grouping by the FULL window() struct preserves the event-time
+    watermark on the aggregate: append mode must be ACCEPTED (the old
+    .getField("start")-in-key form stripped the metadata and Spark
+    refused append outright — and never evicted state in update mode)."""
+    from dataframes_jl_spark.streaming.drift import drift_stream
+
+    d = tmp_path / "drift_wm"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "ts,lvl\n2024-03-01 10:00:00,a\n2024-03-01 15:00:00,b\n"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, lvl string")
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        drift_stream(stream, "ts", "lvl", window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_drift_wm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the 15:00 event advances the watermark past hour 10 -> the
+        # hour-10 window is finalized and emitted in append mode
+        rows = spark.sql(
+            "SELECT win_start, lvl, n FROM t_drift_wm"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(str(r.win_start), r.lvl, r.n) for r in rows}
+    assert ("2024-03-01 10:00:00", "a", 1) in got
+
+
+# ------------------------------------------- NULL-level infotheory merges
+
+def test_jsd_null_level_single_row(spark):
+    """NULL is a level (contingency convention): present on BOTH sides
+    it must merge into ONE row via eqNullSafe — a plain equi-join would
+    split it, inflate n_levels, and add two p*ln2 terms. Here the two
+    frames are identical, so JSD must be exactly 0."""
+    from dataframes_jl_spark.functions.infotheory import jensen_shannon
+
+    df = spark.createDataFrame(
+        [("x",), ("x",), (None,), (None,), ("y",)], "c string"
+    )
+    r = jensen_shannon(df, df, "c").collect()[0]
+    assert r.n_levels == 3
+    assert r.jsd == 0.0 and r.jsd_norm == 0.0
+
+
+def test_confusion_null_class_one_row(spark):
+    """A NULL class must yield ONE row with its true diagonal tp and
+    both margins — not split into tp=0 fragments."""
+    from dataframes_jl_spark.functions.infotheory import confusion_metrics
+
+    df = spark.createDataFrame(
+        [(None, None), (None, "a"), ("a", None), ("a", "a"), ("b", "a")],
+        "t string, p string",
+    )
+    rows = {r.label: r for r in confusion_metrics(df, "t", "p").collect()}
+    assert set(rows) == {None, "a", "b"}
+    nr = rows[None]
+    assert nr.tp == 1 and nr.actual_pos == 2 and nr.pred_pos == 2
+    assert rows["a"].tp == 1 and rows["a"].pred_pos == 3
+    assert rows["a"].actual_pos == 2
+    assert rows["b"].tp == 0 and rows["b"].actual_pos == 1 and rows["b"].pred_pos == 0
