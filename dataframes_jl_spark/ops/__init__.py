@@ -71,3 +71,8 @@ from .scd import survivorship  # noqa: F401
 from .graph import degree_assortativity  # noqa: F401
 from .reshape import collapse_rare  # noqa: F401
 from .selection import exact_ranks_n  # noqa: F401
+from .qsketch import (  # noqa: F401
+    merge_quantile_sketches,
+    quantile_sketch,
+    sketch_quantiles,
+)

@@ -8553,6 +8553,251 @@ def q_null_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return null_matrix(staged, "source", ["big_chars", "en_lang", "text"])
 
 
+# ------------------------------------------------------- quantile sketch
+
+
+def _qsk_keep(parity: int) -> str:
+    """Pair-absorb keep condition at a level of the given parity —
+    mirrors ops.qsketch._collapse_segment exactly (odd tail keeps its
+    lone member on keep-right levels)."""
+    if parity == 0:
+        return "pos % 2 = 0"
+    return "(pos % 2 = 1 OR (pos = cnt - 1 AND cnt % 2 = 1))"
+
+
+def _qsketch_tree_sql(
+    src_sql: str,
+    B: int,
+    k: int,
+    R: int,
+    probs: list[tuple[str, int, int]],
+    scale: int,
+    gcol: str | None,
+    out_g: str | None,
+) -> str:
+    """DuckDB replay of the FULL ops.qsketch build (hash-blocked
+    pair-absorb tree + flat rounds) and quantile query, generated from
+    the same structural constants the Spark side uses. Levels beyond
+    the data's actual depth are identity (lone-block / size<=k guards),
+    so one fixed-length chain replays any scale factor."""
+    from .ops.bloom import _P
+
+    g = f"{gcol}, " if gcol else ""
+    pg = f"PARTITION BY {gcol}, " if gcol else "PARTITION BY "
+    pgonly = f"PARTITION BY {gcol}" if gcol else ""
+    L1 = B.bit_length() - 1
+    parts = [
+        f"src AS ({src_sql})",
+        f"k0 AS (SELECT {g}q, uid, ((uid % {_P}) + {_P}) % {_P} AS ks FROM src)",
+        _mix_ctes("kx", "k0", "ks", "h", carry=tuple(filter(None, (gcol,))) + ("q", "uid")),
+        f"lvl0 AS (SELECT {g}q, h, uid, CAST(1 AS BIGINT) AS w, h % {B} AS blk FROM kx)",
+    ]
+    for i in range(L1):
+        parts.append(
+            f"""l{i}a AS (
+      SELECT {g}q, h, uid, w, blk, blk // 2 AS nb,
+             MIN(blk) OVER ({pg}blk // 2) AS mnb,
+             MAX(blk) OVER ({pg}blk // 2) AS mxb,
+             ROW_NUMBER() OVER ({pg}blk // 2 ORDER BY q, h, uid) - 1 AS pos,
+             COUNT(*) OVER ({pg}blk // 2) AS cnt
+      FROM lvl{i})"""
+        )
+        parts.append(
+            f"""l{i}b AS (
+      SELECT {g}q, h, uid, w, nb, mnb, mxb, pos, cnt,
+             SUM(w) OVER ({pg}nb, pos // 2) AS pw
+      FROM l{i}a)"""
+        )
+        parts.append(
+            f"""lvl{i + 1} AS (
+      SELECT {g}q, h, uid,
+             CASE WHEN mnb = mxb THEN w ELSE pw END AS w, nb AS blk
+      FROM l{i}b
+      WHERE mnb = mxb OR {_qsk_keep(i % 2)})"""
+        )
+    parts.append(f"f0 AS (SELECT {g}q, h, uid, w FROM lvl{L1})")
+    for j in range(R):
+        parity = (L1 + j) % 2
+        parts.append(
+            f"""r{j}a AS (
+      SELECT {g}q, h, uid, w,
+             ROW_NUMBER() OVER ({pgonly or 'PARTITION BY 1'} ORDER BY q, h, uid) - 1 AS pos,
+             COUNT(*) OVER ({pgonly or 'PARTITION BY 1'}) AS cnt
+      FROM f{j})"""
+        )
+        parts.append(
+            f"""r{j}b AS (
+      SELECT {g}q, h, uid, w, pos, cnt,
+             SUM(w) OVER ({pg}pos // 2) AS pw
+      FROM r{j}a)"""
+        )
+        parts.append(
+            f"""f{j + 1} AS (
+      SELECT {g}q, h, uid, CASE WHEN cnt <= {k} THEN w ELSE pw END AS w
+      FROM r{j}b
+      WHERE cnt <= {k} OR {_qsk_keep(parity)})"""
+        )
+    vals = ", ".join(f"('{l}', {n}, {d})" for l, n, d in probs)
+    parts.append(f"targets(p_label, num, den) AS (VALUES {vals})")
+    parts.append(
+        f"""cumt AS (
+      SELECT {g}q,
+             SUM(w) OVER ({pgonly or 'PARTITION BY 1'} ORDER BY q, h, uid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER ({pgonly or 'PARTITION BY 1'}) AS tw
+      FROM f{R})"""
+    )
+    sel_g = f"{gcol} AS {out_g}, " if gcol else ""
+    grp = "1, 2" if gcol else "1"
+    body = ",\n    ".join(parts)
+    return (
+        f"\n    WITH {body}\n"
+        f"    SELECT {sel_g}p_label, CAST(MAX(tw) AS BIGINT) AS n,\n"
+        f"           MIN(q) / {float(10 ** scale)} AS est\n"
+        f"    FROM cumt, targets\n"
+        f"    WHERE cum >= (num * tw + den - 1) // den\n"
+        f"    GROUP BY {grp}\n    "
+    )
+
+
+_QSK_PROBS = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=_qsketch_tree_sql(
+        "SELECT event_type, event_id AS uid, "
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q "
+        "FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL",
+        B=32,
+        k=64,
+        R=12,
+        probs=_QSK_PROBS,
+        scale=2,
+        gcol="event_type",
+        out_g="event_type",
+    ),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch, batch lane (ops.qsketch): per event
+    type, p10/p50/p90/p99 of value estimated from the deterministic
+    KLL-style pair-absorb compaction tree (hash-blocked leaves, parity-
+    alternating keeps, exact int64 weights summing to n). The oracle
+    replays the ENTIRE tree — every level and flat round, bit-for-bit
+    via the shared ARX-mix constants — so the gate certifies the sketch
+    algebra itself, not just the estimates."""
+    from .ops.qsketch import quantile_sketch, sketch_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    sk = quantile_sketch(
+        ev, "value", "event_id", group_by=["event_type"], k=64, B=32, scale=2
+    )
+    return sketch_quantiles(
+        sk, _QSK_PROBS, group_by=["event_type"], scale=2
+    ).select("event_type", "p_label", "n", "est")
+
+
+def _stream_quantile_oracle(k: int, shards: int, scale: int) -> str:
+    """DuckDB replay of the streaming bottom-k-by-hash sample's FINAL
+    state (streaming.quantile) directly from raw rows — never seeing
+    the emission structure — plus the consumer's quantized-weight
+    quantile estimate."""
+    from .ops.bloom import _P
+    from .streaming.quantile import WSHIFT
+
+    vals = ", ".join(f"('{l}', {n}, {d})" for l, n, d in _QSK_PROBS)
+    return f"""
+    WITH src AS (
+      SELECT event_id AS uid,
+             CAST(FLOOR(value * {10 ** scale} + 0.5) AS BIGINT) AS q
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    k0 AS (SELECT q, uid, ((uid % {_P}) + {_P}) % {_P} AS ks FROM src),
+    {_mix_ctes("kx", "k0", "ks", "h", carry=("q", "uid"))},
+    sh AS (SELECT q, uid, h, h % {shards} AS shard FROM kx),
+    stats AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    ranked AS (
+      SELECT shard, q, h, uid,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, uid) AS rk
+      FROM sh
+    ),
+    sample AS (SELECT shard, q, h, uid FROM ranked WHERE rk <= {k}),
+    ks AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS ksz FROM sample GROUP BY 1),
+    weighted AS (
+      SELECT s.q, s.h, s.uid, (st.n * {1 << WSHIFT}) // ks.ksz AS w
+      FROM sample s JOIN stats st ON s.shard = st.shard
+      JOIN ks ON s.shard = ks.shard
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_exact FROM stats),
+    cumt AS (
+      SELECT q,
+             SUM(w) OVER (ORDER BY q, h, uid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER () AS tw
+      FROM weighted
+    ),
+    targets(p_label, num, den) AS (VALUES {vals})
+    SELECT p_label, CAST(MAX(n_exact) AS BIGINT) AS n,
+           MIN(q) / {float(10 ** scale)} AS est
+    FROM cumt, targets, tot
+    WHERE cum >= (num * tw + den - 1) // den
+    GROUP BY 1
+    """
+
+
+@register("q_stream_quantile_merge", oracle=_stream_quantile_oracle(64, 8, 2))
+def q_stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile SNAPSHOT-MERGE gate (streaming.quantile.
+    merge_sample_snapshots): a static simulation of the update-mode
+    sink — per (shard, week-batch) the shard's CUMULATIVE bottom-k-by-
+    hash sample and exact row count, i.e. what the stateful stream
+    emits, stale intermediates included — reduced by the real consumer
+    merge. The oracle rebuilds the final sample DIRECTLY from raw rows
+    (one ARX-mix chain), so equality proves the merge collapses any
+    emission history to the true final state: counts are monotone, and
+    every superseded sample row hashes above the final k-th row, so
+    stale emissions can never displace a final-state row."""
+    from pyspark.sql import Window
+
+    from .ops.qsketch import _mix_col
+    from .streaming.quantile import merge_sample_snapshots
+
+    k, shards = 64, 8
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    rows = ev.select(
+        _mix_col(F.col("event_id")).alias("h"),
+        F.col("event_id").cast("long").alias("uid"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+        F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("b"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(shards)).cast("int"))
+    batches = rows.select(
+        F.col("shard").alias("sb"), F.col("b").alias("be")
+    ).distinct()
+    # emission at (shard, be) = state after all rows with b <= be
+    grid = rows.join(
+        batches,
+        (F.col("shard") == F.col("sb")) & (F.col("b") <= F.col("be")),
+    )
+    wr = Window.partitionBy("shard", "be").orderBy("h", "uid")
+    wn = Window.partitionBy("shard", "be")
+    sim = (
+        grid.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rk") <= k)
+        .select("shard", "n", "h", "uid", "q")
+    )
+    return merge_sample_snapshots(sim, _QSK_PROBS, k=k, scale=2).select(
+        "p_label", "n", "est"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
