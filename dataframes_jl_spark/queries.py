@@ -23,6 +23,8 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: Optional[str] = None):
     def deco(fn):
+        if name in QUERIES:  # a silent overwrite would shadow a gate
+            raise ValueError(f"duplicate registry name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -8664,7 +8666,7 @@ _QSK_PROBS = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
 
 
 @register(
-    "q_quantile_sketch",
+    "q_kll_sketch",
     oracle=_qsketch_tree_sql(
         "SELECT event_type, event_id AS uid, "
         "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q "
@@ -8678,7 +8680,7 @@ _QSK_PROBS = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
         out_g="event_type",
     ),
 )
-def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch, batch lane (ops.qsketch): per event
     type, p10/p50/p90/p99 of value estimated from the deterministic
     KLL-style pair-absorb compaction tree (hash-blocked leaves, parity-
@@ -8809,68 +8811,69 @@ def q_stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all of which were driver-green in round 1 or pass the local replay).
 # ---------------------------------------------------------------------------
 
-# Round-8 rotation (round-7 verdict #1, two rounds overdue): the 12
-# registry names with ZERO driver evidence go first — q_seasonal_residuals
-# (added r6), the two streaming snapshot-merge gates, and the nine round-7
-# operators. Their green rows restore full cumulative driver coverage.
-# The rest of the window refreshes the STALEST evidence: all 27 names whose
-# last driver row was round 3, then the oldest round-4 rows. Round-8 NEW
-# operators are spliced into the tail as they land (replacing r4 refreshes,
-# which retain r4 evidence either way).
+# Round-9 rotation (round-8 verdict #1): lead with the four NEW round-9
+# operators (zero driver evidence), then refresh the ENTIRE pre-r5
+# evidence tail — all 12 remaining round-3-era names and all 29
+# round-4-era names (five rounds of code motion since their last
+# external check) — and fill the last five slots with the most load-
+# bearing round-5-era names (flagship TPC-H, the most expensive graph
+# query, streaming sessionize, the CSV/formula surfaces). After this
+# window lands, no registry name rides evidence older than round 5.
 _PRIORITY = [
-    # --- first-ever driver rows (zero-evidence backlog) ----------------
-    "q_seasonal_residuals",
-    "q_stream_distinct_merge",
-    "q_stream_topk_merge",
-    "q_transition_matrix",
-    "q_mutual_info",
-    "q_equidepth_histogram",
-    "q_frequent_pairs",
-    "q_apply_diff",
-    "q_ref_integrity",
-    "q_ks_drift",
-    "q_char_entropy",
-    "q_triangle_count",
-    # --- stalest evidence: round-3-era (all 27) ------------------------
-    "q_bm25_search",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_jaccard_exact",
-    "q_join_natural_right",
-    "q_language_id",
-    "q_mixture_weights",
-    "q_pack_sequences",
-    "q_positional_rows",
-    "q_quality_score",
-    "q_row_reductions",
-    "q_sliding_window",
-    "q_special_functions",
-    "q_string_functions",
-    "q_text_stats",
-    # --- first-ever driver rows (round-8 operators) --------------------
-    "q_gini_revenue",
-    "q_kappa_agreement",
-    "q_benford_prices",
-    "q_survivorship",
-    "q_decayed_engagement",
-    "q_cusum_shift",
-    "q_ab_test",
-    "q_winsorized_balance",
-    "q_containment_pairs",
-    "q_assortativity",
-    "q_label_confusion",
-    "q_rare_collapse",
-    "q_welch_ttest",
-    "q_mann_whitney",
-    "q_jsd_drift",
-    "q_stream_drift_merge",
-    "q_vocab_oov",
-    "q_char_lm_quality",
-    "q_theilsen_trend",
-    "q_autocorrelation",
-    "q_join_size_estimate",
-    "q_cell_residuals",
-    "q_null_matrix",
+    # --- first-ever driver rows (round-9 operators) --------------------
+    "q_gini_global",
+    "q_lorenz_global",
+    "q_kll_sketch",
+    "q_stream_quantile_merge",
+    # --- stalest evidence: round-3-era (all 12 remaining) --------------
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q_any_all_tristate",
+    "q_colwise_grouped",
+    "q_complete_cases",
+    "q_corpus_shuffle",
+    "q_describe",
+    "q_pivot_table_lib",
+    "q_set_ops",
+    "q_systematic_sample",
+    "q_window_running_sum",
+    "q_windowed_rollup",
+    # --- round-4-era (all 29) ------------------------------------------
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_bracket_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
+    "q_bucketed_join",
+    "q_chunk_documents",
+    "q_count_distinct",
+    "q_cube",
+    "q_dedup_incremental",
+    "q_dedup_spans",
+    "q_gopher_rules",
+    "q_grouped_percentiles",
+    "q_json_extract",
+    "q_jsonl_roundtrip",
+    "q_ngram_topk",
+    "q_pca_whiten",
+    "q_pii_scrub",
+    "q_range_join",
+    "q_repetition_signals",
+    "q_salted_join",
+    "q_spearman",
+    "q_take_per_group",
+    "q_token_budget_sample",
+    "q_vocab_approx",
+    # --- round-5-era refresh (most load-bearing five) ------------------
+    "q01_pricing_summary",
+    "q_pagerank",
+    "q_sessionize",
+    "q_csv_roundtrip",
+    "q_model_matrix",
 ]
 
 
