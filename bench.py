@@ -82,6 +82,21 @@ HEADLINE = [
     "q_benford_prices",
     "q_winsorized_balance",
     "q_containment_pairs",
+    # round 9: the round-8 statistics battery (round-8 verdict #6) so
+    # vs_prior tracking covers these families from birth...
+    "q_theilsen_trend",
+    "q_autocorrelation",
+    "q_mann_whitney",
+    "q_welch_ttest",
+    "q_jsd_drift",
+    "q_kappa_agreement",
+    "q_cell_residuals",
+    "q_null_matrix",
+    "q_vocab_oov",
+    "q_char_lm_quality",
+    # ...and the round-9 operators
+    "q_kll_sketch",
+    "q_gini_global",
 ]
 
 

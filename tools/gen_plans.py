@@ -161,6 +161,28 @@ SHOWCASE = [
         "max_by-FILTER aggregate on the SAME key — AQE reuses the "
         "window's exchange; no join, no second shuffle.",
     ),
+    (
+        "q_mann_whitney",
+        "Rank-sum over per-VALUE counts: the groupBy collapses events "
+        "to the bounded value table, with_running's rangepartitioning "
+        "prefix scan assigns midranks — no SinglePartition window; tie "
+        "correction accumulates in decimal(38,0).",
+    ),
+    (
+        "q_gini_global",
+        "UNGROUPED Gini: the global rank rides global_row_number — "
+        "rangepartitioning exchange + per-pid offset window — never a "
+        "bare ORDER BY window; the only SinglePartition exchange feeds "
+        "the final 1-row aggregate.",
+    ),
+    (
+        "q_kll_sketch",
+        "Compaction-tree sketch: one projection computes (q, h, blk); "
+        "the local tree runs in applyInPandas behind a "
+        "hashpartitioning(event_type, sup) exchange; the cross-block "
+        "tail sees n/B-bounded rows; quantile scan windows over the "
+        "bounded sketch only.",
+    ),
 ]
 
 

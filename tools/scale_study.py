@@ -126,6 +126,21 @@ STUDY = [
     # self-join shape at dedup_jaccard's cost class)
     "q_mann_whitney",
     "q_containment_pairs",
+    # round-9 (round-8 verdict #4): the remaining round-8 data-movers —
+    # Theil-Sen's per-group day-pair join (the one designed quadratic;
+    # its exponent certifies the calendar-bounded claim), the lag-window
+    # autocorrelation, the bigram-explode LM proxy, the token-explode
+    # OOV audit, and the contingency cell residuals
+    "q_theilsen_trend",
+    "q_autocorrelation",
+    "q_char_lm_quality",
+    "q_vocab_oov",
+    "q_cell_residuals",
+    # round-9 operators: the compaction-tree sketch (two applyInPandas
+    # stages over the hash-blocked leaves) and the ungrouped gini via
+    # range-partitioned global rank
+    "q_kll_sketch",
+    "q_gini_global",
 ]
 
 
