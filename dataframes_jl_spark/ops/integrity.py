@@ -143,44 +143,61 @@ def benford_audit(
     obs_ppm is floor(n·10^6/total + 0.5) computed in double — exact for
     n < 2^53, i.e. any table this side of 9e15 rows.
 
-    Scale shape: one map-side-combining aggregate to ≤ 9 rows, then
-    arithmetic over those 9 rows. Nothing else moves.
+    Scale shape: nine conditional counters in ONE map-side-combining
+    aggregate row (so zero-mass digits cost nothing extra), inline-
+    unpivoted to the 9 output rows. No join, no window; nothing but
+    nine longs crosses the single exchange.
     """
     m = F.lit(float(10**cents_scale))
     units = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
-    observed = (
-        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
-        .select(F.substring(units.cast("string"), 1, 1).cast("int").alias("digit"))
-        .filter(F.col("digit") > 0)  # 0.001 at scale 2 quantizes to 0
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_values"))
-    )
+    digit = F.substring(units.cast("string"), 1, 1).cast("int")
     # the 9-row contract is load-bearing: a digit with ZERO observations
     # is the loudest Benford anomaly, and a grouped output simply omits
-    # it — so anchor on a literal 1..9 spine and coalesce counts to 0
-    spine = df.sparkSession.range(1, 10).select(
-        F.col("id").cast("int").alias("digit")
+    # it — so count all nine digits as conditional counters in ONE
+    # map-side-combining aggregate row (zero included for free), then
+    # inline-unpivot to 9 rows. No join, no window, one exchange.
+    one = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        # digit 0 exists only when the value quantizes to 0 (0.001 at
+        # scale 2); it is excluded like non-positive values
+        .select(digit.alias("d"))
+        .agg(
+            *[
+                F.count(F.when(F.col("d") == d, F.lit(1))).alias(f"n{d}")
+                for d in range(1, 10)
+            ]
+        )
+        .withColumn(
+            "total", sum(F.col(f"n{d}") for d in range(1, 10)).cast("double")
+        )
     )
-    digits = spine.join(observed, ["digit"], "left").select(
-        "digit", F.coalesce("n_values", F.lit(0)).alias("n_values")
-    )
-    from pyspark.sql import Window
-
-    # total via a window over the 9-row digit table (bounded, not data)
-    total = F.sum("n_values").over(Window.partitionBy())
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("digit"),
+                        F.col(f"n{d}").alias("n_values"),
+                    )
+                    for d in range(1, 10)
+                ]
+            )
+        ).alias("e"),
+        "total",
+    ).select("e.digit", "e.n_values", "total")
     exp_ppm = F.create_map(
         *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
     )[F.col("digit")]
-    # the spine guarantees 9 rows even on an EMPTY input, where total=0
-    # — guard the ratio (ANSI raises on /0) and report obs_ppm=0
+    # 9 rows exist even on an EMPTY input, where total=0 — guard the
+    # ratio (ANSI raises on /0) and report obs_ppm=0
     obs_ppm = F.when(
-        total > 0,
+        F.col("total") > 0,
         F.floor(
-            F.col("n_values").cast("double") * F.lit(1e6) / total.cast("double")
+            F.col("n_values").cast("double") * F.lit(1e6) / F.col("total")
             + F.lit(0.5)
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    return digits.select(
+    return rows.select(
         "digit",
         "n_values",
         obs_ppm.alias("obs_ppm"),
