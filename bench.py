@@ -97,6 +97,9 @@ HEADLINE = [
     # ...and the round-9 operators
     "q_kll_sketch",
     "q_gini_global",
+    "q_roc_auc",
+    "q_interpolate_linear",
+    "q_attribution",
 ]
 
 

@@ -1167,6 +1167,88 @@ def mann_whitney_u(
     )
 
 
+def roc_auc(
+    df: DataFrame,
+    label: str,
+    score: str,
+    group_by: Sequence[str] = (),
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC of a score column against a 0/1 label — the
+    ranking-quality number every model-assisted curation loop reads
+    (quality classifiers, dedup scorers, relevance filters) — via the
+    rank-sum identity ``AUC = U / (n_pos * n_neg)``: AUC is exactly
+    the probability a random positive outranks a random negative,
+    which is :func:`mann_whitney_u`'s U in disguise.
+
+    Same exact-integer path as the U test: scores quantize to int64,
+    collapse to per-VALUE (pos, neg) counts, midranks ride the
+    cum-count prefix scan in DOUBLED units (``2·midrank = 2·cum_<v +
+    cnt + 1`` keeps tie-midranks integral), and
+    ``2U = Σ pos_v·2·midrank_v − n_pos·(n_pos+1)`` accumulates in
+    decimal(38,0). One division at the end; ties get the standard
+    1/2-credit automatically through midranks. Labels outside {0,1}
+    raise in-plan.
+
+    Grouped: the prefix scan partitions per group (one hash shuffle).
+    UNGROUPED: with_running's range-partitioned scan — never a
+    SinglePartition window. Returns ``(*group_by, n_pos, n_neg, auc)``
+    with auc NULL when a class is empty (undefined, not 0).
+    """
+    from ..ops.window import with_running
+
+    gb = list(group_by)
+    m = F.lit(float(10**scale))
+    y = F.col(label).cast("long")
+    ychk = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(F.lit(f"roc_auc: label {label} must be 0/1"))
+    )
+    per = (
+        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
+        .select(
+            *gb,
+            F.floor(F.col(score).cast("double") * m + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            ychk.alias("y"),
+        )
+        .groupBy(*gb, "v")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+        .withColumn("cnt", F.col("pos") + F.col("neg"))
+    )
+    run = with_running(
+        per,
+        {"cum": ("sum", "cnt")},
+        order_by="v",
+        partition_by=gb if gb else None,
+    )
+    two_mid = F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1)
+    dec = "decimal(38,0)"
+    agg = run.groupBy(*gb).agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(F.col("pos").cast(dec) * two_mid.cast(dec)).alias("two_rpos"),
+    )
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    two_u = F.col("two_rpos").cast("double") - npos * (npos + F.lit(1.0))
+    auc = two_u / (F.lit(2.0) * npos * nneg)
+    om = F.lit(float(10**out_scale))
+    return agg.select(
+        *gb,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(auc * om + F.lit(0.5)) / om,
+        ).alias("auc"),
+    )
+
+
 def null_matrix(
     df: DataFrame,
     group_by: str,

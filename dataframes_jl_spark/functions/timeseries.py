@@ -155,3 +155,92 @@ def autocorrelation(
     return ex.select(
         *gb, "n_days", F.col("s.lag").alias("lag"), F.col("s.acf").alias("acf")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    group_by: Sequence[str],
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group linear interpolation of NULL gaps in ``value`` over
+    the ``ts`` order — the standard sensor/metric gap-fill that LOCF
+    (ops/resample.py) deliberately is not: LOCF repeats the last
+    reading, interpolation reconstructs the trend between readings.
+
+    One keyed window pass computes, per row, the nearest non-NULL
+    neighbor on each side (``last(value, ignorenulls=True)`` over the
+    preceding frame; the mirrored ``first`` over the following frame —
+    Spark evaluates both in a single Window stage per direction, two
+    total, same hash shuffle). The fill is the exact lerp
+
+        prev + (next − prev) · (t − t_prev) / (t_next − t_prev)
+
+    with t in epoch seconds (int64): the arithmetic is one subtraction
+    ratio and one multiply-add of IEEE doubles — correctly rounded and
+    engine-identical — then floor-quantized to ``out_scale``. Leading/
+    trailing NULLs (no neighbor on one side) stay NULL: inventing
+    values outside the observed range is a modeling decision, not a
+    fill. Non-NULL rows pass through unquantized.
+
+    Requires a total order within groups: ``ts`` must be unique per
+    group (true for the event streams this serves; violations make the
+    neighbor choice order-dependent).
+
+    Scale shape: one hash shuffle on the group key; two Window stages
+    over the same partitioning (Catalyst reuses the exchange); no
+    join, no collect. Returns the input columns with ``value``
+    replaced by the filled column plus a ``filled`` flag.
+    """
+    gb = list(group_by)
+    if not gb:
+        raise ValueError(
+            "interpolate_linear needs group_by; an ungrouped total-order "
+            "fill should go through with_running's range-partitioned scan"
+        )
+    t = F.unix_timestamp(F.col(ts)).cast("long")
+    v = F.col(value).cast("double")
+    base = df.filter(F.col(ts).isNotNull()).select(
+        *gb,
+        F.col(ts).alias("__ts__"),
+        t.alias("__t__"),
+        v.alias("__v__"),
+    )
+    wb = (
+        Window.partitionBy(*gb)
+        .orderBy("__t__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy(*gb)
+        .orderBy("__t__")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tv = F.when(F.col("__v__").isNotNull(), F.col("__t__"))
+    stepped = base.select(
+        *gb,
+        "__ts__",
+        "__t__",
+        "__v__",
+        F.last("__v__", ignorenulls=True).over(wb).alias("pv"),
+        F.last(tv, ignorenulls=True).over(wb).alias("pt"),
+        F.first("__v__", ignorenulls=True).over(wf).alias("nv"),
+        F.first(tv, ignorenulls=True).over(wf).alias("nt"),
+    )
+    om = F.lit(float(10**out_scale))
+    span = (F.col("nt") - F.col("pt")).cast("double")
+    frac = (F.col("__t__") - F.col("pt")).cast("double") / span
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    fill = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull() & (span > 0),
+        F.floor(lerp * om + F.lit(0.5)) / om,
+    )
+    return stepped.select(
+        *gb,
+        F.col("__ts__").alias(ts),
+        F.when(F.col("__v__").isNotNull(), F.col("__v__"))
+        .otherwise(fill)
+        .alias(value),
+        (F.col("__v__").isNull() & fill.isNotNull()).alias("filled"),
+    )

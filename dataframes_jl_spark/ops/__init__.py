@@ -76,3 +76,4 @@ from .qsketch import (  # noqa: F401
     quantile_sketch,
     sketch_quantiles,
 )
+from .attribution import attribute_conversions  # noqa: F401

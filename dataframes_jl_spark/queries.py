@@ -8800,6 +8800,199 @@ def q_stream_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_roc_auc",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v,
+             CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    per AS (
+      SELECT event_type, v, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM base GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT event_type, pos, neg, pos + neg AS cnt,
+             SUM(pos + neg) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             SUM(CAST(pos AS HUGEINT)
+                 * CAST(2 * (cum - cnt) + cnt + 1 AS HUGEINT)) AS two_rpos
+      FROM run GROUP BY 1
+    )
+    SELECT event_type, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             FLOOR((CAST(two_rpos AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+                   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 END AS auc
+    FROM agg
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ROC AUC (functions.stats.roc_auc) of value
+    against the even/odd-user pseudo-label — the ranking-quality
+    number every model-assisted curation loop reads, via the rank-sum
+    identity AUC = U/(n_pos*n_neg). Midranks ride the same doubled-
+    unit prefix scan as Mann-Whitney (exact under ties); random labels
+    pin the arithmetic near 0.5 while exercising every tie path."""
+    from .functions.stats import roc_auc
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "lbl", F.pmod(F.col("user_id"), F.lit(2))
+    )
+    return roc_auc(ev, "lbl", "value", group_by=["event_type"], scale=6)
+
+
+@register(
+    "q_interpolate_linear",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             CASE WHEN event_id % 5 IN (1, 2) THEN NULL ELSE value END AS v
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    stepped AS (
+      SELECT user_id, t, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM base
+    )
+    SELECT user_id, t,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN
+                  FLOOR((pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                           / CAST(nt - pt AS DOUBLE)))
+                        * 1e6 + 0.5) / 1e6
+           END AS value,
+           (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AND nt > pt)
+             AS filled
+    FROM stepped
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear gap-fill (functions.timeseries.
+    interpolate_linear): a deterministic fifth of readings NULLed out,
+    then reconstructed as the exact lerp between the nearest non-NULL
+    neighbors — the sensor/metric gap-fill LOCF deliberately is not.
+    Two window stages over one user shuffle; leading/trailing gaps
+    stay NULL. Output keyed on epoch seconds (timestamp rendering
+    differs across engines; the integer does not)."""
+    from .functions.timeseries import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    staged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(5)).isin(1, 2), F.lit(None)
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    out = interpolate_linear(staged, "ts", "value", group_by=["user_id"])
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        "value",
+        "filled",
+    )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id,
+             event_type, value
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    conv AS (
+      SELECT user_id AS cu, t AS ct, event_id AS cid,
+             COALESCE(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0) AS cents
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS tu, t AS tt, event_id AS tid, event_type AS ch
+      FROM ev WHERE event_type <> 'purchase'
+    ),
+    joined AS (
+      SELECT cid, cents, ch, tt, tid
+      FROM conv JOIN touch
+        ON cu = tu AND tt < ct AND tt >= ct - 30 * 86400
+    ),
+    ranked AS (
+      SELECT cid, cents, ch,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt, tid) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC) AS rd,
+             COUNT(*) OVER (PARTITION BY cid) AS n
+      FROM joined
+    ),
+    credits AS (
+      SELECT ch,
+             CASE WHEN ra = 1 THEN cents * 100 ELSE 0 END AS first_u,
+             CASE WHEN rd = 1 THEN cents * 100 ELSE 0 END AS last_u,
+             CASE WHEN rd = 1 THEN 1 ELSE 0 END AS is_last,
+             CAST(FLOOR(CAST(cents AS DOUBLE) * 100.0 / CAST(n AS DOUBLE)
+                        + 0.5) AS BIGINT) AS lin_u
+      FROM ranked
+      UNION ALL
+      SELECT '(direct)' AS ch, cents * 100, cents * 100, 1, cents * 100
+      FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM joined)
+    )
+    SELECT ch AS event_type,
+           CAST(SUM(is_last) AS BIGINT) AS n_last,
+           FLOOR(CAST(SUM(first_u) AS DOUBLE) / 10000.0 * 100 + 0.5) / 100
+             AS credit_first,
+           FLOOR(CAST(SUM(last_u) AS DOUBLE) / 10000.0 * 100 + 0.5) / 100
+             AS credit_last,
+           FLOOR(CAST(SUM(lin_u) AS DOUBLE) / 10000.0 * 100 + 0.5) / 100
+             AS credit_linear
+    FROM credits GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (ops.attribution.attribute_conversions):
+    purchases credit their value to the user's preceding 30-day
+    touchpoint channels under first-touch / last-touch / linear — the
+    composition a growth warehouse builds on grouped aggregation
+    daily. One lookback-bounded user join, one pinned-order window
+    pass, exact integer credits (linear shares floor-quantized to
+    sub-cent units before the sum)."""
+    from .ops.attribution import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        user="user_id",
+        ts="ts",
+        uid="event_id",
+        channel="event_type",
+        value="value",
+        is_conversion=F.col("event_type") == "purchase",
+        lookback_days=30,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -8868,12 +9061,13 @@ _PRIORITY = [
     "q_take_per_group",
     "q_token_budget_sample",
     "q_vocab_approx",
-    # --- round-5-era refresh (most load-bearing five) ------------------
+    # --- first-ever driver rows (round-9 session 2) --------------------
+    "q_roc_auc",
+    "q_interpolate_linear",
+    "q_attribution",
+    # --- round-5-era refresh (most load-bearing two) -------------------
     "q01_pricing_summary",
     "q_pagerank",
-    "q_sessionize",
-    "q_csv_roundtrip",
-    "q_model_matrix",
 ]
 
 

@@ -221,3 +221,145 @@ def test_qsketch_validates(spark):
         quantile_sketch(df, "v", "uid", B=48)  # not a power of two
     with pytest.raises(ValueError):
         quantile_sketch(df, "v", "uid", k=1)
+
+
+# ---------------------------------------------------------------- ROC AUC
+
+def test_roc_auc_known_values(spark):
+    from dataframes_jl_spark.functions.stats import roc_auc
+
+    # perfect separation -> 1.0; reversed -> 0.0
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)], "y int, s double"
+    )
+    assert roc_auc(df, "y", "s").collect()[0].auc == 1.0
+    rev = df.selectExpr("1 - y AS y", "s")
+    assert roc_auc(rev, "y", "s").collect()[0].auc == 0.0
+
+
+def test_roc_auc_ties_get_half_credit(spark):
+    from dataframes_jl_spark.functions.stats import roc_auc
+
+    # one positive and one negative share the same score: each of the
+    # 1x1 comparisons is a tie -> AUC = 0.5 exactly via midranks
+    df = spark.createDataFrame([(1, 5.0), (0, 5.0)], "y int, s double")
+    assert roc_auc(df, "y", "s").collect()[0].auc == 0.5
+    # sklearn-checkable mixed case: y=[0,0,1,1], s=[1,2,2,3]
+    # pairs: (1@2 vs 0@1)=1, (1@2 vs 0@2)=.5, (1@3 vs both)=2 -> 3.5/4
+    df2 = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 2.0), (1, 3.0)], "y int, s double"
+    )
+    assert roc_auc(df2, "y", "s").collect()[0].auc == 0.875
+
+
+def test_roc_auc_degenerate_class_null(spark):
+    from dataframes_jl_spark.functions.stats import roc_auc
+
+    df = spark.createDataFrame([(1, 1.0), (1, 2.0)], "y int, s double")
+    r = roc_auc(df, "y", "s").collect()[0]
+    assert r.auc is None and r.n_neg == 0
+
+
+def test_roc_auc_rejects_nonbinary_label(spark):
+    import pytest
+
+    from dataframes_jl_spark.functions.stats import roc_auc
+
+    df = spark.createDataFrame([(2, 1.0)], "y int, s double")
+    # raise_error surfaces as a Spark USER_RAISED_EXCEPTION at collect
+    with pytest.raises(Exception, match="must be 0/1"):
+        roc_auc(df, "y", "s").collect()
+
+
+# ---------------------------------------------------- linear interpolation
+
+def test_interpolate_linear_exact_lerp(spark):
+    from dataframes_jl_spark.functions.timeseries import interpolate_linear
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 00:00:10", None),   # 1/3 of the way -> 20.0
+        ("a", "2024-01-01 00:00:30", 40.0),
+        ("a", "2024-01-01 00:00:40", None),   # trailing -> stays NULL
+        ("b", "2024-01-01 00:00:00", None),   # leading -> stays NULL
+        ("b", "2024-01-01 00:00:05", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r.g, str(r.ts)): (r.v, r.filled)
+        for r in interpolate_linear(df, "ts", "v", ["g"]).collect()
+    }
+    assert out[("a", "2024-01-01 00:00:10")] == (20.0, True)
+    assert out[("a", "2024-01-01 00:00:40")] == (None, False)
+    assert out[("b", "2024-01-01 00:00:00")] == (None, False)
+    # non-null rows pass through untouched
+    assert out[("a", "2024-01-01 00:00:00")] == (10.0, False)
+
+
+def test_interpolate_linear_requires_groups(spark):
+    import pytest
+
+    from dataframes_jl_spark.functions.timeseries import interpolate_linear
+
+    df = spark.createDataFrame([("2024-01-01", 1.0)], "ts string, v double")
+    with pytest.raises(ValueError):
+        interpolate_linear(df, "ts", "v", [])
+
+
+# ------------------------------------------------------------ attribution
+
+def test_attribution_models(spark):
+    from dataframes_jl_spark.ops.attribution import attribute_conversions
+
+    rows = [
+        # user 1: email then ad touch, then a $100 purchase
+        (1, "2024-01-01 00:00:00", 1, "email", 0.0),
+        (1, "2024-01-02 00:00:00", 2, "ad", 0.0),
+        (1, "2024-01-03 00:00:00", 3, "buy", 100.0),
+        # user 2: no touches -> (direct)
+        (2, "2024-01-05 00:00:00", 4, "buy", 50.0),
+        # user 3: touch OUTSIDE the 30-day lookback -> (direct)
+        (3, "2023-11-01 00:00:00", 5, "ad", 0.0),
+        (3, "2024-01-05 00:00:00", 6, "buy", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts string, eid long, ch string, v double"
+    ).select("u", F.col("ts").cast("timestamp").alias("ts"), "eid", "ch", "v")
+    out = {
+        r.ch: r
+        for r in attribute_conversions(
+            df, "u", "ts", "eid", "ch", "v",
+            is_conversion=F.col("ch") == "buy", lookback_days=30,
+        ).collect()
+    }
+    assert out["email"].credit_first == 100.0  # first touch takes all
+    assert out["email"].credit_last == 0.0
+    assert out["ad"].credit_last == 100.0      # last touch takes all
+    assert out["ad"].credit_first == 0.0
+    assert out["email"].credit_linear == 50.0  # linear splits evenly
+    assert out["ad"].credit_linear == 50.0
+    d = out["(direct)"]
+    assert d.credit_first == d.credit_last == d.credit_linear == 60.0
+    assert d.n_last == 2 and out["ad"].n_last == 1
+
+
+def test_attribution_linear_rounding_conserves_mass(spark):
+    from dataframes_jl_spark.ops.attribution import attribute_conversions
+
+    # 3 touches split $1.00: floor-quantized sub-cent shares sum back
+    # to within a cent of the conversion value
+    rows = [(1, f"2024-01-0{i} 00:00:00", i, "t", 0.0) for i in (1, 2, 3)]
+    rows.append((1, "2024-01-04 00:00:00", 9, "buy", 1.0))
+    df = spark.createDataFrame(
+        rows, "u long, ts string, eid long, ch string, v double"
+    ).selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "eid", "ch", "v")
+    out = {
+        r.ch: r
+        for r in attribute_conversions(
+            df, "u", "ts", "eid", "ch", "v",
+            is_conversion=F.col("ch") == "buy",
+        ).collect()
+    }
+    assert abs(out["t"].credit_linear - 1.0) <= 0.01

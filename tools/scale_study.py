@@ -141,6 +141,10 @@ STUDY = [
     # range-partitioned global rank
     "q_kll_sketch",
     "q_gini_global",
+    # round-9 session 2: AUC (the third prefix-scan consumer) and the
+    # lookback-bounded attribution join (a new join fan-out shape)
+    "q_roc_auc",
+    "q_attribution",
 ]
 
 
