@@ -100,6 +100,8 @@ HEADLINE = [
     "q_roc_auc",
     "q_interpolate_linear",
     "q_attribution",
+    "q_pr_auc",
+    "q_expectations",
 ]
 
 

@@ -1249,6 +1249,93 @@ def roc_auc(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    label: str,
+    score: str,
+    group_by: Sequence[str] = (),
+    scale: int = 6,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group average precision (PR-AUC) — :func:`roc_auc`'s
+    companion for the imbalanced case every corpus-curation classifier
+    lives in (1% positives make ROC flatter than it deserves; the PR
+    curve does not forgive false positives).
+
+    Definition (the threshold-sum form sklearn uses):
+    ``AP = Σ_v P(v) · ΔR(v)`` over DISTINCT scores v descending, with
+    ``P(v) = cum_pos(v)/cum_cnt(v)`` and ``ΔR(v) = pos_v/n_pos`` — a
+    per-VALUE table plus one descending prefix scan, the same shape as
+    :func:`roc_auc` (scores quantize to int64; the scan orders by the
+    NEGATED quantized score so with_running's ascending machinery
+    serves both). Ties are handled exactly: a tie group contributes one
+    threshold, as the definition requires.
+
+    Determinism: ``pos_v · cum_pos`` is exact int64 (< 2^53 for any
+    real table, so the double cast is exact); each term pays ONE
+    correctly-rounded division before floor-quantizing to
+    ``term_scale`` — the dsum discipline — and the final AP divides
+    the integer term-sum by n_pos once. Labels outside {0,1} raise
+    in-plan. Returns ``(*group_by, n_pos, n_neg, ap)`` with ap NULL
+    when there are no positives.
+    """
+    from ..ops.window import with_running
+
+    gb = list(group_by)
+    m = F.lit(float(10**scale))
+    y = F.col(label).cast("long")
+    ychk = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(F.lit(f"average_precision: label {label} must be 0/1"))
+    )
+    per = (
+        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
+        .select(
+            *gb,
+            (-F.floor(F.col(score).cast("double") * m + F.lit(0.5)))
+            .cast("long")
+            .alias("nv"),
+            ychk.alias("y"),
+        )
+        .groupBy(*gb, "nv")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    run = with_running(
+        per,
+        {"cum_pos": ("sum", "pos"), "cum_cnt": ("sum", "cnt")},
+        order_by="nv",
+        partition_by=gb if gb else None,
+    )
+    tm = F.lit(float(10**term_scale))
+    # pos_v * cum_pos exact int64 -> exact double; ONE division
+    term_units = F.floor(
+        (F.col("pos") * F.col("cum_pos")).cast("double")
+        / F.col("cum_cnt").cast("double")
+        * tm
+        + F.lit(0.5)
+    ).cast("long")
+    agg = run.groupBy(*gb).agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+        F.sum(term_units).alias("__tu__"),
+    )
+    om = F.lit(float(10**out_scale))
+    ap = (
+        F.col("__tu__").cast("double") / tm / F.col("n_pos").cast("double")
+    )
+    return agg.select(
+        *gb,
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0, F.floor(ap * om + F.lit(0.5)) / om
+        ).alias("ap"),
+    )
+
+
 def null_matrix(
     df: DataFrame,
     group_by: str,

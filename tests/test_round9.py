@@ -363,3 +363,91 @@ def test_attribution_linear_rounding_conserves_mass(spark):
         ).collect()
     }
     assert abs(out["t"].credit_linear - 1.0) <= 0.01
+
+
+# ------------------------------------------------------ average precision
+
+def test_average_precision_known_values(spark):
+    from dataframes_jl_spark.functions.stats import average_precision
+
+    # perfect ranking -> 1.0
+    df = spark.createDataFrame(
+        [(1, 4.0), (1, 3.0), (0, 2.0), (0, 1.0)], "y int, s double"
+    )
+    assert average_precision(df, "y", "s").collect()[0].ap == 1.0
+    # sklearn cross-check: y=[0,0,1,1], s=[0.1,0.4,0.35,0.8]
+    # thresholds desc: 0.8(P=1,dR=.5) -> 0.4(P=.5,dR=0) -> 0.35(P=2/3,
+    # dR=.5) -> 0.1(P=.5,dR=0) => AP = .5*1 + .5*2/3 = 0.833333
+    df2 = spark.createDataFrame(
+        [(0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8)], "y int, s double"
+    )
+    assert abs(average_precision(df2, "y", "s").collect()[0].ap - 0.833333) < 1e-6
+
+
+def test_average_precision_no_positives_null(spark):
+    from dataframes_jl_spark.functions.stats import average_precision
+
+    df = spark.createDataFrame([(0, 1.0), (0, 2.0)], "y int, s double")
+    r = average_precision(df, "y", "s").collect()[0]
+    assert r.ap is None and r.n_pos == 0 and r.n_neg == 2
+
+
+# ------------------------------------------------------------ expectations
+
+def test_expectations_rules(spark):
+    from dataframes_jl_spark.ops.expectations import (
+        accepted_values,
+        expect,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x1"),
+            (2, -5.0, "B", "x2"),     # range violation; B not accepted
+            (None, 3.0, "A", "zz"),   # null id; regex violation
+            (2, None, "A", "x3"),     # duplicate id; NULL skips range
+        ],
+        "id int, v double, flag string, code string",
+    )
+    parent = spark.createDataFrame([(1,), (9,)], "pk int")
+    rep = {
+        (r.rule, r.column): r
+        for r in expect(
+            df,
+            [
+                not_null("id"),
+                in_range("v", 0.0, 100.0),
+                accepted_values("flag", ["A"]),
+                matches("code", "^x[0-9]$"),
+                unique("id"),
+                foreign_key("id", parent, "pk"),
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "id")].n_violations == 1
+    assert rep[("in_range", "v")].n_violations == 1      # NULL not billed
+    assert rep[("accepted_values", "flag")].n_violations == 1
+    assert rep[("matches", "code")].n_violations == 1
+    u = rep[("unique", "id")]
+    assert u.n_checked == 3 and u.n_violations == 1      # id=2 twice
+    fk = rep[("foreign_key", "id")]
+    # both id=2 rows miss the parent -> multiplicity-weighted count
+    assert fk.n_checked == 3 and fk.n_violations == 2
+    assert not fk.passed and rep[("matches", "code")].passed is False
+
+
+def test_expectations_all_pass_and_empty_rules(spark):
+    import pytest
+
+    from dataframes_jl_spark.ops.expectations import expect, not_null
+
+    df = spark.createDataFrame([(1,)], "id int")
+    rep = expect(df, [not_null("id")]).collect()
+    assert rep[0].passed and rep[0].n_checked == 1
+    with pytest.raises(ValueError):
+        expect(df, [])
