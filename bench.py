@@ -102,6 +102,9 @@ HEADLINE = [
     "q_attribution",
     "q_pr_auc",
     "q_expectations",
+    "q_kaplan_meier",
+    "q_target_encode",
+    "q_npmi_pairs",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Kaplan-Meier survival estimation over (duration, event) rows —
+time-to-churn / time-to-conversion curves with right-censoring, the
+retention statistic cohort tables approximate badly (a cohort table
+treats silence as absence; KM treats it as censoring and stays
+unbiased).
+
+Beyond-reference statistics operator (the reference's surface stops at
+describe/colwise moments — reference src/dataframe.jl): the estimator
+is ``S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)`` over distinct EVENT times,
+with ``n_i`` the at-risk count just before ``t_i`` (alive and not yet
+censored) and ``d_i`` the events at ``t_i``.
+
+Shape: one map-side-combining aggregate collapses rows to the distinct
+TIME table (events + censorings per quantized duration), the at-risk
+counts come from one cumulative scan over that bounded table
+(ops.window.with_running — per-group windows when grouped, the
+range-partitioned prefix scan ungrouped; never a SinglePartition
+window over raw rows), and the survival product is a SECOND running
+sum in log space. Cost after the first aggregate is bounded by
+|distinct durations|, never row count.
+
+Determinism: durations quantize to integer units first; d/n are exact
+longs; each ``ln((n−d)/n)`` term floor-quantizes to ``term_scale``
+before the integer cumulative sum (the repo's jsd/char-lm treatment —
+libm drift is absorbed per-term, never accumulated), and S
+re-quantizes after the single exp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    group_by: Sequence[str] = (),
+    scale: int = 0,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group KM curve (module doc). ``event`` is 1 for an observed
+    event, 0 for right-censored; values outside {0,1} raise in-plan.
+    Returns one row per distinct EVENT time:
+    ``(*group_by, t, n_risk, n_events, n_censored, survival)`` with
+    ``t`` in quantized units (``duration·10^scale`` as int64).
+    """
+    from ..ops.window import with_running
+
+    gb = list(group_by)
+    m = F.lit(float(10**scale))
+    e = F.col(event).cast("long")
+    echk = F.when(e.isin(0, 1), e).otherwise(
+        F.raise_error(F.lit(f"kaplan_meier: event {event} must be 0/1"))
+    )
+    per_t = (
+        df.filter(F.col(duration).isNotNull() & F.col(event).isNotNull())
+        .select(
+            *gb,
+            F.floor(F.col(duration).cast("double") * m + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+            echk.alias("e"),
+        )
+        .groupBy(*gb, "t")
+        .agg(
+            F.sum("e").alias("d"),
+            (F.count(F.lit(1)) - F.sum("e")).alias("c"),
+        )
+        .withColumn("leave", F.col("d") + F.col("c"))
+    )
+    totals = per_t.groupBy(*gb).agg(F.sum("leave").alias("N"))
+    if gb:
+        keyed = per_t.join(F.broadcast(totals), gb)
+    else:
+        keyed = per_t.crossJoin(F.broadcast(totals))
+    run = with_running(
+        keyed,
+        {"cum_leave": ("sum", "leave")},
+        order_by="t",
+        partition_by=gb if gb else None,
+    )
+    # at risk just BEFORE t: everyone minus those who left earlier
+    n_risk = F.col("N") - (F.col("cum_leave") - F.col("leave"))
+    tm = F.lit(float(10**term_scale))
+    # ln((n-d)/n) exact-ratio argument; quantized per-term (module doc)
+    term = F.floor(
+        F.log(
+            (n_risk - F.col("d")).cast("double") / n_risk.cast("double")
+        )
+        * tm
+        + F.lit(0.5)
+    ).cast("long")
+    stepped = run.select(
+        *gb,
+        "t",
+        n_risk.alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        # censoring-only times contribute a zero log-term (S unchanged);
+        # a full-collapse time (d == n: ln 0) pins S to exactly 0 via a
+        # sentinel that underflows exp in any engine
+        F.when(F.col("d") <= 0, F.lit(0))
+        .when(n_risk == F.col("d"), F.lit(-(10**17)))
+        .otherwise(term)
+        .alias("__lt__"),
+    )
+    run2 = with_running(
+        stepped,
+        {"cum_log": ("sum", "__lt__")},
+        order_by="t",
+        partition_by=gb if gb else None,
+    )
+    om = F.lit(float(10**out_scale))
+    surv = F.exp(F.col("cum_log").cast("double") / tm)
+    return (
+        run2.filter(F.col("n_events") > 0)
+        .select(
+            *gb,
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            (F.floor(surv * om + F.lit(0.5)) / om).alias("survival"),
+        )
+    )

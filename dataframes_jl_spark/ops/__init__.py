@@ -77,3 +77,6 @@ from .qsketch import (  # noqa: F401
     sketch_quantiles,
 )
 from .attribution import attribute_conversions  # noqa: F401
+from .basket import npmi_pairs  # noqa: F401
+from .encoding import target_encode  # noqa: F401
+from .expectations import expect  # noqa: F401

