@@ -105,6 +105,8 @@ HEADLINE = [
     "q_kaplan_meier",
     "q_target_encode",
     "q_npmi_pairs",
+    "q_log_odds",
+    "q_lexical_diversity",
 ]
 
 

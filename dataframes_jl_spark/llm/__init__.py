@@ -72,3 +72,4 @@ from .spans import (  # noqa: F401
     position_ngrams,
     span_dup_fraction,
 )
+from .lexical import lexical_diversity, log_odds_tokens  # noqa: F401

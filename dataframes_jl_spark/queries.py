@@ -9298,6 +9298,104 @@ def q_npmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_pair") >= 2)
 
 
+@register(
+    "q_log_odds",
+    oracle=r"""
+    WITH ta AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '[^a-z0-9]+'),
+                    t -> t <> '')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    tb AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '[^a-z0-9]+'),
+                    t -> t <> '')) AS term
+      FROM documents WHERE lang <> 'en'
+    ),
+    ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ca FROM ta GROUP BY 1),
+    cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY 1),
+    merged AS (
+      SELECT COALESCE(ca.term, cb.term) AS term,
+             COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+      WHERE COALESCE(ca.ca, 0) + COALESCE(cb.cb, 0) >= 5
+    ),
+    t AS (
+      SELECT term, ca, cb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+             SUM(ca) OVER () + SUM(cb) OVER () AS nt
+      FROM merged
+    ),
+    s AS (
+      SELECT term, ca, cb,
+             CAST(ca AS DOUBLE)
+               + 500.0 * CAST(ca + cb AS DOUBLE) / CAST(nt AS DOUBLE) AS fa,
+             CAST(cb AS DOUBLE)
+               + 500.0 * CAST(ca + cb AS DOUBLE) / CAST(nt AS DOUBLE) AS fb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+      FROM t
+    )
+    SELECT term, ca AS cnt_a, cb AS cnt_b,
+           FLOOR((LN(fa / (nad + 500.0 - fa)) - LN(fb / (nbd + 500.0 - fb)))
+                 * 1e6 + 0.5) / 1e6 AS delta,
+           FLOOR((LN(fa / (nad + 500.0 - fa)) - LN(fb / (nbd + 500.0 - fb)))
+                 / SQRT(1.0 / fa + 1.0 / fb) * 1e6 + 0.5) / 1e6 AS z
+    FROM s
+    """,
+)
+def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Fighting words" lexical divergence (llm.lexical.
+    log_odds_tokens): Monroe-style log-odds with an informative
+    Dirichlet prior between English and non-English documents — the
+    corpus-comparison statistic raw frequency ratios and PMI both get
+    wrong. One token explode per side; everything after runs on the
+    bounded term table; ln/sqrt quantized on output only."""
+    from .llm.lexical import log_odds_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter(F.col("lang") != "en")
+    return log_odds_tokens(a, b, "text", alpha0=500.0, min_count=5)
+
+
+@register(
+    "q_lexical_diversity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '[^a-z0-9]+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    per AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS ttr,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS hapax_share
+    FROM per GROUP BY 1
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (llm.lexical.lexical_diversity):
+    type-token ratio and hapax share — the cheap template/generation
+    detector (templated text shows abnormally low diversity for its
+    length). One explode + two bounded aggregates."""
+    from .llm.lexical import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lexical_diversity(docs, "source", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
@@ -9354,12 +9452,10 @@ _PRIORITY = [
     "q_dedup_spans",
     "q_gopher_rules",
     "q_grouped_percentiles",
-    "q_json_extract",
     "q_jsonl_roundtrip",
     "q_ngram_topk",
     "q_pca_whiten",
     "q_pii_scrub",
-    "q_range_join",
     "q_repetition_signals",
     "q_spearman",
     "q_token_budget_sample",
@@ -9368,12 +9464,15 @@ _PRIORITY = [
     "q_interpolate_linear",
     "q_attribution",
     # --- first-ever driver rows (round-9 sessions 3-4; q_take_per_group
-    # q_vocab_approx and q_salted_join yield refresh slots, keeping r4 rows)
+    # five stable r4 names (take_per_group, vocab_approx, salted_join,
+    # range_join, json_extract) yield refresh slots, keeping their r4 rows)
     "q_pr_auc",
     "q_expectations",
     "q_kaplan_meier",
     "q_target_encode",
     "q_npmi_pairs",
+    "q_log_odds",
+    "q_lexical_diversity",
 ]
 
 

@@ -557,3 +557,49 @@ def test_npmi_pairs_identities(spark):
     )
     u = npmi_pairs(uni, "basket", "item", min_count=1).collect()[0]
     assert u.npmi is None and u.support == 1.0
+
+
+# ---------------------------------------------------------- lexical ops
+
+def test_log_odds_direction_and_prior(spark):
+    from dataframes_jl_spark.llm.lexical import log_odds_tokens
+
+    a = spark.createDataFrame(
+        [("alpha alpha alpha shared shared",)] * 4, "text string"
+    )
+    b = spark.createDataFrame(
+        [("beta beta beta shared shared",)] * 4, "text string"
+    )
+    out = {
+        r.term: r
+        for r in log_odds_tokens(a, b, "text", alpha0=10.0, min_count=1).collect()
+    }
+    # corpus-marking terms score with the right sign; shared term ~ 0
+    assert out["alpha"].z > 1.0 and out["beta"].z < -1.0
+    assert abs(out["shared"].z) < 0.5
+    assert out["alpha"].cnt_a == 12 and out["alpha"].cnt_b == 0
+    # antisymmetry: swapping corpora negates z (quantization slack)
+    rev = {
+        r.term: r.z
+        for r in log_odds_tokens(b, a, "text", alpha0=10.0, min_count=1).collect()
+    }
+    for t in ("alpha", "beta", "shared"):
+        assert abs(out[t].z + rev[t]) < 1e-5
+
+
+def test_lexical_diversity_known(spark):
+    from dataframes_jl_spark.llm.lexical import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("tpl", "a a a a"),              # 4 tokens, 1 type, 0 hapax
+            ("var", "w x y z"),              # 4 tokens, 4 types, all hapax
+        ],
+        "src string, text string",
+    )
+    out = {r.src: r for r in lexical_diversity(df, "src", "text").collect()}
+    t = out["tpl"]
+    assert (t.n_tokens, t.n_types, t.n_hapax) == (4, 1, 0)
+    assert t.ttr == 0.25 and t.hapax_share == 0.0
+    v = out["var"]
+    assert v.ttr == 1.0 and v.hapax_share == 1.0
