@@ -188,10 +188,13 @@ PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_pins
 SLOPE_TOLERANCE = 0.15
 
 
-def check() -> int:
+def check(only: list[str] | None = None) -> int:
     """Regression gate: re-measure ONLY the sf1->sf10 segment (the
     cleaner multi-file signal) and compare each query's segment slope
-    against tools/scale_pins.json."""
+    against tools/scale_pins.json. ``only`` restricts to a pin subset
+    so a full-gate run can be sharded across processes (each shard in
+    its own JVM — the sharding cannot soften the gate, it only bounds
+    per-process wall time)."""
     import json
 
     seg = [(sf, d) for sf, d in POINTS if sf >= 1.0 and os.path.isdir(d)]
@@ -203,6 +206,12 @@ def check() -> int:
         print(f"no pins at {PINS_PATH}; run a full study first", file=sys.stderr)
         return 1
     pins = json.load(open(PINS_PATH))
+    if only:
+        unknown = [n for n in only if n not in pins]
+        if unknown:
+            print(f"not pinned: {unknown}", file=sys.stderr)
+            return 1
+        pins = {n: pins[n] for n in only}
 
     from dataframes_jl_spark.queries import QUERIES
     from dataframes_jl_spark.session import get_spark
@@ -493,4 +502,7 @@ if __name__ == "__main__":
         sys.exit(measure(sys.argv[sys.argv.index("--measure") + 1:]))
     if "--pin-new" in sys.argv:
         sys.exit(pin_new())
-    sys.exit(check() if "--check" in sys.argv else main())
+    if "--check" in sys.argv:
+        rest = sys.argv[sys.argv.index("--check") + 1:]
+        sys.exit(check(only=rest or None))
+    sys.exit(main())
