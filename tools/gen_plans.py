@@ -183,6 +183,22 @@ SHOWCASE = [
         "tail sees n/B-bounded rows; quantile scan windows over the "
         "bounded sketch only.",
     ),
+    (
+        "q_attribution",
+        "Lookback-bounded user join (conversions x touches carries the "
+        "time-window predicate in the join condition), one "
+        "hashpartitioning(cid) window pass for pinned touch order, "
+        "then a single channel aggregate; (direct) fallback is a "
+        "left_anti on distinct conversion ids — no CartesianProduct.",
+    ),
+    (
+        "q_kaplan_meier",
+        "Distinct-time table first (one map-side-combining aggregate), "
+        "then BOTH cumulative scans (at-risk, log-survival) ride "
+        "with_running's rangepartitioning prefix machinery — no "
+        "SinglePartition window anywhere; survival is one exp over "
+        "the bounded curve table.",
+    ),
 ]
 
 
