@@ -99,12 +99,17 @@ def _collapse_segment(q, h, uid, w, parity: int):
     return q[keep], h[keep], uid[keep], pw
 
 
-def _tree_levels(q, h, uid, w, blk, start_level: int, n_levels: int):
+def _tree_levels(q, h, uid, w, blk, start_level: int, n_levels: int,
+                 k_guard: int):
     """Structural block-tree levels [start, start+n): pair blocks
     ``blk//2``; a lone block passes through unchanged (identity), a
-    full pair sorted-merges then pair-absorbs. Level index drives the
-    keep-side parity, so a resumed tree (stage 2 continuing stage 1's
-    levels) collapses identically to a single-pass build."""
+    full pair sorted-merges and pair-absorbs ONLY when the combined
+    size exceeds ``k_guard`` — otherwise it concatenates, the KLL
+    buffer rule that keeps sketch size ~k (without it, n/B < k inputs
+    over-compact to n/B rows and accuracy collapses at small scale).
+    Level index drives the keep-side parity, so a resumed tree (stage
+    2 continuing stage 1's levels) collapses identically to a
+    single-pass build."""
     for lvl in range(start_level, start_level + n_levels):
         nb = blk >> 1
         order = np.lexsort((uid, h, q, nb))
@@ -117,7 +122,8 @@ def _tree_levels(q, h, uid, w, blk, start_level: int, n_levels: int):
         ends = np.concatenate((bounds + 1, [len(nb)]))
         for a, b in zip(starts, ends):
             seg = slice(a, b)
-            if blk[seg].min() == blk[seg].max():  # lone block: identity
+            if blk[seg].min() == blk[seg].max() or b - a <= k_guard:
+                # lone block, or merged size within budget: identity
                 outs.append((q[seg], h[seg], uid[seg], w[seg]))
             else:
                 outs.append(
@@ -162,9 +168,11 @@ def quantile_sketch(
     scale: int = 2,
 ) -> DataFrame:
     """Build the per-group sketch: rows ``(*group_by, q, h, uid, w)``
-    with ≤ max(k, n_g/B + log slack) rows per group and Σw = n_g
-    exactly. ``B`` (power of two) is the scale knob — the cross-block
-    stage sees ~n_g/B rows; size the two so n_g/B fits one Arrow batch
+    with ~min(n_g, k..max(k, n_g/B)) rows per group and Σw = n_g
+    exactly (pair merges within the k budget concatenate instead of
+    compacting, so small groups keep full resolution). ``B`` (power of
+    two) is the PARALLELISM knob — the cross-block stage sees
+    ~n_g·min(64,B)/B rows; size it so that fits one Arrow batch
     (B=2^20 at petabyte scale). NULL values/uids are excluded."""
     if B < 2 or B & (B - 1):
         raise ValueError(f"B must be a power of two >= 2, got {B}")
@@ -202,7 +210,7 @@ def quantile_sketch(
         u = pdf["uid"].to_numpy(np.int64)
         w = pdf["w"].to_numpy(np.int64)
         blk = pdf["blk"].to_numpy(np.int64)
-        q, h, u, w, blk = _tree_levels(q, h, u, w, blk, 0, t_local)
+        q, h, u, w, blk = _tree_levels(q, h, u, w, blk, 0, t_local, k)
         out = pd.DataFrame({"q": q, "h": h, "uid": u, "w": w, "blk": blk})
         for g in gb:
             out[g] = pdf[g].iloc[0]
@@ -217,7 +225,7 @@ def quantile_sketch(
         w = pdf["w"].to_numpy(np.int64)
         blk = pdf["blk"].to_numpy(np.int64)
         q, h, u, w, blk = _tree_levels(
-            q, h, u, w, blk, t_local, L1 - t_local
+            q, h, u, w, blk, t_local, L1 - t_local, k
         )
         q, h, u, w = _flat_rounds(q, h, u, w, k, L1)
         out = pd.DataFrame(

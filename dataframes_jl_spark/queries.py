@@ -8613,9 +8613,10 @@ def _qsketch_tree_sql(
         parts.append(
             f"""lvl{i + 1} AS (
       SELECT {g}q, h, uid,
-             CASE WHEN mnb = mxb THEN w ELSE pw END AS w, nb AS blk
+             CASE WHEN mnb = mxb OR cnt <= {k} THEN w ELSE pw END AS w,
+             nb AS blk
       FROM l{i}b
-      WHERE mnb = mxb OR {_qsk_keep(i % 2)})"""
+      WHERE mnb = mxb OR cnt <= {k} OR {_qsk_keep(i % 2)})"""
         )
     parts.append(f"f0 AS (SELECT {g}q, h, uid, w FROM lvl{L1})")
     for j in range(R):
@@ -8671,7 +8672,7 @@ _QSK_PROBS = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
         "SELECT event_type, event_id AS uid, "
         "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q "
         "FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL",
-        B=32,
+        B=4096,
         k=64,
         R=12,
         probs=_QSK_PROBS,
@@ -8692,7 +8693,7 @@ def q_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     sk = quantile_sketch(
-        ev, "value", "event_id", group_by=["event_type"], k=64, B=32, scale=2
+        ev, "value", "event_id", group_by=["event_type"], k=64, B=4096, scale=2
     )
     return sketch_quantiles(
         sk, _QSK_PROBS, group_by=["event_type"], scale=2

@@ -180,7 +180,7 @@ SHOWCASE = [
         "Compaction-tree sketch: one projection computes (q, h, blk); "
         "the local tree runs in applyInPandas behind a "
         "hashpartitioning(event_type, sup) exchange; the cross-block "
-        "tail sees n/B-bounded rows; quantile scan windows over the "
+        "tail sees n*S/B-bounded rows; quantile scan windows over the "
         "bounded sketch only.",
     ),
     (
