@@ -107,6 +107,7 @@ HEADLINE = [
     "q_npmi_pairs",
     "q_log_odds",
     "q_lexical_diversity",
+    "q_cv_auc",
 ]
 
 

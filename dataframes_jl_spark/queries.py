@@ -9397,6 +9397,72 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(docs, "source", "text")
 
 
+@register(
+    "q_cv_auc",
+    oracle=f"""
+    WITH k0 AS (
+      SELECT CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v,
+             CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS y,
+             ((event_id % 1000000007) + 1000000007) % 1000000007 AS ks
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL
+    ),
+    {{MIX}}
+    base AS (SELECT h % 5 AS fold, v, y FROM kx),
+    per AS (
+      SELECT fold, v, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM base GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT fold, pos, neg, pos + neg AS cnt,
+             SUM(pos + neg) OVER (PARTITION BY fold ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per
+    ),
+    agg AS (
+      SELECT fold,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             SUM(CAST(pos AS HUGEINT)
+                 * CAST(2 * (cum - cnt) + cnt + 1 AS HUGEINT)) AS two_rpos
+      FROM run GROUP BY 1
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             FLOOR((CAST(two_rpos AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+                   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 END AS auc
+    FROM agg
+    """.replace(
+        "{MIX}",
+        _mix_ctes("kx", "k0", "ks", "h", carry=("v", "y")) + ",",
+    ),
+)
+def q_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated AUC — the eval-workflow composition: a
+    deterministic 5-fold split by the avalanche-mixed event id (the
+    engine-portable hash, so folds replay in any engine — xxhash-based
+    splits would not), then functions.stats.roc_auc grouped by fold.
+    Reading the per-fold spread tells you whether a ranking metric is
+    stable or fold-lucky; the machinery is one extra projection over
+    the grouped rank-sum path."""
+    from .functions.stats import roc_auc
+    from .ops.qsketch import _mix_col
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
+    staged = ev.select(
+        F.pmod(_mix_col(F.col("event_id")), F.lit(5)).alias("fold"),
+        F.pmod(F.col("user_id"), F.lit(2)).alias("lbl"),
+        "value",
+    )
+    return roc_auc(staged, "lbl", "value", group_by=["fold"], scale=6)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the grading driver records correctness rows for the
 # FIRST 50 registry entries in order (round 1 checked exactly registry
