@@ -1272,8 +1272,10 @@ def average_precision(
     serves both). Ties are handled exactly: a tie group contributes one
     threshold, as the definition requires.
 
-    Determinism: ``pos_v · cum_pos`` is exact int64 (< 2^53 for any
-    real table, so the double cast is exact); each term pays ONE
+    Determinism: ``pos_v`` and ``cum_pos`` are each cast to double
+    BEFORE multiplying (an int64 product would overflow — and raise
+    under ANSI — on ~3e9-row tie groups; the double product is exact
+    below 2^53 and merely rounds above); each term pays ONE
     correctly-rounded division before floor-quantizing to
     ``term_scale`` — the dsum discipline — and the final AP divides
     the integer term-sum by n_pos once. Labels outside {0,1} raise
@@ -1310,9 +1312,13 @@ def average_precision(
         partition_by=gb if gb else None,
     )
     tm = F.lit(float(10**term_scale))
-    # pos_v * cum_pos exact int64 -> exact double; ONE division
+    # Cast each factor to double BEFORE multiplying: an int64 product
+    # of pos*cum_pos overflows (ANSI raise) on ~3e9-row tie groups,
+    # while the double product merely rounds (exact below 2^53, where
+    # both paths agree bit-for-bit). Mirrors roc_auc's wide-type
+    # accumulation; ONE division per term.
     term_units = F.floor(
-        (F.col("pos") * F.col("cum_pos")).cast("double")
+        F.col("pos").cast("double") * F.col("cum_pos").cast("double")
         / F.col("cum_cnt").cast("double")
         * tm
         + F.lit(0.5)
@@ -1371,4 +1377,175 @@ def null_matrix(
         F.col("__n__").alias("n_rows"),
         "n_null",
         (F.floor(rate * m + F.lit(0.5)) / m).alias("null_rate"),
+    )
+
+
+def reliability_bins(
+    df: DataFrame,
+    label: str,
+    score: str,
+    group_by: Sequence[str] = (),
+    n_bins: int = 10,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group reliability table: predicted-probability bins x
+    observed positive rate — the plot behind every calibration review
+    (a quality classifier that says 0.9 should be right 90% of the
+    time; when it is not, thresholds picked from its scores are lies).
+    Completes the eval lane beside :func:`roc_auc` (ranking) and
+    :func:`average_precision` (retrieval): calibration is the third
+    axis neither measures.
+
+    Scores quantize to int64 units at ``scale`` (the repo's dsum
+    discipline), and the bin index is computed FROM the units —
+    ``bin = min(floor(u·n_bins/10^scale), n_bins−1)`` — integer-exact,
+    so a score of exactly 1.0 lands in the last bin and no float-edge
+    row can land differently in another engine. ONE aggregate pass
+    with map-side combine produces |groups|·n_bins rows: n, n_pos,
+    mean predicted probability (exact unit-sum, one division), and
+    observed rate (one division). Labels outside {0,1} and scores
+    outside [0,1] raise in-plan: a "probability" of 1.7 is a caller
+    bug, not a bin.
+
+    Returns ``(*group_by, bin, n, n_pos, mean_pred, obs_rate)``.
+    Scale shape: one hash shuffle keyed (group, bin); output bounded
+    by |groups|·n_bins regardless of input rows.
+    """
+    gb = list(group_by)
+    m = 10**scale
+    y = F.col(label).cast("long")
+    ychk = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(F.lit(f"reliability_bins: label {label} must be 0/1"))
+    )
+    s = F.col(score).cast("double")
+    u = F.floor(s * F.lit(float(m)) + F.lit(0.5)).cast("long")
+    uchk = F.when((s >= 0.0) & (s <= 1.0), u).otherwise(
+        F.raise_error(
+            F.lit(f"reliability_bins: score {score} must be in [0,1]")
+        )
+    )
+    b = F.least(
+        F.floor(
+            F.col("u").cast("double") * F.lit(float(n_bins)) / F.lit(float(m))
+        ).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    per = (
+        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
+        .select(*gb, uchk.alias("u"), ychk.alias("y"))
+        .select(*gb, b.alias("bin"), "u", "y")
+        .groupBy(*gb, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("__su__"),
+        )
+    )
+    om = F.lit(float(10**out_scale))
+    mean_pred = (
+        F.col("__su__").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(float(m))
+    )
+    obs = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per.select(
+        *gb,
+        "bin",
+        "n",
+        "n_pos",
+        (F.floor(mean_pred * om + F.lit(0.5)) / om).alias("mean_pred"),
+        (F.floor(obs * om + F.lit(0.5)) / om).alias("obs_rate"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    label: str,
+    score: str,
+    group_by: Sequence[str] = (),
+    n_bins: int = 10,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group scalar calibration summary: ECE, MCE and the Brier
+    score — the numbers a model gate thresholds on once the
+    :func:`reliability_bins` plot has been read by a human.
+
+    Exact-integer identities keep every statistic engine-portable:
+
+    - ``ECE = Σ_b (n_b/N)·|obs_b − pred_b|`` telescopes to
+      ``Σ_b |n_pos_b·10^s − Σu_b| / (10^s·N)`` — the numerator is an
+      EXACT integer per bin (decimal(38,0) against 1e12-row groups),
+      so ECE pays exactly ONE division.
+    - ``MCE = max_b |obs_b − pred_b|`` — one correctly-rounded
+      division per bin (≤ n_bins of them), then max.
+    - ``Brier = Σ (p−y)² / N`` accumulates the exact per-row integer
+      ``(u − y·10^s)²`` in decimal(38,0); one division by ``N·10^2s``.
+
+    Two aggregate passes: the per-(group,bin) pass of
+    reliability_bins, then a |groups|·n_bins → |groups| fold — the
+    second shuffle moves a bounded table. Returns
+    ``(*group_by, n, n_pos, ece, mce, brier)``.
+    """
+    gb = list(group_by)
+    m = 10**scale
+    y = F.col(label).cast("long")
+    ychk = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(F.lit(f"calibration_report: label {label} must be 0/1"))
+    )
+    s = F.col(score).cast("double")
+    u = F.floor(s * F.lit(float(m)) + F.lit(0.5)).cast("long")
+    uchk = F.when((s >= 0.0) & (s <= 1.0), u).otherwise(
+        F.raise_error(
+            F.lit(f"calibration_report: score {score} must be in [0,1]")
+        )
+    )
+    b = F.least(
+        F.floor(
+            F.col("u").cast("double") * F.lit(float(n_bins)) / F.lit(float(m))
+        ).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    dec = "decimal(38,0)"
+    err = F.col("u") - F.col("y") * F.lit(m)
+    per = (
+        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
+        .select(*gb, uchk.alias("u"), ychk.alias("y"))
+        .select(*gb, b.alias("bin"), "u", "y")
+        .groupBy(*gb, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum(F.col("u").cast(dec)).alias("su"),
+            F.sum((err.cast(dec) * err.cast(dec))).alias("se"),
+        )
+    )
+    # |n_pos_b * 10^s - su_b| : exact integer calibration gap per bin
+    gap = F.abs(F.col("n_pos").cast(dec) * F.lit(m).cast(dec) - F.col("su"))
+    mce_b = gap.cast("double") / (
+        F.col("n").cast("double") * F.lit(float(m))
+    )
+    agg = per.groupBy(*gb).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum(gap).alias("__gap__"),
+        F.max(mce_b).alias("__mce__"),
+        F.sum("se").alias("__se__"),
+    )
+    om = F.lit(float(10**out_scale))
+    nn = F.col("n").cast("double")
+    ece = F.col("__gap__").cast("double") / (nn * F.lit(float(m)))
+    brier = F.col("__se__").cast("double") / (nn * F.lit(float(m * m)))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return agg.select(
+        *gb,
+        "n",
+        "n_pos",
+        _q(ece).alias("ece"),
+        _q(F.col("__mce__")).alias("mce"),
+        _q(brier).alias("brier"),
     )

@@ -185,13 +185,19 @@ def interpolate_linear(
     fill. Non-NULL rows pass through unquantized.
 
     Requires a total order within groups: ``ts`` must be unique per
-    group (true for the event streams this serves; violations make the
-    neighbor choice order-dependent).
+    group AT SECOND RESOLUTION — timestamps are quantized to epoch
+    seconds via ``unix_timestamp`` (which truncates sub-second parts),
+    so two readings inside the same second violate the precondition
+    even if their raw timestamps differ. Violations make the neighbor
+    choice order-dependent. Rows whose ``ts`` is NULL are dropped (a
+    NULL timestamp has no position on the axis being interpolated).
 
     Scale shape: one hash shuffle on the group key; two Window stages
     over the same partitioning (Catalyst reuses the exchange); no
-    join, no collect. Returns the input columns with ``value``
-    replaced by the filled column plus a ``filled`` flag.
+    join, no collect. Returns ONLY ``(*group_by, ts, value, filled)``
+    — ``value`` is the filled column, ``filled`` flags interpolated
+    rows; any other input columns are projected away (join the result
+    back on ``(group_by, ts)`` if they are needed downstream).
     """
     gb = list(group_by)
     if not gb:

@@ -83,21 +83,17 @@ def log_odds_tokens(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     ).filter((F.col("ca") + F.col("cb")) >= F.lit(int(min_count)))
-    from pyspark.sql import Window
-
-    # totals as windows over the bounded TERM table (jsd's pattern);
-    # totals must include sub-threshold terms? No: the prior is defined
-    # on the analyzed vocabulary — a fixed, documented convention the
-    # oracle replays (either choice is valid; this one keeps one pass)
-    wt = Window.partitionBy()
-    t = merged.select(
-        "term",
-        "ca",
-        "cb",
-        F.sum("ca").over(wt).alias("na"),
-        F.sum("cb").over(wt).alias("nb"),
-        (F.sum("ca").over(wt) + F.sum("cb").over(wt)).alias("nt"),
-    )
+    # corpus totals via a 1-row aggregate broadcast back over the term
+    # table (the target_encode pattern) — NOT an empty-partition
+    # window: the distinct-term table grows with corpus vocabulary, so
+    # Window.partitionBy() would funnel it through SinglePartition.
+    # Totals cover only the analyzed (post-threshold) vocabulary — the
+    # prior is defined on it, a fixed convention the oracle replays
+    # (either choice is valid; this one keeps one pass).
+    totals = merged.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    ).select("na", "nb", (F.col("na") + F.col("nb")).alias("nt"))
+    t = merged.crossJoin(F.broadcast(totals))
     a0 = F.lit(float(alpha0))
     aw = a0 * (F.col("ca") + F.col("cb")).cast("double") / F.col(
         "nt"

@@ -19,10 +19,12 @@ in-window touch credit the ``(direct)`` channel in every model.
 
 Determinism: conversion value quantizes to integer cents; first/last
 credits are exact integer sums. Linear shares divide cents by the
-touch count — one IEEE division per (conversion, channel), floor-
-quantized to sub-cent units before the order-independent sum (the
-dsum discipline; the per-conversion floor may drop sub-cent dust, a
-documented rounding, not drift).
+touch count — one IEEE division per (conversion, channel),
+round-half-up-quantized (floor(x+0.5)) to sub-cent units before the
+order-independent sum (the dsum discipline). Half-up means a
+conversion's summed shares can OVERSHOOT its total value by up to
+n/2 sub-cent units (one half-unit per touch) as well as undershoot —
+a documented bounded rounding, not drift.
 """
 
 from __future__ import annotations
@@ -87,7 +89,8 @@ def attribute_conversions(
         F.row_number().over(wd).alias("rd"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    # sub-cent linear share per touch, floor-quantized BEFORE the sum
+    # sub-cent linear share per touch, round-half-up BEFORE the sum
+    # (can overshoot the conversion total by <= n/2 sub-cent units)
     lin_units = F.floor(
         F.col("cents").cast("double") * F.lit(100.0) / F.col("n").cast("double")
         + F.lit(0.5)

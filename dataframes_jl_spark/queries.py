@@ -9020,7 +9020,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(SUM(pos) AS BIGINT) AS n_pos,
              CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
-             SUM(CAST(FLOOR(CAST(pos * cum_pos AS DOUBLE)
+             SUM(CAST(FLOOR(CAST(pos AS DOUBLE) * CAST(cum_pos AS DOUBLE)
                             / CAST(cum_cnt AS DOUBLE) * 1e8 + 0.5)
                       AS BIGINT)) AS tu
       FROM run GROUP BY 1
@@ -9482,6 +9482,136 @@ def q_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bearing round-5-era names (flagship TPC-H, the most expensive graph
 # query, streaming sessionize, the CSV/formula surfaces). After this
 # window lands, no registry name rides evidence older than round 5.
+@register(
+    "q_reliability_bins",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(((((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 101)
+                           + 101) % 101) / 100.0) * 1e6 + 0.5) AS BIGINT) AS u,
+             CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(CAST(u AS DOUBLE) * 10.0 / 1e6) AS BIGINT),
+                   CAST(9 AS BIGINT)) AS bin,
+             u, y
+      FROM base
+    ),
+    per AS (
+      SELECT event_type, bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(u) AS su
+      FROM binned GROUP BY 1, 2
+    )
+    SELECT event_type, bin, n, n_pos,
+           FLOOR(CAST(su AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6 + 0.5)
+             / 1e6 AS mean_pred,
+           FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS obs_rate
+    FROM per
+    """,
+)
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table per event_type (functions.stats.
+    reliability_bins): a synthetic probability (value cents mod 101,
+    rescaled to [0,1]) against the user-parity label — 10 bins, exact
+    unit-sum mean_pred, one division per output column. The bin index
+    is derived from the int64 units, so no float edge can bin a row
+    differently in DuckDB."""
+    from .functions.stats import reliability_bins
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("lbl", F.pmod(F.col("user_id"), F.lit(2)))
+        .withColumn(
+            "prob",
+            F.pmod(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                F.lit(101),
+            ).cast("double")
+            / F.lit(100.0),
+        )
+    )
+    return reliability_bins(ev, "lbl", "prob", group_by=["event_type"])
+
+
+@register(
+    "q_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(((((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 101)
+                           + 101) % 101) / 100.0) * 1e6 + 0.5) AS BIGINT) AS u,
+             CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(CAST(u AS DOUBLE) * 10.0 / 1e6) AS BIGINT),
+                   CAST(9 AS BIGINT)) AS bin,
+             u, y
+      FROM base
+    ),
+    per AS (
+      SELECT event_type, bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(u) AS su,
+             SUM((u - y * 1000000) * (u - y * 1000000)) AS se
+      FROM binned GROUP BY 1, 2
+    ),
+    gaps AS (
+      SELECT event_type, n, n_pos, se,
+             ABS(n_pos * 1000000 - su) AS gap,
+             CAST(ABS(n_pos * 1000000 - su) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * 1e6) AS mce_b
+      FROM per
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+             SUM(gap) AS gap,
+             MAX(mce_b) AS mce_b,
+             SUM(se) AS se
+      FROM gaps GROUP BY 1
+    )
+    SELECT event_type, n, n_pos,
+           FLOOR(CAST(gap AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) * 1e6 + 0.5)
+             / 1e6 AS ece,
+           FLOOR(mce_b * 1e6 + 0.5) / 1e6 AS mce,
+           FLOOR(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) * 1e6 + 0.5)
+             / 1e6 AS brier
+    FROM agg
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ECE / MCE / Brier (functions.stats.
+    calibration_report) on the same synthetic probability as
+    q_reliability_bins. ECE telescopes to an exact-integer numerator
+    (sum over bins of |n_pos*10^s - sum_u|) paying ONE division; Brier
+    accumulates the exact per-row (u - y*10^s)^2 in decimal(38,0).
+    The oracle replays both integer identities verbatim."""
+    from .functions.stats import calibration_report
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("lbl", F.pmod(F.col("user_id"), F.lit(2)))
+        .withColumn(
+            "prob",
+            F.pmod(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                F.lit(101),
+            ).cast("double")
+            / F.lit(100.0),
+        )
+    )
+    return calibration_report(ev, "lbl", "prob", group_by=["event_type"])
+
+
 _PRIORITY = [
     # --- first-ever driver rows (round-9 operators) --------------------
     "q_gini_global",
