@@ -128,3 +128,110 @@ def kaplan_meier(
             (F.floor(surv * om + F.lit(0.5)) / om).alias("survival"),
         )
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    group_by: Sequence[str] = (),
+    scale: int = 0,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Nelson-Aalen cumulative-hazard estimator — Kaplan-
+    Meier's additive twin: ``H(t) = Σ_{t_i ≤ t} d_i / n_i`` over
+    distinct event times, with the same right-censoring treatment.
+    Where KM's S(t) answers "what fraction survives past t", H(t) is
+    the statistic hazard-ratio monitoring thresholds on (and
+    ``exp(−H)`` is the Breslow survival estimate, less biased than KM
+    under heavy ties).
+
+    Identical plan shape to :func:`kaplan_meier` — one map-side
+    aggregate to the distinct-time table, one with_running prefix scan
+    for the at-risk counts, a second for the hazard sum — but the
+    accumulation needs no log: each term ``d/n`` pays ONE
+    correctly-rounded division, floor-quantizes to ``term_scale``, and
+    the cumulative sum is exact int64. The Aalen variance rides the
+    same pass (``Var = Σ d_i/n_i²``, per-term quantized), surfacing as
+    ``se_hazard``.
+
+    Returns one row per distinct EVENT time:
+    ``(*group_by, t, n_risk, n_events, n_censored, cum_hazard,
+    se_hazard)``.
+    """
+    from ..ops.window import with_running
+
+    gb = list(group_by)
+    m = F.lit(float(10**scale))
+    e = F.col(event).cast("long")
+    echk = F.when(e.isin(0, 1), e).otherwise(
+        F.raise_error(F.lit(f"nelson_aalen: event {event} must be 0/1"))
+    )
+    per_t = (
+        df.filter(F.col(duration).isNotNull() & F.col(event).isNotNull())
+        .select(
+            *gb,
+            F.floor(F.col(duration).cast("double") * m + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+            echk.alias("e"),
+        )
+        .groupBy(*gb, "t")
+        .agg(
+            F.sum("e").alias("d"),
+            (F.count(F.lit(1)) - F.sum("e")).alias("c"),
+        )
+        .withColumn("leave", F.col("d") + F.col("c"))
+    )
+    totals = per_t.groupBy(*gb).agg(F.sum("leave").alias("N"))
+    if gb:
+        keyed = per_t.join(F.broadcast(totals), gb)
+    else:
+        keyed = per_t.crossJoin(F.broadcast(totals))
+    run = with_running(
+        keyed,
+        {"cum_leave": ("sum", "leave")},
+        order_by="t",
+        partition_by=gb if gb else None,
+    )
+    n_risk = F.col("N") - (F.col("cum_leave") - F.col("leave"))
+    tm = F.lit(float(10**term_scale))
+    nr = n_risk.cast("double")
+    dd = F.col("d").cast("double")
+    h_term = F.floor(dd / nr * tm + F.lit(0.5)).cast("long")
+    v_term = F.floor(dd / (nr * nr) * tm + F.lit(0.5)).cast("long")
+    stepped = run.select(
+        *gb,
+        "t",
+        n_risk.alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("d") <= 0, F.lit(0)).otherwise(h_term).alias("__ht__"),
+        F.when(F.col("d") <= 0, F.lit(0)).otherwise(v_term).alias("__vt__"),
+    )
+    run2 = with_running(
+        stepped,
+        {"cum_h": ("sum", "__ht__"), "cum_v": ("sum", "__vt__")},
+        order_by="t",
+        partition_by=gb if gb else None,
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return (
+        run2.filter(F.col("n_events") > 0)
+        .select(
+            *gb,
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            _q(F.col("cum_h").cast("double") / tm).alias("cum_hazard"),
+            _q(F.sqrt(F.col("cum_v").cast("double") / tm)).alias(
+                "se_hazard"
+            ),
+        )
+    )

@@ -9612,64 +9612,229 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(ev, "lbl", "prob", group_by=["event_type"])
 
 
+@register(
+    "q_stream_expectations",
+    oracle="""
+    WITH e AS (SELECT * FROM events),
+    rowsr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT) AS v0,
+             CAST(COUNT(*) FILTER (WHERE value IS NOT NULL
+                    AND (value < 0.0 OR value > 400.0)) AS BIGINT) AS v1,
+             CAST(COUNT(*) FILTER (WHERE event_type IS NOT NULL
+                    AND event_type NOT IN ('view', 'click', 'purchase'))
+                  AS BIGINT) AS v2,
+             CAST(COUNT(user_id) AS BIGINT) AS fkn,
+             CAST(COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                    AND ((user_id % 30) + 30) % 30 >= 25) AS BIGINT) AS fkv,
+             CAST(COUNT(event_id) AS BIGINT) AS un,
+             CAST(COUNT(DISTINCT ((event_id % 4000) + 4000) % 4000)
+                  AS BIGINT) AS ud
+      FROM e
+    )
+    SELECT * FROM (
+      SELECT 'not_null' AS rule, 'value' AS "column", n AS n_checked,
+             v0 AS n_violations, v0 = 0 AS passed FROM rowsr
+      UNION ALL
+      SELECT 'in_range', 'value', n, v1, v1 = 0 FROM rowsr
+      UNION ALL
+      SELECT 'accepted_values', 'event_type', n, v2, v2 = 0 FROM rowsr
+      UNION ALL
+      SELECT 'foreign_key', 'fkcol', fkn, fkv, fkv = 0 FROM rowsr
+      UNION ALL
+      SELECT 'unique', 'ukey', un, un - ud, un = ud FROM rowsr
+    )
+    """,
+)
+def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming expectations SNAPSHOT-MERGE gate (streaming.
+    expectations.merge_expectation_snapshots): a static simulation of
+    the update-stream sink — at every (rule_id, shard, day) the
+    CUMULATIVE counters exactly as the stateful stream emits them,
+    stale intermediates included — reduced by the real consumer-side
+    merge (latest emission per (rule_id, shard) via monotone struct
+    max, shard sums, broadcast label join). The oracle computes the
+    final report DIRECTLY from events (never seeing the emission
+    history), so equality proves the merge collapses any emission
+    history to the batch verdicts. Rules: three row rules, one FK
+    (user_id mod 30 against a 25-key parent — rows 25..29 violate,
+    simulating the stream-static anti-probe), one exact unique on a
+    deliberately colliding key (event_id mod 4000). The stream lane
+    itself is stream-vs-batch parity-tested in tests/test_round10.py.
+    """
+    from pyspark.sql import Window
+
+    from .ops.expectations import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+    from .streaming.expectations import merge_expectation_snapshots
+
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("b")
+    fkcol = F.pmod(F.col("user_id"), F.lit(30))
+    base = ev.select(
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("shard"),
+        b,
+        F.col("value").isNull().cast("long").alias("x0"),
+        (
+            F.col("value").isNotNull()
+            & ((F.col("value") < 0.0) | (F.col("value") > 400.0))
+        ).cast("long").alias("x1"),
+        (
+            F.col("event_type").isNotNull()
+            & ~F.col("event_type").isin("view", "click", "purchase")
+        ).cast("long").alias("x2"),
+        F.col("user_id").isNotNull().cast("long").alias("fkc"),
+        (F.col("user_id").isNotNull() & (fkcol >= 25)).cast("long").alias(
+            "fkx"
+        ),
+    )
+    perday = base.groupBy("shard", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x0").alias("v0"),
+        F.sum("x1").alias("v1"),
+        F.sum("x2").alias("v2"),
+        F.sum("fkc").alias("fkn"),
+        F.sum("fkx").alias("fkv"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = perday.select(
+        "shard",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("v0").over(w).alias("c0"),
+        F.sum("v1").over(w).alias("c1"),
+        F.sum("v2").over(w).alias("c2"),
+        F.sum("fkn").over(w).alias("cfn"),
+        F.sum("fkv").over(w).alias("cfv"),
+    )
+    rows_sim = cum.select(
+        "shard",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r0").alias("rule_id"),
+                    F.col("cn").alias("n_checked"),
+                    F.col("c0").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("r1").alias("rule_id"),
+                    F.col("cn").alias("n_checked"),
+                    F.col("c1").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("r2").alias("rule_id"),
+                    F.col("cn").alias("n_checked"),
+                    F.col("c2").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("f0").alias("rule_id"),
+                    F.col("cfn").alias("n_checked"),
+                    F.col("cfv").alias("n_violations"),
+                ),
+            )
+        ).alias("s"),
+    ).select("s.rule_id", "shard", "s.n_checked", "s.n_violations")
+
+    ukey = F.pmod(F.col("event_id"), F.lit(4000))
+    ub = ev.filter(F.col("event_id").isNotNull()).select(
+        ukey.alias("k"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("b"),
+    ).withColumn("shard", F.pmod(F.col("k"), F.lit(8)).cast("int"))
+    per_kb = ub.groupBy("shard", "k", "b").agg(F.count(F.lit(1)).alias("c"))
+    firstb = per_kb.groupBy("shard", "k").agg(F.min("b").alias("fb"))
+    day_tot = per_kb.groupBy("shard", "b").agg(F.sum("c").alias("cnt"))
+    day_new = firstb.groupBy("shard", F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("nw")
+    )
+    days = day_tot.join(day_new, ["shard", "b"], "left_outer").select(
+        "shard",
+        "b",
+        "cnt",
+        F.coalesce("nw", F.lit(0)).alias("nw"),
+    )
+    uni_sim = days.select(
+        F.lit("u0").alias("rule_id"),
+        "shard",
+        F.sum("cnt").over(w).alias("n_checked"),
+        (F.sum("cnt").over(w) - F.sum("nw").over(w)).alias("n_violations"),
+    )
+    sim = rows_sim.unionByName(uni_sim)
+    parent = spark.range(25).select(F.col("id").alias("pk"))
+    rules = [
+        not_null("value"),
+        in_range("value", 0.0, 400.0),
+        accepted_values("event_type", ["view", "click", "purchase"]),
+        foreign_key("fkcol", parent, "pk"),
+        unique("ukey"),
+    ]
+    return merge_expectation_snapshots(sim, rules)
+
+
 _PRIORITY = [
-    # --- first-ever driver rows (round-9 operators) --------------------
-    "q_gini_global",
-    "q_lorenz_global",
-    "q_kll_sketch",
-    "q_stream_quantile_merge",
-    # --- stalest evidence: round-3-era (all 12 remaining) --------------
-    "q05_local_supplier_volume",
-    "q10_returned_items",
-    "q_any_all_tristate",
-    "q_colwise_grouped",
-    "q_complete_cases",
-    "q_corpus_shuffle",
-    "q_describe",
-    "q_pivot_table_lib",
-    "q_set_ops",
-    "q_systematic_sample",
-    "q_window_running_sum",
-    "q_windowed_rollup",
-    # --- round-4-era (all 29) ------------------------------------------
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q13_order_count_dist",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_bracket_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_balances",
-    "q_bucketed_join",
-    "q_chunk_documents",
-    "q_count_distinct",
-    "q_cube",
-    "q_dedup_incremental",
-    "q_dedup_spans",
-    "q_gopher_rules",
-    "q_grouped_percentiles",
-    "q_jsonl_roundtrip",
-    "q_ngram_topk",
-    "q_pca_whiten",
-    "q_pii_scrub",
-    "q_repetition_signals",
-    "q_spearman",
-    "q_token_budget_sample",
-    # --- first-ever driver rows (round-9 session 2) --------------------
-    "q_roc_auc",
-    "q_interpolate_linear",
-    "q_attribution",
-    # --- first-ever driver rows (round-9 sessions 3-4; q_take_per_group
-    # five stable r4 names (take_per_group, vocab_approx, salted_join,
-    # range_join, json_extract) yield refresh slots, keeping their r4 rows)
-    "q_pr_auc",
-    "q_expectations",
-    "q_kaplan_meier",
-    "q_target_encode",
-    "q_npmi_pairs",
-    "q_log_odds",
-    "q_lexical_diversity",
+    # --- round 10: first-ever driver rows ------------------------------
+    "q_cv_auc",  # registered after the r9 driver ran; zero driver rows
+    "q_reliability_bins",
+    "q_calibration",
+    "q_stream_expectations",
+    # --- stalest evidence: round-4-era (all 5 remaining) ---------------
+    "q_json_extract",
+    "q_range_join",
+    "q_salted_join",
+    "q_take_per_group",
+    "q_vocab_approx",
+    # --- round-5-era (41 of 49; the 8 deferred names ride r5 rows one
+    # more round: q_hash_split, q_dedup_pipeline, q_sortperm_nulls,
+    # q_monthly_revenue, q_ewma, q_rolling_stats, q_orc_roundtrip,
+    # q_k_anonymity) ----------------------------------------------------
+    "q01_pricing_summary",
+    "q_melt_stack",
+    "q_join_outer_nullsafe",
+    "q_vcat_promote",
+    "q_dedup_simhash_pairs",
+    "q_span_coverage",
+    "q_scd2_intervals",
+    "q_scd2_merge",
+    "q_bloom_prefilter",
+    "q_data_profile",
+    "q_psi_drift",
+    "q_cm_sketch",
+    "q_scd2_lookup",
+    "q_c4_filter",
+    "q_curation_audit",
+    "q_pagerank",
+    "q_cohort_retention",
+    "q_funnel",
+    "q_grouped_ols",
+    "q_ann_quantized",
+    "q_embed_quantize",
+    "q_quality_deciles",
+    "q_model_matrix",
+    "q_scalar_math",
+    "q_by_apply_topn",
+    "q_ann_ivf",
+    "q_sessionize",
+    "q08_market_share",
+    "q14_promo_revenue",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q12_shipping_lag",
+    "q16_supplier_count",
+    "q20_promotable_suppliers",
+    "q_facade_pipeline",
+    "q_describe_strings",
+    "q_csv_roundtrip",
+    "q_bpe_token_budget",
+    "q_asof_join",
+    "q_weighted_sample",
+    "q_quantile_sketch",
 ]
 
 

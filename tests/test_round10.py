@@ -1,0 +1,152 @@
+"""Round-10 additions: calibration eval lane + streaming expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_reliability_bins_exact_small(spark):
+    from dataframes_jl_spark.functions.stats import reliability_bins
+
+    rows = [
+        # (label, score)
+        (1, 0.95), (0, 0.92), (1, 0.90),   # bin 9
+        (0, 0.05), (0, 0.01), (1, 0.12),   # bins 0,0,1
+        (1, 1.0),                          # score 1.0 -> last bin
+        (None, 0.5), (1, None),            # dropped
+    ]
+    df = spark.createDataFrame(rows, "y int, p double")
+    out = {r["bin"]: r for r in reliability_bins(df, "y", "p").collect()}
+    assert out[9]["n"] == 4 and out[9]["n_pos"] == 3
+    assert out[9]["mean_pred"] == pytest.approx((0.95 + 0.92 + 0.90 + 1.0) / 4)
+    assert out[9]["obs_rate"] == pytest.approx(0.75)
+    assert out[0]["n"] == 2 and out[0]["n_pos"] == 0
+    assert out[1]["n"] == 1 and out[1]["obs_rate"] == 1.0
+    assert sum(r["n"] for r in out.values()) == 7
+
+
+def test_calibration_report_known_values(spark):
+    from dataframes_jl_spark.functions.stats import calibration_report
+
+    # one bin (0.7): 4 rows, 3 positive -> |obs - pred| = |0.75-0.7| = 0.05
+    rows = [(1, 0.7), (1, 0.7), (1, 0.7), (0, 0.7)]
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = calibration_report(df, "y", "p").collect()[0]
+    assert r["n"] == 4 and r["n_pos"] == 3
+    assert r["ece"] == pytest.approx(0.05)
+    assert r["mce"] == pytest.approx(0.05)
+    # Brier: 3*(0.3^2) + 1*(0.7^2) = 0.27+0.49 = 0.76 ; /4 = 0.19
+    assert r["brier"] == pytest.approx(0.19)
+
+
+def test_calibration_perfectly_calibrated(spark):
+    from dataframes_jl_spark.functions.stats import calibration_report
+
+    # bin 2 (p=0.25): 1 of 4 positive; bin 7 (p=0.75): 3 of 4 positive
+    rows = [(1, 0.25), (0, 0.25), (0, 0.25), (0, 0.25),
+            (1, 0.75), (1, 0.75), (1, 0.75), (0, 0.75)]
+    df = spark.createDataFrame(rows, "y int, p double")
+    r = calibration_report(df, "y", "p").collect()[0]
+    assert r["ece"] == 0.0 and r["mce"] == 0.0
+
+
+def test_calibration_rejects_bad_inputs(spark):
+    from dataframes_jl_spark.functions.stats import calibration_report
+
+    bad_label = spark.createDataFrame([(2, 0.5)], "y int, p double")
+    with pytest.raises(Exception, match="must be 0/1"):
+        calibration_report(bad_label, "y", "p").collect()
+    bad_score = spark.createDataFrame([(1, 1.5)], "y int, p double")
+    with pytest.raises(Exception, match="must be in"):
+        calibration_report(bad_score, "y", "p").collect()
+
+
+def test_expect_stream_matches_batch(spark, tmp_path):
+    """Stream-vs-batch parity: the merged snapshot report equals
+    expect() over the same rows — row rules, a foreign key against a
+    static parent, and an exact unique rule with cross-batch dups."""
+    from dataframes_jl_spark.ops.expectations import (
+        accepted_values,
+        expect,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+    from dataframes_jl_spark.streaming.expectations import (
+        expect_stream,
+        merge_expectation_snapshots,
+    )
+
+    parent = spark.createDataFrame([(i,) for i in range(8)], "pk long")
+    rows = []
+    for i in range(90):
+        v = None if i % 9 == 0 else float(i % 20)  # some NULLs, some >12
+        cat = "x" if i % 7 else "zz"               # some off-list
+        fk = i % 12                                # 8..11 violate the FK
+        k = i % 30                                 # duplicate key every 30
+        rows.append((v, cat, fk, k))
+    d = tmp_path / "exp_in"
+    d.mkdir()
+    for b in range(3):
+        chunk = rows[b::3]
+        (d / f"{b}.csv").write_text(
+            "v,cat,fk,k\n"
+            + "\n".join(
+                f"{'' if v is None else v},{c},{f},{kk}"
+                for v, c, f, kk in chunk
+            )
+            + "\n"
+        )
+    schema = "v double, cat string, fk long, k long"
+    rules = [
+        not_null("v"),
+        in_range("v", 0.0, 12.0),
+        accepted_values("cat", ["x", "y"]),
+        foreign_key("fk", parent, "pk"),
+        unique("k"),
+    ]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        expect_stream(stream, rules, shards=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_exp")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snaps = spark.sql(
+            "SELECT rule_id, shard, n_checked, n_violations FROM t_exp"
+        )
+        # stale cumulative intermediates must exist (3 micro-batches)
+        assert snaps.count() > snaps.select("rule_id", "shard").distinct().count()
+        got = {
+            (r["rule"], r["column"]): (r["n_checked"], r["n_violations"], r["passed"])
+            for r in merge_expectation_snapshots(snaps, rules).collect()
+        }
+    finally:
+        q.stop()
+
+    bdf = spark.createDataFrame(rows, schema)
+    want = {
+        (r["rule"], r["column"]): (r["n_checked"], r["n_violations"], r["passed"])
+        for r in expect(bdf, rules).collect()
+    }
+    assert got == want
+    # sanity: the fixture actually exercises every rule
+    assert all(nv > 0 for (_, nv, _) in want.values())
+
+
+def test_expect_stream_validates(spark):
+    from dataframes_jl_spark.streaming.expectations import expect_stream
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="at least one rule"):
+        expect_stream(df, [])

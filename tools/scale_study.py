@@ -145,6 +145,23 @@ STUDY = [
     # lookback-bounded attribution join (a new join fan-out shape)
     "q_roc_auc",
     "q_attribution",
+    # round 10 (round-9 verdict #2/#3): adjudicate the driver-flagged
+    # q_semdedup drift with a pin, and pin the round-9 second-batch
+    # operators that previously had none
+    "q_semdedup",
+    "q_npmi_pairs",
+    "q_expectations",
+    "q_pr_auc",
+    "q_kaplan_meier",
+    "q_target_encode",
+    "q_log_odds",
+    "q_lexical_diversity",
+    "q_interpolate_linear",
+    "q_cv_auc",
+    # round-10 operators: the calibration aggregate (bounded bin table)
+    # and the expectations snapshot-merge gate's simulation shape
+    "q_calibration",
+    "q_stream_expectations",
 ]
 
 
