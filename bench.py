@@ -108,6 +108,12 @@ HEADLINE = [
     "q_log_odds",
     "q_lexical_diversity",
     "q_cv_auc",
+    # round 10 operators
+    "q_calibration",
+    "q_stream_expectations",
+    "q_nelson_aalen",
+    "q_cliffs_delta",
+    "q_zipf_fit",
 ]
 
 

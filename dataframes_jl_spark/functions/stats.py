@@ -1549,3 +1549,47 @@ def calibration_report(
         _q(F.col("__mce__")).alias("mce"),
         _q(brier).alias("brier"),
     )
+
+
+def cliffs_delta(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Cliff's delta between two frames' ``col`` distributions — the
+    nonparametric EFFECT SIZE that answers the question
+    :func:`mann_whitney_u`'s z-score does not: at 100 TB every
+    difference is "significant", so gates must threshold on HOW LARGE
+    the dominance is, not whether it exists.
+
+    ``δ = P(a > b) − P(a < b)`` over random cross pairs, which is the
+    rank-sum identity ``δ = 2U_a/(n_a·n_b) − 1`` — so this reuses
+    mann_whitney_u's exact per-VALUE doubled-midrank path verbatim
+    (ties get 1/2-credit automatically) and pays one extra projection:
+    no new shuffle, no pair enumeration. Returns one row
+    ``(n_a, n_b, delta, magnitude)`` with the standard Romano bands
+    (|δ| < .147 negligible / < .33 small / < .474 medium / else
+    large); delta NULL when either side is empty.
+    """
+    r = mann_whitney_u(df_a, df_b, col, out_scale=out_scale)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # u_stat is exact (possibly k + 1/2 under odd tie runs)
+    delta = F.lit(2.0) * F.col("u_stat") / (na * nb) - F.lit(1.0)
+    om = F.lit(float(10**out_scale))
+    dq = F.floor(delta * om + F.lit(0.5)) / om
+    ad = F.abs(dq)
+    return r.select(
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), dq).alias("delta"),
+        F.when(
+            (F.col("n_a") <= 0) | (F.col("n_b") <= 0), F.lit(None)
+        )
+        .when(ad < 0.147, F.lit("negligible"))
+        .when(ad < 0.33, F.lit("small"))
+        .when(ad < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )

@@ -157,3 +157,96 @@ def lexical_diversity(
             _q(F.col("n_hapax").cast("double") / F.col("n_types").cast("double")),
         ).alias("hapax_share"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope of
+    ``ln(freq)`` against ``ln(rank)`` — the corpus-health number that
+    catches generated/boilerplate corpora (natural text sits near
+    slope −1; templated spam flattens the head, OCR noise fattens the
+    tail and drags r² down).
+
+    Shape: one explode+groupBy builds the term-count table (vocabulary
+    rows, the same table every lexical operator here shares), ranks
+    come from ops.sorting.global_row_number under the TOTAL order
+    (count desc, term asc) — range-partitioned rank, never a
+    SinglePartition window; the regression is ONE aggregate over
+    per-term floor-quantized ``ln`` products (libm drift absorbed
+    per-term, sums exact int64/decimal — the dsum discipline).
+    Within a tied-count block the rank ASSIGNMENT among terms is
+    lexicographic scaffolding; the regression is invariant to it (y is
+    constant inside the block, and the block occupies a fixed rank
+    run), so the statistic is a property of the count multiset.
+
+    Returns one row ``(n_types, n_tokens, slope, intercept, r2)`` —
+    slope/intercept of ln(freq) = slope·ln(rank) + intercept; NULL
+    slope/r2 when fewer than 2 types survive ``min_count``.
+    """
+    from ..ops.sorting import global_row_number, order
+
+    counts = (
+        df.select(_tokens(text_col).alias("toks"))
+        .select(F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+    )
+    ranked = global_row_number(
+        counts,
+        [order("cnt", rev=True), order("term")],
+        col_name="rank",
+    )
+    tm = F.lit(float(10**term_scale))
+    dec = "decimal(38,0)"
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def _qt(c):
+        return F.floor(c * tm + F.lit(0.5)).cast("long")
+
+    per = ranked.select(
+        F.col("cnt"),
+        _qt(x).alias("xu"),
+        _qt(y).alias("yu"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("xu").cast(dec)).alias("sx"),
+        F.sum(F.col("yu").cast(dec)).alias("sy"),
+        F.sum(F.col("xu").cast(dec) * F.col("yu").cast(dec)).alias("sxy"),
+        F.sum(F.col("xu").cast(dec) * F.col("xu").cast(dec)).alias("sxx"),
+        F.sum(F.col("yu").cast(dec) * F.col("yu").cast(dec)).alias("syy"),
+    )
+    n = F.col("n_types").cast("double")
+    sx = F.col("sx").cast("double") / tm
+    sy = F.col("sy").cast("double") / tm
+    sxy = F.col("sxy").cast("double") / tm / tm
+    sxx = F.col("sxx").cast("double") / tm / tm
+    syy = F.col("syy").cast("double") / tm / tm
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    intercept = (sy - slope * sx) / n
+    r2 = (cov * cov) / (varx * vary)
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    ok = (F.col("n_types") >= 2) & (varx > 0)
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        F.when(ok, _q(slope)).alias("slope"),
+        F.when(ok, _q(intercept)).alias("intercept"),
+        F.when(ok & (vary > 0), _q(r2)).alias("r2"),
+    )

@@ -150,3 +150,92 @@ def test_expect_stream_validates(spark):
     df = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(ValueError, match="at least one rule"):
         expect_stream(df, [])
+
+
+def test_nelson_aalen_known_values(spark):
+    from dataframes_jl_spark.functions.survival import nelson_aalen
+
+    # durations: events at t=1 (n=5), t=3 (n=3, after censor at 2)
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "dur double, e int")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "e").collect()}
+    assert set(out) == {1, 3, 5}
+    # H(1) = 1/5; H(3) = 1/5 + 1/3; H(5) = + 1/1
+    assert out[1]["cum_hazard"] == pytest.approx(0.2)
+    assert out[3]["cum_hazard"] == pytest.approx(0.2 + 1 / 3, abs=1e-6)
+    assert out[5]["cum_hazard"] == pytest.approx(0.2 + 1 / 3 + 1.0, abs=1e-6)
+    assert out[1]["n_risk"] == 5 and out[3]["n_risk"] == 3
+    # se(1) = sqrt(1/25)
+    assert out[1]["se_hazard"] == pytest.approx(0.2)
+
+
+def test_nelson_aalen_breslow_vs_km(spark, tables):
+    """exp(-H) >= KM survival pointwise (Breslow bound), and both
+    estimators agree on the risk-set bookkeeping columns."""
+    import math
+
+    from dataframes_jl_spark.functions.survival import (
+        kaplan_meier,
+        nelson_aalen,
+    )
+
+    li = tables["lineitem"].select(
+        (F.col("l_quantity") % 7).cast("double").alias("dur"),
+        (F.col("l_linenumber") % 2).alias("e"),
+    )
+    km = {r["t"]: r for r in kaplan_meier(li, "dur", "e").collect()}
+    na = {r["t"]: r for r in nelson_aalen(li, "dur", "e").collect()}
+    assert set(km) == set(na)
+    for t in km:
+        assert na[t]["n_risk"] == km[t]["n_risk"]
+        assert na[t]["n_events"] == km[t]["n_events"]
+        breslow = math.exp(-na[t]["cum_hazard"])
+        assert breslow >= km[t]["survival"] - 1e-6
+
+
+def test_cliffs_delta_known_values(spark):
+    from dataframes_jl_spark.functions.stats import cliffs_delta
+
+    # a completely dominates b -> delta = +1
+    a = spark.createDataFrame([(10.0,), (11.0,), (12.0,)], "v double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    r = cliffs_delta(a, b, "v").collect()[0]
+    assert r["delta"] == 1.0 and r["magnitude"] == "large"
+    # identical distributions -> delta = 0
+    r0 = cliffs_delta(a, a, "v").collect()[0]
+    assert r0["delta"] == 0.0 and r0["magnitude"] == "negligible"
+
+
+def test_cliffs_delta_ties_half_credit(spark):
+    from dataframes_jl_spark.functions.stats import cliffs_delta
+
+    # a = {1, 2}, b = {2, 3}: pairs (1<2), (1<3), (2=2 tie), (2<3)
+    # delta = (0 - 3)/4 = -0.75
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = cliffs_delta(a, b, "v").collect()[0]
+    assert r["delta"] == pytest.approx(-0.75)
+    assert r["magnitude"] == "large"
+
+
+def test_zipf_fit_exact_powerlaw(spark):
+    from dataframes_jl_spark.llm.lexical import zipf_fit
+
+    # construct counts following cnt = round(1000 / rank): slope ~ -1
+    words = []
+    for rank in range(1, 21):
+        w = f"w{rank:02d}"
+        words.extend([w] * max(1, round(1000 / rank)))
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = zipf_fit(df, "text").collect()[0]
+    assert r["n_types"] == 20
+    assert r["slope"] == pytest.approx(-1.0, abs=0.02)
+    assert r["r2"] > 0.999
+
+
+def test_zipf_fit_degenerate(spark):
+    from dataframes_jl_spark.llm.lexical import zipf_fit
+
+    one = spark.createDataFrame([("hello hello",)], "text string")
+    r = zipf_fit(one, "text").collect()[0]
+    assert r["n_types"] == 1 and r["slope"] is None and r["r2"] is None

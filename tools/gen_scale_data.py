@@ -27,6 +27,19 @@ Design notes (what makes the replication an honest scale model):
   so any two distinct tags are >= 2 edits apart and max_dist=1 fuzzy
   matching never pairs across replicas: pair count scales linearly,
   the model a real growing customer table follows.
+* Embedding vectors get a per-replica CIRCULAR ROLL of their
+  components (round-10: the same trap in embedding space — verbatim
+  vectors made every replica an exact cosine-1 duplicate, so
+  q_semdedup's CORRECT within-cluster pair output alone was ~K^2/2
+  pairs per vector and the sf10 measurement ran ~5e9 honest pair
+  evaluations). A roll is an orthogonal transform: every within-
+  replica distance, norm, and cosine is EXACTLY preserved (cluster
+  structure stays honest), while a vector and its rolled copy
+  correlate like a lagged random series — far below any dedup
+  threshold — so the near-dup pair count scales linearly, the model a
+  real growing embedding corpus follows. Roll offsets are distinct
+  per replica (1 + (r*7 mod 63) over dim 64), so every replica PAIR
+  also sees a distinct relative lag.
 * Timestamps are left unchanged — event-time range is a property of
   the window, not the corpus size.
 
@@ -95,6 +108,18 @@ def main() -> int:
                 # differ across replicas -> no cross-replica near-dups
                 p = p.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", rf"$1_r{r}")
+                )
+            if t == "embeddings" and r > 0:
+                # per-replica circular roll (orthogonal; module doc):
+                # within-replica geometry exact, cross-replica cosine
+                # decorrelated — near-dup pairs scale linearly
+                s = 1 + (r * 7) % 63
+                p = p.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), 64 - s + 1, s),
+                        F.slice(F.col("embedding"), 1, 64 - s),
+                    ),
                 )
             if t == "customer" and r > 0:
                 # doubled-digit replica tag: any two tags differ by
