@@ -61,8 +61,16 @@ def fit_kmeans_driver(
     X = np.array([r["v"] for r in fit_src.orderBy("__h__").select("v").collect()])
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c via matmul: the broadcast
+    # cube (n, k, d) materializes n*k*d floats per iteration (6.5 GB at
+    # the k ~ sqrt(n) regime's 28k-sample/447-centroid fit — round-10
+    # finding); the matmul form is O(n*k) memory and BLAS-fast. The
+    # argmin ranks by the x-independent-term-dropped form, identical
+    # ordering up to fp rounding; nothing downstream gates on fit
+    # numerics (assignment gates use fixed seed centroids).
+    x2 = (X**2).sum(1)
     for _ in range(max_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        d2 = x2[:, None] + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
         a = d2.argmin(1)
         newC = np.stack(
             [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(len(C))]

@@ -162,6 +162,13 @@ STUDY = [
     # and the expectations snapshot-merge gate's simulation shape
     "q_calibration",
     "q_stream_expectations",
+    # round-10 session 2: the survival twins share one pinned shape, so
+    # nelson_aalen pins for both; cliffs_delta rides mann_whitney's
+    # pinned scan; zipf's vocabulary rank via global_row_number is a
+    # new composition worth its own pin
+    "q_nelson_aalen",
+    "q_cliffs_delta",
+    "q_zipf_fit",
 ]
 
 
