@@ -114,6 +114,7 @@ HEADLINE = [
     "q_nelson_aalen",
     "q_cliffs_delta",
     "q_zipf_fit",
+    "q_bootstrap_ci",
 ]
 
 

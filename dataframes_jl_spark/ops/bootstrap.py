@@ -1,0 +1,189 @@
+"""Poisson bootstrap confidence intervals — the at-scale resampling
+scheme (each row's multiplicity in replicate b is an independent
+Poisson(1) draw, which matches multinomial resampling to O(1/n) and,
+unlike it, needs NO global coordination: a row's weight depends only on
+(row id, replicate id)).
+
+Beyond-reference statistics operator (the reference's surface stops at
+describe/colwise moments — reference src/dataframe.jl): the operator a
+100 TB A/B readout actually needs — a point estimate is free, but the
+uncertainty band around it is what the launch decision reads, and
+closed-form SEs cover only the statistics with textbook formulas.
+
+Shape: ONE projection explodes each row into ``n_boot`` (row,
+replicate) pairs with an int64 Poisson weight, one map-side-combining
+aggregate collapses to |groups| x n_boot replicate rows, and the
+percentile bracket is a keyed window over that BOUNDED table (<=
+n_boot rows per group). Cost is n_boot x the input scan in pure
+codegen'd map work — linear, embarrassingly parallel, no extra
+shuffle beyond the (group, replicate) aggregate.
+
+Determinism (the repo's engine-portable discipline): the uniform
+behind each Poisson draw is the ARX-mixed multiplicative hash of
+``(id + replicate * SPREAD) mod P`` (ops/bloom's avalanche rounds —
+affine-only hashes correlate across replicates), mapped to (0, 1];
+the Poisson inversion compares against LITERAL cumulative-probability
+constants embedded identically in the plan and the oracle; values
+quantize to int64 units so every replicate sum is exact; replicate
+means order by their exact quantized units (replicate id as
+tie-break), and the CI is the PERCENTILE BRACKET (no interpolation) —
+order statistics, engine-identical.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bloom import _P, _hll_mix
+
+# replicate-id spread before the mix: a large odd multiplier mod P so
+# consecutive replicates of one row enter the avalanche far apart
+_BOOT_SPREAD = 611_953_087
+
+# Poisson(1) inversion thresholds: cum P(K <= k) for k = 0..7; a draw
+# beyond the table (P ~ 1.1e-6) caps at 8 — a documented, engine-shared
+# truncation, not drift. repr() of these exact doubles is embedded in
+# both the Spark plan and the DuckDB oracle.
+_POIS_CUM = []
+_acc, _term = 0.0, math.exp(-1.0)
+for _k in range(8):
+    _acc += _term
+    _POIS_CUM.append(_acc)
+    _term /= _k + 1
+
+
+def poisson_weight(u: Column) -> Column:
+    """Poisson(1) multiplicity from a uniform in (0, 1] via the shared
+    literal threshold table (module doc)."""
+    w = F.when(u <= F.lit(_POIS_CUM[0]), F.lit(0))
+    for k in range(1, len(_POIS_CUM)):
+        w = w.when(u <= F.lit(_POIS_CUM[k]), F.lit(k))
+    return w.otherwise(F.lit(len(_POIS_CUM)))
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    group_by: Sequence[str] = (),
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    seed: int = 1,
+    scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Poisson-bootstrap percentile CI for the MEAN of
+    ``value`` (module doc). ``id_col`` must be a stable integer row
+    identity (weights depend only on it, so re-runs and re-partitions
+    reproduce the same replicates). Returns one row per group:
+    ``(*group_by, n, mean, boot_lo, boot_hi, boot_se)`` — the bracket
+    is the floor(alpha/2 * B)-th order statistic from each end over
+    the B replicate means; boot_se is the sample SD of the replicate
+    means (exact integer sums of quantized means). NULL id/value rows
+    are dropped.
+    """
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    gb = list(group_by)
+    m = 10**scale
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(value).isNotNull()
+    ).select(
+        *gb,
+        F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(_P)).alias(
+            "ks"
+        ),
+        F.floor(F.col(value).cast("double") * F.lit(float(m)) + F.lit(0.5))
+        .cast("long")
+        .alias("xu"),
+    )
+    ex = base.select(
+        *gb,
+        "ks",
+        "xu",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h = _hll_mix(
+        F.pmod(
+            F.col("ks") + F.col("b").cast("long") * F.lit(_BOOT_SPREAD),
+            F.lit(_P),
+        )
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
+    w = poisson_weight(u)
+    dec = "decimal(38,0)"
+    rep = (
+        ex.select(*gb, "b", w.alias("w"), F.col("xu"))
+        .groupBy(*gb, "b")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(F.col("w").cast(dec) * F.col("xu").cast(dec)).alias("swx"),
+        )
+        .filter(F.col("nw") > 0)
+    )
+    # replicate mean in exact quantized units: ONE division, then
+    # floor-quantize so ordering and the SD sums are integer-exact
+    mu_u = F.floor(
+        F.col("swx").cast("double") / F.col("nw").cast("double") + F.lit(0.5)
+    ).cast("long")
+    rep = rep.select(*gb, "b", mu_u.alias("mu"))
+    wnd = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    # bounded table: <= n_boot rows per group ride this window
+    ordered = Window.partitionBy(*gb).orderBy("mu", "b") if gb else (
+        Window.partitionBy().orderBy("mu", "b")
+    )
+    ranked = rep.select(
+        *gb,
+        "mu",
+        F.row_number().over(ordered).alias("r"),
+        F.count(F.lit(1)).over(wnd).alias("nb"),
+        F.sum(F.col("mu").cast(dec)).over(wnd).alias("smu"),
+        F.sum((F.col("mu").cast(dec) * F.col("mu").cast(dec))).over(
+            wnd
+        ).alias("smu2"),
+    )
+    k = F.floor(F.lit(float(alpha) / 2.0) * F.col("nb").cast("double")).cast(
+        "long"
+    )
+    lo_hit = F.col("r") == k + 1
+    hi_hit = F.col("r") == F.col("nb") - k
+    picks = ranked.filter(lo_hit | hi_hit).groupBy(*gb).agg(
+        F.min(F.when(lo_hit, F.col("mu"))).alias("lo_u"),
+        F.max(F.when(hi_hit, F.col("mu"))).alias("hi_u"),
+        F.max("nb").alias("nb"),
+        F.max("smu").alias("smu"),
+        F.max("smu2").alias("smu2"),
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    totals = base.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xu").cast(dec)).alias("sx"),
+    )
+    if gb:
+        joined = totals.join(picks, gb)
+    else:
+        joined = totals.crossJoin(picks)
+    nb = F.col("nb").cast("double")
+    var = (
+        F.col("smu2").cast("double")
+        - F.col("smu").cast("double") * F.col("smu").cast("double") / nb
+    ) / (nb - F.lit(1.0))
+    mf = F.lit(float(m))
+    return joined.select(
+        *gb,
+        "n",
+        _q(
+            F.col("sx").cast("double") / F.col("n").cast("double") / mf
+        ).alias("mean"),
+        _q(F.col("lo_u").cast("double") / mf).alias("boot_lo"),
+        _q(F.col("hi_u").cast("double") / mf).alias("boot_hi"),
+        _q(F.sqrt(F.greatest(var, F.lit(0.0))) / mf).alias("boot_se"),
+    )

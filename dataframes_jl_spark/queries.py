@@ -10012,12 +10012,105 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text")
 
 
+def _bootstrap_oracle() -> str:
+    from .ops.bootstrap import _BOOT_SPREAD, _POIS_CUM
+
+    w_case = "CASE " + " ".join(
+        f"WHEN u <= {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    ) + f" ELSE {len(_POIS_CUM)} END"
+    mix = _mix_ctes(
+        "mx", "pre", "mixin", "h", carry=("event_type", "xu", "b")
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             ((event_id + 1) % 1000000007 + 1000000007) % 1000000007 AS ks,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS xu
+      FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ),
+    pre AS (
+      SELECT event_type, xu, t.b,
+             (ks + t.b * {_BOOT_SPREAD}) % 1000000007 AS mixin
+      FROM base CROSS JOIN (SELECT unnest(range(0, 100)) AS b) t
+    ),
+    {mix},
+    ww AS (
+      SELECT event_type, xu, b,
+             {w_case} AS w
+      FROM (SELECT event_type, xu, b,
+                   (CAST(h AS DOUBLE) + 1.0) / 1000000008.0 AS u
+            FROM mx)
+    ),
+    rep AS (
+      SELECT event_type, b,
+             CAST(SUM(w) AS BIGINT) AS nw,
+             SUM(w * xu) AS swx
+      FROM ww GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    mu AS (
+      SELECT event_type, b,
+             CAST(FLOOR(CAST(swx AS DOUBLE) / CAST(nw AS DOUBLE) + 0.5)
+                  AS BIGINT) AS mu
+      FROM rep
+    ),
+    ranked AS (
+      SELECT event_type, mu,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mu, b) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS nb,
+             SUM(mu) OVER (PARTITION BY event_type) AS smu,
+             SUM(mu * mu) OVER (PARTITION BY event_type) AS smu2
+      FROM mu
+    ),
+    picks AS (
+      SELECT event_type,
+             MIN(CASE WHEN r = CAST(FLOOR(0.025 * CAST(nb AS DOUBLE))
+                                    AS BIGINT) + 1 THEN mu END) AS lo_u,
+             MAX(CASE WHEN r = nb - CAST(FLOOR(0.025 * CAST(nb AS DOUBLE))
+                                         AS BIGINT) THEN mu END) AS hi_u,
+             MAX(nb) AS nb, MAX(smu) AS smu, MAX(smu2) AS smu2
+      FROM ranked GROUP BY 1
+    ),
+    totals AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(xu) AS sx
+      FROM base GROUP BY 1
+    )
+    SELECT t.event_type, t.n,
+           FLOOR(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 * 1e6 + 0.5)
+             / 1e6 AS mean,
+           FLOOR(CAST(lo_u AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS boot_lo,
+           FLOOR(CAST(hi_u AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS boot_hi,
+           FLOOR(SQRT(GREATEST((CAST(smu2 AS DOUBLE)
+                    - CAST(smu AS DOUBLE) * CAST(smu AS DOUBLE)
+                      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0),
+                    0.0)) / 1e4 * 1e6 + 0.5) / 1e6 AS boot_se
+    FROM totals t JOIN picks p ON t.event_type = p.event_type
+    """
+
+
+@register("q_bootstrap_ci", oracle=_bootstrap_oracle())
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the per-event-type mean value
+    (ops.bootstrap.bootstrap_mean_ci): 100 replicates, each row's
+    multiplicity an ARX-hash-seeded Poisson(1) draw — one exploded
+    map pass, one (group, replicate) aggregate, percentile bracket
+    over the bounded replicate table. The oracle replays the hash
+    mix, the literal Poisson inversion table, every quantized sum,
+    and the exact order-statistic bracket."""
+    from .ops.bootstrap import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "event_id", "value", group_by=["event_type"], n_boot=100
+    )
+
+
 _PRIORITY = [
     # --- round 10: first-ever driver rows ------------------------------
     "q_cv_auc",  # registered after the r9 driver ran; zero driver rows
     "q_reliability_bins",
     "q_calibration",
     "q_stream_expectations",
+    "q_bootstrap_ci",
     "q_nelson_aalen",
     "q_cliffs_delta",
     "q_zipf_fit",
@@ -10030,7 +10123,8 @@ _PRIORITY = [
     # --- round-5-era (38 of 49; the 11 deferred names ride r5 rows one
     # more round: q_hash_split, q_dedup_pipeline, q_sortperm_nulls,
     # q_monthly_revenue, q_ewma, q_rolling_stats, q_orc_roundtrip,
-    # q_k_anonymity, q_asof_join, q_weighted_sample, q_quantile_sketch)
+    # q_k_anonymity, q_asof_join, q_weighted_sample, q_quantile_sketch,
+    # q_bpe_token_budget)
     "q01_pricing_summary",
     "q_melt_stack",
     "q_join_outer_nullsafe",
@@ -10068,7 +10162,6 @@ _PRIORITY = [
     "q_facade_pipeline",
     "q_describe_strings",
     "q_csv_roundtrip",
-    "q_bpe_token_budget",
 ]
 
 

@@ -239,3 +239,59 @@ def test_zipf_fit_degenerate(spark):
     one = spark.createDataFrame([("hello hello",)], "text string")
     r = zipf_fit(one, "text").collect()[0]
     assert r["n_types"] == 1 and r["slope"] is None and r["r2"] is None
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from dataframes_jl_spark.ops.bootstrap import bootstrap_mean_ci
+
+    rows = [(i, float(50 + (i * 37) % 101)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r1 = bootstrap_mean_ci(df, "id", "v", n_boot=100).collect()[0]
+    r2 = bootstrap_mean_ci(df, "id", "v", n_boot=100).collect()[0]
+    assert r1 == r2  # hash-seeded: bit-identical across runs
+    assert r1["n"] == 2000
+    assert r1["boot_lo"] <= r1["mean"] <= r1["boot_hi"]
+    # CI half-width should be a few boot_se's, and se ~ sd/sqrt(n):
+    # values span ~29 sd -> se ~ 0.65; sanity band, not exactness
+    assert 0.1 < r1["boot_se"] < 3.0
+    assert (r1["boot_hi"] - r1["boot_lo"]) < 10 * r1["boot_se"]
+
+
+def test_bootstrap_ci_grouped_shrinks_with_n(spark):
+    from dataframes_jl_spark.ops.bootstrap import bootstrap_mean_ci
+
+    rows = [(i, "big" if i < 3000 else "small", float(i % 97))
+            for i in range(3300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["g"]: r for r in
+           bootstrap_mean_ci(df, "id", "v", group_by=["g"], n_boot=100).collect()}
+    assert out["big"]["n"] == 3000 and out["small"]["n"] == 300
+    # same value distribution -> the 10x-larger group has a tighter CI
+    assert (out["big"]["boot_hi"] - out["big"]["boot_lo"]) < (
+        out["small"]["boot_hi"] - out["small"]["boot_lo"]
+    )
+
+
+def test_poisson_weights_mean_one(spark):
+    """Over many (row, replicate) draws the Poisson(1) weights must
+    average ~1 — the property that makes replicate totals unbiased."""
+    from dataframes_jl_spark.ops.bloom import _P, _hll_mix
+    from dataframes_jl_spark.ops.bootstrap import (
+        _BOOT_SPREAD,
+        poisson_weight,
+    )
+
+    df = spark.range(20000).select(
+        F.pmod(F.col("id"), F.lit(_P)).alias("ks"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("b"),
+    )
+    h = _hll_mix(
+        F.pmod(F.col("ks") + F.col("b").cast("long") * F.lit(_BOOT_SPREAD),
+               F.lit(_P))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
+    stats = df.select(poisson_weight(u).alias("w")).agg(
+        F.avg("w").alias("m"), F.var_samp("w").alias("v")
+    ).collect()[0]
+    assert stats["m"] == pytest.approx(1.0, abs=0.02)
+    assert stats["v"] == pytest.approx(1.0, abs=0.05)

@@ -199,6 +199,30 @@ SHOWCASE = [
         "SinglePartition window anywhere; survival is one exp over "
         "the bounded curve table.",
     ),
+    (
+        "q_calibration",
+        "ONE map-side-combining aggregate to (group, bin) rows — bin "
+        "index computed from the int64 score units in the same "
+        "projection — then a bounded groups-row fold; ECE's numerator "
+        "is an exact-integer sum, so no per-bin division survives "
+        "into the wide stage.",
+    ),
+    (
+        "q_stream_expectations",
+        "Snapshot-merge shape: the cumulative emission simulation is "
+        "per-(shard, day) aggregates + keyed windows; the consumer "
+        "merge is max-struct per (rule_id, shard), a shard-sum "
+        "aggregate, and one broadcast label join — output bounded by "
+        "the rule count, no row-volume shuffle after the first "
+        "aggregate.",
+    ),
+    (
+        "q_zipf_fit",
+        "Vocabulary rank via global_row_number: rangepartitioning "
+        "exchange + per-partition row_number with a #partitions-row "
+        "offsets job — never a SinglePartition window; the regression "
+        "collapses in ONE aggregate over quantized ln products.",
+    ),
 ]
 
 

@@ -169,6 +169,9 @@ STUDY = [
     "q_nelson_aalen",
     "q_cliffs_delta",
     "q_zipf_fit",
+    # the Poisson bootstrap: n_boot x map explode + one (group,
+    # replicate) aggregate — the pin certifies the linear-in-B scan
+    "q_bootstrap_ci",
 ]
 
 
