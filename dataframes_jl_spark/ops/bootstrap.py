@@ -113,6 +113,10 @@ def bootstrap_mean_ci(
             F.lit(_P),
         )
     )
+    # _hll_mix ends on an XOR, so its range slightly exceeds [0, P);
+    # a final mod-P reduction keeps u genuinely in (0, 1] instead of
+    # spilling ~3e-5 of draws past 1 into the weight cap
+    h = F.pmod(h, F.lit(_P))
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
     w = poisson_weight(u)
     dec = "decimal(38,0)"
@@ -177,6 +181,11 @@ def bootstrap_mean_ci(
         - F.col("smu").cast("double") * F.col("smu").cast("double") / nb
     ) / (nb - F.lit(1.0))
     mf = F.lit(float(m))
+    # a single surviving replicate makes var 0/0 = NaN (and greatest
+    # keeps NaN); report NULL for the degenerate SD instead
+    se = F.when(
+        F.col("nb") > 1, _q(F.sqrt(F.greatest(var, F.lit(0.0))) / mf)
+    )
     return joined.select(
         *gb,
         "n",
@@ -185,5 +194,5 @@ def bootstrap_mean_ci(
         ).alias("mean"),
         _q(F.col("lo_u").cast("double") / mf).alias("boot_lo"),
         _q(F.col("hi_u").cast("double") / mf).alias("boot_hi"),
-        _q(F.sqrt(F.greatest(var, F.lit(0.0))) / mf).alias("boot_se"),
+        se.alias("boot_se"),
     )

@@ -9555,9 +9555,12 @@ def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reliability_bins(ev, "lbl", "prob", group_by=["event_type"])
 
 
-@register(
-    "q_calibration",
-    oracle="""
+# shared by q_calibration AND q_calibration_drift: the oracle computes
+# ECE/MCE/Brier DIRECTLY from events (never seeing the batch operator's
+# plan or the drift gate's emission history), replaying the exact
+# integer identities — so the batch report and the snapshot merge are
+# both certified against one independent derivation
+_CALIBRATION_ORACLE_SQL = """
     WITH base AS (
       SELECT event_type,
              CAST(FLOOR(((((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 101)
@@ -9603,8 +9606,10 @@ def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) * 1e6 + 0.5)
              / 1e6 AS brier
     FROM agg
-    """,
-)
+    """
+
+
+@register("q_calibration", oracle=_CALIBRATION_ORACLE_SQL)
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type ECE / MCE / Brier (functions.stats.
     calibration_report) on the same synthetic probability as
@@ -9627,6 +9632,100 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return calibration_report(ev, "lbl", "prob", group_by=["event_type"])
+
+
+@register("q_calibration_drift", oracle=_CALIBRATION_ORACLE_SQL)
+def q_calibration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration-drift SNAPSHOT-MERGE gate (streaming.
+    calibration.merge_calibration_snapshots): a static simulation of
+    the update-stream sink — at every (event_type, bin, shard, day)
+    the CUMULATIVE (n, n_pos, Σu, Σerr²) counters exactly as the
+    stateful stream emits them (hi/lo carry pairs included), stale
+    intermediates and all — reduced by the real consumer-side merge
+    (latest emission per key via the n-led monotone struct max, shard
+    sums through decimal(38,0) carry reassembly, then the SAME
+    _calibration_fold the batch operator uses). The oracle is
+    q_calibration's: ECE/MCE/Brier computed directly from events,
+    never seeing the emission history — equality proves the merge
+    collapses any history to batch-identical numbers. The stream lane
+    itself is stream-vs-batch parity-tested in tests/test_round11.py.
+
+    Simulation-only shortcut: per-key cumulative Σerr² here stays
+    well inside int64 (≤ |cell rows|·10^12), so the hi/lo split uses
+    exact long `div`/`pmod`; the REAL stream state carries the pairs
+    through Python-int arithmetic and never materializes the full
+    integer in a long."""
+    from pyspark.sql import Window
+
+    from .streaming.calibration import _CHUNK, merge_calibration_snapshots
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    m = 1_000_000
+    u = F.floor(
+        (
+            F.pmod(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                F.lit(101),
+            ).cast("double")
+            / F.lit(100.0)
+        )
+        * F.lit(float(m))
+        + F.lit(0.5)
+    ).cast("long")
+    base = ev.select(
+        F.col("event_type"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).alias("b"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("shard"),
+        u.alias("u"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("y"),
+    ).select(
+        "event_type",
+        "b",
+        "shard",
+        F.least(
+            F.floor(F.col("u").cast("double") * F.lit(10.0) / F.lit(float(m)))
+            .cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "u",
+        "y",
+    )
+    err = F.col("u") - F.col("y") * F.lit(m)
+    per = base.groupBy("event_type", "bin", "shard", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("np"),
+        F.sum("u").alias("su"),
+        F.sum(err * err).alias("se"),
+    )
+    w = (
+        Window.partitionBy("event_type", "bin", "shard")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "event_type",
+        "bin",
+        "shard",
+        F.sum("n").over(w).alias("n"),
+        F.sum("np").over(w).alias("n_pos"),
+        F.sum("su").over(w).alias("csu"),
+        F.sum("se").over(w).alias("cse"),
+    )
+    ck = F.lit(_CHUNK)
+    sim = cum.select(
+        "event_type",
+        "bin",
+        "shard",
+        "n",
+        "n_pos",
+        F.expr(f"csu div {_CHUNK}").alias("su_hi"),
+        F.pmod(F.col("csu"), ck).alias("su_lo"),
+        F.expr(f"cse div {_CHUNK}").alias("se_hi"),
+        F.pmod(F.col("cse"), ck).alias("se_lo"),
+    )
+    return merge_calibration_snapshots(sim, group_by=["event_type"])
 
 
 @register(
@@ -9828,7 +9927,7 @@ def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE CAST(FLOOR(CAST(d AS DOUBLE)
                                   / (CAST(N - (cum - (d + c)) AS DOUBLE)
                                      * CAST(N - (cum - (d + c)) AS DOUBLE))
-                                  * 1e8 + 0.5) AS BIGINT) END AS vt
+                                  * 1e16 + 0.5) AS BIGINT) END AS vt
       FROM run
     ),
     curve AS (
@@ -9842,7 +9941,7 @@ def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
            c AS n_censored,
            FLOOR(CAST(ch AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS cum_hazard,
-           FLOOR(SQRT(CAST(cv AS DOUBLE) / 1e8) * 1e6 + 0.5) / 1e6
+           FLOOR(SQRT(CAST(cv AS DOUBLE) / 1e16) * 1e6 + 0.5) / 1e6
              AS se_hazard
     FROM curve WHERE d > 0
     """,
@@ -10038,7 +10137,7 @@ def _bootstrap_oracle() -> str:
       SELECT event_type, xu, b,
              {w_case} AS w
       FROM (SELECT event_type, xu, b,
-                   (CAST(h AS DOUBLE) + 1.0) / 1000000008.0 AS u
+                   (CAST(h % 1000000007 AS DOUBLE) + 1.0) / 1000000008.0 AS u
             FROM mx)
     ),
     rep AS (
@@ -10079,10 +10178,12 @@ def _bootstrap_oracle() -> str:
              / 1e6 AS mean,
            FLOOR(CAST(lo_u AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS boot_lo,
            FLOOR(CAST(hi_u AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS boot_hi,
-           FLOOR(SQRT(GREATEST((CAST(smu2 AS DOUBLE)
+           CASE WHEN nb > 1 THEN
+             FLOOR(SQRT(GREATEST((CAST(smu2 AS DOUBLE)
                     - CAST(smu AS DOUBLE) * CAST(smu AS DOUBLE)
                       / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0),
-                    0.0)) / 1e4 * 1e6 + 0.5) / 1e6 AS boot_se
+                    0.0)) / 1e4 * 1e6 + 0.5) / 1e6
+           END AS boot_se
     FROM totals t JOIN picks p ON t.event_type = p.event_type
     """
 

@@ -1,0 +1,143 @@
+"""Round-11 operators: streaming calibration drift (stream-vs-batch
+parity), the carry-pair overflow discipline, and the nelson-aalen
+variance-scale fix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_calibration_stream_matches_batch(spark, tmp_path):
+    """Stream-vs-batch parity: merged calibration snapshots equal
+    calibration_report over the same rows — grouped, with cross-batch
+    bin updates so stale cumulative intermediates exist."""
+    from dataframes_jl_spark.functions.stats import calibration_report
+    from dataframes_jl_spark.streaming.calibration import (
+        calibration_stream,
+        merge_calibration_snapshots,
+    )
+
+    rows = []
+    for i in range(120):
+        g = "a" if i % 3 else "b"
+        y = 1 if (i * 7) % 10 < 4 else 0
+        p = ((i * 13) % 101) / 100.0
+        rows.append((g, y, p))
+    d = tmp_path / "cal_in"
+    d.mkdir()
+    for b in range(3):
+        chunk = rows[b::3]
+        (d / f"{b}.csv").write_text(
+            "g,y,p\n" + "\n".join(f"{g},{y},{p}" for g, y, p in chunk) + "\n"
+        )
+    schema = "g string, y long, p double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        calibration_stream(stream, "y", "p", group_by=["g"], shards=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_cal")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snaps = spark.sql("SELECT * FROM t_cal")
+        # stale cumulative intermediates must exist (3 micro-batches)
+        assert (
+            snaps.count()
+            > snaps.select("g", "bin", "shard").distinct().count()
+        )
+        got = {
+            r["g"]: (r["n"], r["n_pos"], r["ece"], r["mce"], r["brier"])
+            for r in merge_calibration_snapshots(
+                snaps, group_by=["g"]
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    bdf = spark.createDataFrame(rows, schema)
+    want = {
+        r["g"]: (r["n"], r["n_pos"], r["ece"], r["mce"], r["brier"])
+        for r in calibration_report(bdf, "y", "p", group_by=["g"]).collect()
+    }
+    assert got == want
+    assert set(want) == {"a", "b"} and all(n > 10 for n, *_ in want.values())
+
+
+def test_calibration_stream_carry_pairs(spark):
+    """The (hi, lo) carry split reassembles the exact integer: feed a
+    state whose Σerr² exceeds one chunk and check the merge rebuilds
+    it losslessly (decimal path, no double rounding)."""
+    from dataframes_jl_spark.streaming.calibration import (
+        _CHUNK,
+        merge_calibration_snapshots,
+    )
+
+    # two shards of one bin whose exact se is 3*CHUNK + 7, su = CHUNK+1
+    se, su, n, np_ = 3 * _CHUNK + 7, _CHUNK + 1, 10**7, 4 * 10**6
+    snap = spark.createDataFrame(
+        [
+            (0, 0, n, np_, su // _CHUNK, su % _CHUNK, se // _CHUNK, se % _CHUNK),
+            (0, 1, n, np_, su // _CHUNK, su % _CHUNK, se // _CHUNK, se % _CHUNK),
+        ],
+        "bin long, shard int, n long, n_pos long, su_hi long, su_lo long,"
+        " se_hi long, se_lo long",
+    )
+    row = merge_calibration_snapshots(snap).collect()[0]
+    m, total_n = 10**6, 2 * n
+    gap = abs(2 * np_ * m - 2 * su)
+    import math
+
+    exp_ece = math.floor(gap / (total_n * m) * 1e6 + 0.5) / 1e6
+    exp_brier = math.floor(2 * se / (total_n * m * m) * 1e6 + 0.5) / 1e6
+    assert row["n"] == total_n and row["n_pos"] == 2 * np_
+    assert row["ece"] == exp_ece
+    assert row["brier"] == exp_brier
+
+
+def test_calibration_stream_validates(spark):
+    from dataframes_jl_spark.streaming.calibration import calibration_stream
+
+    df = spark.createDataFrame([(1, 0.5)], "y int, p double")
+    with pytest.raises(ValueError, match="shards"):
+        calibration_stream(df, "y", "p", shards=0)
+
+
+def test_nelson_aalen_variance_scale(spark):
+    """Round-11 ADVICE fix: se_hazard must not underflow to 0 for
+    large risk sets (d/n² quantizes at 2·term_scale now). With
+    n_risk = 10^5 and d = 1, the Aalen variance is 1e-10 — far below
+    the old 1e-8 term floor."""
+    from dataframes_jl_spark.functions.survival import nelson_aalen
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(2.0)).alias("dur"),
+        F.when(F.col("id") <= 1, F.lit(1)).otherwise(F.lit(0)).alias("e"),
+    )
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "e").collect()}
+    # t=1: d=1, n=100000 -> var term 1e-10; se = 1e-5 (not zero)
+    assert out[1]["se_hazard"] == pytest.approx(1e-5, abs=1e-6)
+    assert out[1]["se_hazard"] > 0
+
+
+def test_bootstrap_ci_degenerate_se_null(spark):
+    """Round-11 ADVICE fix: a single surviving replicate yields NULL
+    boot_se (not NaN)."""
+    from dataframes_jl_spark.ops.bootstrap import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    rows = bootstrap_mean_ci(df, "id", "v", n_boot=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # with one input row and 2 replicates, 0-2 replicates survive w>0;
+    # whatever survives, boot_se is NULL or a finite float — never NaN
+    if r["boot_se"] is not None:
+        assert r["boot_se"] == r["boot_se"]  # not NaN
