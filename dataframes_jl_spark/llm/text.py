@@ -202,13 +202,16 @@ def gopher_rules(
     col: str | Column,
     min_words: int = 50,
     max_words: int = 100_000,
+    min_stopwords: int = 2,
 ) -> dict[str, Column]:
     """Gopher quality-filter rule booleans (True = rule passes).
 
     Returns the seven published rules keyed by name; AND them (or use
     :func:`gopher_pass`) for the overall keep/drop decision. Thresholds
-    are the paper's; ``min_words``/``max_words`` are exposed because
-    small-document corpora usually relax the 50-word floor.
+    are the paper's; ``min_words``/``max_words``/``min_stopwords`` are
+    exposed because small-document or domain-specific corpora usually
+    relax the 50-word floor and the 2-of-8-stopwords floor (technical
+    text legitimately uses few of the paper's English stopwords).
     """
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(c)
@@ -252,7 +255,7 @@ def gopher_rules(
         "bullet_lines_ok": bullet_frac <= 0.9,
         "ellipsis_lines_ok": ellipsis_frac <= 0.3,
         "alpha_words_ok": alpha_word_frac >= 0.8,
-        "stopwords_ok": n_stop >= 2,
+        "stopwords_ok": n_stop >= min_stopwords,
     }
 
 

@@ -13,13 +13,22 @@ from .session import TPCH_TABLES
 
 
 def duckdb_run(sql: str, sf_dir: str):
-    """Run oracle SQL with the parquet tables registered as views."""
+    """Run oracle SQL with the parquet tables registered as views.
+
+    Driver testdata ships each table as a single parquet FILE; the
+    replicated scale sets (.scale_data/sf1, sf10) are Spark-written
+    DIRECTORIES of part files — glob those so the same oracles replay
+    at any scale point."""
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TPCH_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con.execute(sql).fetchdf()
 

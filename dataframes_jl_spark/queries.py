@@ -4789,6 +4789,204 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_curation_pipeline",
+    oracle=r"""
+    WITH RECURSIVE base0 AS (
+      SELECT doc_id, source, text FROM documents WHERE source <> 'src0'
+    ),
+    base AS (
+      SELECT doc_id, source, text FROM base0
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM base0 WHERE doc_id % 7 = 0
+    ),
+    d0 AS (
+      SELECT doc_id, source, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS w,
+             string_split(text, chr(10)) AS lines
+      FROM base
+    ),
+    fl AS (
+      SELECT doc_id, source, text, n_words, w, lines,
+             CASE WHEN n_words > 0
+                  THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                       / n_words
+                  ELSE 0.0 END AS mean_wl,
+             len(text) - len(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\.{3}')) AS n_sym
+      FROM d0
+    ),
+    q AS (
+      SELECT doc_id, source, text FROM fl
+      WHERE n_words BETWEEN 5 AND 100000
+        AND mean_wl BETWEEN 3 AND 10
+        AND (CASE WHEN n_words > 0
+                  THEN CAST(n_sym AS DOUBLE) / n_words <= 0.1
+                  ELSE TRUE END)
+        AND (CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                    AS DOUBLE) / len(lines) <= 0.9 ELSE TRUE END)
+        AND (CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '(…|\.\.\.)\s*$')))
+                    AS DOUBLE) / len(lines) <= 0.3 ELSE TRUE END)
+        AND (CASE WHEN n_words > 0 THEN
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / n_words >= 0.8 ELSE FALSE END)
+        AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                            s -> list_contains(list_transform(w, x -> lower(x)),
+                                               s))) >= 1
+    ),
+    ed AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+    d1 AS (SELECT q.doc_id, q.source, q.text FROM q JOIN ed USING (doc_id)),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d1
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i+1:i+3], ' ')
+                            for i in range(0, len(t)-2)]) AS shl
+      FROM tok WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*)::DOUBLE
+               / (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh) - COUNT(*)) AS jac
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (SELECT id_a, id_b FROM pairs WHERE jac >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    cc AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    losers AS (
+      SELECT id FROM (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id)
+      WHERE id != cluster
+    ),
+    d2 AS (
+      SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id FROM losers)
+    ),
+    evtok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE source = 'src0'
+    ),
+    evsh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i+1:i+5], ' ')
+                            for i in range(0, len(t)-4)]) AS shl
+      FROM evtok WHERE len(t) >= 5
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, len(shl) AS n_eval_sh, unnest(shl) AS shingle
+      FROM evsh
+    ),
+    trtok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d2
+    ),
+    trsh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i+1:i+5], ' ')
+                            for i in range(0, len(t)-4)]) AS shl
+      FROM trtok WHERE len(t) >= 5
+    ),
+    tr AS (SELECT doc_id AS train_id, unnest(shl) AS shingle FROM trsh),
+    contam AS (
+      SELECT DISTINCT train_id FROM (
+        SELECT train_id, eval_id, ANY_VALUE(n_eval_sh) AS n_eval_sh,
+               COUNT(*) AS common
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY train_id, eval_id
+      ) WHERE CAST(common AS DOUBLE) / n_eval_sh >= 0.2
+    ),
+    d3 AS (
+      SELECT * FROM d2
+      WHERE doc_id NOT IN (SELECT train_id FROM contam)
+    ),
+    tb AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS n_tokens
+      FROM d3
+    ),
+    cb AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+                 PARTITION BY source
+                 ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648,
+                          doc_id
+                 ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM tb
+    ),
+    d4 AS (SELECT * FROM cb WHERE cum_tokens <= 800),
+    pk AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 512) AS BIGINT) AS bin
+      FROM d4
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_packs
+    FROM pk GROUP BY source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (llm.curation.curate_corpus): Gopher
+    quality filter → exact dedup (min-id per identical text) →
+    MinHash-LSH near-dedup (exact-verified pairs, min-label CC
+    representatives) → 5-gram decontamination against the 'src0' eval
+    benchmark → per-source 800-token budget (deterministic hash
+    order) → 512-token sequence packing — ONE lazy Spark plan, no
+    stage re-materialization. The input unions a deterministic
+    "re-ingest" (every doc_id % 7 == 0 document again under a shifted
+    id — the crawl-snapshot overlap exact dedup exists for), so EVERY
+    stage genuinely removes documents at sf0.01: quality −115 of 475,
+    exact dedup −the surviving re-ingests, near-dup CC −16, decontam
+    −1, budget cuts every source. The oracle re-derives every stage
+    independently in DuckDB (flag SQL from q_gopher_rules, exact
+    Jaccard + recursive closure from q_dedup_pipeline, overlap SQL
+    from q_decontaminate, the hash-order window from
+    q_token_budget_sample, the exclusive-cumsum bin from
+    q_pack_sequences) and checks only the final per-source publish
+    report — so ANY stage drifting, or any stage boundary disagreeing
+    on surviving ids, fails the gate. The integration evidence a
+    100 TB curation run actually needs."""
+    from .llm.curation import curate_corpus, curation_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    base = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "source", "text"
+    )
+    reingest = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    cur = curate_corpus(
+        base.unionByName(reingest),
+        ev,
+        min_words=5,
+        min_stopwords=1,
+        budget=800,
+        seq_len=512,
+    )
+    return curation_report(cur)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q5 / Q7 shapes + as-of / range joins  (SURVEY §2.3 extensions)
 # ---------------------------------------------------------------------------
