@@ -10404,63 +10404,63 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # --- round 10: first-ever driver rows ------------------------------
-    "q_cv_auc",  # registered after the r9 driver ran; zero driver rows
-    "q_reliability_bins",
-    "q_calibration",
-    "q_stream_expectations",
-    "q_bootstrap_ci",
-    "q_nelson_aalen",
-    "q_cliffs_delta",
-    "q_zipf_fit",
-    # --- stalest evidence: round-4-era (all 5 remaining) ---------------
-    "q_json_extract",
-    "q_range_join",
-    "q_salted_join",
-    "q_take_per_group",
-    "q_vocab_approx",
-    # --- round-5-era (38 of 49; the 11 deferred names ride r5 rows one
-    # more round: q_hash_split, q_dedup_pipeline, q_sortperm_nulls,
-    # q_monthly_revenue, q_ewma, q_rolling_stats, q_orc_roundtrip,
-    # q_k_anonymity, q_asof_join, q_weighted_sample, q_quantile_sketch,
-    # q_bpe_token_budget)
-    "q01_pricing_summary",
-    "q_melt_stack",
-    "q_join_outer_nullsafe",
-    "q_vcat_promote",
-    "q_dedup_simhash_pairs",
-    "q_span_coverage",
-    "q_scd2_intervals",
-    "q_scd2_merge",
-    "q_bloom_prefilter",
-    "q_data_profile",
-    "q_psi_drift",
-    "q_cm_sketch",
-    "q_scd2_lookup",
-    "q_c4_filter",
-    "q_curation_audit",
-    "q_pagerank",
-    "q_cohort_retention",
-    "q_funnel",
-    "q_grouped_ols",
-    "q_ann_quantized",
-    "q_embed_quantize",
-    "q_quality_deciles",
-    "q_model_matrix",
-    "q_scalar_math",
-    "q_by_apply_topn",
-    "q_ann_ivf",
-    "q_sessionize",
-    "q08_market_share",
-    "q14_promo_revenue",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q12_shipping_lag",
-    "q16_supplier_count",
-    "q20_promotable_suppliers",
-    "q_facade_pipeline",
-    "q_describe_strings",
-    "q_csv_roundtrip",
+    # --- round 11: first-ever driver rows ------------------------------
+    "q_calibration_drift",  # registered after the r10 driver ran
+    "q_curation_pipeline",  # end-to-end composition gate, new this round
+    # --- stalest evidence: round-5-era (all 12 remaining) ---------------
+    "q_asof_join",
+    "q_bpe_token_budget",
+    "q_dedup_pipeline",
+    "q_ewma",
+    "q_hash_split",
+    "q_k_anonymity",
+    "q_monthly_revenue",
+    "q_orc_roundtrip",
+    "q_quantile_sketch",
+    "q_rolling_stats",
+    "q_sortperm_nulls",
+    "q_weighted_sample",
+    # --- round-7-era (36 of 50; the 14 deferred names ride r7 rows one
+    # more round: q_pivot_status, q_rank_windows, q_resample_linear,
+    # q_resample_locf, q_rolling_distinct, q_rollup, q_skew_report,
+    # q_sortperm, q_table_diff, q_temperature_mix, q_union_by_name,
+    # q_weighted_quantiles, q_window_topk_per_group, q_zorder_roundtrip)
+    "q03_nation_revenue",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q_ann_bruteforce",
+    "q_ann_lsh",
+    "q_colwise_stats",
+    "q_corr_cov",
+    "q_crosstab",
+    "q_cumulative_user_value",
+    "q_cut_histogram",
+    "q_dedup_embedding",
+    "q_dedup_exact_groups",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_doc_fingerprint",
+    "q_exact_quantiles",
+    "q_fuzzy_match",
+    "q_global_running_sum",
+    "q_heavy_hitters",
+    "q_hll_distinct",
+    "q_hll_groups",
+    "q_interarrival",
+    "q_join_left",
+    "q_join_semi_anti",
+    "q_kmeans_clusters",
+    "q_kmv_overlap",
+    "q_mad_outliers",
+    "q_merge_intervals",
+    "q_moments",
+    "q_multimodal_decode",
+    "q_na_propagating_agg",
+    "q_ngram_counts",
+    "q_paste_columns",
+    "q_pct_change",
+    "q_semdedup",
 ]
 
 
