@@ -1613,3 +1613,94 @@ def cliffs_delta(
         .otherwise(F.lit("large"))
         .alias("magnitude"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    by: Sequence[str] = (),
+    out_scale: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment — the multiple-testing
+    control every wide screen needs (per-segment A/B sweeps, per-brand
+    drift tests, per-feature importance p-values): rank the m
+    hypotheses by ascending p, then
+    ``p_adj(i) = min_{j >= i} p(j)·m/j`` capped at 1, so rejecting
+    ``p_adj <= q`` bounds the expected false-discovery fraction by q.
+
+    Beyond-reference statistics operator (same justification as the
+    AUC family). Plan shape: one aggregate for the per-group test
+    count m (broadcast back), ranks via a per-group window when
+    grouped — a p-value table is bounded by the hypothesis count, and
+    grouped screens shard across groups — or via the range-partitioned
+    global_row_number when ungrouped (never a SinglePartition window);
+    the step-up "min of my own and every later raw value" is ONE
+    running-min prefix scan over descending rank. No stage touches
+    more than the hypothesis table.
+
+    Determinism: raw values ``p·m/rank`` floor-quantize to
+    ``out_scale`` BEFORE the running min (min over already-quantized
+    int64 units — order-stable in any engine); ties in p break on
+    ``id_col``. NULL or out-of-[0,1] p-values raise in-plan.
+
+    Returns ``(*by, id_col, p_col, rank, p_adj)``, one row per input
+    hypothesis.
+    """
+    from ..ops.sorting import global_row_number
+    from ..ops.window import with_running
+
+    gb = list(by)
+    p = F.col(p_col).cast("double")
+    pchk = F.when((p >= 0.0) & (p <= 1.0), p).otherwise(
+        F.raise_error(F.lit(f"bh_fdr: {p_col} must be in [0, 1]"))
+    )
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        *gb, F.col(id_col).alias("__id__"), pchk.alias("__p__")
+    )
+    counts = base.groupBy(*gb).agg(F.count(F.lit(1)).alias("__m__"))
+    if gb:
+        from pyspark.sql import Window
+
+        keyed = base.join(F.broadcast(counts), gb)
+        rank = F.row_number().over(
+            Window.partitionBy(*gb).orderBy(F.col("__p__"), F.col("__id__"))
+        )
+        ranked = keyed.withColumn("__rank__", rank.cast("long"))
+    else:
+        keyed = base.crossJoin(F.broadcast(counts))
+        ranked = global_row_number(
+            keyed, ["__p__", "__id__"], col_name="__rank__"
+        )
+    om = F.lit(float(10**out_scale))
+    raw = F.least(
+        F.floor(
+            F.col("__p__")
+            * F.col("__m__").cast("double")
+            / F.col("__rank__").cast("double")
+            * om
+            + F.lit(0.5)
+        ).cast("long"),
+        F.lit(10**out_scale),
+    )
+    staged = ranked.select(
+        *gb,
+        "__id__",
+        "__p__",
+        "__rank__",
+        (-F.col("__rank__")).alias("__rev__"),
+        raw.alias("__raw__"),
+    )
+    run = with_running(
+        staged,
+        {"__minraw__": ("min", "__raw__")},
+        order_by="__rev__",
+        partition_by=gb if gb else None,
+    )
+    return run.select(
+        *gb,
+        F.col("__id__").alias(id_col),
+        F.col("__p__").alias(p_col),
+        F.col("__rank__").alias("rank"),
+        (F.col("__minraw__").cast("double") / om).alias("p_adj"),
+    )

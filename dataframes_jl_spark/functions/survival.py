@@ -240,3 +240,167 @@ def nelson_aalen(
             ),
         )
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    group: str,
+    scale: int = 0,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test — "do these two arms have
+    the same survival curve?", the decision statistic an A/B experiment
+    over time-to-event outcomes (churn, conversion latency) actually
+    reads, where a difference-of-KM-curves eyeball is not a test.
+
+    Beyond-reference statistics operator (same justification as
+    :func:`kaplan_meier`). At each distinct EVENT time ``t`` pooled
+    across both arms, with ``n_j``/``d_j`` the at-risk/event counts of
+    arm ``j`` and ``n``/``d`` their sums, the arm-1 expectation is
+    ``e_1 = d·n_1/n`` and the hypergeometric variance
+    ``v = d·n_1·n_2·(n−d) / (n²·(n−1))``; the statistic is
+    ``χ² = (Σ(d_1−e_1))² / Σv`` (1 df — compare to 3.841 for α=0.05;
+    the p-value is left to the caller because an erf-free engine
+    cannot replay it deterministically).
+
+    Plan shape: one map-side aggregate to the per-(arm, time) table,
+    ONE broadcast grid (2 arms × distinct times — at-risk counts need
+    every arm's count at every pooled time, including censor-only
+    times), a per-arm with_running prefix scan over that bounded
+    table, one per-time regroup, and one final scalar aggregate. Cost
+    after the first aggregate is bounded by |distinct durations|.
+
+    Determinism: ``e`` and ``v`` terms floor-quantize to
+    ``term_scale`` before the exact int64 sums (O₁ is exact by
+    construction); the arm ordered first (``arm1``) is the MIN group
+    value, so the statistic's sign convention is reproducible. Exactly
+    two non-null groups are required — a third raises in-plan.
+
+    Returns one row: ``(arm1, arm2, o1, e1, var1, chi2)``.
+    """
+    from ..ops.window import with_running
+
+    m = F.lit(float(10**scale))
+    e = F.col(event).cast("long")
+    echk = F.when(e.isin(0, 1), e).otherwise(
+        F.raise_error(F.lit(f"log_rank_test: event {event} must be 0/1"))
+    )
+    per_gt = (
+        df.filter(
+            F.col(duration).isNotNull()
+            & F.col(event).isNotNull()
+            & F.col(group).isNotNull()
+        )
+        .select(
+            F.col(group).cast("string").alias("g"),
+            F.floor(F.col(duration).cast("double") * m + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+            echk.alias("e"),
+        )
+        .groupBy("g", "t")
+        .agg(F.sum("e").alias("d"), F.count(F.lit(1)).alias("leave"))
+    )
+    arms = per_gt.groupBy("g").agg(F.sum("leave").alias("N"))
+    meta = arms.agg(
+        F.count(F.lit(1)).alias("n_arms"),
+        F.min("g").alias("arm1"),
+        F.max("g").alias("arm2"),
+    )
+    # the arity check rides N itself — an unused boolean column would be
+    # pruned out of the plan along with its raise_error
+    armchk = arms.crossJoin(F.broadcast(meta)).select(
+        "g",
+        F.when(F.col("n_arms") == 2, F.col("N"))
+        .otherwise(
+            F.raise_error(
+                F.lit(f"log_rank_test: {group} must have exactly 2 values")
+            ).cast("long")
+        )
+        .alias("N"),
+        "arm1",
+        "arm2",
+    )
+    times = per_gt.select("t").distinct()
+    # bounded grid: 2 arms x |distinct times| — every arm needs a row at
+    # every pooled time (censor-only times still shrink the risk set)
+    grid = armchk.crossJoin(F.broadcast(times))
+    cells = grid.join(per_gt, ["g", "t"], "left").select(
+        "g",
+        "t",
+        "N",
+        "arm1",
+        "arm2",
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        F.coalesce(F.col("leave"), F.lit(0)).alias("leave"),
+    )
+    run = with_running(
+        cells, {"cum_leave": ("sum", "leave")}, order_by="t", partition_by=["g"]
+    )
+    n_risk = F.col("N") - (F.col("cum_leave") - F.col("leave"))
+    per_t = (
+        run.select(
+            "t", "g", "arm1", "arm2", "d", n_risk.alias("nr")
+        )
+        .groupBy("t")
+        .agg(
+            F.first("arm1").alias("arm1"),
+            F.first("arm2").alias("arm2"),
+            F.sum("d").alias("d"),
+            F.sum("nr").alias("n"),
+            F.sum(F.when(F.col("g") == F.col("arm1"), F.col("d")).otherwise(0))
+            .alias("d1"),
+            F.sum(F.when(F.col("g") == F.col("arm1"), F.col("nr")).otherwise(0))
+            .alias("n1"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    tm = F.lit(float(10**term_scale))
+    dd = F.col("d").cast("double")
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    e_term = F.floor(dd * n1d / nd * tm + F.lit(0.5)).cast("long")
+    v_term = F.when(
+        F.col("n") > 1,
+        F.floor(
+            dd
+            * n1d
+            * (nd - n1d)
+            * (nd - dd)
+            / (nd * nd * (nd - F.lit(1.0)))
+            * tm
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = per_t.agg(
+        F.first("arm1").alias("arm1"),
+        F.first("arm2").alias("arm2"),
+        F.sum("d1").alias("o1"),
+        F.sum(e_term).alias("__e__"),
+        F.sum(v_term).alias("__v__"),
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    ed = F.col("__e__").cast("double") / tm
+    vd = F.col("__v__").cast("double") / tm
+    return agg.select(
+        "arm1",
+        "arm2",
+        "o1",
+        _q(ed).alias("e1"),
+        _q(vd).alias("var1"),
+        F.when(
+            F.col("__v__") > 0,
+            _q(
+                (F.col("o1").cast("double") - ed)
+                * (F.col("o1").cast("double") - ed)
+                / vd
+            ),
+        ).alias("chi2"),
+    )

@@ -10170,6 +10170,108 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_log_rank",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS VARCHAR) AS g,
+             CAST(DATE_DIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                  AS BIGINT) AS t,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    per_gt AS (
+      SELECT g, t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM per_user GROUP BY 1, 2
+    ),
+    arms AS (SELECT g, SUM(leave) AS N FROM per_gt GROUP BY 1),
+    meta AS (SELECT MIN(g) AS arm1, MAX(g) AS arm2 FROM arms),
+    times AS (SELECT DISTINCT t FROM per_gt),
+    grid AS (SELECT a.g, a.N, t.t FROM arms a CROSS JOIN times t),
+    cells AS (
+      SELECT grid.g, grid.t, grid.N,
+             COALESCE(p.d, 0) AS d, COALESCE(p.leave, 0) AS leave
+      FROM grid LEFT JOIN per_gt p ON p.g = grid.g AND p.t = grid.t
+    ),
+    run AS (
+      SELECT g, t, N, d, leave,
+             SUM(leave) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cells
+    ),
+    per_t AS (
+      SELECT t, SUM(d) AS d, SUM(N - (cum - leave)) AS n,
+             SUM(CASE WHEN g = (SELECT arm1 FROM meta)
+                      THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = (SELECT arm1 FROM meta)
+                      THEN N - (cum - leave) ELSE 0 END) AS n1
+      FROM run GROUP BY 1
+      HAVING SUM(d) > 0
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(FLOOR(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS et,
+             CASE WHEN n > 1 THEN
+               CAST(FLOOR(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                          * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0))
+                          * 1e8 + 0.5) AS BIGINT)
+             ELSE 0 END AS vt
+      FROM per_t
+    ),
+    agg AS (
+      SELECT (SELECT arm1 FROM meta) AS arm1,
+             (SELECT arm2 FROM meta) AS arm2,
+             CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(et) AS BIGINT) AS es,
+             CAST(SUM(vt) AS BIGINT) AS vs
+      FROM terms
+    )
+    SELECT arm1, arm2, o1,
+           FLOOR(CAST(es AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS e1,
+           FLOOR(CAST(vs AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS var1,
+           CASE WHEN vs > 0 THEN
+             FLOOR((CAST(o1 AS DOUBLE) - CAST(es AS DOUBLE) / 1e8)
+                   * (CAST(o1 AS DOUBLE) - CAST(es AS DOUBLE) / 1e8)
+                   / (CAST(vs AS DOUBLE) / 1e8) * 1e6 + 0.5) / 1e6
+           END AS chi2
+    FROM agg
+    """,
+)
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (functions.survival.log_rank_test) on
+    q_kaplan_meier's fixture with a deterministic user_id-parity A/B
+    split — "does arm 1 convert on a different time curve than arm 0".
+    The at-risk grid is 2 arms x distinct times (bounded), the e/v
+    hypergeometric terms quantize before exact int64 sums, and the
+    1-df chi-square folds in one scalar aggregate."""
+    from .functions.survival import log_rank_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("double")
+        .alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("ev"),
+    )
+    arms = per_user.withColumn(
+        "arm", (F.col("user_id") % 2).cast("string")
+    )
+    return log_rank_test(arms, "dur", "ev", "arm", scale=0)
+
+
+@register(
     "q_cliffs_delta",
     oracle="""
     WITH a AS (
@@ -10234,6 +10336,178 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = od.filter(F.col("o_orderstatus") == "F")
     b = od.filter(F.col("o_orderstatus") == "O")
     return cliffs_delta(a, b, "o_totalprice")
+
+
+def _bh_fdr_oracle() -> str:
+    mix = _mix_ctes("mx", "pre", "mixin", "h", carry=("p_brand", "p_size"))
+    return f"""
+    WITH hyp0 AS (
+      SELECT p_brand, p_size, MIN(p_partkey) AS k
+      FROM part GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT p_brand, p_size,
+             ((k % 1000000007) + 1000000007) % 1000000007 AS mixin
+      FROM hyp0
+    ),
+    {mix},
+    hyp AS (
+      SELECT p_brand, p_size,
+             (CAST(h % 1000000007 AS DOUBLE) + 1.0) / 1000000008.0 AS p
+      FROM mx
+    ),
+    cnt AS (SELECT p_brand, COUNT(*) AS m FROM hyp GROUP BY 1),
+    ranked AS (
+      SELECT h.p_brand, h.p_size, h.p, c.m,
+             ROW_NUMBER() OVER (PARTITION BY h.p_brand
+                                ORDER BY h.p, h.p_size) AS rank
+      FROM hyp h JOIN cnt c USING (p_brand)
+    ),
+    rawt AS (
+      SELECT p_brand, p_size, p, rank,
+             LEAST(CAST(FLOOR(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE)
+                              * 1e6 + 0.5) AS BIGINT),
+                   1000000) AS raw
+      FROM ranked
+    ),
+    mn AS (
+      SELECT p_brand, p_size, p, rank,
+             MIN(raw) OVER (PARTITION BY p_brand ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minraw
+      FROM rawt
+    )
+    SELECT p_brand, p_size, p, CAST(rank AS BIGINT) AS rank,
+           CAST(minraw AS DOUBLE) / 1e6 AS p_adj
+    FROM mn
+    """
+
+
+@register("q_bh_fdr", oracle=_bh_fdr_oracle())
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment (functions.stats.bh_fdr) over
+    a per-brand screen of container hypotheses. The p-values are the
+    repo's engine-portable ARX uniforms keyed on each hypothesis's
+    min partkey (the q_bootstrap_ci device — BOTH engines replay the
+    identical mix, so the gate certifies the BH mechanics: per-group
+    rank, the quantized p*m/rank ladder, the descending-rank running
+    min, the cap at 1), grouped so each brand is its own family."""
+    from .functions.stats import bh_fdr
+    from .ops.bloom import _P, _hll_mix
+
+    parts = _t(spark, sf_dir, "part")
+    hyp0 = parts.groupBy("p_brand", "p_size").agg(
+        F.min("p_partkey").alias("k")
+    )
+    h = F.pmod(_hll_mix(F.pmod(F.col("k"), F.lit(_P))), F.lit(_P))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
+    hyp = hyp0.select("p_brand", "p_size", u.alias("p"))
+    return bh_fdr(hyp, "p", "p_size", by=["p_brand"])
+
+
+@register(
+    "q_rank_metrics",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    c AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, c.nid,
+             ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cs,
+             CASE WHEN q.ql = c.cl THEN 1 ELSE 0 END AS rel
+      FROM q CROSS JOIN c WHERE q.qid != c.nid
+    ),
+    totals AS (
+      SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel FROM scored GROUP BY 1
+    ),
+    ranked AS (
+      SELECT qid, nid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cs DESC, nid) AS rank
+      FROM scored
+    ),
+    topk AS (
+      SELECT qid, rel, rank,
+             CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e8 + 0.5)
+                  AS BIGINT) AS dt
+      FROM ranked WHERE rank <= 10
+    ),
+    top AS (
+      SELECT qid, CAST(SUM(rel) AS BIGINT) AS hits_k,
+             MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel = 1 THEN dt ELSE 0 END) AS BIGINT) AS dcg
+      FROM topk GROUP BY 1
+    ),
+    series AS (
+      SELECT CAST(i AS BIGINT) AS i,
+             CAST(FLOOR(1.0 / log2(CAST(i AS DOUBLE) + 1.0) * 1e8 + 0.5)
+                  AS BIGINT) AS dt
+      FROM range(1, 11) r(i)
+    ),
+    idl AS (
+      SELECT t.qid, CAST(COALESCE(SUM(s.dt), 0) AS BIGINT) AS idcg
+      FROM totals t LEFT JOIN series s ON s.i <= LEAST(10, t.n_rel)
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT t.qid, t.n_rel,
+             COALESCE(p.hits_k, 0) AS hits_k, p.first_rel,
+             COALESCE(p.dcg, 0) AS dcg, i.idcg
+      FROM totals t LEFT JOIN top p USING (qid)
+      JOIN idl i ON i.qid = t.qid
+    )
+    SELECT qid, n_rel, CAST(hits_k AS BIGINT) AS hits_k,
+           CASE WHEN n_rel > 0 THEN
+             FLOOR(CAST(hits_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS recall_k,
+           COALESCE(FLOOR(1.0 / CAST(first_rel AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                    0.0) AS mrr_k,
+           CASE WHEN n_rel > 0 THEN
+             FLOOR(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS ndcg_k
+    FROM j
+    """,
+)
+def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard (functions.ranking.rank_metrics):
+    recall@10 / MRR@10 / nDCG@10 of exact-cosine retrieval over the
+    embeddings table, with relevance = label agreement — the metric
+    table an ANN or embedding change is judged by. Scores ride the
+    q_ann_bruteforce cross-engine contract (broadcast probe set,
+    ROUND(cos, 6)); the DCG ladder quantizes each 1/log2(rank+1) term
+    before exact int64 sums, and the ideal DCG is a closed k-term
+    fold off the relevant-count aggregate, never a second ranking
+    pass."""
+    from .functions.ranking import rank_metrics
+    from .llm.similarity import _as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        _as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("cl"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"),
+            (F.col("ql") == F.col("cl")).cast("long").alias("rel"),
+        )
+    )
+    return rank_metrics(scored, "qid", "cs", "rel", "nid", k=10)
 
 
 @register(
@@ -10407,6 +10681,9 @@ _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
     "q_curation_pipeline",  # end-to-end composition gate, new this round
+    "q_log_rank",           # two-sample survival test, new this round
+    "q_bh_fdr",             # FDR step-up adjustment, new this round
+    "q_rank_metrics",       # recall/MRR/nDCG scorecard, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -10420,8 +10697,9 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (36 of 50; the 14 deferred names ride r7 rows one
-    # more round: q_pivot_status, q_rank_windows, q_resample_linear,
+    # --- round-7-era (33 of 50; the 17 deferred names ride r7 rows one
+    # more round: q_na_propagating_agg, q_ngram_counts, q_paste_columns,
+    # q_pivot_status, q_rank_windows, q_resample_linear,
     # q_resample_locf, q_rolling_distinct, q_rollup, q_skew_report,
     # q_sortperm, q_table_diff, q_temperature_mix, q_union_by_name,
     # q_weighted_quantiles, q_window_topk_per_group, q_zorder_roundtrip)
@@ -10456,9 +10734,6 @@ _PRIORITY = [
     "q_merge_intervals",
     "q_moments",
     "q_multimodal_decode",
-    "q_na_propagating_agg",
-    "q_ngram_counts",
-    "q_paste_columns",
     "q_pct_change",
     "q_semdedup",
 ]

@@ -194,3 +194,95 @@ def test_curate_corpus_every_stage_cuts(spark):
     # both are 21 tokens, so both fit; shrink check instead: cum order
     assert (out["cum_tokens"] <= 100).all()
     assert (out["bin"] >= 0).all()
+
+
+# ----------------------------------------------------- round-11 eval lane
+def test_log_rank_known_value(spark):
+    """Hand-computed 2-arm example: pooled event times t=1 (n=4, d=2,
+    n1=2) and t=2 (n=2, d=1, n1=1) give O1=2, E1=1.5, V=7/12, so
+    chi2 = 0.25/(7/12) = 3/7 = 0.428571."""
+    from dataframes_jl_spark.functions.survival import log_rank_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0, 1), ("A", 2.0, 1), ("B", 1.0, 1), ("B", 3.0, 0)],
+        "arm string, dur double, ev int",
+    )
+    row = log_rank_test(df, "dur", "ev", "arm").collect()[0]
+    assert row["arm1"] == "A" and row["arm2"] == "B"
+    assert row["o1"] == 2
+    assert row["e1"] == 1.5
+    assert abs(row["var1"] - 7 / 12) < 1e-6
+    assert row["chi2"] == 0.428571
+
+
+def test_log_rank_requires_two_arms(spark):
+    from dataframes_jl_spark.functions.survival import log_rank_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0, 1), ("B", 2.0, 1), ("C", 3.0, 0)],
+        "arm string, dur double, ev int",
+    )
+    with pytest.raises(Exception, match="exactly 2"):
+        log_rank_test(df, "dur", "ev", "arm").collect()
+
+
+def test_bh_fdr_step_up(spark):
+    """Textbook BH: the step-up running min propagates the rank-2 raw
+    value down to rank 1, and raw values cap at 1."""
+    from dataframes_jl_spark.functions.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [(1, 0.005), (2, 0.009), (3, 0.05), (4, 0.1), (5, 0.9)],
+        "test_id long, p double",
+    )
+    out = {
+        r["test_id"]: r["p_adj"]
+        for r in bh_fdr(df, "p", "test_id").collect()
+    }
+    assert out[1] == 0.0225  # min(0.005*5/1, 0.009*5/2)
+    assert out[2] == 0.0225
+    assert out[3] == 0.083333
+    assert out[4] == 0.125
+    assert out[5] == 0.9
+    df2 = spark.createDataFrame([(1, 0.9), (2, 0.95)], "test_id long, p double")
+    out2 = {r["test_id"]: r["p_adj"] for r in bh_fdr(df2, "p", "test_id").collect()}
+    assert out2[1] == 0.95 and out2[2] == 0.95  # capped at 1 never exceeds
+
+
+def test_bh_fdr_rejects_bad_p(spark):
+    from dataframes_jl_spark.functions.stats import bh_fdr
+
+    df = spark.createDataFrame([(1, 1.5)], "test_id long, p double")
+    with pytest.raises(Exception, match="must be in"):
+        bh_fdr(df, "p", "test_id").collect()
+
+
+def test_rank_metrics_known_values(spark):
+    """One query, relevant at ranks 2 and 4, k=3: recall 1/2, MRR 1/2,
+    nDCG = (1/log2 3) / (1 + 1/log2 3)."""
+    import math
+
+    from dataframes_jl_spark.functions.ranking import rank_metrics
+
+    df = spark.createDataFrame(
+        [("q", 10, 0.9, 0), ("q", 11, 0.8, 1), ("q", 12, 0.7, 0),
+         ("q", 13, 0.6, 1)],
+        "qid string, nid long, s double, rel int",
+    )
+    row = rank_metrics(df, "qid", "s", "rel", "nid", k=3).collect()[0]
+    assert row["n_rel"] == 2 and row["hits_k"] == 1
+    assert row["recall_k"] == 0.5 and row["mrr_k"] == 0.5
+    expect = (1 / math.log2(3)) / (1 + 1 / math.log2(3))
+    assert abs(row["ndcg_k"] - expect) < 2e-6
+
+
+def test_rank_metrics_no_relevant_is_null(spark):
+    from dataframes_jl_spark.functions.ranking import rank_metrics
+
+    df = spark.createDataFrame(
+        [("q", 1, 0.5, 0), ("q", 2, 0.4, 0)],
+        "qid string, nid long, s double, rel int",
+    )
+    row = rank_metrics(df, "qid", "s", "rel", "nid", k=3).collect()[0]
+    assert row["recall_k"] is None and row["ndcg_k"] is None
+    assert row["mrr_k"] == 0.0

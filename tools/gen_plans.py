@@ -223,6 +223,16 @@ SHOWCASE = [
         "offsets job — never a SinglePartition window; the regression "
         "collapses in ONE aggregate over quantized ln products.",
     ),
+    (
+        "q_curation_pipeline",
+        "Six curation stages fused into ONE lazy plan: the Gopher "
+        "predicates run inside the scan stage (no shuffle before the "
+        "first dedup aggregate); exact dedup is one hash aggregate + "
+        "semi join; the LSH band join ships only (id, band, bucket); "
+        "decontamination broadcasts the eval shingles; the only keyed "
+        "windows ride (domain) partitions. No CartesianProduct, no "
+        "SinglePartition exchange anywhere in the composition.",
+    ),
 ]
 
 
