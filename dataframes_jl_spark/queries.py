@@ -10409,7 +10409,7 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
-      FROM embeddings WHERE vec_id % 97 = 0
+      FROM embeddings WHERE vec_id < 64
     ),
     c AS (
       SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
@@ -10486,7 +10486,7 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import _as_double, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+    q = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("qv"),
         F.col("label").alias("ql"),

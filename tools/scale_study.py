@@ -172,6 +172,16 @@ STUDY = [
     # the Poisson bootstrap: n_boot x map explode + one (group,
     # replicate) aggregate — the pin certifies the linear-in-B scan
     "q_bootstrap_ci",
+    # round-11 operators: the calibration snapshot-merge stream sim,
+    # the six-stage fused curation plan (every banded/bucketed dedup
+    # family composed), the bounded-grid log-rank fold, the BH ladder
+    # over a scale-invariant hypothesis screen, and the fixed-probe
+    # retrieval scorecard (64 probes at every scale — linear in corpus)
+    "q_calibration_drift",
+    "q_curation_pipeline",
+    "q_log_rank",
+    "q_bh_fdr",
+    "q_rank_metrics",
 ]
 
 
