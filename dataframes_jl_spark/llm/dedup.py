@@ -200,8 +200,14 @@ import random as _random
 
 _rng = _random.Random(0xD1CE)
 _MAX_HASHES = 128
-_PERM_A = [(_rng.getrandbits(31) | 1) for _ in range(_MAX_HASHES)]
-_PERM_B = [_rng.getrandbits(31) for _ in range(_MAX_HASHES)]
+# Mersenne prime 2^31 - 1: the permutation modulus. A multiplier that
+# reduced to 0 mod P would pin its slot to the constant B_i (every doc
+# colliding in that band), so force a in [1, P-1].
+_SIG_P = 2_147_483_647
+_PERM_A = [
+    ((_rng.getrandbits(31) | 1) % _SIG_P) or 1 for _ in range(_MAX_HASHES)
+]
+_PERM_B = [_rng.getrandbits(31) % _SIG_P for _ in range(_MAX_HASHES)]
 
 
 def _shingle_hashes(sh: Column) -> Column:
@@ -212,9 +218,27 @@ def _shingle_hashes(sh: Column) -> Column:
 
 
 def _sig_slot(hs: Column, i: int) -> Column:
-    """Signature slot i: min over the affine-permuted hash array."""
+    """Signature slot i: min over the Carter-Wegman-permuted hash array
+    ``(h·A_i + B_i) mod P``.
+
+    The mod-P reduction is LOAD-BEARING, not hygiene: without it the
+    affine map is strictly increasing in h, so ``argmin`` is the raw
+    min-hash shingle for EVERY slot — 64 "permutations" collapse to one
+    effective hash function, band collision degenerates to "do the two
+    docs share their single min shingle" (probability j, not
+    1-(1-j^r)^b), and ~1-j of true near-dup pairs silently miss
+    candidacy. Caught by the sf1 oracle replay (ORACLE_SF1: 74 of 2560
+    exact pairs at j 0.89-0.99 lost); the same affine-vs-avalanche
+    failure as the HLL register hash (ops/bloom.py _hll_mix note).
+    h < 2^31 and A_i < P keep h·A_i + B_i < 2^62 — int64-exact, ANSI
+    safe."""
     return F.array_min(
-        F.transform(hs, lambda h: h * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i]))
+        F.transform(
+            hs,
+            lambda h: F.pmod(
+                h * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i]), F.lit(_SIG_P)
+            ),
+        )
     )
 
 

@@ -38,7 +38,16 @@ SF1 = os.path.join(
 )
 
 # most expensive battery queries (r10 walls, sec at sf0.1) + the
-# verdict-named scale-sensitive families; every name is oracle-gated
+# verdict-named scale-sensitive families; every name is oracle-gated.
+#
+# Deliberately ABSENT: q_fuzzy_match and q_containment_pairs. Their
+# DuckDB oracles are, by design, the brute-force exact baselines (the
+# all-pairs levenshtein / full inverted-index pair join the Spark side
+# exists to avoid); at sf1 that is ~10^10 single-threaded comparisons —
+# the ORACLE is quadratic, not the engine (both Spark plans carry sf10
+# wall pins). The pair-loss-at-scale evidence class they would add is
+# covered by q_dedup_minhash_lsh, whose exact-Jaccard oracle replays
+# feasibly here.
 NAMES = [
     "q_bootstrap_ci",      # 3.33 — 100x Poisson explode, quantized sums
     "q_char_lm_quality",   # 2.00 — char-LM log-prob quantization
@@ -49,8 +58,6 @@ NAMES = [
     "q21_waiting_supplier",  # 1.11 — heaviest TPC-H multi-join
     "q_attribution",       # 0.87 — per-user ordered credit splits
     "q_hll_groups",        # 0.78 — grouped HLL registers (saturation)
-    "q_fuzzy_match",       # 0.66 — FastSS deletion neighborhoods
-    "q_containment_pairs", # 0.66 — inverted-index containment
     "q_gopher_rules",      # 0.65 — rule-set text filters
     "q_kappa_agreement",   # 0.52 — chance-agreement quantization
     "q_kmv_overlap",       # 0.49 — KMV k-th minimum saturation
@@ -58,6 +65,10 @@ NAMES = [
     "q_semdedup",          # k=ceil(sqrt(n)) scale-aware clustering
     "q_zipf_fit",          # ln-rank regression, rank from 10x vocab
     "q_hll_distinct",      # HLL at 10x distincts (register saturation)
+    "q_cm_sketch",         # count-min width/depth saturation at 10x
+    "q_bloom_prefilter",   # Bloom fill-ratio drift at 10x keys
+    "q_kaplan_meier",      # prefix scans over 10x distinct times
+    "q_calibration",       # integer ECE telescoping at 10x rows
 ]
 
 
