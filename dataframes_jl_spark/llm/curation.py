@@ -72,10 +72,13 @@ def curate_corpus(
     reps = q.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col)
     d1 = q.join(reps, id_col, "left_semi")
     # 3 — near-dedup: LSH candidates, exact-verified pairs, min-label
-    # cluster representatives survive
+    # cluster representatives survive. The rows hint (one cheap count of
+    # the RAW source scan — an upper bound on the filtered corpus) keeps
+    # the LSH spill-regime auto-sizing without eagerly re-computing the
+    # quality+dedup subtree for a count.
     pairs = minhash_lsh_pairs(
         d1, id_col, text_col, num_hashes=64, bands=32,
-        n=jaccard_n, threshold=jaccard_threshold,
+        n=jaccard_n, threshold=jaccard_threshold, rows=docs.count(),
     )
     d2 = dedup_corpus(d1, pairs, id_col)
     # 4 — decontaminate against the eval benchmark (broadcast probe)

@@ -267,6 +267,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs, exact-Jaccard verified.
 
@@ -288,12 +289,16 @@ def minhash_lsh_pairs(
     is metadata-cheap; SCALING.md measured the fixed-parallelism band
     join starting to spill at sf10's 500k docs). Callers whose ``df``
     is an expensive derived pipeline should pass ``num_partitions``
-    explicitly to skip the count pass.
+    explicitly — or ``rows``, an upper-bound row-count hint (e.g. a
+    count of the pipeline's cheap SOURCE scan) that keeps the
+    spill-regime auto-sizing without eagerly re-computing the derived
+    plan for a count.
     """
     assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
     pre_partition = True
     if num_partitions is None:
-        rows = df.count()
+        if rows is None:
+            rows = df.count()
         par = _auto_partitions(df, rows)
         # The band self-join is where sf10 spilled (SCALING.md segment
         # slope 1.05): 32 shuffle partitions x 500k band rows each. Size
