@@ -115,6 +115,14 @@ HEADLINE = [
     "q_cliffs_delta",
     "q_zipf_fit",
     "q_bootstrap_ci",
+    # round 11 operators (q_curation_pipeline stays OUT of the battery:
+    # it is a six-stage integration gate ~10x the median headline wall,
+    # covered by its oracle gate and scale pin instead — ask #8's keep-
+    # the-battery-lean rule)
+    "q_calibration_drift",
+    "q_log_rank",
+    "q_bh_fdr",
+    "q_rank_metrics",
 ]
 
 
