@@ -123,6 +123,7 @@ HEADLINE = [
     "q_log_rank",
     "q_bh_fdr",
     "q_rank_metrics",
+    "q_kruskal",
 ]
 
 

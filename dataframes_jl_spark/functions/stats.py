@@ -1704,3 +1704,93 @@ def bh_fdr(
         F.col("__rank__").alias("rank"),
         (F.col("__minraw__").cast("double") / om).alias("p_adj"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test — mann_whitney_u's k-group extension: "do
+    any of these k segments draw from a different distribution?", the
+    one-shot screen a per-segment metric sweep runs BEFORE pairwise
+    tests (k segments would need k(k-1)/2 U tests and an FDR pass;
+    H asks the omnibus question in one statistic with k-1 degrees of
+    freedom — compare to the chi-square table, e.g. 5.991 for k=3 at
+    alpha=0.05).
+
+    Beyond-reference statistics operator. EXACT integer path with
+    ties, same machinery as mann_whitney_u: rows collapse to
+    per-(group, value) counts, pooled midranks come from ONE
+    ungrouped with_running prefix scan over the bounded per-VALUE
+    table (doubled units so tie-midranks stay integral), per-group
+    doubled rank sums are exact decimal(38,0), and only the final
+    k-row fold divides:
+
+        H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1),
+        H_adj = H / (1 − Σ(t³−t)/(N³−N))   (tie correction)
+
+    Returns one row ``(n_groups, n, h, h_adj)``; ``h_adj`` is NULL
+    when every value ties (zero variance — no test).
+    """
+    from ..ops.window import with_running
+
+    per_gv = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_v = per_gv.groupBy("v").agg(F.sum("c").alias("cnt"))
+    run = with_running(per_v, {"cum": ("sum", "cnt")}, order_by="v")
+    two_mid = (
+        F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + F.lit(1)
+    )
+    dec = "decimal(38,0)"
+    ranked = per_gv.join(
+        run.select("v", two_mid.alias("tm"), "cnt"), "v"
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("c").alias("nj"),
+        F.sum(F.col("c").cast(dec) * F.col("tm").cast(dec)).alias("two_r"),
+    )
+    ties = run.agg(
+        F.sum(
+            F.col("cnt").cast(dec) * F.col("cnt").cast(dec)
+            * F.col("cnt").cast(dec)
+            - F.col("cnt").cast(dec)
+        ).alias("tie_sum")
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    # bounded k-row fold: every sum below is over |groups| rows
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("nj").alias("n"),
+        F.sum(
+            F.col("two_r").cast("double")
+            * F.col("two_r").cast("double")
+            / F.col("nj").cast("double")
+        ).alias("s4"),  # 4 * sum Rj^2/nj
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * (F.col("s4") / F.lit(4.0))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return agg.select(
+        "n_groups",
+        "n",
+        _q(h).alias("h"),
+        F.when(corr > 0.0, _q(h / corr)).alias("h_adj"),
+    )

@@ -10405,6 +10405,74 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kruskal",
+    oracle="""
+    WITH per_gv AS (
+      SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    per_v AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cnt FROM per_gv GROUP BY 1),
+    run AS (
+      SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per_v
+    ),
+    tm AS (SELECT v, cnt, 2 * (cum - cnt) + cnt + 1 AS tm FROM run),
+    per_g AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS nj,
+             SUM(CAST(c AS HUGEINT) * CAST(t.tm AS HUGEINT)) AS two_r
+      FROM per_gv p JOIN tm t USING (v) GROUP BY 1
+    ),
+    ties AS (
+      SELECT SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+                 * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS tie_sum
+      FROM run
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(nj) AS BIGINT) AS n,
+             SUM(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+                 / CAST(nj AS DOUBLE)) AS s4
+      FROM per_g
+    )
+    SELECT n_groups, n,
+           FLOOR((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * (s4 / 4.0) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 * 1e6 + 0.5) / 1e6 AS h,
+           CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+                THEN FLOOR((12.0 / (CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) + 1.0))
+                            * (s4 / 4.0)
+                            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                           / (1.0 - CAST(tie_sum AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+           END AS h_adj
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis omnibus rank test (functions.stats.kruskal_wallis)
+    of order totals across the five order priorities — "does ANY
+    priority tier price differently" in one k-1-df statistic, the
+    screen that runs before pairwise U tests + BH-FDR. Pooled midranks
+    ride mann_whitney's doubled-unit prefix scan; per-group doubled
+    rank sums are exact decimals; only the bounded 5-row fold
+    divides."""
+    from .functions.stats import kruskal_wallis
+
+    od = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(od, "o_totalprice", "o_orderpriority")
+
+
+@register(
     "q_rank_metrics",
     oracle="""
     WITH q AS (
@@ -10684,6 +10752,7 @@ _PRIORITY = [
     "q_log_rank",           # two-sample survival test, new this round
     "q_bh_fdr",             # FDR step-up adjustment, new this round
     "q_rank_metrics",       # recall/MRR/nDCG scorecard, new this round
+    "q_kruskal",            # k-group omnibus rank test, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -10697,9 +10766,9 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (33 of 50; the 17 deferred names ride r7 rows one
+    # --- round-7-era (32 of 50; the 18 deferred names ride r7 rows one
     # more round: q_na_propagating_agg, q_ngram_counts, q_paste_columns,
-    # q_pivot_status, q_rank_windows, q_resample_linear,
+    # q_pct_change, q_pivot_status, q_rank_windows, q_resample_linear,
     # q_resample_locf, q_rolling_distinct, q_rollup, q_skew_report,
     # q_sortperm, q_table_diff, q_temperature_mix, q_union_by_name,
     # q_weighted_quantiles, q_window_topk_per_group, q_zorder_roundtrip)
@@ -10734,7 +10803,6 @@ _PRIORITY = [
     "q_merge_intervals",
     "q_moments",
     "q_multimodal_decode",
-    "q_pct_change",
     "q_semdedup",
 ]
 

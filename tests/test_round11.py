@@ -286,3 +286,34 @@ def test_rank_metrics_no_relevant_is_null(spark):
     row = rank_metrics(df, "qid", "s", "rel", "nid", k=3).collect()[0]
     assert row["recall_k"] is None and row["ndcg_k"] is None
     assert row["mrr_k"] == 0.0
+
+
+def test_kruskal_wallis_known_values(spark):
+    """No-tie textbook case: ranks 1..9 over three groups gives
+    H = 12/90 * 279 - 30 = 7.2; a fully-tied-within-group case checks
+    the tie correction: H=2.4, corr=0.8, H_adj=3.0."""
+    from dataframes_jl_spark.functions.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0),
+         ("c", 7.0), ("c", 8.0), ("c", 9.0)],
+        "g string, v double",
+    )
+    row = kruskal_wallis(df, "v", "g").collect()[0]
+    assert row["n_groups"] == 3 and row["n"] == 9
+    assert row["h"] == 7.2 and row["h_adj"] == 7.2
+
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    row2 = kruskal_wallis(df2, "v", "g").collect()[0]
+    assert row2["h"] == 2.4 and row2["h_adj"] == 3.0
+
+    # all values tie -> zero variance -> no test
+    df3 = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    row3 = kruskal_wallis(df3, "v", "g").collect()[0]
+    assert row3["h_adj"] is None

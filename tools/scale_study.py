@@ -182,6 +182,9 @@ STUDY = [
     "q_log_rank",
     "q_bh_fdr",
     "q_rank_metrics",
+    # the k-group omnibus rank test: mann_whitney's per-VALUE prefix
+    # scan plus a bounded k-row fold
+    "q_kruskal",
 ]
 
 
