@@ -115,10 +115,12 @@ HEADLINE = [
     "q_cliffs_delta",
     "q_zipf_fit",
     "q_bootstrap_ci",
-    # round 11 operators (q_curation_pipeline stays OUT of the battery:
-    # it is a six-stage integration gate ~10x the median headline wall,
-    # covered by its oracle gate and scale pin instead — ask #8's keep-
-    # the-battery-lean rule)
+    # round 11 operators. TWO stay OUT of the battery under the keep-
+    # it-lean rule, each covered by its oracle gate and scale pin:
+    # q_curation_pipeline (six-stage integration gate, ~10x the median
+    # headline wall) and q_bootstrap_ratio (the B=100 explode over
+    # lineitem is ~26 s at sf0.1 — the bootstrap family's battery
+    # representative remains q_bootstrap_ci)
     "q_calibration_drift",
     "q_log_rank",
     "q_bh_fdr",

@@ -65,6 +65,85 @@ def poisson_weight(u: Column) -> Column:
     return w.otherwise(F.lit(len(_POIS_CUM)))
 
 
+def _poisson_weights(base: DataFrame, gb: list, n_boot: int, carry: list):
+    """Explode each base row into ``n_boot`` (row, replicate) pairs with
+    the int64 Poisson(1) weight ``w`` (module doc). ``base`` must carry
+    ``ks`` (the seeded mod-P row key); ``carry`` columns ride along."""
+    ex = base.select(
+        *gb,
+        "ks",
+        *carry,
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h = _hll_mix(
+        F.pmod(
+            F.col("ks") + F.col("b").cast("long") * F.lit(_BOOT_SPREAD),
+            F.lit(_P),
+        )
+    )
+    # _hll_mix ends on an XOR, so its range slightly exceeds [0, P);
+    # a final mod-P reduction keeps u genuinely in (0, 1] instead of
+    # spilling ~3e-5 of draws past 1 into the weight cap
+    h = F.pmod(h, F.lit(_P))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
+    return ex.select(*gb, "b", *carry, poisson_weight(u).alias("w"))
+
+
+def _percentile_bracket(rep: DataFrame, gb: list, alpha: float):
+    """Order-statistic CI bracket + exact SD sums over the bounded
+    (group, replicate) table. ``rep`` must carry the quantized int64
+    replicate statistic as ``mu`` and the replicate id ``b``; returns
+    one row per group: (lo_u, hi_u, nb, smu, smu2)."""
+    dec = "decimal(38,0)"
+    wnd = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    # bounded table: <= n_boot rows per group ride this window
+    ordered = Window.partitionBy(*gb).orderBy("mu", "b") if gb else (
+        Window.partitionBy().orderBy("mu", "b")
+    )
+    ranked = rep.select(
+        *gb,
+        "mu",
+        F.row_number().over(ordered).alias("r"),
+        F.count(F.lit(1)).over(wnd).alias("nb"),
+        F.sum(F.col("mu").cast(dec)).over(wnd).alias("smu"),
+        F.sum((F.col("mu").cast(dec) * F.col("mu").cast(dec))).over(
+            wnd
+        ).alias("smu2"),
+    )
+    k = F.floor(F.lit(float(alpha) / 2.0) * F.col("nb").cast("double")).cast(
+        "long"
+    )
+    lo_hit = F.col("r") == k + 1
+    hi_hit = F.col("r") == F.col("nb") - k
+    return ranked.filter(lo_hit | hi_hit).groupBy(*gb).agg(
+        F.min(F.when(lo_hit, F.col("mu"))).alias("lo_u"),
+        F.max(F.when(hi_hit, F.col("mu"))).alias("hi_u"),
+        F.max("nb").alias("nb"),
+        F.max("smu").alias("smu"),
+        F.max("smu2").alias("smu2"),
+    )
+
+
+def _se_from_sums(out_scale: int, unit_div: Column):
+    """(boot_se expression builder) sample SD of the replicate statistic
+    from the exact decimal sums, NULL when only one replicate survives."""
+    om = F.lit(float(10**out_scale))
+    nb = F.col("nb").cast("double")
+    var = (
+        F.col("smu2").cast("double")
+        - F.col("smu").cast("double") * F.col("smu").cast("double") / nb
+    ) / (nb - F.lit(1.0))
+    # a single surviving replicate makes var 0/0 = NaN (and greatest
+    # keeps NaN); report NULL for the degenerate SD instead
+    return F.when(
+        F.col("nb") > 1,
+        F.floor(
+            F.sqrt(F.greatest(var, F.lit(0.0))) / unit_div * om + F.lit(0.5)
+        )
+        / om,
+    )
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     id_col: str,
@@ -101,28 +180,10 @@ def bootstrap_mean_ci(
         .cast("long")
         .alias("xu"),
     )
-    ex = base.select(
-        *gb,
-        "ks",
-        "xu",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
-    )
-    h = _hll_mix(
-        F.pmod(
-            F.col("ks") + F.col("b").cast("long") * F.lit(_BOOT_SPREAD),
-            F.lit(_P),
-        )
-    )
-    # _hll_mix ends on an XOR, so its range slightly exceeds [0, P);
-    # a final mod-P reduction keeps u genuinely in (0, 1] instead of
-    # spilling ~3e-5 of draws past 1 into the weight cap
-    h = F.pmod(h, F.lit(_P))
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
-    w = poisson_weight(u)
     dec = "decimal(38,0)"
+    ww = _poisson_weights(base, gb, n_boot, ["xu"])
     rep = (
-        ex.select(*gb, "b", w.alias("w"), F.col("xu"))
-        .groupBy(*gb, "b")
+        ww.groupBy(*gb, "b")
         .agg(
             F.sum("w").alias("nw"),
             F.sum(F.col("w").cast(dec) * F.col("xu").cast(dec)).alias("swx"),
@@ -134,33 +195,8 @@ def bootstrap_mean_ci(
     mu_u = F.floor(
         F.col("swx").cast("double") / F.col("nw").cast("double") + F.lit(0.5)
     ).cast("long")
-    rep = rep.select(*gb, "b", mu_u.alias("mu"))
-    wnd = Window.partitionBy(*gb) if gb else Window.partitionBy()
-    # bounded table: <= n_boot rows per group ride this window
-    ordered = Window.partitionBy(*gb).orderBy("mu", "b") if gb else (
-        Window.partitionBy().orderBy("mu", "b")
-    )
-    ranked = rep.select(
-        *gb,
-        "mu",
-        F.row_number().over(ordered).alias("r"),
-        F.count(F.lit(1)).over(wnd).alias("nb"),
-        F.sum(F.col("mu").cast(dec)).over(wnd).alias("smu"),
-        F.sum((F.col("mu").cast(dec) * F.col("mu").cast(dec))).over(
-            wnd
-        ).alias("smu2"),
-    )
-    k = F.floor(F.lit(float(alpha) / 2.0) * F.col("nb").cast("double")).cast(
-        "long"
-    )
-    lo_hit = F.col("r") == k + 1
-    hi_hit = F.col("r") == F.col("nb") - k
-    picks = ranked.filter(lo_hit | hi_hit).groupBy(*gb).agg(
-        F.min(F.when(lo_hit, F.col("mu"))).alias("lo_u"),
-        F.max(F.when(hi_hit, F.col("mu"))).alias("hi_u"),
-        F.max("nb").alias("nb"),
-        F.max("smu").alias("smu"),
-        F.max("smu2").alias("smu2"),
+    picks = _percentile_bracket(
+        rep.select(*gb, "b", mu_u.alias("mu")), gb, alpha
     )
     om = F.lit(float(10**out_scale))
 
@@ -175,17 +211,7 @@ def bootstrap_mean_ci(
         joined = totals.join(picks, gb)
     else:
         joined = totals.crossJoin(picks)
-    nb = F.col("nb").cast("double")
-    var = (
-        F.col("smu2").cast("double")
-        - F.col("smu").cast("double") * F.col("smu").cast("double") / nb
-    ) / (nb - F.lit(1.0))
     mf = F.lit(float(m))
-    # a single surviving replicate makes var 0/0 = NaN (and greatest
-    # keeps NaN); report NULL for the degenerate SD instead
-    se = F.when(
-        F.col("nb") > 1, _q(F.sqrt(F.greatest(var, F.lit(0.0))) / mf)
-    )
     return joined.select(
         *gb,
         "n",
@@ -194,5 +220,102 @@ def bootstrap_mean_ci(
         ).alias("mean"),
         _q(F.col("lo_u").cast("double") / mf).alias("boot_lo"),
         _q(F.col("hi_u").cast("double") / mf).alias("boot_hi"),
-        se.alias("boot_se"),
+        _se_from_sums(out_scale, mf).alias("boot_se"),
+    )
+
+
+def bootstrap_ratio_ci(
+    df: DataFrame,
+    id_col: str,
+    num: str,
+    den: str,
+    group_by: Sequence[str] = (),
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    seed: int = 1,
+    scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Poisson-bootstrap percentile CI for the RATIO OF SUMS
+    ``sum(num)/sum(den)`` — the shape real A/B metrics take (CTR =
+    clicks/impressions, revenue-per-session, tokens-per-doc), where
+    the unit of randomization contributes to BOTH numerator and
+    denominator and the delta-method SE is easy to get wrong.
+    Each replicate reweights whole ROWS (one Poisson draw per (row,
+    replicate), shared by num and den — preserving their within-row
+    correlation, which is the entire point vs bootstrapping the two
+    sums independently).
+
+    Same plan shape, determinism contract, and ``id_col`` stability
+    requirement as :func:`bootstrap_mean_ci`; replicates whose
+    denominator sum is <= 0 are dropped (their ratio is undefined —
+    with heavy-tailed denominators prefer larger n_boot). Returns one
+    row per group: ``(*group_by, n, ratio, boot_lo, boot_hi,
+    boot_se)``; the point estimate is the full-sample ratio (NULL when
+    the denominator total is 0).
+    """
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    gb = list(group_by)
+    m = 10**scale
+    mf = F.lit(float(m))
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(num).isNotNull()
+        & F.col(den).isNotNull()
+    ).select(
+        *gb,
+        F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(_P)).alias(
+            "ks"
+        ),
+        F.floor(F.col(num).cast("double") * mf + F.lit(0.5))
+        .cast("long")
+        .alias("xu"),
+        F.floor(F.col(den).cast("double") * mf + F.lit(0.5))
+        .cast("long")
+        .alias("yu"),
+    )
+    dec = "decimal(38,0)"
+    ww = _poisson_weights(base, gb, n_boot, ["xu", "yu"])
+    rep = (
+        ww.groupBy(*gb, "b")
+        .agg(
+            F.sum(F.col("w").cast(dec) * F.col("xu").cast(dec)).alias("swx"),
+            F.sum(F.col("w").cast(dec) * F.col("yu").cast(dec)).alias("swy"),
+        )
+        .filter(F.col("swy") > 0)
+    )
+    # replicate ratio quantized to out_scale units: ONE division, then
+    # floor — ordering, the bracket, and the SD sums are integer-exact
+    ou = F.lit(float(10**out_scale))
+    r_u = F.floor(
+        F.col("swx").cast("double") / F.col("swy").cast("double") * ou
+        + F.lit(0.5)
+    ).cast("long")
+    picks = _percentile_bracket(
+        rep.select(*gb, "b", r_u.alias("mu")), gb, alpha
+    )
+
+    def _q(c):
+        return F.floor(c * ou + F.lit(0.5)) / ou
+
+    totals = base.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xu").cast(dec)).alias("sx"),
+        F.sum(F.col("yu").cast(dec)).alias("sy"),
+    )
+    if gb:
+        joined = totals.join(picks, gb)
+    else:
+        joined = totals.crossJoin(picks)
+    return joined.select(
+        *gb,
+        "n",
+        F.when(
+            F.col("sy") > 0,
+            _q(F.col("sx").cast("double") / F.col("sy").cast("double")),
+        ).alias("ratio"),
+        (F.col("lo_u").cast("double") / ou).alias("boot_lo"),
+        (F.col("hi_u").cast("double") / ou).alias("boot_hi"),
+        _se_from_sums(out_scale, ou).alias("boot_se"),
     )

@@ -10728,6 +10728,114 @@ def _bootstrap_oracle() -> str:
     """
 
 
+def _bootstrap_ratio_oracle() -> str:
+    from .ops.bootstrap import _BOOT_SPREAD, _POIS_CUM
+
+    w_case = "CASE " + " ".join(
+        f"WHEN u <= {c!r} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    ) + f" ELSE {len(_POIS_CUM)} END"
+    mix = _mix_ctes(
+        "mx", "pre", "mixin", "h", carry=("l_returnflag", "xu", "yu", "b")
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag,
+             ((l_orderkey * 8 + l_linenumber + 1) % 1000000007
+              + 1000000007) % 1000000007 AS ks,
+             CAST(FLOOR(l_extendedprice * 1e4 + 0.5) AS BIGINT) AS xu,
+             CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT) AS yu
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ),
+    pre AS (
+      SELECT l_returnflag, xu, yu, t.b,
+             (ks + t.b * {_BOOT_SPREAD}) % 1000000007 AS mixin
+      FROM base CROSS JOIN (SELECT unnest(range(0, 100)) AS b) t
+    ),
+    {mix},
+    ww AS (
+      SELECT l_returnflag, xu, yu, b,
+             {w_case} AS w
+      FROM (SELECT l_returnflag, xu, yu, b,
+                   (CAST(h % 1000000007 AS DOUBLE) + 1.0) / 1000000008.0 AS u
+            FROM mx)
+    ),
+    rep AS (
+      SELECT l_returnflag, b,
+             SUM(w * xu) AS swx, SUM(w * yu) AS swy
+      FROM ww GROUP BY 1, 2 HAVING SUM(w * yu) > 0
+    ),
+    mu AS (
+      SELECT l_returnflag, b,
+             CAST(FLOOR(CAST(swx AS DOUBLE) / CAST(swy AS DOUBLE) * 1e6
+                        + 0.5) AS BIGINT) AS mu
+      FROM rep
+    ),
+    ranked AS (
+      SELECT l_returnflag, mu,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY mu, b) AS r,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS nb,
+             SUM(mu) OVER (PARTITION BY l_returnflag) AS smu,
+             SUM(mu * mu) OVER (PARTITION BY l_returnflag) AS smu2
+      FROM mu
+    ),
+    picks AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN r = CAST(FLOOR(0.025 * CAST(nb AS DOUBLE))
+                                    AS BIGINT) + 1 THEN mu END) AS lo_u,
+             MAX(CASE WHEN r = nb - CAST(FLOOR(0.025 * CAST(nb AS DOUBLE))
+                                         AS BIGINT) THEN mu END) AS hi_u,
+             MAX(nb) AS nb, MAX(smu) AS smu, MAX(smu2) AS smu2
+      FROM ranked GROUP BY 1
+    ),
+    totals AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xu) AS sx, SUM(yu) AS sy
+      FROM base GROUP BY 1
+    )
+    SELECT t.l_returnflag, t.n,
+           CASE WHEN sy > 0 THEN
+             FLOOR(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 END AS ratio,
+           CAST(lo_u AS DOUBLE) / 1e6 AS boot_lo,
+           CAST(hi_u AS DOUBLE) / 1e6 AS boot_hi,
+           CASE WHEN nb > 1 THEN
+             FLOOR(SQRT(GREATEST((CAST(smu2 AS DOUBLE)
+                    - CAST(smu AS DOUBLE) * CAST(smu AS DOUBLE)
+                      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0),
+                    0.0)) / 1e6 * 1e6 + 0.5) / 1e6
+           END AS boot_se
+    FROM totals t JOIN picks p ON t.l_returnflag = p.l_returnflag
+    """
+
+
+@register("q_bootstrap_ratio", oracle=_bootstrap_ratio_oracle())
+def q_bootstrap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for a RATIO OF SUMS
+    (ops.bootstrap.bootstrap_ratio_ci): revenue-per-unit
+    sum(extendedprice)/sum(quantity) per return flag — the CTR-shaped
+    metric whose numerator and denominator share the row's Poisson
+    weight (the within-row correlation a naive two-sided bootstrap
+    loses). Same explode/aggregate/bracket shape and ARX determinism
+    as q_bootstrap_ci; the row identity is the exact integer
+    (orderkey*8 + linenumber) composite."""
+    from .ops.bootstrap import bootstrap_ratio_ci
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "row_id", F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")
+    )
+    return bootstrap_ratio_ci(
+        li,
+        "row_id",
+        "l_extendedprice",
+        "l_quantity",
+        group_by=["l_returnflag"],
+        n_boot=100,
+    )
+
+
 @register("q_bootstrap_ci", oracle=_bootstrap_oracle())
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the per-event-type mean value
@@ -10753,6 +10861,7 @@ _PRIORITY = [
     "q_bh_fdr",             # FDR step-up adjustment, new this round
     "q_rank_metrics",       # recall/MRR/nDCG scorecard, new this round
     "q_kruskal",            # k-group omnibus rank test, new this round
+    "q_bootstrap_ratio",    # ratio-of-sums bootstrap CI, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -10766,12 +10875,13 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (32 of 50; the 18 deferred names ride r7 rows one
-    # more round: q_na_propagating_agg, q_ngram_counts, q_paste_columns,
-    # q_pct_change, q_pivot_status, q_rank_windows, q_resample_linear,
-    # q_resample_locf, q_rolling_distinct, q_rollup, q_skew_report,
-    # q_sortperm, q_table_diff, q_temperature_mix, q_union_by_name,
-    # q_weighted_quantiles, q_window_topk_per_group, q_zorder_roundtrip)
+    # --- round-7-era (31 of 50; the 19 deferred names ride r7 rows one
+    # more round: q_moments, q_na_propagating_agg, q_ngram_counts,
+    # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
+    # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
+    # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
+    # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
+    # q_zorder_roundtrip)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -10801,7 +10911,6 @@ _PRIORITY = [
     "q_kmv_overlap",
     "q_mad_outliers",
     "q_merge_intervals",
-    "q_moments",
     "q_multimodal_decode",
     "q_semdedup",
 ]

@@ -317,3 +317,32 @@ def test_kruskal_wallis_known_values(spark):
     )
     row3 = kruskal_wallis(df3, "v", "g").collect()[0]
     assert row3["h_adj"] is None
+
+
+def test_bootstrap_ratio_properties(spark):
+    """Ratio bootstrap: deterministic across runs, bracket straddles
+    the point estimate, degenerate denominators drop replicates, and
+    the CI tightens as n grows."""
+    from dataframes_jl_spark.ops.bootstrap import bootstrap_ratio_ci
+
+    rows = [(i, float(10 + i % 7), float(2 + i % 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    a = bootstrap_ratio_ci(df, "id", "x", "y", n_boot=60).collect()[0]
+    b = bootstrap_ratio_ci(df, "id", "x", "y", n_boot=60).collect()[0]
+    assert a == b  # ARX determinism
+    assert a["boot_lo"] <= a["ratio"] <= a["boot_hi"]
+    small = bootstrap_ratio_ci(
+        df.limit(50), "id", "x", "y", n_boot=60
+    ).collect()[0]
+    assert (small["boot_hi"] - small["boot_lo"]) > (
+        a["boot_hi"] - a["boot_lo"]
+    )
+    # all-zero denominator -> every replicate dropped -> the ungrouped
+    # summary row survives with NULL ratio and NULL bracket (a global
+    # aggregate over an empty replicate table still emits one row)
+    z = spark.createDataFrame(
+        [(1, 1.0, 0.0), (2, 2.0, 0.0)], "id long, x double, y double"
+    )
+    zr = bootstrap_ratio_ci(z, "id", "x", "y", n_boot=10).collect()
+    assert len(zr) == 1
+    assert zr[0]["ratio"] is None and zr[0]["boot_lo"] is None

@@ -185,6 +185,9 @@ STUDY = [
     # the k-group omnibus rank test: mann_whitney's per-VALUE prefix
     # scan plus a bounded k-row fold
     "q_kruskal",
+    # the ratio-of-sums bootstrap: same B-fold explode as
+    # q_bootstrap_ci with a second weighted sum riding the aggregate
+    "q_bootstrap_ratio",
 ]
 
 
