@@ -69,6 +69,15 @@ NAMES = [
     "q_bloom_prefilter",   # Bloom fill-ratio drift at 10x keys
     "q_kaplan_meier",      # prefix scans over 10x distinct times
     "q_calibration",       # integer ECE telescoping at 10x rows
+    # every round-11 operator replays here too — new code earns its
+    # scale-answer evidence the round it lands
+    "q_curation_pipeline", # six-stage composition over 10x docs
+    "q_calibration_drift", # carry-pair snapshot merge at 10x rows
+    "q_log_rank",          # at-risk grid over 10x distinct times
+    "q_bh_fdr",            # rank ladder + running min at 10x parts
+    "q_rank_metrics",      # DCG ladder over 10x candidate corpus
+    "q_kruskal",           # midrank prefix scan over 10x values
+    "q_bootstrap_ratio",   # two weighted sums, 10x the explode
 ]
 
 
