@@ -126,6 +126,9 @@ HEADLINE = [
     "q_bh_fdr",
     "q_rank_metrics",
     "q_kruskal",
+    "q_good_turing",
+    "q_cvm_drift",
+    "q_hill_tail",
 ]
 
 

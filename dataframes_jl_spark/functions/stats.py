@@ -718,6 +718,192 @@ def ks_statistic(
     )
 
 
+def cvm_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 8,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises drift between the distributions of
+    ``col`` in two frames — KS's integrated-square sibling: where
+    :func:`ks_statistic` reports only the single worst ECDF gap, CvM
+    sums the squared gap over the WHOLE pooled sample,
+
+        T = n·m/(n+m)² · Σ_pooled (ECDF_a(x) − ECDF_b(x))²,
+
+    so a distribution that drifts a little everywhere (which KS's
+    sup-norm under-weights) scores as high as one that drifts a lot
+    in one place. On untied data this equals the classic Anderson
+    rank form U/(nm·N) − (4nm−1)/(6N); with ties it is the natural
+    right-continuous-ECDF extension (each pooled point contributes
+    with its multiplicity). Returns one row
+    ``(n_a, n_b, cvm_t, cvm_mean0, cvm_z)`` — ``cvm_mean0`` is the
+    exact null mean (1 + 1/N)/6 and ``cvm_z`` the statistic
+    standardized by Anderson's exact null moments, so "is this drift
+    real" reads off one column without a lookup table.
+
+    Scale shape: identical to ks_statistic — each side collapses
+    map-side to per-VALUE counts, one full-outer merge, ONE
+    distributed prefix scan for both ECDFs (range partition +
+    broadcast carries, never SinglePartition), then a single
+    map-side-combining sum over the |distinct values| table.
+
+    Determinism: the per-value term is the EXACT integer
+    c_v · (cum_a·n_b − cum_b·n_a)² accumulated in decimal(38,0)
+    (the inner difference fits int64 since |d| ≤ n_a·n_b, guarded by
+    the same in-plan assert as KS; the square is taken in decimal).
+    T divides the exact sum once by n_a·n_b·(n+m)² — a ratio of
+    exact integers, so both engines evaluate identical doubles —
+    then floor-quantizes to ``scale`` decimals. Headroom: the
+    decimal(38,0) sum holds Σ c·d² ≤ (n+m)·(n_a·n_b)² up to ~1e9
+    rows per side, far past the int64 guard.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    from ..ops.window import with_running
+
+    run = with_running(
+        merged,
+        {"cum_a": ("sum", "ca"), "cum_b": ("sum", "cb")},
+        order_by="v",
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    j = run.crossJoin(F.broadcast(totals))
+    ok = F.assert_true(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        < F.lit(9.0e18),
+        F.lit("cvm_statistic: n_a*n_b exceeds int64 — pre-aggregate"),
+    )
+    dec = "decimal(38,0)"
+    d = (
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ).cast(dec)
+    term = (F.col("ca") + F.col("cb")).cast(dec) * d * d
+    agg = j.agg(
+        F.sum(term).alias("s"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(F.coalesce(ok.cast("long"), F.lit(0))).alias("ok"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = na + nb
+    t = F.col("s").cast("double") / (na * nb * nt * nt)
+    # Anderson's exact null moments (closed-form in n_a, n_b — both
+    # engines fold the same integer ratios, so z needs no tolerance)
+    et = (F.lit(1.0) + F.lit(1.0) / nt) / F.lit(6.0)
+    vt = (
+        (nt + F.lit(1.0))
+        * (
+            F.lit(4.0) * na * nb * nt
+            - F.lit(3.0) * (na * na + nb * nb)
+            - F.lit(2.0) * na * nb
+        )
+        / (F.lit(45.0) * nt * nt * F.lit(4.0) * na * nb)
+    )
+    m = F.lit(float(10**scale))
+
+    def _q(c):
+        return F.floor(c * m + F.lit(0.5)) / m
+
+    return agg.select(
+        "n_a",
+        "n_b",
+        _q(t).alias("cvm_t"),
+        _q(et).alias("cvm_mean0"),
+        F.when(vt > 0.0, _q((t - et) / F.sqrt(vt))).alias("cvm_z"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    col: str,
+    k: int = 500,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the k largest
+    values of ``col`` — zipf_fit's extreme-value companion: where Zipf
+    reads the rank-frequency SHAPE of a vocabulary, Hill reads how
+    heavy the upper TAIL of a numeric column is (alpha ≈ 1-2: very
+    heavy, means/variances of ratios are unstable; alpha > 4:
+    effectively thin). The planning number behind "can I mean this
+    column, or do I need medians/winsorizing?" and skew-aware
+    partition sizing.
+
+    Over the order statistics x_(1) ≥ … ≥ x_(k+1) (positive values):
+
+        1/alpha = (1/k) Σ_{i≤k} [ln x_(i) − ln x_(k+1)]
+                = (Σ_{i≤k+1} ln x_(i) − (k+1)·ln x_(k+1)) / k
+
+    the second form needs only the SUM over the whole top-(k+1) frame
+    plus its min — no per-row rank assignment, so boundary ties cost
+    nothing (the k-largest multiset is unique even when ties cross
+    the cutoff; which tied ROW sits at rank k+1 is irrelevant once
+    only values enter).
+
+    Returns one row ``(n_tail, x_min_tail, inv_alpha, alpha)``; alpha is
+    NULL when fewer than 2 positive values exist or the top-(k+1)
+    frame is constant (zero log spread — no tail to measure).
+
+    Scale shape: ONE TakeOrderedAndProject (per-partition heap of
+    k+1, no full sort, no full shuffle) followed by a fold over the
+    bounded k+1-row frame. Determinism: each ln is floor-quantized
+    at ``term_scale`` before exact int64 summation (the dsum
+    discipline — libm drift absorbed per term), and the closing
+    division is over exact integers.
+    """
+    from ..ops.sorting import top_k
+
+    pos = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & (F.col("v") > 0.0)
+    )
+    top = top_k(pos, "v", int(k) + 1)
+    tm = F.lit(float(10**term_scale))
+    lq = F.floor(F.log(F.col("v")) * tm + F.lit(0.5)).cast("long")
+    agg = top.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.min("v").alias("x_min_tail"),
+        F.sum(lq).alias("sl"),
+        F.min(lq).alias("lmin"),
+    )
+    kk = F.col("n_tail") - F.lit(1)  # k actually available
+    inv = (
+        (F.col("sl") - F.col("n_tail") * F.col("lmin")).cast("double")
+        / tm
+        / kk.cast("double")
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    ok = (kk >= 1) & (F.col("sl") > F.col("n_tail") * F.col("lmin"))
+    return agg.select(
+        "n_tail",
+        "x_min_tail",
+        F.when(ok, _q(inv)).alias("inv_alpha"),
+        F.when(ok, _q(F.lit(1.0) / inv)).alias("alpha"),
+    )
+
+
 def decayed_sum(
     df: DataFrame,
     value: str,

@@ -250,3 +250,105 @@ def zipf_fit(
         F.when(ok, _q(intercept)).alias("intercept"),
         F.when(ok & (vary > 0), _q(r2)).alias("r2"),
     )
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+    out_scale: int = 8,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies estimate over the corpus
+    vocabulary — the coverage question a tokenizer/dataset card has to
+    answer: "how much probability mass belongs to words this corpus
+    has NOT seen (or has seen only r times)?". Where zipf_fit reads
+    the SHAPE of the count distribution and vocab_approx its SIZE,
+    Good-Turing reads its MASS: the unseen mass is n_1/N (Turing's
+    estimate — the hapax share of tokens), and a type observed r
+    times should be credited a smoothed count r* = (r+1)·n_{r+1}/n_r
+    rather than r.
+
+    Returns one row per frequency r = 0..max_r (rows exist only where
+    n_r does, plus the always-present r = 0 row):
+
+    - ``freq``     r (0 = the unseen bucket)
+    - ``n_types``  n_r, #types seen exactly r times (NULL at r = 0 —
+      the vocabulary outside the corpus is unknown by definition)
+    - ``r_star``   Turing-smoothed count (r+1)·n_{r+1}/n_r (NULL at
+      r = 0 and wherever n_{r+1} = 0)
+    - ``raw_mass`` r·n_r/N, the empirical token share at r
+    - ``gt_mass``  (r+1)·n_{r+1}/N = n_r·r*/N, the Good-Turing mass
+      credited to the bucket; at r = 0 this IS the unseen mass n_1/N.
+      The column telescopes: Σ_{r=0..∞} gt_mass = 1 exactly.
+
+    Scale shape: ONE token explode + map-side-combining term count is
+    the only row-volume job (the shared lexical-table shape); the
+    frequency-of-frequencies regroup carries |distinct counts| rows
+    (≤ ~√(2N) by pigeonhole), and the r↔r+1 alignment is a broadcast
+    self-join of that bounded table. Determinism: every output is a
+    ratio of exact int64 counts — both engines evaluate identical
+    doubles — floor-quantized to ``out_scale`` decimals on output.
+    """
+    tc = _term_counts(df, text_col, "c")
+    fof = tc.groupBy(F.col("c").alias("freq")).agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    # r+1 alignment: rename the key through a projection (fresh
+    # exprIds — the repo's shared-lineage self-join rule)
+    nxt = fof.select(
+        (F.col("freq") - F.lit(1)).alias("prev_freq"),
+        F.col("n_types").alias("n_next"),
+    )
+    totals = fof.agg(
+        F.sum(F.col("freq") * F.col("n_types")).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("freq") == 1, F.col("n_types")).otherwise(F.lit(0))
+        ).alias("n_hapax"),
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    nd = F.col("n_tokens").cast("double")
+    body = (
+        fof.filter(
+            (F.col("freq") >= 1) & (F.col("freq") <= F.lit(int(max_r)))
+        )
+        .join(
+            F.broadcast(nxt),
+            F.col("freq") == F.col("prev_freq"),
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "freq",
+            "n_types",
+            F.when(
+                F.col("n_next").isNotNull(),
+                _q(
+                    (F.col("freq") + F.lit(1)).cast("double")
+                    * F.col("n_next").cast("double")
+                    / F.col("n_types").cast("double")
+                ),
+            ).alias("r_star"),
+            _q(
+                F.col("freq").cast("double")
+                * F.col("n_types").cast("double")
+                / nd
+            ).alias("raw_mass"),
+            _q(
+                (F.col("freq") + F.lit(1)).cast("double")
+                * F.coalesce(F.col("n_next"), F.lit(0)).cast("double")
+                / nd
+            ).alias("gt_mass"),
+        )
+    )
+    unseen = totals.select(
+        F.lit(0).cast("long").alias("freq"),
+        F.lit(None).cast("long").alias("n_types"),
+        F.lit(None).cast("double").alias("r_star"),
+        F.lit(0.0).alias("raw_mass"),
+        _q(F.col("n_hapax").cast("double") / nd).alias("gt_mass"),
+    )
+    return unseen.unionByName(body)

@@ -10853,6 +10853,186 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_good_turing",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '[^a-z0-9]+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    per AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ),
+    fof AS (
+      SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM per GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(freq * n_types) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN freq = 1 THEN n_types ELSE 0 END)
+                  AS BIGINT) AS n_hapax
+      FROM fof
+    ),
+    body AS (
+      SELECT f.freq, f.n_types,
+             CASE WHEN nx.n_types IS NOT NULL THEN
+               FLOOR((f.freq + 1) * CAST(nx.n_types AS DOUBLE)
+                     / CAST(f.n_types AS DOUBLE) * 1e8 + 0.5) / 1e8
+             END AS r_star,
+             FLOOR(f.freq * CAST(f.n_types AS DOUBLE)
+                   / CAST(t.n_tokens AS DOUBLE) * 1e8 + 0.5) / 1e8
+               AS raw_mass,
+             FLOOR((f.freq + 1) * CAST(COALESCE(nx.n_types, 0) AS DOUBLE)
+                   / CAST(t.n_tokens AS DOUBLE) * 1e8 + 0.5) / 1e8
+               AS gt_mass
+      FROM fof f LEFT JOIN fof nx ON nx.freq = f.freq + 1
+      CROSS JOIN tot t
+      WHERE f.freq BETWEEN 1 AND 10
+    )
+    SELECT CAST(0 AS BIGINT) AS freq, CAST(NULL AS BIGINT) AS n_types,
+           CAST(NULL AS DOUBLE) AS r_star, 0.0 AS raw_mass,
+           FLOOR(CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 * 1e8 + 0.5) / 1e8 AS gt_mass
+    FROM tot
+    UNION ALL
+    SELECT freq, n_types, r_star, raw_mass, gt_mass FROM body
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table over the documents
+    vocabulary (llm.lexical.good_turing): unseen mass n_1/N, smoothed
+    counts r* = (r+1)n_{r+1}/n_r, and per-bucket raw vs Good-Turing
+    token mass for r = 0..10 — the corpus-coverage card zipf_fit
+    (shape) and q_vocab_approx (size) don't answer. One explode +
+    term count is the only row-volume job; the frequency regroup is
+    ≤ ~sqrt(2N) rows and the r↔r+1 alignment a broadcast self-join.
+    Every output is a quantized ratio of exact int64 counts."""
+    from .llm.lexical import good_turing
+
+    docs = _t(spark, sf_dir, "documents")
+    return good_turing(docs, "text", max_r=10)
+
+
+@register(
+    "q_cvm_drift",
+    oracle="""
+    WITH a AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS ca FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+    ), b AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS cb FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM m
+    ), r AS (
+      SELECT ca, cb,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM m
+    ), s AS (
+      SELECT SUM(CAST(ca + cb AS HUGEINT)
+                 * CAST(cum_a * (SELECT n_b FROM t)
+                        - cum_b * (SELECT n_a FROM t) AS HUGEINT)
+                 * CAST(cum_a * (SELECT n_b FROM t)
+                        - cum_b * (SELECT n_a FROM t) AS HUGEINT)) AS s
+      FROM r
+    ), f AS (
+      SELECT t.n_a, t.n_b,
+             CAST(t.n_a AS DOUBLE) AS na, CAST(t.n_b AS DOUBLE) AS nb,
+             CAST(t.n_a AS DOUBLE) + CAST(t.n_b AS DOUBLE) AS nt,
+             CAST(s.s AS DOUBLE) AS sd
+      FROM t, s
+    ), g AS (
+      SELECT n_a, n_b,
+             sd / (na * nb * nt * nt) AS tv,
+             (1.0 + 1.0 / nt) / 6.0 AS et,
+             (nt + 1.0)
+               * (4.0 * na * nb * nt - 3.0 * (na * na + nb * nb)
+                  - 2.0 * na * nb)
+               / (45.0 * nt * nt * 4.0 * na * nb) AS vt
+      FROM f
+    )
+    SELECT n_a, n_b,
+           FLOOR(tv * 1e8 + 0.5) / 1e8 AS cvm_t,
+           FLOOR(et * 1e8 + 0.5) / 1e8 AS cvm_mean0,
+           CASE WHEN vt > 0.0 THEN
+             FLOOR((tv - et) / sqrt(vt) * 1e8 + 0.5) / 1e8
+           END AS cvm_z
+    FROM g
+    """,
+)
+def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift between click and view event
+    values (functions.stats.cvm_statistic) — the integrated-square
+    member of the drift family (q_ks_drift sup-norm, q_psi_drift
+    binned, q_jsd_drift distributional): sums the squared ECDF gap
+    over the whole pooled sample, so diffuse everywhere-drift scores
+    as high as one sharp gap. Same per-value-count + single prefix
+    scan shape as KS; the per-value term is the exact integer
+    c_v·(cum_a·n_b − cum_b·n_a)² in decimal(38,0), and the null
+    moments are Anderson's closed forms — z reads significance off
+    one column."""
+    from .functions.stats import cvm_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return cvm_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+@register(
+    "q_hill_tail",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ),
+    top AS (SELECT v FROM pos ORDER BY v DESC LIMIT 501),
+    q AS (
+      SELECT v, CAST(FLOOR(LN(v) * 1e8 + 0.5) AS BIGINT) AS lq FROM top
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, MIN(v) AS x_min_tail,
+             CAST(SUM(lq) AS BIGINT) AS sl, MIN(lq) AS lmin
+      FROM q
+    )
+    SELECT n_tail, x_min_tail,
+           CASE WHEN n_tail >= 2 AND sl > n_tail * lmin THEN
+             FLOOR(CAST(sl - n_tail * lmin AS DOUBLE) / 1e8
+                   / CAST(n_tail - 1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS inv_alpha,
+           CASE WHEN n_tail >= 2 AND sl > n_tail * lmin THEN
+             FLOOR(1.0 / (CAST(sl - n_tail * lmin AS DOUBLE) / 1e8
+                          / CAST(n_tail - 1 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS alpha
+    FROM agg
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of the 500 largest line-item prices
+    (functions.stats.hill_tail_index) — "can I mean this column or do
+    I need medians/winsorizing?" as one number: alpha near 1-2 means
+    a tail heavy enough to destabilize ratio metrics and skew
+    partition sizing. ONE TakeOrderedAndProject (per-partition heap,
+    no full sort or shuffle) feeds a fold over the bounded k+1-row
+    frame; the sum-minus-min identity sidesteps per-row ranks, so
+    boundary ties cost nothing. Per-term quantized ln, exact int64
+    sums, integer-exact closing division."""
+    from .functions.stats import hill_tail_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hill_tail_index(li, "l_extendedprice", k=500)
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -10862,6 +11042,9 @@ _PRIORITY = [
     "q_rank_metrics",       # recall/MRR/nDCG scorecard, new this round
     "q_kruskal",            # k-group omnibus rank test, new this round
     "q_bootstrap_ratio",    # ratio-of-sums bootstrap CI, new this round
+    "q_good_turing",        # GT frequency-of-frequencies, new this round
+    "q_cvm_drift",          # Cramér-von Mises drift, new this round
+    "q_hill_tail",          # Hill tail-index estimator, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -10875,13 +11058,14 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (31 of 50; the 19 deferred names ride r7 rows one
+    # --- round-7-era (29 of 50; the 21 deferred names ride r7 rows one
     # more round: q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
     # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
     # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
-    # q_zorder_roundtrip)
+    # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
+    # q_merge_intervals)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -10910,9 +11094,6 @@ _PRIORITY = [
     "q_kmeans_clusters",
     "q_kmv_overlap",
     "q_mad_outliers",
-    "q_merge_intervals",
-    "q_multimodal_decode",
-    "q_semdedup",
 ]
 
 

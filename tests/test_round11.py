@@ -346,3 +346,98 @@ def test_bootstrap_ratio_properties(spark):
     zr = bootstrap_ratio_ci(z, "id", "x", "y", n_boot=10).collect()
     assert len(zr) == 1
     assert zr[0]["ratio"] is None and zr[0]["boot_lo"] is None
+
+
+def test_cvm_statistic_known_values(spark):
+    """Interleaved no-tie case, hand-computed: a=[1,3,5,7] vs
+    b=[2,4,6,8] has squared ECDF gaps of (1/4)^2 at the four odd
+    pooled points, so T = (16/64)*(4/16) = 0.0625; Anderson's null
+    moments give mean0 = (1+1/8)/6 = 0.1875, var = 0.01875, hence
+    z = -0.125/sqrt(0.01875) = -0.91287093. Identical samples (all
+    ties) give T = 0 exactly."""
+    from dataframes_jl_spark.functions.stats import cvm_statistic
+
+    a = spark.createDataFrame([(v,) for v in (1.0, 3.0, 5.0, 7.0)], "v double")
+    b = spark.createDataFrame([(v,) for v in (2.0, 4.0, 6.0, 8.0)], "v double")
+    row = cvm_statistic(a, b, "v").collect()[0]
+    assert row["n_a"] == 4 and row["n_b"] == 4
+    assert row["cvm_t"] == 0.0625
+    assert row["cvm_mean0"] == 0.1875
+    assert abs(row["cvm_z"] + 0.91287093) < 1e-8
+
+    same = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+    row2 = cvm_statistic(same, same, "v").collect()[0]
+    assert row2["cvm_t"] == 0.0 and row2["cvm_z"] < 0.0
+
+
+def test_cvm_matches_rank_formula(spark):
+    """On untied data the ECDF-sum form must equal Anderson's rank
+    form U/(nm N) - (4nm-1)/(6N), computed here in plain Python."""
+    from dataframes_jl_spark.functions.stats import cvm_statistic
+
+    a_vals = [0.3, 1.7, 2.2, 4.9, 6.1]
+    b_vals = [0.9, 2.8, 3.3, 5.4, 7.6, 8.2, 9.0]
+    n, m = len(a_vals), len(b_vals)
+    pooled = sorted(a_vals + b_vals)
+    ranks_a = sorted(pooled.index(v) + 1 for v in a_vals)
+    ranks_b = sorted(pooled.index(v) + 1 for v in b_vals)
+    u = n * sum((r - i) ** 2 for i, r in enumerate(ranks_a, 1)) + m * sum(
+        (s - j) ** 2 for j, s in enumerate(ranks_b, 1)
+    )
+    N = n + m
+    expect = u / (n * m * N) - (4 * n * m - 1) / (6 * N)
+
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    row = cvm_statistic(a, b, "v").collect()[0]
+    assert abs(row["cvm_t"] - expect) < 1e-8
+
+
+def test_good_turing_known_values(spark):
+    """Corpus 'a a a b b c d': N=7 tokens, n_1=2, n_2=1, n_3=1.
+    Unseen mass 2/7; r*=2*1/2=1 at r=1, 3*1/1=3 at r=2, NULL at the
+    top count; gt_mass telescopes to exactly 1."""
+    from dataframes_jl_spark.llm.lexical import good_turing
+
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    rows = {r["freq"]: r for r in good_turing(df, "text").collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    q = lambda x: __import__("math").floor(x * 1e8 + 0.5) / 1e8
+    assert rows[0]["n_types"] is None and rows[0]["r_star"] is None
+    assert rows[0]["raw_mass"] == 0.0 and rows[0]["gt_mass"] == q(2 / 7)
+    assert rows[1]["n_types"] == 2 and rows[1]["r_star"] == 1.0
+    assert rows[1]["raw_mass"] == q(2 / 7) and rows[1]["gt_mass"] == q(2 / 7)
+    assert rows[2]["n_types"] == 1 and rows[2]["r_star"] == 3.0
+    assert rows[2]["gt_mass"] == q(3 / 7)
+    assert rows[3]["r_star"] is None and rows[3]["gt_mass"] == 0.0
+    assert abs(sum(r["gt_mass"] for r in rows.values()) - 1.0) < 1e-7
+
+
+def test_hill_tail_known_values(spark):
+    """Exact geometric ladder 2,4,8,16 with k=3: the sum-minus-min
+    identity gives 1/alpha = (10ln2 - 4ln2)/3 = 2ln2 (replicated here
+    through the same per-term 1e8 quantization the operator applies).
+    A constant tail has zero log spread -> NULL alpha; k larger than
+    the data shrinks to n-1 without error."""
+    import math
+
+    from dataframes_jl_spark.functions.stats import hill_tail_index
+
+    df = spark.createDataFrame(
+        [(2.0,), (4.0,), (8.0,), (16.0,)], "x double"
+    )
+    row = hill_tail_index(df, "x", k=3).collect()[0]
+    lq = [math.floor(math.log(v) * 1e8 + 0.5) for v in (2, 4, 8, 16)]
+    inv = (sum(lq) - 4 * min(lq)) / 1e8 / 3
+    assert row["n_tail"] == 4 and row["x_min_tail"] == 2.0
+    assert row["inv_alpha"] == math.floor(inv * 1e6 + 0.5) / 1e6
+    assert row["alpha"] == math.floor(1.0 / inv * 1e6 + 0.5) / 1e6
+
+    const = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "x double")
+    row2 = hill_tail_index(const, "x", k=2).collect()[0]
+    assert row2["alpha"] is None and row2["inv_alpha"] is None
+
+    tiny = spark.createDataFrame([(3.0,), (9.0,)], "x double")
+    row3 = hill_tail_index(tiny, "x", k=50).collect()[0]
+    assert row3["n_tail"] == 2
+    assert abs(row3["inv_alpha"] - math.log(3.0)) < 1e-5

@@ -78,6 +78,9 @@ NAMES = [
     "q_rank_metrics",      # DCG ladder over 10x candidate corpus
     "q_kruskal",           # midrank prefix scan over 10x values
     "q_bootstrap_ratio",   # two weighted sums, 10x the explode
+    "q_good_turing",       # fof table over the 10x vocabulary
+    "q_cvm_drift",         # decimal(38,0) term sums at 10x counts
+    "q_hill_tail",         # top-501 heap over the 10x fact table
 ]
 
 

@@ -188,6 +188,14 @@ STUDY = [
     # the ratio-of-sums bootstrap: same B-fold explode as
     # q_bootstrap_ci with a second weighted sum riding the aggregate
     "q_bootstrap_ratio",
+    # Good-Turing rides the shared lexical term-count shape (the fof
+    # regroup is <= ~sqrt(2N) rows); CvM is ks_drift's cost twin
+    # (per-value counts + one prefix scan + one sum)
+    "q_good_turing",
+    "q_cvm_drift",
+    # Hill is ONE TakeOrderedAndProject (per-partition heap of k+1)
+    # plus a bounded 501-row fold — the wall IS the scan
+    "q_hill_tail",
 ]
 
 
