@@ -129,6 +129,7 @@ HEADLINE = [
     "q_good_turing",
     "q_cvm_drift",
     "q_hill_tail",
+    "q_effect_size",
 ]
 
 

@@ -1262,6 +1262,84 @@ def welch_ttest(
     )
 
 
+def effect_size_d(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Cohen's d and Hedges' g between two frames' ``col`` means — the
+    parametric effect size that answers what welch_ttest's t cannot:
+    at pipeline n, ANY mean shift is "significant", so the decision
+    number is the shift in pooled-SD units (d ≈ 0.2 small / 0.5
+    medium / 0.8 large), with Hedges' small-sample correction
+    g = d·(1 − 3/(4N−9)). Cliff's delta is this lane's nonparametric
+    twin; d is what power analyses and experiment write-ups quote.
+
+        d = (mean_a − mean_b) / s_pooled,
+        s_pooled² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2)
+
+    Returns one row ``(n_a, n_b, mean_a, mean_b, cohen_d, hedges_g)``;
+    d/g are NULL when either side has < 2 rows or the pooled variance
+    is 0 (no spread — the shift is 0 or ∞ SDs, not a number).
+
+    Determinism and scale shape are welch_ttest's exactly: ONE
+    map-side-combining aggregate per side over ``10^scale``-quantized
+    values (Σq exact int64, Σq² exact decimal(38,0)), one broadcast
+    crossJoin of two 1-row frames, then pure IEEE arithmetic over
+    exact integers, floor-quantized on output.
+    """
+    m = F.lit(float(10**scale))
+    dec = "decimal(38,0)"
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        q = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(q.alias("q"))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("q").alias(f"sq_{tag}"),
+                F.sum((F.col("q").cast(dec) * F.col("q").cast(dec))).alias(
+                    f"sqq_{tag}"
+                ),
+            )
+        )
+
+    j = side(df_a, "a").crossJoin(F.broadcast(side(df_b, "b")))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"sq_{tag}").cast("double")
+        ss = F.col(f"sqq_{tag}").cast("double")
+        mean = s / n / m
+        var = (ss - s * s / n) / (n - F.lit(1.0)) / (m * m)
+        return n, mean, var
+
+    na, ma_, va = stats("a")
+    nb, mb_, vb = stats("b")
+    sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    d = (ma_ - mb_) / F.sqrt(sp2)
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0)))
+    om = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * om + F.lit(0.5)) / om
+
+    ok = (na >= 2) & (nb >= 2) & (sp2 > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        _q(ma_).alias("mean_a"),
+        _q(mb_).alias("mean_b"),
+        F.when(ok, _q(d)).alias("cohen_d"),
+        F.when(ok, _q(g)).alias("hedges_g"),
+    )
+
+
 def mann_whitney_u(
     df_a: DataFrame,
     df_b: DataFrame,

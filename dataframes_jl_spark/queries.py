@@ -11033,6 +11033,77 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hill_tail_index(li, "l_extendedprice", k=500)
 
 
+@register(
+    "q_effect_size",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT) AS q
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL
+    ), b AS (
+      SELECT CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT) AS q
+      FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_totalprice IS NOT NULL
+    ), sa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_a, CAST(SUM(q) AS BIGINT) AS s_a,
+             SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss_a
+      FROM a
+    ), sb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(q) AS BIGINT) AS s_b,
+             SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss_b
+      FROM b
+    ), f AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6 AS ma,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e6 AS mb,
+             (CAST(ss_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1.0) / (1e6 * 1e6) AS va,
+             (CAST(ss_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n_b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) - 1.0) / (1e6 * 1e6) AS vb
+      FROM sa, sb
+    ), g AS (
+      SELECT n_a, n_b, nad, nbd, ma, mb,
+             ((nad - 1.0) * va + (nbd - 1.0) * vb) / (nad + nbd - 2.0)
+               AS sp2
+      FROM f
+    )
+    SELECT n_a, n_b,
+           FLOOR(ma * 1e6 + 0.5) / 1e6 AS mean_a,
+           FLOOR(mb * 1e6 + 0.5) / 1e6 AS mean_b,
+           CASE WHEN nad >= 2 AND nbd >= 2 AND sp2 > 0 THEN
+             FLOOR((ma - mb) / sqrt(sp2) * 1e6 + 0.5) / 1e6
+           END AS cohen_d,
+           CASE WHEN nad >= 2 AND nbd >= 2 AND sp2 > 0 THEN
+             FLOOR((ma - mb) / sqrt(sp2)
+                   * (1.0 - 3.0 / (4.0 * (nad + nbd) - 9.0))
+                   * 1e6 + 0.5) / 1e6
+           END AS hedges_g
+    FROM g
+    """,
+)
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g for urgent-vs-low order totals
+    (functions.stats.effect_size_d) — the parametric effect size the
+    eval lane quotes where q_welch_ttest gives significance and
+    q_cliffs_delta the nonparametric magnitude. Welch's exact shape:
+    one quantized-sum aggregate per side (Σq int64, Σq² decimal),
+    one broadcast crossJoin, pure IEEE arithmetic over exact
+    integers."""
+    from .functions.stats import effect_size_d
+
+    od = _t(spark, sf_dir, "orders")
+    return effect_size_d(
+        od.filter(F.col("o_orderpriority") == "1-URGENT"),
+        od.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_totalprice",
+    )
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -11045,6 +11116,7 @@ _PRIORITY = [
     "q_good_turing",        # GT frequency-of-frequencies, new this round
     "q_cvm_drift",          # Cramér-von Mises drift, new this round
     "q_hill_tail",          # Hill tail-index estimator, new this round
+    "q_effect_size",        # Cohen's d / Hedges' g, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -11065,7 +11137,7 @@ _PRIORITY = [
     # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
     # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
     # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
-    # q_merge_intervals)
+    # q_merge_intervals, q_mad_outliers)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -11093,7 +11165,6 @@ _PRIORITY = [
     "q_join_semi_anti",
     "q_kmeans_clusters",
     "q_kmv_overlap",
-    "q_mad_outliers",
 ]
 
 

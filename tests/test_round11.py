@@ -441,3 +441,25 @@ def test_hill_tail_known_values(spark):
     row3 = hill_tail_index(tiny, "x", k=50).collect()[0]
     assert row3["n_tail"] == 2
     assert abs(row3["inv_alpha"] - math.log(3.0)) < 1e-5
+
+
+def test_effect_size_known_values(spark):
+    """a=[2,4,6] (mean 4, var 4), b=[1,3,5] (mean 3, var 4):
+    s_pooled=2, d=0.5, N=6 gives g = 0.5*(1-3/15) = 0.4. Zero pooled
+    spread or a 1-row side -> NULL d/g."""
+    from dataframes_jl_spark.functions.stats import effect_size_d
+
+    a = spark.createDataFrame([(2.0,), (4.0,), (6.0,)], "x double")
+    b = spark.createDataFrame([(1.0,), (3.0,), (5.0,)], "x double")
+    row = effect_size_d(a, b, "x").collect()[0]
+    assert row["n_a"] == 3 and row["n_b"] == 3
+    assert row["mean_a"] == 4.0 and row["mean_b"] == 3.0
+    assert row["cohen_d"] == 0.5 and row["hedges_g"] == 0.4
+
+    flat = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    row2 = effect_size_d(flat, flat, "x").collect()[0]
+    assert row2["cohen_d"] is None and row2["hedges_g"] is None
+
+    one = spark.createDataFrame([(1.0,)], "x double")
+    row3 = effect_size_d(one, a, "x").collect()[0]
+    assert row3["cohen_d"] is None

@@ -196,6 +196,9 @@ STUDY = [
     # Hill is ONE TakeOrderedAndProject (per-partition heap of k+1)
     # plus a bounded 501-row fold — the wall IS the scan
     "q_hill_tail",
+    # effect size is welch_ttest's exact shape: one quantized-sum
+    # aggregate per side, broadcast crossJoin of two 1-row frames
+    "q_effect_size",
 ]
 
 
