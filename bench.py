@@ -130,6 +130,7 @@ HEADLINE = [
     "q_cvm_drift",
     "q_hill_tail",
     "q_effect_size",
+    "q_mcnemar",
 ]
 
 

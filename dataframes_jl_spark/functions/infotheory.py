@@ -375,3 +375,59 @@ def standardized_residuals(
         _q(e).alias("expected"),
         _q(resid).alias("std_residual"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_scale: int = 6,
+) -> DataFrame:
+    """McNemar's test over paired boolean outcomes (one row per paired
+    unit; ``a_col``/``b_col`` are the before/after — or rater-1/
+    rater-2 — verdicts): did the 'yes' rate CHANGE within pairs?
+    The within-pair question :func:`cohens_kappa` (agreement) and an
+    unpaired two-proportion z-test (marginals) both miss — McNemar
+    reads ONLY the discordant cells:
+
+        chi2    = (n10 − n01)² / (n10 + n01)
+        chi2_cc = (max(|n10 − n01| − 1, 0))² / (n10 + n01)
+
+    (Edwards continuity correction, clamped at 0 so a perfectly
+    balanced table cannot report spurious signal). Compare to
+    chi-square with 1 df (3.841 at alpha = 0.05). Returns one row
+    ``(n_pairs, n10, n01, chi2, chi2_cc)``; the statistics are NULL
+    when no discordant pairs exist (nothing to test).
+
+    Scale shape: ONE map-side-combining aggregate over the pair
+    frame — nothing else moves. Determinism: both statistics are
+    ratios of exact int64 counts, floor-quantized on output.
+    """
+    base = df.select(
+        F.col(a_col).cast("boolean").alias("a"),
+        F.col(b_col).cast("boolean").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("a") & ~F.col("b"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n10"),
+        F.sum(
+            F.when(~F.col("a") & F.col("b"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n01"),
+    )
+    d = (F.col("n10") - F.col("n01")).cast("double")
+    s = (F.col("n10") + F.col("n01")).cast("double")
+    dc = F.greatest(F.abs(d) - F.lit(1.0), F.lit(0.0))
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return agg.select(
+        "n_pairs",
+        "n10",
+        "n01",
+        F.when(s > 0.0, _q(d * d / s)).alias("chi2"),
+        F.when(s > 0.0, _q(dc * dc / s)).alias("chi2_cc"),
+    )

@@ -11104,6 +11104,78 @@ def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_mcnemar",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    lab AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) = 'click' AS a,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) = 'click' AS b
+      FROM r GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01
+      FROM lab WHERE a IS NOT NULL AND b IS NOT NULL
+    )
+    SELECT n_pairs, n10, n01,
+           CASE WHEN n10 + n01 > 0 THEN
+             FLOOR(CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+                   / CAST(n10 + n01 AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS chi2,
+           CASE WHEN n10 + n01 > 0 THEN
+             FLOOR(GREATEST(ABS(CAST(n10 - n01 AS DOUBLE)) - 1.0, 0.0)
+                   * GREATEST(ABS(CAST(n10 - n01 AS DOUBLE)) - 1.0, 0.0)
+                   / CAST(n10 + n01 AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS chi2_cc
+    FROM agg
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on whether users START on a click vs END
+    on a click (functions.infotheory.mcnemar_test) — the discordant-
+    cell question q_kappa_agreement's kappa (agreement) and q_ab_test
+    (unpaired marginals) both miss. Pairing reuses kappa's two
+    row_number windows over the same keyed sort; the test itself is
+    ONE map-side-combining aggregate, every statistic a quantized
+    ratio of exact int64 counts."""
+    from pyspark.sql import Window
+
+    from .functions.infotheory import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    lab = r.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("rn_a") == 1, F.col("event_type")))
+            == "click"
+        ).alias("a"),
+        (
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type")))
+            == "click"
+        ).alias("b"),
+    )
+    return mcnemar_test(lab, "a", "b")
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -11117,6 +11189,7 @@ _PRIORITY = [
     "q_cvm_drift",          # Cramér-von Mises drift, new this round
     "q_hill_tail",          # Hill tail-index estimator, new this round
     "q_effect_size",        # Cohen's d / Hedges' g, new this round
+    "q_mcnemar",            # paired discordant-cell test, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -11137,7 +11210,7 @@ _PRIORITY = [
     # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
     # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
     # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
-    # q_merge_intervals, q_mad_outliers)
+    # q_merge_intervals, q_mad_outliers, q_kmv_overlap)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -11164,7 +11237,6 @@ _PRIORITY = [
     "q_join_left",
     "q_join_semi_anti",
     "q_kmeans_clusters",
-    "q_kmv_overlap",
 ]
 
 

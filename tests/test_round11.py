@@ -463,3 +463,31 @@ def test_effect_size_known_values(spark):
     one = spark.createDataFrame([(1.0,)], "x double")
     row3 = effect_size_d(one, a, "x").collect()[0]
     assert row3["cohen_d"] is None
+
+
+def test_mcnemar_known_values(spark):
+    """Textbook 2x2: n10=10, n01=4 gives chi2 = 36/14 = 2.571429 and
+    chi2_cc = 25/14 = 1.785714. A fully concordant table has nothing
+    to test (NULL); |d|<=1 clamps the corrected statistic to 0."""
+    from dataframes_jl_spark.functions.infotheory import mcnemar_test
+
+    rows = (
+        [(True, False)] * 10 + [(False, True)] * 4
+        + [(True, True)] * 6 + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert r["n_pairs"] == 25 and r["n10"] == 10 and r["n01"] == 4
+    assert r["chi2"] == 2.571429 and r["chi2_cc"] == 1.785714
+
+    conc = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    r2 = mcnemar_test(conc, "a", "b").collect()[0]
+    assert r2["chi2"] is None and r2["chi2_cc"] is None
+
+    bal = spark.createDataFrame(
+        [(True, False), (False, True)], "a boolean, b boolean"
+    )
+    r3 = mcnemar_test(bal, "a", "b").collect()[0]
+    assert r3["chi2"] == 0.0 and r3["chi2_cc"] == 0.0

@@ -82,6 +82,7 @@ NAMES = [
     "q_cvm_drift",         # decimal(38,0) term sums at 10x counts
     "q_hill_tail",         # top-501 heap over the 10x fact table
     "q_effect_size",       # decimal Σq² moments at 10x rows
+    "q_mcnemar",           # per-user windows over 10x event rows
 ]
 
 

@@ -199,6 +199,9 @@ STUDY = [
     # effect size is welch_ttest's exact shape: one quantized-sum
     # aggregate per side, broadcast crossJoin of two 1-row frames
     "q_effect_size",
+    # McNemar rides kappa's per-user first/last windows into one
+    # map-side-combining discordant-cell aggregate
+    "q_mcnemar",
 ]
 
 
