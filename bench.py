@@ -131,6 +131,7 @@ HEADLINE = [
     "q_hill_tail",
     "q_effect_size",
     "q_mcnemar",
+    "q_wilson_ci",
 ]
 
 

@@ -1340,6 +1340,67 @@ def effect_size_d(
     )
 
 
+def wilson_interval(
+    df: DataFrame,
+    flag_col: str,
+    group_by: Sequence[str] | None = None,
+    z: float = 1.96,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Wilson score confidence interval for (per-group) proportions —
+    the CI that q_ab_test's z-test doesn't give, and the one that
+    stays honest where the naive Wald interval p ± z√(p(1−p)/n)
+    collapses: near 0/1 and at small n (Wald gives zero-width
+    intervals at p ∈ {0,1} and can leave [0,1]; Wilson never does).
+    The number a dashboard puts under every rate.
+
+        center = p + z²/2n,   half = z·√(p(1−p)/n + z²/4n²)
+        (lo, hi) = (center ∓ half) / (1 + z²/n)
+
+    Returns one row per group: ``(…group, n, n_pos, p_hat,
+    wilson_lo, wilson_hi)``.
+
+    Scale shape: ONE map-side-combining aggregate — (n, n_pos) per
+    group — then closed-form column arithmetic; nothing else moves.
+    Determinism: n and n_pos are exact int64; p and the interval are
+    +,-,*,/ and sqrt over those integers and the literal z — both
+    engines evaluate identical doubles — floor-quantized on output.
+    """
+    zf = float(z)
+    z2 = zf * zf
+    keys = list(group_by or [])
+    base = df.filter(F.col(flag_col).isNotNull()).select(
+        *keys, F.col(flag_col).cast("boolean").alias("f")
+    )
+    gb = base.groupBy(*keys) if keys else base.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("f"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_pos"
+        ),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    half = F.lit(zf) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + F.lit(z2) / n
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return agg.select(
+        *keys,
+        "n",
+        "n_pos",
+        _q(p).alias("p_hat"),
+        _q((center - half) / denom).alias("wilson_lo"),
+        _q((center + half) / denom).alias("wilson_hi"),
+    )
+
+
 def mann_whitney_u(
     df_a: DataFrame,
     df_b: DataFrame,

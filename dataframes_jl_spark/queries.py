@@ -11176,6 +11176,54 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(lab, "a", "b")
 
 
+@register(
+    "q_wilson_ci",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS f
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(f) AS BIGINT) AS n_pos
+      FROM base GROUP BY 1
+    ),
+    w AS (
+      SELECT event_type, n, n_pos,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      FROM agg
+    ),
+    x AS (
+      SELECT event_type, n, n_pos, p,
+             p + 3.8415999999999997 / (2.0 * nd) AS center,
+             1.96 * sqrt(p * (1.0 - p) / nd
+                         + 3.8415999999999997 / (4.0 * nd * nd)) AS half,
+             1.0 + 3.8415999999999997 / nd AS denom
+      FROM w
+    )
+    SELECT event_type, n, n_pos,
+           FLOOR(p * 1e6 + 0.5) / 1e6 AS p_hat,
+           FLOOR((center - half) / denom * 1e6 + 0.5) / 1e6 AS wilson_lo,
+           FLOOR((center + half) / denom * 1e6 + 0.5) / 1e6 AS wilson_hi
+    FROM x
+    """,
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the per-event-type share of events
+    with value > 10 (functions.stats.wilson_interval) — the honest
+    proportion CI (never leaves [0,1], never zero-width at p ∈
+    {0,1}) that q_ab_test's significance verdict doesn't give. ONE
+    map-side-combining (n, n_pos) aggregate per group, closed-form
+    columns after; the oracle embeds the identical z and z² literals
+    so both engines fold the same doubles."""
+    from .functions.stats import wilson_interval
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.withColumn("hi_val", F.col("value") > F.lit(10.0))
+    return wilson_interval(flagged, "hi_val", group_by=["event_type"])
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -11190,6 +11238,7 @@ _PRIORITY = [
     "q_hill_tail",          # Hill tail-index estimator, new this round
     "q_effect_size",        # Cohen's d / Hedges' g, new this round
     "q_mcnemar",            # paired discordant-cell test, new this round
+    "q_wilson_ci",          # Wilson proportion interval, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -11210,7 +11259,8 @@ _PRIORITY = [
     # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
     # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
     # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
-    # q_merge_intervals, q_mad_outliers, q_kmv_overlap)
+    # q_merge_intervals, q_mad_outliers, q_kmv_overlap,
+    # q_kmeans_clusters)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -11236,7 +11286,6 @@ _PRIORITY = [
     "q_interarrival",
     "q_join_left",
     "q_join_semi_anti",
-    "q_kmeans_clusters",
 ]
 
 

@@ -491,3 +491,31 @@ def test_mcnemar_known_values(spark):
     )
     r3 = mcnemar_test(bal, "a", "b").collect()[0]
     assert r3["chi2"] == 0.0 and r3["chi2_cc"] == 0.0
+
+
+def test_wilson_interval_known_values(spark):
+    """n=4, one positive: the test replicates the closed form in
+    Python (z=1.96) and expects identical quantized doubles. Extreme
+    p=1 keeps the interval inside [0,1] with nonzero width — the
+    failure mode the Wald interval has at the boundary."""
+    import math
+
+    from dataframes_jl_spark.functions.stats import wilson_interval
+
+    df = spark.createDataFrame(
+        [(True,), (False,), (False,), (False,)], "f boolean"
+    )
+    row = wilson_interval(df, "f").collect()[0]
+    z, z2, n, p = 1.96, 1.96 * 1.96, 4.0, 0.25
+    center = p + z2 / (2.0 * n)
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    denom = 1.0 + z2 / n
+    q = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert row["n"] == 4 and row["n_pos"] == 1
+    assert row["p_hat"] == 0.25
+    assert row["wilson_lo"] == q((center - half) / denom)
+    assert row["wilson_hi"] == q((center + half) / denom)
+
+    allpos = spark.createDataFrame([(True,), (True,), (True,)], "f boolean")
+    r2 = wilson_interval(allpos, "f").collect()[0]
+    assert 0.0 < r2["wilson_lo"] < 1.0 and r2["wilson_hi"] == 1.0

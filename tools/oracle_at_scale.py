@@ -83,6 +83,7 @@ NAMES = [
     "q_hill_tail",         # top-501 heap over the 10x fact table
     "q_effect_size",       # decimal Σq² moments at 10x rows
     "q_mcnemar",           # per-user windows over 10x event rows
+    "q_wilson_ci",         # shared z/z2 literal folds at 10x rows
 ]
 
 

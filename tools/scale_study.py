@@ -202,6 +202,9 @@ STUDY = [
     # McNemar rides kappa's per-user first/last windows into one
     # map-side-combining discordant-cell aggregate
     "q_mcnemar",
+    # Wilson is one (n, n_pos) aggregate per group + closed-form
+    # columns — the wall is the scan
+    "q_wilson_ci",
 ]
 
 
