@@ -132,6 +132,9 @@ HEADLINE = [
     "q_effect_size",
     "q_mcnemar",
     "q_wilson_ci",
+    "q_anova",
+    "q_kendall_tau",
+    "q_chao1_richness",
 ]
 
 

@@ -2119,3 +2119,228 @@ def kruskal_wallis(
         _q(h).alias("h"),
         F.when(corr > 0.0, _q(h / corr)).alias("h_adj"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """One-way ANOVA across the k levels of ``group_col`` — the
+    parametric sibling of :func:`kruskal_wallis`: "did the MEAN move
+    in any segment?", reported two ways because pipeline segments
+    never share a variance:
+
+    - classic Fisher F on k-1 / N-k degrees of freedom (pooled
+      variance — the textbook decomposition, plus ``eta_sq`` =
+      SSB/SST so the caller sees effect size, not just significance);
+    - Welch's F (Welch 1951) with Welch-Satterthwaite denominator
+      df — the heteroscedasticity-robust form, the k-group extension
+      of :func:`welch_ttest` and the one to trust when group sizes
+      and spreads differ.
+
+    Determinism: rows quantize to ``10^scale`` units once; each group
+    reduces to exact (n, Σq int64, Σq² decimal(38,0)); every F is
+    then +,-,*,/ over those exact integers (correctly-rounded IEEE,
+    bit-identical across engines) and floor-quantized on output.
+
+    Scale shape: ONE map-side-combining per-group aggregate is the
+    only row-volume job; both statistics fold over the bounded k-row
+    group table (classic F from Σ-identities: SSW = Σ_j(Σq²_j −
+    (Σq_j)²/n_j), SSB = Σ_j(Σq_j)²/n_j − (Σq)²/N — no second pass,
+    no join back). Returns one row ``(n_groups, n, f_stat, df_between,
+    df_within, eta_sq, welch_f, welch_df)``; F columns are NULL when
+    a denominator degenerates (k < 2, N ≤ k, or zero within-variance).
+    """
+    m = F.lit(float(10**scale))
+    dec = "decimal(38,0)"
+    q = F.floor(F.col(value_col).cast("double") * m + F.lit(0.5)).cast(
+        "long"
+    )
+    per_g = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).cast("string").alias("g"), q.alias("q"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("nj"),
+            F.sum("q").alias("sj"),
+            F.sum(F.col("q").cast(dec) * F.col("q").cast(dec)).alias(
+                "ssj"
+            ),
+        )
+    )
+    njd = F.col("nj").cast("double")
+    sjd = F.col("sj").cast("double")
+    mean_j = sjd / njd
+    # per-group sample variance in QUANTIZED units (exact-int inputs)
+    var_j = (F.col("ssj").cast("double") - sjd * sjd / njd) / (
+        njd - F.lit(1.0)
+    )
+    # Welch weight n_j/s_j² — defined only where the group has a
+    # variance at all (n_j > 1 guards the (n_j−1) divide in BOTH
+    # engines; DuckDB and Spark disagree on double x/0)
+    w_ok = (njd > F.lit(1.0)) & (var_j > 0)
+    w_j = F.when(w_ok, njd / var_j)
+    # bounded k-row fold: every sum below is over |groups| rows
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum("sj").alias("s_tot"),
+        F.sum(F.col("ssj")).alias("ss_tot"),
+        F.sum(sjd * sjd / njd).alias("sb"),  # Σ (Σq_j)²/n_j
+        F.sum(w_j).alias("w_sum"),
+        F.sum(w_j * mean_j).alias("wm_sum"),
+        F.sum(w_j * mean_j * mean_j).alias("wmm_sum"),
+        # Welch df denominator needs Σ (1 − w_j/W)²/(n_j − 1) — the
+        # W-dependent part folds AFTER this pass, so carry the three
+        # W-free pieces: Σ 1/(n_j−1), Σ w_j/(n_j−1), Σ w_j²/(n_j−1)
+        F.sum(F.when(w_ok, F.lit(1.0) / (njd - F.lit(1.0)))).alias(
+            "inv_sum"
+        ),
+        F.sum(w_j / (njd - F.lit(1.0))).alias("winv_sum"),
+        F.sum(w_j * w_j / (njd - F.lit(1.0))).alias("wwinv_sum"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    std = F.col("s_tot").cast("double")
+    ssb = F.col("sb") - std * std / nd
+    ssw = F.col("ss_tot").cast("double") - F.col("sb")
+    sst = ssb + ssw
+    f_classic = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    # Welch: F* = [Σw(m−m̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    # Λ = Σ(1−w/W)²/(n−1)/... folded from the carried W-free sums:
+    # Σ(1−w/W)²/(n−1) = inv_sum − 2·winv_sum/W + wwinv_sum/W²
+    wsum = F.col("w_sum")
+    wvar = F.col("wmm_sum") - F.col("wm_sum") * F.col("wm_sum") / wsum
+    lam = (
+        F.col("inv_sum")
+        - F.lit(2.0) * F.col("winv_sum") / wsum
+        + F.col("wwinv_sum") / (wsum * wsum)
+    ) / (kd * kd - F.lit(1.0))
+    welch_f = (wvar / (kd - F.lit(1.0))) / (
+        F.lit(1.0) + F.lit(2.0) * (kd - F.lit(2.0)) * lam
+    )
+    welch_df = F.lit(1.0) / (F.lit(3.0) * lam)
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    ok = (F.col("k") > 1) & (nd > kd)
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        "n",
+        F.when(ok & (ssw > 0), _q(f_classic)).alias("f_stat"),
+        F.when(ok, kd - F.lit(1.0)).alias("df_between"),
+        F.when(ok, nd - kd).alias("df_within"),
+        F.when(ok & (sst > 0), _q(ssb / sst)).alias("eta_sq"),
+        F.when(ok & (wsum > 0) & (lam > 0), _q(welch_f)).alias(
+            "welch_f"
+        ),
+        F.when(ok & (lam > 0), _q(welch_df)).alias("welch_df"),
+    )
+
+
+def kendall_tau_binned(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 2,
+    y_scale: int = 2,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Kendall's tau-b between two numeric columns after quantizing
+    x to ``10^x_scale`` and y to ``10^y_scale`` units — the rank-correlation lane's third
+    member (cor reads linear association, cor_spearman monotone-
+    via-ranks; tau reads pairwise CONCORDANCE, the probability scale
+    auditors want: (C−D)/pairs is P[agree] − P[disagree]).
+
+    Quantization is the scalability contract, not a shortcut: tau is
+    invariant under strictly monotone maps, so binning only COLLAPSES
+    near-ties — and tau-b's tie correction absorbs exactly that. The
+    naive statistic is O(n²) pairs; over the quantized grid it is
+    exact in |grid|² where |grid| is bounded by value range ×
+    10^x_scale · 10^y_scale, independent of row count (pick the two
+    scales — negative means coarser-than-integer buckets — so the
+    grid stays ≲ 10⁴ cells; the pair join is then ≤ ~10⁸ cheap
+    integer multiplies regardless of corpus size):
+
+        C = Σ_cells n_ij · |{rows in cells strictly greater in BOTH}|
+        D = Σ_cells n_ij · |{rows strictly greater in x, less in y}|
+        tau_b = (C − D) / √((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2, n1 = Σ_x t(t−1)/2, n2 = Σ_y t(t−1)/2
+
+    Scale shape: ONE map-side-combining (qx, qy) count aggregate is
+    the only row-volume job; the strict-order pair counts are a
+    broadcast self-join of that bounded grid (grid² cell pairs, each
+    an int multiply), and the tie sums are two bounded regroups of
+    the same grid. Everything up to the final divide is exact int64 /
+    decimal(38,0). Returns one row ``(n, concordant, discordant,
+    tau_b)``; tau_b is NULL when either margin is all-ties.
+    """
+    mx = F.lit(float(10**x_scale))
+    my = F.lit(float(10**y_scale))
+    dec = "decimal(38,0)"
+    grid = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.floor(F.col(x_col).cast("double") * mx + F.lit(0.5))
+            .cast("long")
+            .alias("qx"),
+            F.floor(F.col(y_col).cast("double") * my + F.lit(0.5))
+            .cast("long")
+            .alias("qy"),
+        )
+        .groupBy("qx", "qy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    other = grid.select(
+        F.col("qx").alias("px"),
+        F.col("qy").alias("py"),
+        F.col("c").alias("d"),
+    )
+    cd = F.col("c").cast(dec) * F.col("d").cast(dec)
+    pairs = grid.join(
+        F.broadcast(other), F.col("px") > F.col("qx"), "inner"
+    ).agg(
+        F.sum(F.when(F.col("py") > F.col("qy"), cd).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("concordant"),
+        F.sum(F.when(F.col("py") < F.col("qy"), cd).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("discordant"),
+    )
+    c2 = F.col("t").cast(dec) * (F.col("t").cast(dec) - F.lit(1)) / F.lit(2)
+    tx = (
+        grid.groupBy("qx")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(c2).alias("n1"), F.sum("t").alias("n"))
+    )
+    ty = (
+        grid.groupBy("qy")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(c2).alias("n2"))
+    )
+    om = F.lit(float(10**out_scale))
+    joined = pairs.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    dx = n0 - F.col("n1").cast("double")
+    dy = n0 - F.col("n2").cast("double")
+    tau = (
+        F.col("concordant").cast("double")
+        - F.col("discordant").cast("double")
+    ) / F.sqrt(dx * dy)
+    return joined.select(
+        "n",
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(tau * om + F.lit(0.5)) / om,
+        ).alias("tau_b"),
+    )

@@ -352,3 +352,86 @@ def good_turing(
         _q(F.col("n_hapax").cast("double") / nd).alias("gt_mass"),
     )
     return unseen.unionByName(body)
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Chao1 lower-bound estimate of TRUE vocabulary size (Chao 1984)
+    — the question :func:`good_turing` leaves open: GT prices the
+    probability MASS of unseen types (n₁/N); Chao1 prices their
+    COUNT. A dataset card wants both: "7% of tokens will be novel"
+    (GT) and "the corpus vocabulary is ≥ ~1.8× what we observed"
+    (Chao1). Uses the bias-corrected form, defined even when no
+    doubletons exist:
+
+        Ŝ = S_obs + f₁(f₁ − 1) / (2(f₂ + 1))
+
+    plus the abundance-coverage estimate Ĉ = 1 − f₁/N (Turing) so the
+    caller reads "this corpus covers Ĉ of its own type distribution".
+
+    Returns one row ``(n_tokens, s_obs, f1, f2, chao1, coverage)``.
+
+    ``n`` picks the type unit: 1 = single terms (the module's
+    lowercased-alnum-run tokenizer), n > 1 = space-joined word
+    n-grams over the SAME tokenizer — the estimator is most telling
+    on n-grams, where the type space is genuinely open (a small
+    closed vocabulary saturates at f₁ = 0 and Chao1 degenerates to
+    S_obs, which is the correct answer but an empty question).
+
+    Scale shape: ONE token explode + map-side-combining term count
+    (the shared lexical-table shape) and one fold of that to a single
+    row — f₁/f₂/S_obs/N are four conditional sums over the same pass.
+    The n-gram path is the same shape (each doc emits tokens−n+1
+    grams, built as array_join-over-slice — O(tokens·n) per doc,
+    shuffle unchanged). Everything is a ratio of exact int64 counts,
+    floor-quantized to ``out_scale`` on output.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        tc = _term_counts(df, text_col, "c")
+    else:
+        toks = _tokens(text_col)
+        grams = F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+        tc = (
+            df.select(F.explode_outer(grams).alias("term"))
+            .filter(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    agg = tc.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("s_obs").cast("double") + f1 * (f1 - F.lit(1.0)) / (
+        F.lit(2.0) * (f2 + F.lit(1.0))
+    )
+    cov = F.lit(1.0) - f1 / F.col("n_tokens").cast("double")
+    return agg.select(
+        "n_tokens",
+        "s_obs",
+        "f1",
+        "f2",
+        _q(chao1).alias("chao1"),
+        _q(cov).alias("coverage"),
+    )

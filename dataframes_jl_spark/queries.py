@@ -11224,6 +11224,237 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_interval(flagged, "hi_val", group_by=["event_type"])
 
 
+@register(
+    "q_anova",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS g,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(q) AS BIGINT) AS sj,
+             SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ssj
+      FROM q GROUP BY 1
+    ),
+    w2 AS (
+      SELECT nj, sj, ssj,
+             CAST(nj AS DOUBLE) AS njd,
+             CAST(sj AS DOUBLE) AS sjd,
+             (CAST(ssj AS DOUBLE)
+              - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                / CAST(nj AS DOUBLE)) / (CAST(nj AS DOUBLE) - 1.0)
+               AS var_j
+      FROM per_g
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(SUM(sj) AS DOUBLE) AS std,
+             CAST(SUM(ssj) AS DOUBLE) AS ss_tot,
+             SUM(sjd * sjd / njd) AS sb,
+             SUM(CASE WHEN njd > 1 AND var_j > 0
+                 THEN njd / var_j END) AS w_sum,
+             SUM(CASE WHEN njd > 1 AND var_j > 0
+                 THEN njd / var_j * (sjd / njd) END) AS wm_sum,
+             SUM(CASE WHEN njd > 1 AND var_j > 0
+                 THEN njd / var_j * (sjd / njd) * (sjd / njd) END)
+               AS wmm_sum,
+             SUM(CASE WHEN njd > 1 AND var_j > 0
+                 THEN 1.0 / (njd - 1.0) END) AS inv_sum,
+             SUM(CASE WHEN njd > 1 AND var_j > 0
+                 THEN (njd / var_j) / (njd - 1.0) END) AS winv_sum,
+             SUM(CASE WHEN njd > 1 AND var_j > 0
+                 THEN (njd / var_j) * (njd / var_j) / (njd - 1.0) END)
+               AS wwinv_sum
+      FROM w2
+    ),
+    x AS (
+      SELECT k, n,
+             CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+             sb - std * std / CAST(n AS DOUBLE) AS ssb,
+             ss_tot - sb AS ssw,
+             w_sum,
+             wmm_sum - wm_sum * wm_sum / w_sum AS wvar,
+             (inv_sum - 2.0 * winv_sum / w_sum
+              + wwinv_sum / (w_sum * w_sum))
+               / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) AS lam
+      FROM agg
+    )
+    SELECT k AS n_groups, n,
+           CASE WHEN k > 1 AND nd > kd AND ssw > 0 THEN
+             FLOOR((ssb / (kd - 1.0)) / (ssw / (nd - kd)) * 1e6 + 0.5)
+               / 1e6 END AS f_stat,
+           CASE WHEN k > 1 AND nd > kd THEN kd - 1.0 END AS df_between,
+           CASE WHEN k > 1 AND nd > kd THEN nd - kd END AS df_within,
+           CASE WHEN k > 1 AND nd > kd AND ssb + ssw > 0 THEN
+             FLOOR(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 END AS eta_sq,
+           CASE WHEN k > 1 AND nd > kd AND w_sum > 0 AND lam > 0 THEN
+             FLOOR((wvar / (kd - 1.0))
+                   / (1.0 + 2.0 * (kd - 2.0) * lam) * 1e6 + 0.5) / 1e6
+             END AS welch_f,
+           CASE WHEN k > 1 AND nd > kd AND lam > 0 THEN
+             FLOOR(1.0 / (3.0 * lam) * 1e6 + 0.5) / 1e6 END AS welch_df
+    FROM x
+    """,
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the five event types
+    (functions.stats.anova_oneway) — the parametric "did the MEAN
+    move in any segment?" twin of q_kruskal's rank omnibus, reported
+    as classic Fisher F (+ eta² effect size) AND Welch's
+    heteroscedasticity-robust F with Welch-Satterthwaite df. ONE
+    map-side-combining per-group aggregate of exact quantized
+    (n, Σq, Σq²); both statistics fold over the bounded k-row group
+    table — no second pass, no join back."""
+    from .functions.stats import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "value", "event_type")
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+    WITH per_o AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(FLOOR(CAST(n_items AS DOUBLE) * 1.0 + 0.5)
+                  AS BIGINT) AS qx,
+             CAST(FLOOR(CAST(total_cents AS DOUBLE) * 1e-6 + 0.5)
+                  AS BIGINT) AS qy
+      FROM per_o
+    ),
+    grid AS (
+      SELECT qx, qy, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN b.qy > a.qy
+                 THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+                 ELSE 0 END) AS concordant,
+             SUM(CASE WHEN b.qy < a.qy
+                 THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+                 ELSE 0 END) AS discordant
+      FROM grid a JOIN grid b ON b.qx > a.qx
+    ),
+    tx AS (
+      SELECT SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) / 2)
+               AS n1,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM (SELECT SUM(c) AS t FROM grid GROUP BY qx)
+    ),
+    ty AS (
+      SELECT SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) / 2)
+               AS n2
+      FROM (SELECT SUM(c) AS t FROM grid GROUP BY qy)
+    ),
+    x AS (
+      SELECT n, concordant, discordant,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+               - CAST(n1 AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+               - CAST(n2 AS DOUBLE) AS dy
+      FROM pairs, tx, ty
+    )
+    SELECT n,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             FLOOR((CAST(concordant AS DOUBLE)
+                    - CAST(discordant AS DOUBLE))
+                   / sqrt(dx * dy) * 1e6 + 0.5) / 1e6 END AS tau_b
+    FROM x
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between an order's item count and its total
+    value (functions.stats.kendall_tau_binned) — the rank-correlation
+    lane's concordance member beside q_corr_cov (linear) and
+    q_spearman (rank): (C−D)/pairs is P[agree]−P[disagree], the
+    probability-scale association auditors quote. The order total is
+    an exact long cent-sum (never an order-dependent double sum);
+    totals bucket at 10k-dollar resolution (y_scale −6 on cents) so
+    the contingency grid stays a few hundred cells and the pair
+    count is a broadcast self-join of that bounded grid — exact
+    int128 concordant/discordant with tau-b tie correction,
+    row-count-independent."""
+    from .functions.stats import kendall_tau_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_o = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("total_cents"),
+    )
+    return kendall_tau_binned(
+        per_o, "n_items", "total_cents", x_scale=0, y_scale=-6
+    )
+
+
+@register(
+    "q_chao1_richness",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)),
+                                            '[^a-z0-9]+'),
+                         t -> t <> '') AS a
+      FROM documents
+    ),
+    tok2 AS (
+      SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+      FROM arr
+    ),
+    tri AS (
+      SELECT a.term || ' ' || b.term || ' ' || c.term AS g
+      FROM tok2 a
+      JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN tok2 c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM per
+    )
+    SELECT n_tokens, s_obs, f1, f2,
+           FLOOR((CAST(s_obs AS DOUBLE)
+                  + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+                 * 1e6 + 0.5) / 1e6 AS chao1,
+           FLOOR((1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS coverage
+    FROM agg
+    """,
+)
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 lower bound on the TRUE trigram-type count of the
+    documents corpus (llm.lexical.chao1_richness, n=3) — the COUNT
+    question q_good_turing's mass estimate leaves open, asked on
+    trigrams where the type space is genuinely open (the synthetic
+    word vocabulary is closed: f1 = 0 and Chao1 would correctly but
+    vacuously return S_obs). One n-gram explode + map-side-combining
+    term count, then a single 4-sum fold; every output a quantized
+    ratio of exact int64 counts."""
+    from .llm.lexical import chao1_richness
+
+    docs = _t(spark, sf_dir, "documents")
+    return chao1_richness(docs, "text", n=3)
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -11239,6 +11470,9 @@ _PRIORITY = [
     "q_effect_size",        # Cohen's d / Hedges' g, new this round
     "q_mcnemar",            # paired discordant-cell test, new this round
     "q_wilson_ci",          # Wilson proportion interval, new this round
+    "q_anova",              # classic + Welch F omnibus, new this round
+    "q_kendall_tau",        # binned tau-b concordance, new this round
+    "q_chao1_richness",     # trigram-type Chao1 bound, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -11252,15 +11486,18 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (29 of 50; the 21 deferred names ride r7 rows one
-    # more round: q_moments, q_na_propagating_agg, q_ngram_counts,
+    # --- round-7-era (22 of the 50 names whose latest driver row is
+    # r7 fit below; the 28 deferred ride r7 rows one more round:
+    # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
     # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
     # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
     # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
     # q_merge_intervals, q_mad_outliers, q_kmv_overlap,
-    # q_kmeans_clusters)
+    # q_kmeans_clusters, q_interarrival, q_join_left,
+    # q_join_semi_anti — the last three displaced by this session's
+    # three new first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -11283,9 +11520,6 @@ _PRIORITY = [
     "q_heavy_hitters",
     "q_hll_distinct",
     "q_hll_groups",
-    "q_interarrival",
-    "q_join_left",
-    "q_join_semi_anti",
 ]
 
 

@@ -519,3 +519,102 @@ def test_wilson_interval_known_values(spark):
     allpos = spark.createDataFrame([(True,), (True,), (True,)], "f boolean")
     r2 = wilson_interval(allpos, "f").collect()[0]
     assert 0.0 < r2["wilson_lo"] < 1.0 and r2["wilson_hi"] == 1.0
+
+
+def test_anova_known_values(spark):
+    """Hand-checked 3-group ANOVA: a=[1,2,3], b=[2,3,4], c=[6,7,8]
+    gives SSB=42, SSW=6 => F=(42/2)/(6/6)=21, eta²=42/48=0.875; equal
+    variances (1 each) make the Welch weights n/s²=3, so
+    F*=21/(1+2·1·λ) with λ=(2/3)/8 => 18.0 and df₂=1/(3λ)=4.0."""
+    from dataframes_jl_spark.functions.stats import anova_oneway
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)]
+    rows += [("b", v) for v in (2.0, 3.0, 4.0)]
+    rows += [("c", v) for v in (6.0, 7.0, 8.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    assert r.n_groups == 3 and r.n == 9
+    assert r.f_stat == pytest.approx(21.0, abs=1e-6)
+    assert r.df_between == 2.0 and r.df_within == 6.0
+    assert r.eta_sq == pytest.approx(0.875, abs=1e-6)
+    assert r.welch_f == pytest.approx(18.0, abs=1e-5)
+    assert r.welch_df == pytest.approx(4.0, abs=1e-5)
+
+
+def test_anova_degenerate_guards(spark):
+    """One group => every F NULL; zero within-variance => classic F
+    NULL (no denominator) while counts still report."""
+    from dataframes_jl_spark.functions.stats import anova_oneway
+
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = anova_oneway(one, "v", "g").collect()[0]
+    assert r.n_groups == 1 and r.f_stat is None and r.welch_f is None
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    r2 = anova_oneway(const, "v", "g").collect()[0]
+    assert r2.f_stat is None  # SSW = 0
+    assert r2.eta_sq == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kendall_tau_known_values(spark):
+    """x=[1,2,3,4] vs y=[1,3,2,4]: C=5, D=1, no ties => tau=4/6; a
+    tied layout x=[1,1,2,3], y=[1,2,2,3]: C=4, D=0, one tie pair per
+    margin => tau_b = 4/sqrt(5·5) = 0.8."""
+    from dataframes_jl_spark.functions.stats import kendall_tau_binned
+
+    plain = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)],
+        "x double, y double",
+    )
+    r = kendall_tau_binned(plain, "x", "y", x_scale=0, y_scale=0)
+    row = r.collect()[0]
+    assert (row.concordant, row.discordant) == (5, 1)
+    assert row.tau_b == pytest.approx(4.0 / 6.0, abs=1e-6)
+
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0)],
+        "x double, y double",
+    )
+    row2 = kendall_tau_binned(tied, "x", "y", x_scale=0, y_scale=0).collect()[0]
+    assert (row2.concordant, row2.discordant) == (4, 0)
+    assert row2.tau_b == pytest.approx(0.8, abs=1e-6)
+
+
+def test_kendall_tau_all_ties_null(spark):
+    """A constant margin has zero comparable pairs: tau_b NULL, not a
+    divide-by-zero artifact."""
+    from dataframes_jl_spark.functions.stats import kendall_tau_binned
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    row = kendall_tau_binned(const, "x", "y", x_scale=0, y_scale=0).collect()[0]
+    assert row.tau_b is None
+
+
+def test_chao1_known_values(spark):
+    """["a b c", "a b d", "a"]: counts a=3 b=2 c=1 d=1 => N=7, S=4,
+    f1=2, f2=1, chao1 = 4 + 2·1/(2·2) = 4.5, coverage = 5/7. Bigrams
+    of one doc "a b c": two hapax grams => chao1 = 2 + 2·1/2 = 3."""
+    from dataframes_jl_spark.llm.lexical import chao1_richness
+
+    docs = spark.createDataFrame(
+        [("a b c",), ("a b d",), ("a",)], "text string"
+    )
+    r = chao1_richness(docs).collect()[0]
+    assert (r.n_tokens, r.s_obs, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1 == pytest.approx(4.5, abs=1e-6)
+    assert r.coverage == pytest.approx(5.0 / 7.0, abs=1e-6)
+
+    one = spark.createDataFrame([("a b c",), (None,)], "text string")
+    r2 = chao1_richness(one, n=2).collect()[0]
+    assert (r2.n_tokens, r2.s_obs, r2.f1, r2.f2) == (2, 2, 2, 0)
+    assert r2.chao1 == pytest.approx(3.0, abs=1e-6)
+    assert r2.coverage == pytest.approx(0.0, abs=1e-6)
+
+    with pytest.raises(ValueError):
+        chao1_richness(docs, n=0)
