@@ -135,6 +135,14 @@ HEADLINE = [
     "q_anova",
     "q_kendall_tau",
     "q_chao1_richness",
+    "q_isotonic",
+    "q_mann_kendall",
+    "q_conformal",
+    "q_perm_test",
+    "q_cronbach",
+    "q_theil_index",
+    "q_audience_overlap",
+    "q_tfidf_topk",
 ]
 
 

@@ -2344,3 +2344,332 @@ def kendall_tau_binned(
             F.floor(tau * om + F.lit(0.5)) / om,
         ).alias("tau_b"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    label: str,
+    score: str,
+    group_by: Sequence[str] = (),
+    n_bins: int = 20,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) recalibration curve over the reliability bins —
+    the lane's REPAIR step: :func:`reliability_bins` draws the
+    miscalibration, :func:`calibration_report` prices it (ECE/Brier),
+    and this fits the monotone map score→probability that a serving
+    layer applies to FIX it (isotonic regression is the standard
+    distribution-free recalibrator; Zadrozny & Elkan 2002 popularized
+    it for classifier scores).
+
+    Rather than the sequential pool-adjacent-violators sweep (a chain
+    algorithm with no distributed form), the fit uses the minimax
+    identity for the isotonic regression at bin i —
+
+        iso_i = max_{j≤i} min_{k≥i} mean(y over bins j..k)
+
+    (the classic max-min characterization of the least-squares
+    monotone fit; interval means come from prefix sums, so the whole
+    fit is joins + two bounded group-bys, no iteration, no driver).
+
+    Scale shape: ONE map-side-combining (group, bin) aggregate is the
+    only row-volume job (identical to reliability_bins — the
+    |rows|-sized input collapses to |groups|·n_bins). The prefix
+    sums ride a window over ≤ n_bins rows per group, the interval
+    table is ≤ n_bins² bounded rows, and the minimax fold ≤ n_bins³
+    — all broadcast-sized regardless of corpus size. Interval means
+    are exact-int ratios (n_pos/n), so both engines compare identical
+    doubles. Returns ``(*group_by, bin, n, n_pos, obs_rate,
+    iso_rate)`` with iso_rate monotone non-decreasing in bin within
+    every group.
+    """
+    gb = list(group_by)
+    per = (
+        _binned_scores(
+            df, label, score, gb, n_bins, scale, "isotonic_calibration"
+        )
+        .groupBy(*gb, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+        )
+    )
+    wnd = (
+        Window.partitionBy(*gb).orderBy("bin")
+        if gb
+        else Window.partitionBy().orderBy("bin")
+    )
+    # bounded window: <= n_bins rows per group ride this partition
+    cum = per.select(
+        *gb,
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wnd).alias("cn"),
+        F.sum("n_pos").over(wnd).alias("cp"),
+    )
+    jside = cum.select(
+        *[F.col(c).alias(f"j_{c}") for c in gb],
+        F.col("bin").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("j_cn0"),
+        (F.col("cp") - F.col("n_pos")).alias("j_cp0"),
+    )
+    kside = cum.select(
+        *[F.col(c).alias(f"k_{c}") for c in gb],
+        F.col("bin").alias("kb"),
+        F.col("cn").alias("k_cn"),
+        F.col("cp").alias("k_cp"),
+    )
+    jk_cond = F.col("jb") <= F.col("kb")
+    for c in gb:
+        jk_cond = jk_cond & (F.col(f"j_{c}") == F.col(f"k_{c}"))
+    intervals = jside.join(F.broadcast(kside), jk_cond).select(
+        *[F.col(f"j_{c}").alias(f"i_{c}") for c in gb],
+        "jb",
+        "kb",
+        (
+            (F.col("k_cp") - F.col("j_cp0")).cast("double")
+            / (F.col("k_cn") - F.col("j_cn0")).cast("double")
+        ).alias("avg"),
+    )
+    iside = per.select(
+        *[F.col(c).alias(f"b_{c}") for c in gb],
+        F.col("bin").alias("ib"),
+    )
+    i_cond = (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb"))
+    for c in gb:
+        i_cond = i_cond & (F.col(f"i_{c}") == F.col(f"b_{c}"))
+    # n_bins^3-bounded minimax fold: min over k >= i, then max over j
+    iso = (
+        intervals.join(F.broadcast(iside), i_cond)
+        .groupBy(*[F.col(f"b_{c}") for c in gb], "ib", "jb")
+        .agg(F.min("avg").alias("mn"))
+        .groupBy(*[F.col(f"b_{c}") for c in gb], "ib")
+        .agg(F.max("mn").alias("iso"))
+    )
+    back_cond = F.col("bin") == F.col("ib")
+    for c in gb:
+        back_cond = back_cond & (F.col(c) == F.col(f"b_{c}"))
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    obs = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per.join(F.broadcast(iso), back_cond).select(
+        *gb,
+        "bin",
+        "n",
+        "n_pos",
+        _q(obs).alias("obs_rate"),
+        _q(F.col("iso")).alias("iso_rate"),
+    )
+
+
+def split_conformal(
+    df: DataFrame,
+    label: str,
+    pred: str,
+    key: str,
+    alpha: float = 0.1,
+    calib_frac: float = 0.5,
+    buckets: int = 1000,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction interval for a regression column —
+    the distribution-free finite-sample guarantee the eval lane's
+    point metrics don't give: with NO assumption on the model or the
+    errors, ``pred ± q_hat`` covers the true label with probability
+    ≥ 1−alpha on exchangeable data (Vovk's split/inductive conformal;
+    the modern reference treatment is Angelopoulos & Bates 2021).
+
+    The frame splits into calibration/evaluation halves by the repo's
+    leakage-safe key hash (ops.sampling.split_bucket — membership is a
+    pure function of ``key``, so re-runs and appends never migrate a
+    row across the split). On calibration, the nonconformity score is
+    |label − pred| quantized to ``10^scale`` units (exact int64), and
+    q_hat is the ⌈(n_cal+1)(1−alpha)⌉-th smallest score — an ORDER
+    STATISTIC, selected exactly: per-unit counts + one range-
+    partitioned prefix scan (never a SinglePartition sort), then the
+    first unit whose running count reaches k. The evaluation half
+    reports achieved coverage — the honesty check that the guarantee
+    transferred.
+
+    Returns one row ``(n_cal, n_test, k, q_hat, coverage)``; q_hat is
+    NULL when k > n_cal (alpha too small for the calibration size —
+    the interval is infinite and coverage trivially 1, reported NULL
+    to flag the degenerate regime rather than hide it).
+
+    Scale shape: two map-side-combining aggregates over the row volume
+    (per-unit calibration counts; the evaluation fold), one bounded
+    prefix scan over |distinct scores| rows, and broadcast crossJoins
+    of 1-row frames. Nothing else moves.
+    """
+    from ..ops.sampling import split_bucket
+    from ..ops.window import with_running
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if not 0.0 < calib_frac < 1.0:
+        raise ValueError(f"calib_frac must be in (0,1), got {calib_frac}")
+    m = F.lit(float(10**scale))
+    r_unit = F.floor(
+        F.abs(
+            F.col(label).cast("double") - F.col(pred).cast("double")
+        )
+        * m
+        + F.lit(0.5)
+    ).cast("long")
+    cut = int(round(calib_frac * buckets))
+    base = df.filter(
+        F.col(label).isNotNull() & F.col(pred).isNotNull()
+    ).select(
+        r_unit.alias("r"),
+        (split_bucket(key, buckets) < F.lit(cut)).alias("is_cal"),
+    )
+    cal = (
+        base.filter(F.col("is_cal"))
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    run = with_running(cal, {"cum": ("sum", "cnt")}, order_by="r")
+    tot = run.agg(F.sum("cnt").alias("n_cal"))
+    k_expr = F.ceil(
+        (F.col("n_cal").cast("double") + F.lit(1.0))
+        * F.lit(1.0 - float(alpha))
+    ).cast("long")
+    tot_k = tot.select(k_expr.alias("k"), "n_cal")
+    # ungrouped agg: exactly one row even when k > n_cal (empty filter
+    # -> NULL min), so the degenerate regime surfaces as NULLs, never
+    # as a vanished output row
+    q_row = (
+        run.crossJoin(F.broadcast(tot_k))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min("r").alias("q_unit"))
+    )
+    meta = tot_k.crossJoin(F.broadcast(q_row))
+    test = base.filter(~F.col("is_cal"))
+    om = F.lit(float(10**out_scale))
+    # 1-row broadcast: q_unit rides to the evaluation fold
+    ev = test.crossJoin(F.broadcast(meta)).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("k").alias("k"),
+        F.max("q_unit").alias("q_unit"),
+        F.sum(
+            F.when(F.col("r") <= F.col("q_unit"), 1).otherwise(0)
+        ).alias("n_cov"),
+    )
+    return ev.select(
+        "n_cal",
+        "n_test",
+        "k",
+        (
+            F.floor(
+                F.col("q_unit").cast("double") / m * om + F.lit(0.5)
+            )
+            / om
+        ).alias("q_hat"),
+        F.when(
+            F.col("q_unit").isNotNull(),
+            F.floor(
+                F.col("n_cov").cast("double")
+                / F.col("n_test").cast("double")
+                * om
+                + F.lit(0.5)
+            )
+            / om,
+        ).alias("coverage"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    items: Sequence[str],
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha over k item columns — the internal-consistency
+    coefficient (Cronbach 1951) the eval lane's agreement member
+    kappa_agreement doesn't cover: kappa asks "do two RATERS agree?",
+    alpha asks "do k ITEMS measure one underlying thing?" (rubric
+    criteria, multi-judge scores, survey batteries):
+
+        alpha = k/(k−1) · (1 − Σ_i var(item_i) / var(Σ_i item_i))
+
+    Rows with ANY null item are dropped (the classic complete-case
+    contract — a partial response has no total score). Returns one
+    row ``(n, k, item_var_sum, total_var, alpha)``; alpha is NULL
+    when n < 2 or the total variance is 0 (constant scores — no
+    consistency to measure).
+
+    Determinism: each item quantizes to ``10^scale`` int64 units
+    once; the single aggregate carries per-item (Σq, Σq²) and the
+    row-total (Σt, Σt²) as exact int64/decimal(38,0), so every
+    variance is a correctly-rounded expression over exact integers.
+
+    Scale shape: ONE map-side-combining aggregate with 2k+3 sums to
+    a single row — no join, no window, no second pass.
+    """
+    ks = list(items)
+    if len(ks) < 2:
+        raise ValueError("cronbach_alpha needs >= 2 items")
+    m = F.lit(float(10**scale))
+    dec = "decimal(38,0)"
+    keep = None
+    for c in ks:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    qs = [
+        F.floor(F.col(c).cast("double") * m + F.lit(0.5))
+        .cast("long")
+        .alias(f"q{i}")
+        for i, c in enumerate(ks)
+    ]
+    base = df.filter(keep).select(*qs)
+    t = None
+    for i in range(len(ks)):
+        t = F.col(f"q{i}") if t is None else t + F.col(f"q{i}")
+    base = base.select("*", t.alias("qt"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(ks)):
+        aggs.append(F.sum(f"q{i}").alias(f"s{i}"))
+        aggs.append(
+            F.sum(
+                F.col(f"q{i}").cast(dec) * F.col(f"q{i}").cast(dec)
+            ).alias(f"ss{i}")
+        )
+    aggs.append(F.sum("qt").alias("st"))
+    aggs.append(
+        F.sum(F.col("qt").cast(dec) * F.col("qt").cast(dec)).alias("sst")
+    )
+    agg = base.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def var(s, ss):
+        sd = F.col(s).cast("double")
+        return (F.col(ss).cast("double") - sd * sd / n) / (n - F.lit(1.0))
+
+    item_var = None
+    for i in range(len(ks)):
+        v = var(f"s{i}", f"ss{i}")
+        item_var = v if item_var is None else item_var + v
+    tot_var = var("st", "sst")
+    kk = float(len(ks))
+    alpha = F.lit(kk / (kk - 1.0)) * (F.lit(1.0) - item_var / tot_var)
+    om = F.lit(float(10**out_scale))
+    m2 = m * m
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    ok = (F.col("n") > 1) & (tot_var > 0)
+    return agg.select(
+        "n",
+        F.lit(len(ks)).alias("k"),
+        F.when(F.col("n") > 1, _q(item_var / m2)).alias("item_var_sum"),
+        F.when(F.col("n") > 1, _q(tot_var / m2)).alias("total_var"),
+        F.when(ok, _q(alpha)).alias("alpha"),
+    )

@@ -250,3 +250,80 @@ def interpolate_linear(
         .alias(value),
         (F.col("__v__").isNull() & fill.isNotNull()).alias("filled"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend TEST over the daily-count series —
+    the significance question :func:`theilsen_trend` leaves open: that
+    operator reports the robust slope, this one reports whether ANY
+    monotone trend is distinguishable from noise (the two are the
+    classic pairing: Sen's slope for magnitude, MK for evidence; the
+    test is sign-based, so one spike day cannot manufacture a trend).
+
+        S = Σ_{i<j} sign(x_j − x_i)   (days ordered by calendar)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie term)
+        Z = (S − sign(S)) / √Var(S)   (continuity-corrected; 0 at S=0)
+
+    |Z| > 1.96 rejects "no trend" at 5%. Returns ``(*group_by,
+    n_days, s, var_s, z)``; ``z`` is NULL when Var(S) = 0 (a constant
+    series — no test).
+
+    Scale shape: the module-doc contract — ONE event-volume job (the
+    map-side-combining daily count), then a group-keyed pair join of
+    the calendar-bounded day table (days²/2 sign comparisons, exact
+    int64 S) and a bounded tie regroup per distinct count value.
+    Var(S) folds exact integers; only Z divides.
+    """
+    gb = list(group_by)
+    d = _daily(df, ts, gb)
+    a = d.select(*gb, F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = d.select(*gb, F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s_tab = (
+        a.join(b, gb, "inner")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy(*gb)
+        .agg(F.sum(F.signum(F.col("x2") - F.col("x1"))).cast("long").alias("s"))
+    )
+    dec = "decimal(38,0)"
+    t3 = (
+        F.col("t").cast(dec)
+        * (F.col("t").cast(dec) - F.lit(1))
+        * (F.lit(2) * F.col("t").cast(dec) + F.lit(5))
+    )
+    ties = (
+        d.groupBy(*gb, "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*gb)
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.sum(t3).alias("tie_term"),
+        )
+    )
+    nd = F.col("n_days").cast(dec)
+    var_num = (
+        nd * (nd - F.lit(1)) * (F.lit(2) * nd + F.lit(5))
+        - F.col("tie_term")
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    # left join: a 1-day group has no pairs — S is the empty sum (0),
+    # Var(S) is 0, and z stays NULL rather than dropping the group
+    joined = ties.join(s_tab, gb, "left")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    sd = F.coalesce(F.col("s"), F.lit(0)).cast("double")
+    z = (sd - F.signum(sd)) / F.sqrt(var_s)
+    return joined.select(
+        *gb,
+        "n_days",
+        F.coalesce("s", F.lit(0)).alias("s"),
+        _q(var_s).alias("var_s"),
+        F.when(var_s > 0, _q(z)).alias("z"),
+    )

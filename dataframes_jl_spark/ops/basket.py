@@ -188,3 +188,77 @@ def npmi_pairs(
             (F.col("lift") > 0) & (F.col("support") < 1.0), _q(npmi)
         ).alias("npmi"),
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    out_scale: int = 6,
+) -> DataFrame:
+    """EXACT pairwise audience overlap between the values of
+    ``group_col``: for every unordered segment pair, how many ``key``
+    entities belong to both, with Jaccard and Szymkiewicz-Simpson
+    overlap coefficients — the cross-segment twin of
+    :func:`frequent_pairs` (baskets = entities, items = segments) and
+    the exact counterpart of ops.qsketch's KMV overlap estimate: KMV
+    answers it from sketches when the segment count is huge; this
+    answers it exactly while |segments| is small (event types,
+    sources, languages — the dashboard case).
+
+    Returns one row per pair ``(group_a, group_b, n_a, n_b, n_both,
+    jaccard, overlap)`` with group_a < group_b lexically; every
+    metric an exact-int ratio, floor-quantized.
+
+    Scale shape: ONE distinct (key, group) shuffle; the pair step is
+    a self-join ON key — quadratic only in the per-entity segment
+    COUNT (≤ |segments|, a bounded dashboard-scale number), linear in
+    entities; the |segments|-row totals ride a broadcast join onto
+    the |segments|²-row pair table.
+    """
+    base = (
+        df.filter(F.col(key).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(key).alias("k"),
+            F.col(group_col).cast("string").alias("g"),
+        )
+        .distinct()
+    )
+    tot = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = base.select(F.col("k").alias("ka"), F.col("g").alias("group_a"))
+    b = base.select(F.col("k").alias("kb"), F.col("g").alias("group_b"))
+    pairs = (
+        a.join(b, (F.col("ka") == F.col("kb"))
+               & (F.col("group_a") < F.col("group_b")))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    both = F.col("n_both").cast("double")
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("g").alias("group_a"),
+                                   F.col("n").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("g").alias("group_b"),
+                                   F.col("n").alias("n_b"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            _q(both / (na + nb - both)).alias("jaccard"),
+            _q(both / F.least(na, nb)).alias("overlap"),
+        )
+    )

@@ -319,3 +319,172 @@ def bootstrap_ratio_ci(
         (F.col("hi_u").cast("double") / ou).alias("boot_hi"),
         _se_from_sums(out_scale, ou).alias("boot_se"),
     )
+
+
+def randomization_test_mean_diff(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_perm: int = 99,
+    seed: int = 1,
+    scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Monte-Carlo randomization test for the mean difference between
+    two arms — the assumption-free companion to functions.stats.
+    welch_ttest: instead of a t reference distribution, the null is
+    SIMULATED by re-assigning arm labels and asking how often a
+    re-assignment produces a gap as large as the observed one (Fisher
+    1935; the Monte-Carlo p-value with the +1 correction is Dwass
+    1957 — valid at ANY n_perm, conservative at small ones).
+
+    Re-assignments are the repo's deterministic replicate machinery
+    (the bootstrap module's ARX-mixed hash on ``id_col`` × replicate
+    id): under replicate b, a row joins pseudo-arm A iff its uniform
+    u ≤ n_a/(n_a+n_b) — Bernoulli re-randomization rather than a
+    fixed-margin permutation (a global shuffle is inherently serial;
+    Bernoulli assignment is embarrassingly parallel, and the test it
+    yields is exactly valid for the Bernoulli randomization null —
+    re-assignments with an empty pseudo-arm contribute a NULL diff
+    and are excluded from both sides of the p-value count).
+
+    Returns one row ``(n_a, n_b, mean_a, mean_b, obs_diff, n_used,
+    n_extreme, p_value)`` where p = (1 + #{|diff_b| ≥ |obs|}) /
+    (n_used + 1), two-sided.
+
+    Scale shape: the bootstrap explode — ONE projection fans each row
+    into n_perm (replicate, pseudo-arm) pairs, ONE map-side-combining
+    (b, arm) aggregate over exact quantized int64 sums, and the
+    p-value folds a ≤ n_perm-row bounded table; the observed arms and
+    the n_a/(n_a+n_b) threshold ride broadcast 1-row crossJoins.
+    Everything up to the final divides is exact integer arithmetic
+    shared bit-for-bit with the DuckDB oracle.
+    """
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    m = 10**scale
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(value).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.pmod(
+            F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(_P)
+        ).alias("ks"),
+        F.floor(
+            F.col(value).cast("double") * F.lit(float(m)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("xu"),
+        (F.col(group_col) == F.lit(group_a)).alias("is_a"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("xu")).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("xu")).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("sb"),
+    )
+    # replicate fan-out: u from the shared mixed hash, pseudo-arm by
+    # threshold n_a/(n_a+n_b) (broadcast 1-row)
+    ex = base.select(
+        "ks",
+        "xu",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_perm) - 1))).alias(
+            "b"
+        ),
+    )
+    h = _hll_mix(
+        F.pmod(
+            F.col("ks") + F.col("b").cast("long") * F.lit(_BOOT_SPREAD),
+            F.lit(_P),
+        )
+    )
+    h = F.pmod(h, F.lit(_P))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_P + 1))
+    thr = obs.select(
+        (
+            F.col("n_a").cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("p_a")
+    )
+    assigned = ex.crossJoin(F.broadcast(thr)).select(
+        "b",
+        "xu",
+        (u <= F.col("p_a")).alias("pa"),
+    )
+    rep = assigned.groupBy("b").agg(
+        F.sum(F.when(F.col("pa"), 1).otherwise(0)).alias("ra"),
+        F.sum(F.when(~F.col("pa"), 1).otherwise(0)).alias("rb"),
+        F.sum(F.when(F.col("pa"), F.col("xu")).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("rsa"),
+        F.sum(F.when(~F.col("pa"), F.col("xu")).otherwise(F.lit(0)))
+        .cast(dec)
+        .alias("rsb"),
+    )
+    # |replicate diff| in original units; NULL when an arm is empty
+    rdiff = F.when(
+        (F.col("ra") > 0) & (F.col("rb") > 0),
+        F.abs(
+            F.col("rsa").cast("double") / F.col("ra").cast("double")
+            - F.col("rsb").cast("double") / F.col("rb").cast("double")
+        ),
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    mf = F.lit(float(m))
+    mean_a = F.col("sa").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("sb").cast("double") / F.col("n_b").cast("double")
+    obs_diff = (mean_a - mean_b) / mf
+    # count extremes against the observed gap (1-row broadcast)
+    counted = rep.select(rdiff.alias("ad")).crossJoin(
+        F.broadcast(
+            obs.select(
+                "n_a",
+                "n_b",
+                "sa",
+                "sb",
+                F.abs(
+                    F.col("sa").cast("double")
+                    / F.col("n_a").cast("double")
+                    - F.col("sb").cast("double")
+                    / F.col("n_b").cast("double")
+                ).alias("obs_abs_u"),
+            )
+        )
+    ).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("sa").alias("sa"),
+        F.max("sb").alias("sb"),
+        F.sum(F.when(F.col("ad").isNotNull(), 1).otherwise(0)).alias(
+            "n_used"
+        ),
+        F.sum(
+            F.when(F.col("ad") >= F.col("obs_abs_u"), 1).otherwise(0)
+        ).alias("n_extreme"),
+    )
+    return counted.select(
+        "n_a",
+        "n_b",
+        _q(mean_a / mf).alias("mean_a"),
+        _q(mean_b / mf).alias("mean_b"),
+        _q(obs_diff).alias("obs_diff"),
+        "n_used",
+        "n_extreme",
+        _q(
+            (F.col("n_extreme").cast("double") + F.lit(1.0))
+            / (F.col("n_used").cast("double") + F.lit(1.0))
+        ).alias("p_value"),
+    )

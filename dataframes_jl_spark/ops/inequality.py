@@ -165,3 +165,75 @@ def lorenz_deciles(
     m = F.lit(float(10**out_scale))
     share = F.floor(cum.cast("double") / tot.cast("double") * m + F.lit(0.5)) / m
     return per.select(*gb, "decile", "n_rows", share.alias("cum_share"))
+
+
+def theil_index(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str] = (),
+    scale: int = 2,
+    ln_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Theil-T index of ``value`` — the DECOMPOSABLE
+    inequality measure beside :func:`gini`: Gini reads rank
+    concentration but cannot be split; Theil is additive across
+    subgroups (between + within), which is why audits that slice by
+    segment quote it. On positive mass x with total X and count n:
+
+        T = Σ (x/X)·ln(x·n/X) = [Σ x·ln x]/X − ln X + ln n
+
+    (scale-invariant, so the quantized int64 units cancel; 0 = equal,
+    ln n = one row holds everything). Zero/negative/NULL values are
+    excluded — x·ln x has no finite continuation the estimator
+    agrees on, and mass-less rows carry no inequality signal.
+
+    Determinism: values quantize to int64 units once and collapse to
+    per-DISTINCT-value counts, so ln runs once per distinct value —
+    quantized to ``ln_scale`` decimals (floor(ln(u)·10^ln_scale+0.5),
+    the zipf_fit discipline: both engines floor the same libm-ulp
+    neighborhood, and the output quantization absorbs the residual).
+    Σ c·u·ln_q(u) accumulates in decimal(38,0); the two trailing
+    ln calls (ln X, ln n) act on exact integers.
+
+    Scale shape: ONE map-side-combining (group, value) count, one
+    bounded regroup over |distinct values| rows, one division each.
+    Returns ``(*group_by, n, total, theil)``.
+    """
+    gb = list(group_by)
+    x = _q64(value, scale)
+    per_v = (
+        df.filter(F.col(value).isNotNull() & (F.col(value) > 0))
+        .select(*gb, x.alias("u"))
+        .filter(F.col("u") > 0)
+        .groupBy(*gb, "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = F.lit(float(10**ln_scale))
+    lq = F.floor(
+        F.log(F.col("u").cast("double")) * lm + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    agg = per_v.groupBy(*gb).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("u").cast(dec)).alias("total"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("u").cast(dec) * lq.cast(dec)
+        ).alias("sxl"),
+    )
+    nd = F.col("n").cast("double")
+    tot = F.col("total").cast("double")
+    t = (
+        F.col("sxl").cast("double") / tot / lm
+        - F.log(tot)
+        + F.log(nd)
+    )
+    om = F.lit(float(10**out_scale))
+    return agg.select(
+        *gb,
+        "n",
+        F.col("total").cast("long").alias("total"),
+        F.when(
+            F.col("n") > 0, F.floor(t * om + F.lit(0.5)) / om
+        ).alias("theil"),
+    )

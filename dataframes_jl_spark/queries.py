@@ -11455,6 +11455,547 @@ def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chao1_richness(docs, "text", n=3)
 
 
+
+
+@register(
+    "q_isotonic",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             CASE WHEN ((user_id % 100) + 100) % 100 * 10
+                  < 100 + (((CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                             % 101) + 101) % 101) * 8
+                  THEN 1 ELSE 0 END AS y,
+             CAST(FLOOR(CAST((((CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                % 101) + 101) % 101) AS DOUBLE)
+                        / 100.0 * 1e6 + 0.5) AS BIGINT) AS u
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT g, y,
+             LEAST(CAST(FLOOR(CAST(u AS DOUBLE) * 10.0 / 1000000.0)
+                        AS BIGINT), 9) AS bin
+      FROM base
+    ),
+    per AS (
+      SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, bin, n, n_pos,
+             CAST(SUM(n) OVER (PARTITION BY g ORDER BY bin) AS BIGINT)
+               AS cn,
+             CAST(SUM(n_pos) OVER (PARTITION BY g ORDER BY bin)
+                  AS BIGINT) AS cp
+      FROM per
+    ),
+    iv AS (
+      SELECT j.g, j.bin AS jb, k.bin AS kb,
+             CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+      FROM cum j JOIN cum k ON k.g = j.g AND j.bin <= k.bin
+    ),
+    mn AS (
+      SELECT iv.g, p.bin AS ib, iv.jb, MIN(avg) AS mn
+      FROM iv JOIN per p
+        ON p.g = iv.g AND iv.jb <= p.bin AND p.bin <= iv.kb
+      GROUP BY 1, 2, 3
+    ),
+    iso AS (SELECT g, ib, MAX(mn) AS iso FROM mn GROUP BY 1, 2)
+    SELECT p.g AS event_type, p.bin, p.n, p.n_pos,
+           FLOOR(CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS obs_rate,
+           FLOOR(i.iso * 1e6 + 0.5) / 1e6 AS iso_rate
+    FROM per p JOIN iso i ON i.g = p.g AND i.ib = p.bin
+    """,
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration curve per event type
+    (functions.stats.isotonic_calibration) — the REPAIR step after
+    q_reliability_bins (plot) and q_calibration (price): the
+    label is synthetically miscalibrated against the same pseudo-
+    probability (P[y=1 | s] = 0.1 + 0.8·s via pure-integer
+    comparison), and the minimax identity iso_i = max_{j<=i}
+    min_{k>=i} mean(j..k) recovers the monotone fit with joins
+    over the bounded bin table — no sequential PAV sweep, no
+    iteration, no driver."""
+    from .functions.stats import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events")
+    pu = F.pmod(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        F.lit(101),
+    )
+    lbl = (
+        F.pmod(F.col("user_id"), F.lit(100)) * F.lit(10)
+        < F.lit(100) + pu * F.lit(8)
+    ).cast("int")
+    df = ev.withColumn("prob", pu.cast("double") / F.lit(100.0)).withColumn(
+        "lbl", lbl
+    )
+    return isotonic_calibration(
+        df, "lbl", "prob", group_by=["event_type"], n_bins=10
+    )
+
+
+@register(
+    "q_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.g, CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.g = b.g AND a.day < b.day
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT g, x, CAST(COUNT(*) AS HUGEINT) AS t FROM d GROUP BY 1, 2
+    ),
+    tt AS (
+      SELECT g, CAST(SUM(t) AS BIGINT) AS n_days,
+             SUM(t * (t - 1) * (2 * t + 5)) AS tie
+      FROM t GROUP BY 1
+    ),
+    x AS (
+      SELECT tt.g, tt.n_days, COALESCE(s.s, 0) AS s,
+             CAST(CAST(tt.n_days AS HUGEINT)
+                  * (CAST(tt.n_days AS HUGEINT) - 1)
+                  * (2 * CAST(tt.n_days AS HUGEINT) + 5)
+                  - tt.tie AS DOUBLE) / 18.0 AS var_s
+      FROM tt LEFT JOIN s ON s.g = tt.g
+    )
+    SELECT g AS event_type, n_days, CAST(s AS BIGINT) AS s,
+           FLOOR(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+           CASE WHEN var_s > 0 THEN
+             FLOOR((CAST(s AS DOUBLE) - SIGN(CAST(s AS DOUBLE)))
+                   / SQRT(var_s) * 1e6 + 0.5) / 1e6 END AS z
+    FROM x
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the per-event-type daily-count
+    series (functions.timeseries.mann_kendall) — the significance
+    verdict q_theilsen_trend's slope leaves open, from the same
+    calendar-bounded day table: exact int64 S over the bounded pair
+    join, tie-corrected Var(S) in decimal, continuity-corrected Z.
+    The only event-volume job is the shared map-side-combining daily
+    count."""
+    from .functions.timeseries import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall(ev, "ts", ["event_type"])
+
+
+
+
+def _conformal_oracle() -> str:
+    from .ops.sampling import split_bucket_sql
+
+    b = split_bucket_sql("event_id", 1000)
+    return f"""
+    WITH base AS (
+      SELECT CAST(FLOOR(ABS(value - (value * 0.9 + 1.0)) * 1e6 + 0.5)
+                  AS BIGINT) AS r,
+             {b} < 500 AS is_cal
+      FROM events WHERE value IS NOT NULL
+    ),
+    cal AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base WHERE is_cal GROUP BY 1
+    ),
+    run AS (
+      SELECT r, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY r) AS BIGINT) AS cum
+      FROM cal
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal,
+             CAST(CEIL((CAST(SUM(cnt) AS DOUBLE) + 1.0) * 0.9)
+                  AS BIGINT) AS k
+      FROM run
+    ),
+    q AS (
+      SELECT MIN(r) AS q_unit FROM run, tot WHERE cum >= k
+    ),
+    ev AS (
+      SELECT t.n_cal, t.k, q.q_unit,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN b.r <= q.q_unit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cov
+      FROM base b, tot t, q
+      WHERE NOT b.is_cal
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_cal, n_test, k,
+           FLOOR(CAST(q_unit AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+             AS q_hat,
+           CASE WHEN q_unit IS NOT NULL THEN
+             FLOOR(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS coverage
+    FROM ev
+    """
+
+
+@register("q_conformal", oracle=_conformal_oracle())
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval for a synthetic value predictor
+    (functions.stats.split_conformal): rows hash-split 50/50 by
+    event_id (the leakage-safe split_bucket), q_hat the exact
+    ceil((n+1)(1-alpha))-th order statistic of |y - yhat| on the
+    calibration half via the range-partitioned prefix scan, achieved
+    coverage reported on the held-out half — the distribution-free
+    1-alpha guarantee and its honesty check in one row."""
+    from .functions.stats import split_conformal
+
+    ev = _t(spark, sf_dir, "events")
+    pred_df = ev.select(
+        "event_id",
+        "value",
+        (F.col("value") * F.lit(0.9) + F.lit(1.0)).alias("pred"),
+    )
+    return split_conformal(
+        pred_df, "value", "pred", "event_id", alpha=0.1
+    )
+
+
+def _perm_oracle(n_perm: int = 64) -> str:
+    from .ops.bootstrap import _BOOT_SPREAD
+
+    mix = _mix_ctes("mx", "pre", "mixin", "h", carry=("xu", "b"))
+    return f"""
+    WITH base AS (
+      SELECT ((event_id + 1) % 1000000007 + 1000000007) % 1000000007
+               AS ks,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS xu,
+             event_type = 'click' AS is_a
+      FROM events
+      WHERE event_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IN ('click', 'view')
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b,
+             SUM(CASE WHEN is_a THEN xu ELSE 0 END) AS sa,
+             SUM(CASE WHEN is_a THEN 0 ELSE xu END) AS sb
+      FROM base
+    ),
+    pre AS (
+      SELECT xu, t.b,
+             (ks + t.b * {_BOOT_SPREAD}) % 1000000007 AS mixin
+      FROM base CROSS JOIN (SELECT unnest(range(0, {n_perm})) AS b) t
+    ),
+    {mix},
+    assigned AS (
+      SELECT b, xu,
+             (CAST(h % 1000000007 AS DOUBLE) + 1.0) / 1000000008.0
+               <= CAST(o.n_a AS DOUBLE)
+                  / CAST(o.n_a + o.n_b AS DOUBLE) AS pa
+      FROM mx, obs o
+    ),
+    rep AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+             CAST(SUM(CASE WHEN pa THEN 0 ELSE 1 END) AS BIGINT) AS rb,
+             SUM(CASE WHEN pa THEN xu ELSE 0 END) AS rsa,
+             SUM(CASE WHEN pa THEN 0 ELSE xu END) AS rsb
+      FROM assigned GROUP BY 1
+    ),
+    diffs AS (
+      SELECT CASE WHEN ra > 0 AND rb > 0 THEN
+               ABS(CAST(rsa AS DOUBLE) / CAST(ra AS DOUBLE)
+                   - CAST(rsb AS DOUBLE) / CAST(rb AS DOUBLE)) END AS ad
+      FROM rep
+    ),
+    counted AS (
+      SELECT o.n_a, o.n_b, o.sa, o.sb,
+             CAST(SUM(CASE WHEN ad IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_used,
+             CAST(SUM(CASE WHEN ad >= ABS(CAST(o.sa AS DOUBLE)
+                                          / CAST(o.n_a AS DOUBLE)
+                                          - CAST(o.sb AS DOUBLE)
+                                          / CAST(o.n_b AS DOUBLE))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM diffs, obs o
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT n_a, n_b,
+           FLOOR(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e4
+                 * 1e6 + 0.5) / 1e6 AS mean_a,
+           FLOOR(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) / 1e4
+                 * 1e6 + 0.5) / 1e6 AS mean_b,
+           FLOOR((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 1e4
+                 * 1e6 + 0.5) / 1e6 AS obs_diff,
+           n_used, n_extreme,
+           FLOOR((CAST(n_extreme AS DOUBLE) + 1.0)
+                 / (CAST(n_used AS DOUBLE) + 1.0) * 1e6 + 0.5) / 1e6
+             AS p_value
+    FROM counted
+    """
+
+
+@register("q_perm_test", oracle=_perm_oracle())
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test for the click-vs-view mean
+    value gap (ops.bootstrap.randomization_test_mean_diff): 64
+    deterministic Bernoulli re-assignments from the bootstrap
+    module's ARX-mixed hash, one exploded map pass + one (replicate,
+    arm) aggregate of exact quantized sums, Dwass-corrected two-sided
+    p over the bounded replicate table. The oracle replays the hash
+    mix and every integer sum bit-for-bit."""
+    from .ops.bootstrap import randomization_test_mean_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return randomization_test_mean_diff(
+        ev, "event_id", "value", "event_type", "click", "view",
+        n_perm=64,
+    )
+
+
+
+
+@register(
+    "q_cronbach",
+    oracle="""
+    WITH per_u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 AS q0,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 AS q1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) * 1000000 AS q2
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    w AS (SELECT q0, q1, q2, q0 + q1 + q2 AS qt FROM per_u),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q0) AS DOUBLE) AS s0,
+             CAST(SUM(CAST(q0 AS HUGEINT) * CAST(q0 AS HUGEINT))
+                  AS DOUBLE) AS ss0,
+             CAST(SUM(q1) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(q1 AS HUGEINT) * CAST(q1 AS HUGEINT))
+                  AS DOUBLE) AS ss1,
+             CAST(SUM(q2) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(q2 AS HUGEINT) * CAST(q2 AS HUGEINT))
+                  AS DOUBLE) AS ss2,
+             CAST(SUM(qt) AS DOUBLE) AS st,
+             CAST(SUM(CAST(qt AS HUGEINT) * CAST(qt AS HUGEINT))
+                  AS DOUBLE) AS sst
+      FROM w
+    ),
+    v AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             (ss0 - s0 * s0 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)
+             + (ss1 - s1 * s1 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)
+             + (ss2 - s2 * s2 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS iv,
+             (sst - st * st / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS tv
+      FROM agg
+    )
+    SELECT n, CAST(3 AS INT) AS k,
+           CASE WHEN n > 1 THEN
+             FLOOR(iv / 1e12 * 1e6 + 0.5) / 1e6 END AS item_var_sum,
+           CASE WHEN n > 1 THEN
+             FLOOR(tv / 1e12 * 1e6 + 0.5) / 1e6 END AS total_var,
+           CASE WHEN n > 1 AND tv > 0 THEN
+             FLOOR(1.5 * (1.0 - iv / tv) * 1e6 + 0.5) / 1e6
+           END AS alpha
+    FROM v
+    """,
+)
+def q_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over three per-user engagement items (click /
+    view / purchase counts, functions.stats.cronbach_alpha) — "do
+    these signals measure one underlying engagement trait?", the
+    internal-consistency question q_kappa_agreement's two-rater
+    kappa doesn't ask. One pivot-style per-user aggregate builds the
+    item columns; ONE further map-side-combining aggregate carries
+    all 2k+3 exact sums to a single row."""
+    from .functions.stats import cronbach_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    items = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("i_click"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("i_view"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("i_purchase"),
+        )
+    )
+    return cronbach_alpha(items, ["i_click", "i_view", "i_purchase"])
+
+
+@register(
+    "q_theil_index",
+    oracle="""
+    WITH per_v AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS u,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      GROUP BY 1, 2
+    ),
+    pos AS (SELECT g, u, c FROM per_v WHERE u > 0),
+    agg AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * CAST(u AS HUGEINT)) AS total,
+             SUM(CAST(c AS HUGEINT) * CAST(u AS HUGEINT)
+                 * CAST(FLOOR(LN(CAST(u AS DOUBLE)) * 1e8 + 0.5)
+                        AS HUGEINT)) AS sxl
+      FROM pos GROUP BY 1
+    )
+    SELECT g AS o_orderpriority, n, CAST(total AS BIGINT) AS total,
+           CASE WHEN n > 0 THEN
+             FLOOR((CAST(sxl AS DOUBLE) / CAST(total AS DOUBLE) / 1e8
+                    - LN(CAST(total AS DOUBLE))
+                    + LN(CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6
+           END AS theil
+    FROM agg
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Theil-T inequality of order totals
+    (ops.inequality.theil_index) — the decomposable companion to
+    q_gini_revenue: Theil splits additively into between/within
+    segment terms, the property inequality audits slice by. Values
+    collapse to per-distinct-cent counts so ln runs once per
+    distinct value (quantized at 1e-8, the zipf_fit discipline);
+    Σ c·u·ln_q(u) rides decimal(38,0)."""
+    from .ops.inequality import theil_index
+
+    od = _t(spark, sf_dir, "orders")
+    return theil_index(
+        od, "o_totalprice", group_by=["o_orderpriority"], scale=2
+    )
+
+
+@register(
+    "q_audience_overlap",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id AS k, event_type AS g
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM base a JOIN base b ON a.k = b.k AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT p.group_a, p.group_b, ta.n AS n_a, tb.n AS n_b, p.n_both,
+           FLOOR(CAST(p.n_both AS DOUBLE)
+                 / CAST(ta.n + tb.n - p.n_both AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS jaccard,
+           FLOOR(CAST(p.n_both AS DOUBLE)
+                 / CAST(LEAST(ta.n, tb.n) AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS overlap
+    FROM pairs p
+    JOIN tot ta ON ta.g = p.group_a
+    JOIN tot tb ON tb.g = p.group_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix between event types
+    (ops.basket.audience_overlap): per unordered pair, shared users
+    plus Jaccard and overlap coefficients — the exact counterpart of
+    q_kmv_overlap's sketch estimate while |segments| is dashboard-
+    sized. One distinct (user, type) shuffle; the pair self-join is
+    quadratic only in a user's segment count (<= 5 here)."""
+    from .ops.basket import audience_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return audience_overlap(ev, "user_id", "event_type")
+
+
+@register(
+    "q_tfidf_topk",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)),
+                                            '[^a-z0-9]+'),
+                         t -> t <> '') AS a
+      FROM documents
+    ),
+    ts AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(a) AS term FROM arr)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ts GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT ts.doc_id, ts.term, ts.tf,
+             FLOOR(ts.tf * (LN((nd.n_docs + 1.0)
+                               / (CAST(dfreq.df AS DOUBLE) + 1.0))
+                            + 1.0) * 1e6 + 0.5) / 1e6 AS tfidf
+      FROM ts JOIN dfreq ON dfreq.term = ts.term CROSS JOIN nd
+      WHERE ts.doc_id % 20 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn = 1
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per sampled document by smoothed TF-IDF
+    (llm.relevance.tf_idf) — the per-document signature the BM25
+    gate's query-side scoring doesn't exercise. Document frequencies
+    come from the FULL corpus (one term-stats pass, |vocab|-row df
+    table); scores quantize to 1e-6 BEFORE the per-doc rank so the
+    winning term is an integer-order decision in both engines; the
+    doc_id % 20 sample bounds the compared output without pruning
+    the corpus statistics."""
+    from .llm.relevance import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tf_idf(docs, "doc_id", "text").filter(
+        F.pmod(F.col("id"), F.lit(20)) == 0
+    )
+    tq = F.floor(F.col("tfidf") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_q").desc(), F.col("term")
+    )
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"),
+            "term",
+            "tf",
+            tq.alias("tfidf_q"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tf", F.col("tfidf_q").alias("tfidf"))
+    )
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -11473,6 +12014,14 @@ _PRIORITY = [
     "q_anova",              # classic + Welch F omnibus, new this round
     "q_kendall_tau",        # binned tau-b concordance, new this round
     "q_chao1_richness",     # trigram-type Chao1 bound, new this round
+    "q_isotonic",           # PAV recalibration curve, new this round
+    "q_mann_kendall",       # daily-series trend test, new this round
+    "q_conformal",          # split-conformal interval, new this round
+    "q_perm_test",          # randomization mean-diff test, new this round
+    "q_cronbach",           # item-consistency alpha, new this round
+    "q_theil_index",        # decomposable inequality, new this round
+    "q_audience_overlap",   # exact segment-overlap matrix, new this round
+    "q_tfidf_topk",         # per-doc distinctive term, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -11486,8 +12035,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (22 of the 50 names whose latest driver row is
-    # r7 fit below; the 28 deferred ride r7 rows one more round:
+    # --- round-7-era (14 of the 50 names whose latest driver row is
+    # r7 fit below; the 36 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -11496,8 +12045,10 @@ _PRIORITY = [
     # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
     # q_merge_intervals, q_mad_outliers, q_kmv_overlap,
     # q_kmeans_clusters, q_interarrival, q_join_left,
-    # q_join_semi_anti — the last three displaced by this session's
-    # three new first-ever names)
+    # q_join_semi_anti, q_global_running_sum, q_heavy_hitters,
+    # q_hll_distinct, q_hll_groups, q_distinct, q_doc_fingerprint,
+    # q_exact_quantiles, q_fuzzy_match — the last eleven displaced
+    # by this session's eleven new first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -11512,14 +12063,6 @@ _PRIORITY = [
     "q_dedup_exact_groups",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
-    "q_distinct",
-    "q_doc_fingerprint",
-    "q_exact_quantiles",
-    "q_fuzzy_match",
-    "q_global_running_sum",
-    "q_heavy_hitters",
-    "q_hll_distinct",
-    "q_hll_groups",
 ]
 
 

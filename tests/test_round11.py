@@ -618,3 +618,269 @@ def test_chao1_known_values(spark):
 
     with pytest.raises(ValueError):
         chao1_richness(docs, n=0)
+
+
+def test_isotonic_pav_known_values(spark):
+    """Textbook PAV: bin rates [0.3, 0.1, 0.4] with equal n pool the
+    violating first two bins at 0.2; a second group with rates
+    [0.7, 0.9, 0.6] pools its last two at 0.75."""
+    from dataframes_jl_spark.functions.stats import isotonic_calibration
+
+    rows = []
+    for s, npos in ((0.05, 3), (0.15, 1), (0.25, 4)):
+        rows += [("g1", s, 1 if i < npos else 0) for i in range(10)]
+    for s, npos in ((0.05, 7), (0.15, 9), (0.25, 6)):
+        rows += [("g2", s, 1 if i < npos else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {
+        (r.g, r.bin): (r.obs_rate, r.iso_rate)
+        for r in isotonic_calibration(
+            df, "y", "s", group_by=["g"], n_bins=10
+        ).collect()
+    }
+    assert got[("g1", 0)] == (0.3, 0.2)
+    assert got[("g1", 1)] == (0.1, 0.2)
+    assert got[("g1", 2)] == (0.4, 0.4)
+    assert got[("g2", 0)] == (0.7, 0.7)
+    assert got[("g2", 1)] == (0.9, 0.75)
+    assert got[("g2", 2)] == (0.6, 0.75)
+
+
+def test_isotonic_monotone_on_real_bins(spark):
+    """The fitted curve is monotone non-decreasing in bin within every
+    group — the defining property, checked on driver data."""
+    from dataframes_jl_spark.functions.stats import isotonic_calibration
+    from dataframes_jl_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    pu = F.pmod(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"), F.lit(101)
+    )
+    df = ev.withColumn("prob", pu.cast("double") / F.lit(100.0)).withColumn(
+        "lbl", F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    )
+    out = isotonic_calibration(
+        df, "lbl", "prob", group_by=["event_type"], n_bins=10
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.event_type, []).append((r.bin, r.iso_rate))
+    for g, pairs in by_g.items():
+        seq = [v for _, v in sorted(pairs)]
+        assert seq == sorted(seq), (g, seq)
+
+
+def test_mann_kendall_known_values(spark):
+    """Daily counts [1,2,3,4]: S=6, Var=4·3·13/18, Z=(6−1)/√Var; a
+    constant series has Var=0 and a NULL z."""
+    import datetime as dt
+
+    from dataframes_jl_spark.functions.timeseries import mann_kendall
+
+    rows = []
+    for day, cnt in ((1, 1), (2, 2), (3, 3), (4, 4)):
+        rows += [("up", dt.datetime(2024, 1, day, 12, 0))] * cnt
+    for day in (1, 2, 3):
+        rows += [("flat", dt.datetime(2024, 1, day, 12, 0))] * 2
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.g: r for r in mann_kendall(df, "ts", ["g"]).collect()}
+    up = got["up"]
+    assert (up.n_days, up.s) == (4, 6)
+    assert up.var_s == pytest.approx(156.0 / 18.0, abs=1e-6)
+    assert up.z == pytest.approx(5.0 / (156.0 / 18.0) ** 0.5, abs=1e-5)
+    flat = got["flat"]
+    assert (flat.n_days, flat.s) == (3, 0)
+    assert flat.var_s == 0.0 and flat.z is None
+
+
+def test_split_conformal_exact_order_statistic(spark):
+    """q_hat equals the ceil((n_cal+1)(1−alpha))-th smallest
+    calibration residual computed independently, and coverage equals
+    the directly-counted share of test residuals within it."""
+    from dataframes_jl_spark.functions.stats import split_conformal
+    from dataframes_jl_spark.ops.sampling import split_bucket
+    from pyspark.sql import functions as F
+    import math
+
+    rows = [(i, float(i % 37), float((i * 13) % 29)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, y double, p double")
+    out = split_conformal(
+        df, "y", "p", "k", alpha=0.2, calib_frac=0.5
+    ).collect()[0]
+
+    tagged = df.select(
+        "k",
+        F.abs(F.col("y") - F.col("p")).alias("r"),
+        (split_bucket("k", 1000) < 500).alias("is_cal"),
+    ).collect()
+    cal = sorted(t.r for t in tagged if t.is_cal)
+    test = [t.r for t in tagged if not t.is_cal]
+    k = math.ceil((len(cal) + 1) * 0.8)
+    q = cal[k - 1]
+    assert out.n_cal == len(cal) and out.n_test == len(test)
+    assert out.k == k
+    assert out.q_hat == pytest.approx(q, abs=1e-6)
+    cov = sum(1 for r in test if r <= q + 1e-12) / len(test)
+    assert out.coverage == pytest.approx(cov, abs=1e-6)
+
+
+def test_split_conformal_degenerate_alpha(spark):
+    """alpha so small that k > n_cal: the row survives with NULL
+    q_hat/coverage instead of vanishing."""
+    from dataframes_jl_spark.functions.stats import split_conformal
+
+    rows = [(i, 1.0, 0.5) for i in range(6)]
+    df = spark.createDataFrame(rows, "k long, y double, p double")
+    out = split_conformal(df, "y", "p", "k", alpha=0.01).collect()
+    assert len(out) == 1
+    assert out[0].q_hat is None and out[0].coverage is None
+    with pytest.raises(ValueError):
+        split_conformal(df, "y", "p", "k", alpha=0.0)
+
+
+def test_randomization_test_extremes(spark):
+    """Perfectly-separated arms give the minimal Dwass p-value
+    1/(n_used+1); re-running is bit-identical (hash-deterministic)."""
+    from dataframes_jl_spark.ops.bootstrap import (
+        randomization_test_mean_diff,
+    )
+
+    rows = [(i, 100.0, "a") for i in range(60)]
+    rows += [(i + 60, 0.0, "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    r1 = randomization_test_mean_diff(
+        df, "id", "v", "g", "a", "b", n_perm=49
+    ).collect()[0]
+    assert (r1.n_a, r1.n_b) == (60, 60)
+    assert r1.obs_diff == pytest.approx(100.0, abs=1e-6)
+    assert r1.n_extreme == 0
+    assert r1.p_value == pytest.approx(1.0 / (r1.n_used + 1.0), abs=1e-6)
+    r2 = randomization_test_mean_diff(
+        df, "id", "v", "g", "a", "b", n_perm=49
+    ).collect()[0]
+    assert r1 == r2
+    with pytest.raises(ValueError):
+        randomization_test_mean_diff(
+            df, "id", "v", "g", "a", "b", n_perm=0
+        )
+
+
+def test_randomization_test_null_is_insignificant(spark):
+    """Identical arms (same values both sides) produce a p-value well
+    away from the minimal one — the test does not manufacture
+    significance under the null."""
+    from dataframes_jl_spark.ops.bootstrap import (
+        randomization_test_mean_diff,
+    )
+
+    rows = [(i, float(i % 10), "a") for i in range(100)]
+    rows += [(i + 100, float(i % 10), "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    r = randomization_test_mean_diff(
+        df, "id", "v", "g", "a", "b", n_perm=99
+    ).collect()[0]
+    assert r.obs_diff == pytest.approx(0.0, abs=1e-9)
+    assert r.p_value > 0.5
+
+
+def test_cronbach_alpha_known_values(spark):
+    """Hand-checked: items [1,2,3,4], [2,2,4,4], [1,3,3,5] have sample
+    variances 5/3, 4/3, 8/3 (sum 17/3); totals [4,7,10,13] have
+    variance 15 => alpha = 1.5·(1 − (17/3)/15) = 0.933333."""
+    from dataframes_jl_spark.functions.stats import cronbach_alpha
+
+    rows = [(1.0, 2.0, 1.0), (2.0, 2.0, 3.0), (3.0, 4.0, 3.0),
+            (4.0, 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    assert (r.n, r.k) == (4, 3)
+    assert r.item_var_sum == pytest.approx(17.0 / 3.0, abs=1e-5)
+    assert r.total_var == pytest.approx(15.0, abs=1e-5)
+    assert r.alpha == pytest.approx(1.5 * (1.0 - 17.0 / 45.0), abs=1e-5)
+    with pytest.raises(ValueError):
+        cronbach_alpha(df, ["a"])
+
+
+def test_cronbach_alpha_null_and_constant(spark):
+    """Rows with any null item drop (complete-case); constant totals
+    give NULL alpha."""
+    from dataframes_jl_spark.functions.stats import cronbach_alpha
+
+    rows = [(1.0, 2.0), (2.0, None), (3.0, 4.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = cronbach_alpha(df, ["a", "b"]).collect()[0]
+    assert r.n == 2
+    const = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 1.0)], "a double, b double"
+    )
+    r2 = cronbach_alpha(const, ["a", "b"]).collect()[0]
+    assert r2.alpha is None  # totals both 3 -> zero total variance
+
+
+def test_theil_index_known_values(spark):
+    """Equal mass => T = 0; [1, 3] => (1/4)ln(1/2) + (3/4)ln(3/2)
+    ≈ 0.130812; zeros and negatives are excluded."""
+    from dataframes_jl_spark.ops.inequality import theil_index
+    import math
+
+    eq = spark.createDataFrame([("g", 2.0)] * 4, "g string, v double")
+    r = theil_index(eq, "v", group_by=["g"]).collect()[0]
+    assert r.theil == pytest.approx(0.0, abs=1e-6)
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 3.0), ("g", 0.0), ("g", -2.0)],
+        "g string, v double",
+    )
+    r2 = theil_index(df, "v", group_by=["g"]).collect()[0]
+    expect = 0.25 * math.log(0.5) + 0.75 * math.log(1.5)
+    assert r2.n == 2 and r2.total == 400
+    assert r2.theil == pytest.approx(expect, abs=1e-5)
+
+
+def test_audience_overlap_known_values(spark):
+    """users {1:ab, 2:a, 3:bc}: (a,b) share 1 of 3 distinct users
+    (jaccard 1/3); (b,c) share 1, overlap coefficient 1 (c ⊂ b);
+    (a,c) share none and emit NO row (inner-join contract)."""
+    from dataframes_jl_spark.ops.basket import audience_overlap
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (3, "b"), (3, "c"),
+            (1, "a")]  # duplicate membership must not double-count
+    df = spark.createDataFrame(rows, "u long, g string")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in audience_overlap(df, "u", "g").collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_both) == (2, 2, 1)
+    assert ab.jaccard == pytest.approx(1.0 / 3.0, abs=1e-6)
+    bc = got[("b", "c")]
+    assert (bc.n_both, bc.overlap) == (1, 1.0)
+    assert ("a", "c") not in got
+
+
+def test_tfidf_top_term_is_distinctive(spark):
+    """The corpus-wide term ('apple', df = N) never beats a
+    document-specific term under smoothed TF-IDF."""
+    from dataframes_jl_spark.llm.relevance import tf_idf
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana banana"), (1, "apple cherry"),
+         (2, "apple date")],
+        "doc_id long, text string",
+    )
+    scored = tf_idf(docs, "doc_id", "text")
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    top = {
+        r.id: r.term
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert top == {0: "banana", 1: "cherry", 2: "date"}
