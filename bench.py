@@ -132,9 +132,11 @@ HEADLINE = [
     "q_effect_size",
     "q_mcnemar",
     "q_wilson_ci",
+    # q_chao1_richness stays OUT of the battery under the keep-it-lean
+    # rule (4.2 s at sf0.1 — the trigram explode IS the cost; covered
+    # by its oracle gate and its sf10 pin at seg +0.79)
     "q_anova",
     "q_kendall_tau",
-    "q_chao1_richness",
     "q_isotonic",
     "q_mann_kendall",
     "q_conformal",
@@ -143,6 +145,8 @@ HEADLINE = [
     "q_theil_index",
     "q_audience_overlap",
     "q_tfidf_topk",
+    "q_readability",
+    "q_stream_cusum_merge",
 ]
 
 

@@ -986,11 +986,34 @@ def cusum_peaks(
         .groupBy(*gb, F.to_date(F.col(ts)).alias("day"))
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    stats = daily.groupBy(*gb).agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").alias("total"),
+    return cusum_from_daily(daily, gb, out_scale)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    gb: list,
+    out_scale: int = 6,
+) -> DataFrame:
+    """CUSUM core of :func:`cusum_peaks` over an already-built daily
+    table ``(*gb, day, x)`` — split out so the streaming twin
+    (streaming.changepoint.merge_cusum_snapshots) runs the IDENTICAL
+    integer path over its snapshot-reconstructed day counts: one
+    binning contract, two entry points, no drift (the
+    calibration-lane lesson from the round-10 advice).
+
+    The per-group (n_days, total) carries ride an UNORDERED window
+    over the same calendar-bounded partition rather than a join back
+    — one shuffle fewer, and no shared-lineage self-join for a
+    snapshot-reconstructed input to trip over."""
+    wg = Window.partitionBy(*gb)
+    # bounded window: <= calendar days per group ride this partition
+    j = daily.select(
+        *gb,
+        "day",
+        "x",
+        F.count(F.lit(1)).over(wg).alias("n_days"),
+        F.sum("x").over(wg).alias("total"),
     )
-    j = daily.join(stats, gb, "inner")
     dev = F.col("x") * F.col("n_days") - F.col("total")
     w = (
         Window.partitionBy(*gb)

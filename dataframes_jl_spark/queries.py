@@ -11996,6 +11996,154 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q_readability",
+    oracle=r"""
+    WITH sc AS (
+      SELECT lang,
+             text IS NULL AS is_null,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+             END AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS vgroups
+      FROM documents
+    ),
+    q AS (
+      SELECT lang,
+             CASE WHEN NOT is_null AND words > 0 THEN
+               CAST(FLOOR((206.835
+                           - 1.015 * (CAST(words AS DOUBLE)
+                                      / CAST(sentences AS DOUBLE))
+                           - 84.6 * (CAST(GREATEST(vgroups, words)
+                                          AS DOUBLE)
+                                     / CAST(words AS DOUBLE)))
+                          * 1e4 + 0.5) AS BIGINT) END AS qe,
+             CASE WHEN NOT is_null AND words > 0 THEN
+               CAST(FLOOR((0.39 * (CAST(words AS DOUBLE)
+                                   / CAST(sentences AS DOUBLE))
+                           + 11.8 * (CAST(GREATEST(vgroups, words)
+                                          AS DOUBLE)
+                                     / CAST(words AS DOUBLE))
+                           - 15.59)
+                          * 1e4 + 0.5) AS BIGINT) END AS qg
+      FROM sc
+    ),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(qe) AS BIGINT) AS n_scored,
+             CAST(SUM(qe) AS BIGINT) AS se,
+             CAST(SUM(qg) AS BIGINT) AS sg
+      FROM q GROUP BY 1
+    )
+    SELECT lang, n_docs, n_scored,
+           CASE WHEN n_scored > 0 THEN
+             FLOOR(CAST(se AS DOUBLE) / CAST(n_scored AS DOUBLE)
+                   / 1e4 * 1e4 + 0.5) / 1e4 END AS mean_ease,
+           CASE WHEN n_scored > 0 THEN
+             FLOOR(CAST(sg AS DOUBLE) / CAST(n_scored AS DOUBLE)
+                   / 1e4 * 1e4 + 0.5) / 1e4 END AS mean_grade
+    FROM agg
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch reading-ease / FK-grade rollup
+    (llm.text.readability_report) — the prose-difficulty quality
+    signal beside q_gopher_rules' structural one, built entirely from
+    codegen'd regexp counts (no explode, no UDF, zero shuffle before
+    the group fold). Per-document scores quantize to int64 BEFORE the
+    mean, so the group means are order-independent integer sums."""
+    from .llm.text import readability_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_report(docs, "text", group_by=["lang"])
+
+
+
+
+@register(
+    "q_stream_cusum_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    p1 AS (
+      SELECT daily.g AS g, day, n_days, total,
+             SUM(x * n_days - total)
+               OVER (PARTITION BY daily.g ORDER BY day) AS s
+      FROM daily JOIN st ON daily.g = st.g
+    ),
+    p2 AS (
+      SELECT g, day, n_days, total,
+             s - LEAST(MIN(s) OVER (PARTITION BY g ORDER BY day),
+                       CAST(0 AS BIGINT)) AS c
+      FROM p1
+    ),
+    best AS (
+      SELECT g, n_days, total AS total_events, day AS peak_day, c,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY c DESC, day ASC) AS rk
+      FROM p2
+    )
+    SELECT g, n_days, total_events,
+           CAST(peak_day AS VARCHAR) AS peak_day,
+           FLOOR(CAST(c AS DOUBLE) / CAST(total_events AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS peak_cusum
+    FROM best WHERE rk = 1
+    """,
+)
+def q_stream_cusum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point SNAPSHOT-MERGE gate
+    (streaming.changepoint.merge_cusum_snapshots): a static simulation
+    of the update-mode sink — per (event type, day window) the
+    CUMULATIVE count after each touched micro-batch (event_id mod 3
+    plays the batch id, the drift-lane protocol), stale intermediates
+    included — max-merged to exact day counts and scanned by the SAME
+    integer CUSUM core the batch operator uses
+    (functions.stats.cusum_from_daily). The oracle never sees the
+    emission structure: it computes each type's peak DIRECTLY from
+    raw events, so equality proves the merge collapses any emission
+    history to the batch answer."""
+    from pyspark.sql import Window
+
+    from .streaming.changepoint import merge_cusum_snapshots
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", F.col("ts")).alias("win_start"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("b"),
+    )
+    per_batch = base.groupBy("g", "win_start", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("g", "win_start")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    emissions = per_batch.select(
+        "g", "win_start", F.sum("c").over(w).alias("n")
+    )
+    out = merge_cusum_snapshots(emissions)
+    return out.withColumn("peak_day", F.col("peak_day").cast("string"))
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -12022,6 +12170,8 @@ _PRIORITY = [
     "q_theil_index",        # decomposable inequality, new this round
     "q_audience_overlap",   # exact segment-overlap matrix, new this round
     "q_tfidf_topk",         # per-doc distinctive term, new this round
+    "q_readability",        # Flesch/FK prose difficulty, new this round
+    "q_stream_cusum_merge", # streaming CUSUM snapshot-merge, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -12035,8 +12185,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (14 of the 50 names whose latest driver row is
-    # r7 fit below; the 36 deferred ride r7 rows one more round:
+    # --- round-7-era (12 of the 50 names whose latest driver row is
+    # r7 fit below; the 38 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -12047,8 +12197,9 @@ _PRIORITY = [
     # q_kmeans_clusters, q_interarrival, q_join_left,
     # q_join_semi_anti, q_global_running_sum, q_heavy_hitters,
     # q_hll_distinct, q_hll_groups, q_distinct, q_doc_fingerprint,
-    # q_exact_quantiles, q_fuzzy_match — the last eleven displaced
-    # by this session's eleven new first-ever names)
+    # q_exact_quantiles, q_fuzzy_match, q_dedup_minhash_lsh, q_dedup_simhash
+    # — the last thirteen displaced by this session's thirteen new
+    # first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -12061,8 +12212,6 @@ _PRIORITY = [
     "q_cut_histogram",
     "q_dedup_embedding",
     "q_dedup_exact_groups",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
 ]
 
 

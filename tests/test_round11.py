@@ -884,3 +884,84 @@ def test_tfidf_top_term_is_distinctive(spark):
         .collect()
     }
     assert top == {0: "banana", 1: "cherry", 2: "date"}
+
+
+def test_cusum_stream_matches_batch(spark, tmp_path):
+    """Stream-vs-batch parity: merged cusum_stream snapshots equal
+    cusum_peaks over the same rows — grouped, with cross-batch window
+    updates so stale cumulative intermediates exist in the sink."""
+    import datetime as dt
+
+    from dataframes_jl_spark.functions.stats import cusum_peaks
+    from dataframes_jl_spark.streaming.changepoint import (
+        cusum_stream,
+        merge_cusum_snapshots,
+    )
+
+    rows = []
+    for i in range(90):
+        g = "a" if i % 3 else "b"
+        day = 1 + (i * 7) % 9
+        # rate shift: group a doubles its arrivals on days 6-9
+        reps = 2 if (g == "a" and day >= 6) else 1
+        for r in range(reps):
+            rows.append((g, dt.datetime(2024, 3, day, 8 + r)))
+    d = tmp_path / "cusum_in"
+    d.mkdir()
+    for b in range(3):
+        chunk = rows[b::3]
+        (d / f"{b}.csv").write_text(
+            "g,ts\n"
+            + "\n".join(f"{g},{ts.isoformat()}" for g, ts in chunk)
+            + "\n"
+        )
+    schema = "g string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("header", True)
+        .csv(str(d))
+    )
+    q = (
+        cusum_stream(stream, "ts", "g", watermark="10 days")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_cusum")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snaps = spark.sql("SELECT * FROM t_cusum")
+        merged = {
+            r.g: r for r in merge_cusum_snapshots(snaps).collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(rows, schema)
+    expect = {r.g: r for r in cusum_peaks(batch, "ts", ["g"]).collect()}
+    assert set(merged) == set(expect)
+    for g in expect:
+        assert merged[g] == expect[g], (g, merged[g], expect[g])
+
+
+def test_readability_known_values(spark):
+    """'The cat sat. The dog ran.' = 6 words, 2 sentences, 6 vowel
+    groups => ease = 206.835 − 1.015·3 − 84.6·1 = 119.19, grade =
+    0.39·3 + 11.8·1 − 15.59 = −2.62; a fragment clamps to 1
+    sentence; NULL text scores NULL but counts in n_docs."""
+    from dataframes_jl_spark.llm.text import readability_report
+
+    docs = spark.createDataFrame(
+        [("en", "The cat sat. The dog ran."), ("en", None)],
+        "lang string, text string",
+    )
+    r = readability_report(docs, "text", group_by=["lang"]).collect()[0]
+    assert (r.n_docs, r.n_scored) == (2, 1)
+    assert r.mean_ease == pytest.approx(119.19, abs=1e-3)
+    assert r.mean_grade == pytest.approx(-2.62, abs=1e-3)
+
+    frag = spark.createDataFrame(
+        [("x", "no terminal punctuation here")], "lang string, text string"
+    )
+    r2 = readability_report(frag, "text", group_by=["lang"]).collect()[0]
+    assert r2.n_scored == 1 and r2.mean_ease is not None

@@ -84,6 +84,19 @@ NAMES = [
     "q_effect_size",       # decimal Σq² moments at 10x rows
     "q_mcnemar",           # per-user windows over 10x event rows
     "q_wilson_ci",         # shared z/z2 literal folds at 10x rows
+    "q_anova",             # Welch carry-sum folds at 10x group sizes
+    "q_kendall_tau",       # int128 pair counts over the 10x grid mass
+    "q_chao1_richness",    # f1/f2 folds over the 10x trigram space
+    "q_isotonic",          # minimax interval means at 10x bin counts
+    "q_mann_kendall",      # tie-corrected Var(S) decimals at 10x days
+    "q_conformal",         # order-statistic k at 10x calibration n
+    "q_perm_test",         # 64x Bernoulli explode, quantized sums
+    "q_cronbach",          # decimal item/total moments at 10x users
+    "q_theil_index",       # quantized-ln mass sums at 10x orders
+    "q_audience_overlap",  # exact pair counts at 10x user sets
+    "q_tfidf_topk",        # quantize-before-rank winners, 10x df table
+    "q_readability",       # int64 score sums at 10x docs
+    "q_stream_cusum_merge",# snapshot max-merge + integer CUSUM at 10x
 ]
 
 
