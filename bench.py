@@ -147,6 +147,9 @@ HEADLINE = [
     "q_tfidf_topk",
     "q_readability",
     "q_stream_cusum_merge",
+    "q_ljung_box",
+    "q_dispersion",
+    "q_cochran_armitage",
 ]
 
 

@@ -2408,6 +2408,13 @@ def isotonic_calibration(
     every group.
     """
     gb = list(group_by)
+    from pyspark import StorageLevel
+
+    # four downstream branches (j-side, k-side, i-side, final join)
+    # consume this bounded |groups|·n_bins table; without the persist
+    # each branch re-runs the row-volume aggregate from the raw scan —
+    # a 4x scan cost at 100 TB for a table of a few hundred rows.
+    # Caller/clearCache owns unpersisting (the with_running contract).
     per = (
         _binned_scores(
             df, label, score, gb, n_bins, scale, "isotonic_calibration"
@@ -2417,6 +2424,7 @@ def isotonic_calibration(
             F.count(F.lit(1)).alias("n"),
             F.sum("y").alias("n_pos"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wnd = (
         Window.partitionBy(*gb).orderBy("bin")
@@ -2695,4 +2703,98 @@ def cronbach_alpha(
         F.when(F.col("n") > 1, _q(item_var / m2)).alias("item_var_sum"),
         F.when(F.col("n") > 1, _q(tot_var / m2)).alias("total_var"),
         F.when(ok, _q(alpha)).alias("alpha"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    success: str,
+    group_col: str,
+    scores: dict | None = None,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary rate MONOTONE in an
+    ORDERED factor? The question between q_wilson_ci (one proportion
+    per level) and q_anova (unordered omnibus): dose-response, tier-
+    conversion, priority-SLA — "does the rate climb with the level?",
+    one Z for the whole ladder (Cochran 1954, Armitage 1955):
+
+        T = Σ_i w_i (x_i − n_i·p̄)
+        Var(T) = p̄(1−p̄) · [Σ n_i w_i² − (Σ n_i w_i)²/N]
+        Z = T / √Var(T)
+
+    ``scores`` maps level → integer weight w_i (the level order);
+    unmapped levels are EXCLUDED (an unordered level has no place on
+    a trend axis). Returns one row ``(n, n_levels, t_stat, var_t,
+    z)``; z is NULL when the pooled rate is degenerate (p̄ ∈ {0,1})
+    or the score spread is zero.
+
+    Determinism: per-level (n_i, x_i) are exact int64 from ONE
+    map-side-combining aggregate; with integer scores, T·N and the
+    bracket are exact integer folds over the bounded level table —
+    only the final standardization divides.
+
+    Scale shape: one aggregate pass, one bounded k-row fold. Nothing
+    else moves.
+    """
+    if not scores:
+        raise ValueError("cochran_armitage needs a level -> score map")
+    w = F.lit(None).cast("long")
+    expr = None
+    for lvl, sc in scores.items():
+        cond = F.col(group_col) == F.lit(lvl)
+        expr = (
+            F.when(cond, F.lit(int(sc)))
+            if expr is None
+            else expr.when(cond, F.lit(int(sc)))
+        )
+    w = expr.otherwise(F.lit(None).cast("long"))
+    y = F.col(success).cast("long")
+    ychk = F.when(y.isin(0, 1), y).otherwise(
+        F.raise_error(
+            F.lit("cochran_armitage: success column must be 0/1")
+        )
+    )
+    base = (
+        df.filter(F.col(success).isNotNull())
+        .select(w.alias("w"), ychk.alias("y"))
+        .filter(F.col("w").isNotNull())
+    )
+    per = base.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("y").alias("xi"),
+    )
+    dec = "decimal(38,0)"
+    # bounded k-row fold: every sum below is over |levels| rows
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_levels"),
+        F.sum("ni").alias("n"),
+        F.sum("xi").alias("x"),
+        F.sum(F.col("w").cast(dec) * F.col("xi").cast(dec)).alias("swx"),
+        F.sum(F.col("w").cast(dec) * F.col("ni").cast(dec)).alias("swn"),
+        F.sum(
+            F.col("w").cast(dec)
+            * F.col("w").cast(dec)
+            * F.col("ni").cast(dec)
+        ).alias("swwn"),
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("x").cast("double") / nd
+    # T = Σ w x_i − p̄ Σ w n_i  (exact ints before the p̄ multiply)
+    t = F.col("swx").cast("double") - pbar * F.col("swn").cast("double")
+    bracket = F.col("swwn").cast("double") - F.col("swn").cast(
+        "double"
+    ) * F.col("swn").cast("double") / nd
+    var_t = pbar * (F.lit(1.0) - pbar) * bracket
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return agg.select(
+        "n",
+        "n_levels",
+        _q(t).alias("t_stat"),
+        _q(var_t).alias("var_t"),
+        F.when(var_t > 0, _q(t / F.sqrt(var_t))).alias("z"),
     )

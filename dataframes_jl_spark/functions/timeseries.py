@@ -27,10 +27,20 @@ from pyspark.sql import functions as F
 
 
 def _daily(df: DataFrame, ts: str, gb: list) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # every consumer (Theil-Sen's pair sides, the ACF/Ljung-Box join,
+    # Mann-Kendall's three branches) fans this calendar-bounded table
+    # into 2-3 plan branches; without the persist each branch re-runs
+    # the row-volume daily count from the raw scan — the only
+    # event-volume job in the module, multiplied for no reason. The
+    # table itself is ≤ |groups|·366 rows/year. Caller/clearCache owns
+    # unpersisting (the with_running contract).
     return (
         df.filter(F.col(ts).isNotNull())
         .groupBy(*gb, F.to_date(F.col(ts)).alias("day"))
         .agg(F.count(F.lit(1)).alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -85,25 +95,16 @@ def theilsen_trend(
     )
 
 
-def autocorrelation(
-    df: DataFrame,
-    ts: str,
-    group_by: Sequence[str],
-    max_lag: int = 7,
-    out_scale: int = 6,
+def _acf_sums(
+    df: DataFrame, ts: str, gb: list, max_lag: int
 ) -> DataFrame:
-    """Per-group autocorrelation of the daily count series at lags
-    1..``max_lag`` — the seasonality fingerprint (a weekly cycle shows
-    as a peak at lag 7) that complements the seasonal-residual and
-    CUSUM operators.
-
-    ACF_k = Σ dev_t·dev_{t+k} / Σ dev_t² over the OBSERVED day sequence
-    (positional lags via row_number — for gap-free calendars, identical
-    to calendar lags), with ``dev_t = n·x_t − total`` exact int64 (the
-    n² factors cancel in the ratio). One row per (group, lag); lags
-    with no overlapping pairs return NULL.
-    """
-    gb = list(group_by)
+    """Shared ACF machinery of :func:`autocorrelation` and
+    :func:`ljung_box`: per-group exact-integer lag-covariance sums
+    over the daily series — one definition so the plot and the
+    omnibus test cannot drift apart (the calibration-lane dedup
+    lesson). Returns one row per group with ``n_days``, ``__den__``
+    (Σ dev²) and ``__num{k}__`` (Σ dev_t·dev_{t+k}) for k = 1..max_lag,
+    all decimal(38,0)-exact."""
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
     d = _daily(df, ts, gb)
@@ -131,7 +132,29 @@ def autocorrelation(
                 (F.col("dev").cast(dec) * F.col(f"__l{k}__").cast(dec))
             ).alias(f"__num{k}__")
         )
-    agg = base.groupBy(*gb).agg(*aggs)
+    return base.groupBy(*gb).agg(*aggs)
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    max_lag: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group autocorrelation of the daily count series at lags
+    1..``max_lag`` — the seasonality fingerprint (a weekly cycle shows
+    as a peak at lag 7) that complements the seasonal-residual and
+    CUSUM operators.
+
+    ACF_k = Σ dev_t·dev_{t+k} / Σ dev_t² over the OBSERVED day sequence
+    (positional lags via row_number — for gap-free calendars, identical
+    to calendar lags), with ``dev_t = n·x_t − total`` exact int64 (the
+    n² factors cancel in the ratio). One row per (group, lag); lags
+    with no overlapping pairs return NULL.
+    """
+    gb = list(group_by)
+    agg = _acf_sums(df, ts, gb, max_lag)
     m = F.lit(float(10**out_scale))
     lags = F.array(
         *[
@@ -326,4 +349,114 @@ def mann_kendall(
         F.coalesce("s", F.lit(0)).alias("s"),
         _q(var_s).alias("var_s"),
         F.when(var_s > 0, _q(z)).alias("z"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    max_lag: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Ljung-Box portmanteau test over the daily-count
+    series — the OMNIBUS verdict :func:`autocorrelation`'s per-lag
+    plot leaves to the eye: "is this series distinguishable from
+    white noise across the first m lags at all?" (Ljung & Box 1978;
+    compare Q to chi-square with m degrees of freedom, e.g. 14.067
+    for m = 7 at 5%):
+
+        Q = n(n+2) · Σ_{k=1..m} ρ_k² / (n − k)
+
+    Shares :func:`_acf_sums` with the ACF plot — one lag-covariance
+    definition, two consumers (the calibration-lane dedup rule), so
+    the ρ_k feeding Q are bit-identical to the plotted ones. Each
+    ρ_k is a ratio of exact decimal(38,0) sums; the k-term fold is a
+    fixed left-to-right sum of m doubles, written identically in the
+    oracle. Lags with no overlap (k ≥ n) contribute nothing.
+
+    Returns ``(*group_by, n_days, m_lags, q_stat)``; ``q_stat`` is
+    NULL for constant series (zero denominator — no autocorrelation
+    to test).
+
+    Scale shape: identical to autocorrelation — the daily count is
+    the only event-volume job; everything after rides the bounded
+    per-group day table.
+    """
+    gb = list(group_by)
+    agg = _acf_sums(df, ts, gb, max_lag)
+    nd = F.col("n_days").cast("double")
+    q = None
+    for k in range(1, max_lag + 1):
+        rho = F.col(f"__num{k}__").cast("double") / F.col(
+            "__den__"
+        ).cast("double")
+        term = F.when(
+            F.col("n_days") > k, rho * rho / (nd - F.lit(float(k)))
+        ).otherwise(F.lit(0.0))
+        q = term if q is None else q + term
+    q = nd * (nd + F.lit(2.0)) * q
+    m = F.lit(float(10**out_scale))
+    return agg.select(
+        *gb,
+        "n_days",
+        F.lit(int(max_lag)).alias("m_lags"),
+        F.when(
+            F.col("__den__") > 0, F.floor(q * m + F.lit(0.5)) / m
+        ).alias("q_stat"),
+    )
+
+
+def dispersion_test(
+    df: DataFrame,
+    ts: str,
+    group_by: Sequence[str],
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group index-of-dispersion test on the daily counts — the
+    overdispersion question under every rate monitor: a Poisson
+    arrival stream has variance ≈ mean (VMR = 1); real traffic is
+    almost always burstier, and every alarm threshold calibrated on
+    the Poisson assumption then under-covers. The classic statistic
+
+        D = (n − 1)·s² / x̄   (≈ chi-square with n−1 df under Poisson)
+
+    and the variance-to-mean ratio s²/x̄ in one row per group.
+
+    Determinism: from the bounded day table, (n, Σx, Σx²) are exact
+    int64/decimal; s², x̄, VMR and D are correctly-rounded expressions
+    over those integers, floor-quantized on output. Returns
+    ``(*group_by, n_days, mean_daily, vmr, d_stat)``; VMR/D NULL when
+    n < 2 or the mean is 0.
+
+    Scale shape: the daily count is the only event-volume job; ONE
+    further map-side-combining aggregate folds the day table.
+    """
+    gb = list(group_by)
+    d = _daily(df, ts, gb)
+    dec = "decimal(38,0)"
+    agg = d.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    mean = sx / nd
+    var = (F.col("sxx").cast("double") - sx * sx / nd) / (
+        nd - F.lit(1.0)
+    )
+    vmr = var / mean
+    m = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * m + F.lit(0.5)) / m
+
+    ok = (F.col("n_days") > 1) & (F.col("sx") > 0)
+    return agg.select(
+        *gb,
+        "n_days",
+        _q(mean).alias("mean_daily"),
+        F.when(ok, _q(vmr)).alias("vmr"),
+        F.when(ok, _q((nd - F.lit(1.0)) * vmr)).alias("d_stat"),
     )

@@ -210,28 +210,53 @@ def audience_overlap(
     jaccard, overlap)`` with group_a < group_b lexically; every
     metric an exact-int ratio, floor-quantized.
 
-    Scale shape: ONE distinct (key, group) shuffle; the pair step is
-    a self-join ON key — quadratic only in the per-entity segment
-    COUNT (≤ |segments|, a bounded dashboard-scale number), linear in
-    entities; the |segments|-row totals ride a broadcast join onto
-    the |segments|²-row pair table.
+    Scale shape: ONE row-volume shuffle total — the per-entity
+    ``collect_set`` of segments (the distinct step folded into it);
+    singles and ordered pairs then EXPLODE from each entity's set in
+    the same projection (quadratic only in the per-entity segment
+    COUNT, ≤ |segments|, a bounded dashboard-scale number) into one
+    map-side-combining count whose bounded |segments|²-row output is
+    persisted for its two consumers (totals, pairs). No self-join of
+    the entity table, no second scan.
     """
-    base = (
+    from pyspark import StorageLevel
+
+    sets = (
         df.filter(F.col(key).isNotNull() & F.col(group_col).isNotNull())
         .select(
             F.col(key).alias("k"),
             F.col(group_col).cast("string").alias("g"),
         )
-        .distinct()
+        .groupBy("k")
+        .agg(F.collect_set("g").alias("gs"))
     )
-    tot = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    a = base.select(F.col("k").alias("ka"), F.col("g").alias("group_a"))
-    b = base.select(F.col("k").alias("kb"), F.col("g").alias("group_b"))
-    pairs = (
-        a.join(b, (F.col("ka") == F.col("kb"))
-               & (F.col("group_a") < F.col("group_b")))
-        .groupBy("group_a", "group_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    # one exploded stream carries BOTH the per-segment memberships
+    # (b IS NULL marker rows) and the ordered segment pairs
+    items = sets.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(gs, x -> struct(x as a,"
+                "                           cast(null as string) as b)),"
+                " flatten(transform(gs, x ->"
+                "   transform(filter(gs, y -> y > x),"
+                "             y -> struct(x as a, y as b))))"
+                ")"
+            )
+        ).alias("p")
+    )
+    counts = (
+        items.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = counts.filter(F.col("b").isNull()).select(
+        F.col("a").alias("g"), F.col("c").alias("n")
+    )
+    pairs = counts.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("group_a"),
+        F.col("b").alias("group_b"),
+        F.col("c").alias("n_both"),
     )
     om = F.lit(float(10**out_scale))
 

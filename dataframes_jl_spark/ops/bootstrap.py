@@ -382,6 +382,11 @@ def randomization_test_mean_diff(
         .alias("xu"),
         (F.col(group_col) == F.lit(group_a)).alias("is_a"),
     )
+    from pyspark import StorageLevel
+
+    # 1-row frame consumed by two branches (the assignment threshold
+    # and the p-value fold); the persist keeps the second consumer
+    # from re-scanning the arm rows for four sums already computed
     obs = base.agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
@@ -391,7 +396,7 @@ def randomization_test_mean_diff(
         F.sum(F.when(~F.col("is_a"), F.col("xu")).otherwise(F.lit(0)))
         .cast(dec)
         .alias("sb"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # replicate fan-out: u from the shared mixed hash, pseudo-arm by
     # threshold n_a/(n_a+n_b) (broadcast 1-row)
     ex = base.select(

@@ -12144,6 +12144,216 @@ def q_stream_cusum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("peak_day", F.col("peak_day").cast("string"))
 
 
+
+
+@register(
+    "q_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    dv AS (
+      SELECT daily.g AS g, day, st.n_days,
+             x * st.n_days - st.total AS dev
+      FROM daily JOIN st ON daily.g = st.g
+    ),
+    lagd AS (
+      SELECT g, n_days, dev,
+             LAG(dev, 1) OVER (PARTITION BY g ORDER BY day) AS l1,
+             LAG(dev, 2) OVER (PARTITION BY g ORDER BY day) AS l2,
+             LAG(dev, 3) OVER (PARTITION BY g ORDER BY day) AS l3,
+             LAG(dev, 4) OVER (PARTITION BY g ORDER BY day) AS l4,
+             LAG(dev, 5) OVER (PARTITION BY g ORDER BY day) AS l5,
+             LAG(dev, 6) OVER (PARTITION BY g ORDER BY day) AS l6,
+             LAG(dev, 7) OVER (PARTITION BY g ORDER BY day) AS l7
+      FROM dv
+    ),
+    agg AS (
+      SELECT g, MAX(n_days) AS n_days,
+             SUM(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)) AS den,
+             SUM(CAST(dev AS HUGEINT) * CAST(l1 AS HUGEINT)) AS m1,
+             SUM(CAST(dev AS HUGEINT) * CAST(l2 AS HUGEINT)) AS m2,
+             SUM(CAST(dev AS HUGEINT) * CAST(l3 AS HUGEINT)) AS m3,
+             SUM(CAST(dev AS HUGEINT) * CAST(l4 AS HUGEINT)) AS m4,
+             SUM(CAST(dev AS HUGEINT) * CAST(l5 AS HUGEINT)) AS m5,
+             SUM(CAST(dev AS HUGEINT) * CAST(l6 AS HUGEINT)) AS m6,
+             SUM(CAST(dev AS HUGEINT) * CAST(l7 AS HUGEINT)) AS m7
+      FROM lagd GROUP BY 1
+    ),
+    q AS (
+      SELECT g, n_days, CAST(n_days AS DOUBLE) AS nd,
+             CAST(den AS DOUBLE) AS dd,
+             CAST(m1 AS DOUBLE) AS d1, CAST(m2 AS DOUBLE) AS d2,
+             CAST(m3 AS DOUBLE) AS d3, CAST(m4 AS DOUBLE) AS d4,
+             CAST(m5 AS DOUBLE) AS d5, CAST(m6 AS DOUBLE) AS d6,
+             CAST(m7 AS DOUBLE) AS d7
+      FROM agg
+    )
+    SELECT g AS event_type, n_days, CAST(7 AS INT) AS m_lags,
+           CASE WHEN dd > 0 THEN
+             FLOOR(nd * (nd + 2.0) * (
+               (CASE WHEN n_days > 1
+                THEN (d1/dd)*(d1/dd)/(nd-1.0) ELSE 0.0 END)
+               + (CASE WHEN n_days > 2
+                  THEN (d2/dd)*(d2/dd)/(nd-2.0) ELSE 0.0 END)
+               + (CASE WHEN n_days > 3
+                  THEN (d3/dd)*(d3/dd)/(nd-3.0) ELSE 0.0 END)
+               + (CASE WHEN n_days > 4
+                  THEN (d4/dd)*(d4/dd)/(nd-4.0) ELSE 0.0 END)
+               + (CASE WHEN n_days > 5
+                  THEN (d5/dd)*(d5/dd)/(nd-5.0) ELSE 0.0 END)
+               + (CASE WHEN n_days > 6
+                  THEN (d6/dd)*(d6/dd)/(nd-6.0) ELSE 0.0 END)
+               + (CASE WHEN n_days > 7
+                  THEN (d7/dd)*(d7/dd)/(nd-7.0) ELSE 0.0 END)
+             ) * 1e6 + 0.5) / 1e6 END AS q_stat
+    FROM q
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over each event type's daily-count
+    series at lags 1..7 (functions.timeseries.ljung_box) — the
+    omnibus "is it white noise?" verdict q_autocorrelation's per-lag
+    plot leaves to the eye, computed from the SAME shared
+    lag-covariance sums (_acf_sums), so the rho feeding Q are
+    bit-identical to the plotted ones."""
+    from .functions.timeseries import ljung_box
+
+    ev = _t(spark, sf_dir, "events")
+    return ljung_box(ev, "ts", ["event_type"], max_lag=7)
+
+
+@register(
+    "q_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      FROM daily GROUP BY 1
+    ),
+    v AS (
+      SELECT g, n_days, CAST(n_days AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd,
+             sx
+      FROM agg
+    ),
+    w AS (
+      SELECT g, n_days, sx,
+             sxd / nd AS mean,
+             ((sxxd - sxd * sxd / nd) / (nd - 1.0))
+               / (sxd / nd) AS vmr,
+             nd
+      FROM v
+    )
+    SELECT g AS event_type, n_days,
+           FLOOR(mean * 1e6 + 0.5) / 1e6 AS mean_daily,
+           CASE WHEN n_days > 1 AND sx > 0 THEN
+             FLOOR(vmr * 1e6 + 0.5) / 1e6 END AS vmr,
+           CASE WHEN n_days > 1 AND sx > 0 THEN
+             FLOOR((nd - 1.0) * vmr * 1e6 + 0.5) / 1e6 END AS d_stat
+    FROM w
+    """,
+)
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion (VMR) test on each event type's daily
+    counts (functions.timeseries.dispersion_test) — the
+    overdispersion check under every rate alarm: VMR ≈ 1 is Poisson,
+    above is bursty and Poisson-calibrated thresholds under-cover.
+    One daily count + one bounded fold of exact (n, Σx, Σx²)."""
+    from .functions.timeseries import dispersion_test
+
+    ev = _t(spark, sf_dir, "events")
+    return dispersion_test(ev, "ts", ["event_type"])
+
+
+@register(
+    "q_cochran_armitage",
+    oracle="""
+    WITH base AS (
+      SELECT CASE o_orderpriority
+               WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+               WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+               WHEN '5-LOW' THEN 5 END AS w,
+             CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    per AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(y) AS BIGINT) AS xi
+      FROM base WHERE w IS NOT NULL GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_levels,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(xi) AS BIGINT) AS x,
+             SUM(CAST(w AS HUGEINT) * CAST(xi AS HUGEINT)) AS swx,
+             SUM(CAST(w AS HUGEINT) * CAST(ni AS HUGEINT)) AS swn,
+             SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)
+                 * CAST(ni AS HUGEINT)) AS swwn
+      FROM per
+    ),
+    v AS (
+      SELECT n, n_levels, CAST(n AS DOUBLE) AS nd,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+             CAST(swx AS DOUBLE) AS swxd, CAST(swn AS DOUBLE) AS swnd,
+             CAST(swwn AS DOUBLE) AS swwnd
+      FROM agg
+    ),
+    t AS (
+      SELECT n, n_levels,
+             swxd - pbar * swnd AS t_stat,
+             pbar * (1.0 - pbar) * (swwnd - swnd * swnd / nd) AS var_t
+      FROM v
+    )
+    SELECT n, n_levels,
+           FLOOR(t_stat * 1e6 + 0.5) / 1e6 AS t_stat,
+           FLOOR(var_t * 1e6 + 0.5) / 1e6 AS var_t,
+           CASE WHEN var_t > 0 THEN
+             FLOOR(t_stat / SQRT(var_t) * 1e6 + 0.5) / 1e6 END AS z
+    FROM t
+    """,
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the share of big orders
+    (> 150k) climb with order priority? (functions.stats.
+    cochran_armitage, integer scores 1..5 on the ordered priority
+    ladder) — the monotone-rate question between q_wilson_ci's
+    per-level intervals and q_anova's unordered omnibus. ONE
+    map-side-combining per-level aggregate + a bounded 5-row fold of
+    exact integer sums; only the final standardization divides."""
+    from .functions.stats import cochran_armitage
+
+    od = _t(spark, sf_dir, "orders")
+    big = od.withColumn(
+        "is_big", (F.col("o_totalprice") > F.lit(150000.0)).cast("int")
+    )
+    return cochran_armitage(
+        big,
+        "is_big",
+        "o_orderpriority",
+        scores={
+            "1-URGENT": 1,
+            "2-HIGH": 2,
+            "3-MEDIUM": 3,
+            "4-NOT SPECIFIED": 4,
+            "5-LOW": 5,
+        },
+    )
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -12172,6 +12382,9 @@ _PRIORITY = [
     "q_tfidf_topk",         # per-doc distinctive term, new this round
     "q_readability",        # Flesch/FK prose difficulty, new this round
     "q_stream_cusum_merge", # streaming CUSUM snapshot-merge, new this round
+    "q_ljung_box",          # portmanteau white-noise test, new this round
+    "q_dispersion",         # VMR overdispersion check, new this round
+    "q_cochran_armitage",   # ordered-rate trend test, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -12185,8 +12398,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (12 of the 50 names whose latest driver row is
-    # r7 fit below; the 38 deferred ride r7 rows one more round:
+    # --- round-7-era (9 of the 50 names whose latest driver row is
+    # r7 fit below; the 41 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -12198,7 +12411,8 @@ _PRIORITY = [
     # q_join_semi_anti, q_global_running_sum, q_heavy_hitters,
     # q_hll_distinct, q_hll_groups, q_distinct, q_doc_fingerprint,
     # q_exact_quantiles, q_fuzzy_match, q_dedup_minhash_lsh, q_dedup_simhash
-    # — the last thirteen displaced by this session's thirteen new
+    # q_cut_histogram, q_dedup_embedding, q_dedup_exact_groups
+    # — the last sixteen displaced by this session's sixteen new
     # first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
@@ -12209,9 +12423,6 @@ _PRIORITY = [
     "q_corr_cov",
     "q_crosstab",
     "q_cumulative_user_value",
-    "q_cut_histogram",
-    "q_dedup_embedding",
-    "q_dedup_exact_groups",
 ]
 
 

@@ -965,3 +965,78 @@ def test_readability_known_values(spark):
     )
     r2 = readability_report(frag, "text", group_by=["lang"]).collect()[0]
     assert r2.n_scored == 1 and r2.mean_ease is not None
+
+
+def test_ljung_box_matches_acf_fold(spark):
+    """Q equals n(n+2)·Σ ρ_k²/(n−k) computed from the (shared-sums)
+    ACF outputs; an alternating series has big lag-1 autocorrelation
+    so Q is far from 0."""
+    import datetime as dt
+
+    from dataframes_jl_spark.functions.timeseries import (
+        autocorrelation,
+        ljung_box,
+    )
+
+    rows = []
+    for day in range(1, 13):
+        reps = 3 if day % 2 else 1
+        rows += [("g", dt.datetime(2024, 5, day, 9))] * reps
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    m = 4
+    acf = {
+        r.lag: r.acf
+        for r in autocorrelation(df, "ts", ["g"], max_lag=m).collect()
+    }
+    r = ljung_box(df, "ts", ["g"], max_lag=m).collect()[0]
+    n = r.n_days
+    expect = n * (n + 2) * sum(
+        acf[k] ** 2 / (n - k) for k in range(1, m + 1)
+    )
+    assert r.m_lags == m
+    assert r.q_stat == pytest.approx(expect, rel=1e-3)
+    assert r.q_stat > 9.488  # chi2(4) at 5% — alternation detected
+
+
+def test_dispersion_known_values(spark):
+    """Daily counts [1,3]: mean 2, s²=2, VMR=1, D=(n−1)·VMR=1;
+    constant days give VMR 0."""
+    import datetime as dt
+
+    from dataframes_jl_spark.functions.timeseries import dispersion_test
+
+    rows = [("a", dt.datetime(2024, 6, 1, 9))]
+    rows += [("a", dt.datetime(2024, 6, 2, h)) for h in (8, 9, 10)]
+    rows += [("b", dt.datetime(2024, 6, d, 9)) for d in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {
+        r.g: r for r in dispersion_test(df, "ts", ["g"]).collect()
+    }
+    a = got["a"]
+    assert a.mean_daily == pytest.approx(2.0, abs=1e-6)
+    assert a.vmr == pytest.approx(1.0, abs=1e-6)
+    assert a.d_stat == pytest.approx(1.0, abs=1e-6)
+    b = got["b"]
+    assert b.vmr == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cochran_armitage_known_values(spark):
+    """Textbook ladder (n,x) = (10,1),(10,5),(10,9) at scores 1,2,3:
+    T = 38 − 30 = 8, Var = 0.25·20 = 5, Z = 8/√5; unmapped levels are
+    excluded; a non-binary success raises in-plan."""
+    from dataframes_jl_spark.functions.stats import cochran_armitage
+
+    rows = []
+    for lvl, npos in (("lo", 1), ("mid", 5), ("hi", 9)):
+        rows += [(lvl, 1 if i < npos else 0) for i in range(10)]
+    rows += [("other", 1)] * 4  # unmapped: must not move the ladder
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = cochran_armitage(
+        df, "y", "g", scores={"lo": 1, "mid": 2, "hi": 3}
+    ).collect()[0]
+    assert (r.n, r.n_levels) == (30, 3)
+    assert r.t_stat == pytest.approx(8.0, abs=1e-6)
+    assert r.var_t == pytest.approx(5.0, abs=1e-6)
+    assert r.z == pytest.approx(8.0 / 5.0**0.5, abs=1e-5)
+    with pytest.raises(ValueError):
+        cochran_armitage(df, "y", "g", scores=None)

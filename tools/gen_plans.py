@@ -233,6 +233,30 @@ SHOWCASE = [
         "windows ride (domain) partitions. No CartesianProduct, no "
         "SinglePartition exchange anywhere in the composition.",
     ),
+    (
+        "q_isotonic",
+        "The row-volume job is ONE partial->final hash aggregate to "
+        "(group, bin); every later stage (prefix window, interval "
+        "self-join, minimax group-bys) rides broadcast exchanges of "
+        "the n_bins-bounded table — no sort or shuffle ever sees the "
+        "event rows again.",
+    ),
+    (
+        "q_conformal",
+        "Two scans of the same projection (calibration counts, "
+        "evaluation fold), one range-partitioned prefix scan over the "
+        "distinct-residual table, and the q_hat order statistic rides "
+        "broadcast 1-row crossJoins into the final map-side fold — no "
+        "SinglePartition window anywhere.",
+    ),
+    (
+        "q_perm_test",
+        "The 64-replicate fan-out is a generator explode INSIDE the "
+        "scan stage (no pre-explode shuffle); the only exchange is the "
+        "map-side-combining (replicate) aggregate, and the p-value "
+        "folds a 64-row bounded table against a broadcast observed "
+        "row.",
+    ),
 ]
 
 
