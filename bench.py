@@ -150,6 +150,7 @@ HEADLINE = [
     "q_ljung_box",
     "q_dispersion",
     "q_cochran_armitage",
+    "q_friedman",
 ]
 
 

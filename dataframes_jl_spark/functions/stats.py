@@ -2798,3 +2798,117 @@ def cochran_armitage(
         _q(var_t).alias("var_t"),
         F.when(var_t > 0, _q(t / F.sqrt(var_t))).alias("z"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    item_cols: Sequence[str],
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Friedman rank test + Kendall's W over k treatment columns —
+    the PAIRED k-sample member of the rank lane: kruskal_wallis asks
+    "do k independent segments differ?", Friedman asks "do k
+    treatments differ WITHIN blocks?" (each row is one block — a
+    user, a query, a prompt — scored under every treatment), and
+    Kendall's W = chi2_F/(n(k−1)) restates the same evidence as a
+    0..1 concordance ("how strongly do the blocks agree on the
+    ranking?"), the k-rater generalization of the agreement lane.
+
+        chi2_F = [12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)] / C,
+        C = 1 − Σ_blocks Σ_t (t³−t) / (n·k·(k²−1))   (tie correction)
+
+    Within-block midranks are computed PER ROW over the k-element
+    value array — 2·rank = 2·|{less}| + |{equal incl. self}| + 1 via
+    array filters, O(k²) codegen'd comparisons per row, no window, no
+    shuffle beyond whatever built the block rows. Doubled ranks stay
+    integral under ties; R_j sums and the tie term accumulate exact
+    int64/decimal, and only the final normalizations divide. Rows
+    with any NULL item drop (a block must score every treatment).
+
+    Returns one row ``(n_blocks, k, chi2_f, w)``; NULL statistics
+    when every block is all-ties (C ≤ 0 — no ranking information).
+    """
+    ks = list(item_cols)
+    k = len(ks)
+    if k < 2:
+        raise ValueError("friedman_test needs >= 2 treatment columns")
+    m = F.lit(float(10**scale))
+    keep = None
+    for c in ks:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep & cond)
+    arr = F.array(
+        *[
+            F.floor(F.col(c).cast("double") * m + F.lit(0.5)).cast(
+                "long"
+            )
+            for c in ks
+        ]
+    )
+    base = df.filter(keep).select(arr.alias("a"))
+
+    # closure factories: a `lambda y, j=j` would have TWO parameters,
+    # which pyspark's higher-order-function bridge interprets as the
+    # (element, index) signature — j silently becomes the array index
+    def _lt(j):
+        return lambda y: y < F.col("a")[j]
+
+    def _eq(j):
+        return lambda y: y == F.col("a")[j]
+
+    # doubled midrank of element j within its block's k-array
+    dr = [
+        F.lit(2) * F.size(F.filter(F.col("a"), _lt(j)))
+        + F.size(F.filter(F.col("a"), _eq(j)))
+        + F.lit(1)
+        for j in range(k)
+    ]
+    # per-block tie term Σ_t (t³−t) = Σ_positions (e²−1)
+    tie = F.aggregate(
+        F.transform(
+            F.col("a"),
+            lambda x: F.size(F.filter(F.col("a"), lambda y: y == x))
+            * F.size(F.filter(F.col("a"), lambda y: y == x))
+            - F.lit(1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ranked = base.select(
+        *[dr[j].cast("long").alias(f"d{j}") for j in range(k)],
+        tie.cast("long").alias("tie"),
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("tie").alias("tt")]
+    for j in range(k):
+        aggs.append(F.sum(F.col(f"d{j}").cast(dec)).alias(f"r{j}"))
+    agg = ranked.agg(*aggs)
+    nd = F.col("n").cast("double")
+    kd = F.lit(float(k))
+    # Σ R_j² from doubled sums: R_j = r_j/2 exactly
+    srr = None
+    for j in range(k):
+        rj = F.col(f"r{j}").cast("double") / F.lit(2.0)
+        srr = rj * rj if srr is None else srr + rj * rj
+    chi_raw = (
+        F.lit(12.0) / (nd * kd * (kd + F.lit(1.0))) * srr
+        - F.lit(3.0) * nd * (kd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tt").cast("double") / (
+        nd * kd * (kd * kd - F.lit(1.0))
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    chi = chi_raw / corr
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(k).alias("k"),
+        F.when(corr > 0, _q(chi)).alias("chi2_f"),
+        F.when(
+            corr > 0, _q(chi / (nd * (kd - F.lit(1.0))))
+        ).alias("w"),
+    )

@@ -12354,6 +12354,195 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q_friedman",
+    oracle="""
+    WITH per_u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 AS q0,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 AS q1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) * 1000000 AS q2,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                      END) AS BIGINT) * 1000000 AS q3,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                      END) AS BIGINT) * 1000000 AS q4
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT
+        2 * ((CASE WHEN q0 < q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 < q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 < q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 < q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 < q0 THEN 1 ELSE 0 END))
+          + ((CASE WHEN q0 = q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 = q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 = q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 = q0 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 = q0 THEN 1 ELSE 0 END)) + 1 AS d0,
+        2 * ((CASE WHEN q0 < q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 < q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 < q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 < q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 < q1 THEN 1 ELSE 0 END))
+          + ((CASE WHEN q0 = q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 = q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 = q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 = q1 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 = q1 THEN 1 ELSE 0 END)) + 1 AS d1,
+        2 * ((CASE WHEN q0 < q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 < q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 < q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 < q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 < q2 THEN 1 ELSE 0 END))
+          + ((CASE WHEN q0 = q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 = q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 = q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 = q2 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 = q2 THEN 1 ELSE 0 END)) + 1 AS d2,
+        2 * ((CASE WHEN q0 < q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 < q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 < q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 < q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 < q3 THEN 1 ELSE 0 END))
+          + ((CASE WHEN q0 = q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 = q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 = q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 = q3 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 = q3 THEN 1 ELSE 0 END)) + 1 AS d3,
+        2 * ((CASE WHEN q0 < q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 < q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 < q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 < q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 < q4 THEN 1 ELSE 0 END))
+          + ((CASE WHEN q0 = q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q1 = q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q2 = q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q3 = q4 THEN 1 ELSE 0 END)
+           + (CASE WHEN q4 = q4 THEN 1 ELSE 0 END)) + 1 AS d4,
+        ((CASE WHEN q0 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q0 THEN 1 ELSE 0 END))
+        * ((CASE WHEN q0 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q0 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q0 THEN 1 ELSE 0 END)) - 1
+        + ((CASE WHEN q0 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q1 THEN 1 ELSE 0 END))
+        * ((CASE WHEN q0 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q1 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q1 THEN 1 ELSE 0 END)) - 1
+        + ((CASE WHEN q0 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q2 THEN 1 ELSE 0 END))
+        * ((CASE WHEN q0 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q2 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q2 THEN 1 ELSE 0 END)) - 1
+        + ((CASE WHEN q0 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q3 THEN 1 ELSE 0 END))
+        * ((CASE WHEN q0 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q3 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q3 THEN 1 ELSE 0 END)) - 1
+        + ((CASE WHEN q0 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q4 THEN 1 ELSE 0 END))
+        * ((CASE WHEN q0 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q1 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q2 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q3 = q4 THEN 1 ELSE 0 END)
+         + (CASE WHEN q4 = q4 THEN 1 ELSE 0 END)) - 1 AS tie
+      FROM per_u
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tie) AS BIGINT) AS tt,
+             SUM(CAST(d0 AS HUGEINT)) AS r0,
+             SUM(CAST(d1 AS HUGEINT)) AS r1,
+             SUM(CAST(d2 AS HUGEINT)) AS r2,
+             SUM(CAST(d3 AS HUGEINT)) AS r3,
+             SUM(CAST(d4 AS HUGEINT)) AS r4
+      FROM ranked
+    ),
+    x AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd, tt,
+             (CAST(r0 AS DOUBLE) / 2.0) * (CAST(r0 AS DOUBLE) / 2.0)
+             + (CAST(r1 AS DOUBLE) / 2.0) * (CAST(r1 AS DOUBLE) / 2.0)
+             + (CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0)
+             + (CAST(r3 AS DOUBLE) / 2.0) * (CAST(r3 AS DOUBLE) / 2.0)
+             + (CAST(r4 AS DOUBLE) / 2.0) * (CAST(r4 AS DOUBLE) / 2.0)
+               AS srr
+      FROM agg
+    ),
+    y AS (
+      SELECT n, nd, srr,
+             12.0 / (nd * 5.0 * 6.0) * srr - 3.0 * nd * 6.0 AS chi_raw,
+             1.0 - CAST(tt AS DOUBLE) / (nd * 5.0 * 24.0) AS corr
+      FROM x
+    )
+    SELECT n AS n_blocks, CAST(5 AS INT) AS k,
+           CASE WHEN corr > 0 THEN
+             FLOOR(chi_raw / corr * 1e6 + 0.5) / 1e6 END AS chi2_f,
+           CASE WHEN corr > 0 THEN
+             FLOOR(chi_raw / corr / (nd * 4.0) * 1e6 + 0.5) / 1e6
+           END AS w
+    FROM y
+    """,
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman paired-rank test + Kendall's W across the five
+    per-user event-type counts (functions.stats.friedman_test) — "do
+    users rank the event types consistently?", the PAIRED k-sample
+    question beside q_kruskal's independent-segment omnibus and the
+    k-rater concordance beside q_kappa_agreement's two raters.
+    Within-block midranks are O(k²) codegen'd array comparisons per
+    row (no window); doubled ranks and the tie term fold as exact
+    integers; one pivot aggregate + one 1-row fold is the whole
+    plan."""
+    from .functions.stats import friedman_test
+
+    ev = _t(spark, sf_dir, "events")
+    items = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(f"i_{t}")
+                for t in ("click", "view", "purchase", "signup", "error")
+            ]
+        )
+    )
+    return friedman_test(
+        items,
+        ["i_click", "i_view", "i_purchase", "i_signup", "i_error"],
+    )
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -12385,6 +12574,7 @@ _PRIORITY = [
     "q_ljung_box",          # portmanteau white-noise test, new this round
     "q_dispersion",         # VMR overdispersion check, new this round
     "q_cochran_armitage",   # ordered-rate trend test, new this round
+    "q_friedman",           # paired k-rank test + Kendall W, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -12398,8 +12588,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (9 of the 50 names whose latest driver row is
-    # r7 fit below; the 41 deferred ride r7 rows one more round:
+    # --- round-7-era (8 of the 50 names whose latest driver row is
+    # r7 fit below; the 42 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -12412,8 +12602,9 @@ _PRIORITY = [
     # q_hll_distinct, q_hll_groups, q_distinct, q_doc_fingerprint,
     # q_exact_quantiles, q_fuzzy_match, q_dedup_minhash_lsh, q_dedup_simhash
     # q_cut_histogram, q_dedup_embedding, q_dedup_exact_groups
-    # — the last sixteen displaced by this session's sixteen new
-    # first-ever names)
+    # q_cumulative_user_value
+    # — the last seventeen displaced by this session's seventeen
+    # new first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
@@ -12422,7 +12613,6 @@ _PRIORITY = [
     "q_colwise_stats",
     "q_corr_cov",
     "q_crosstab",
-    "q_cumulative_user_value",
 ]
 
 

@@ -1040,3 +1040,37 @@ def test_cochran_armitage_known_values(spark):
     assert r.z == pytest.approx(8.0 / 5.0**0.5, abs=1e-5)
     with pytest.raises(ValueError):
         cochran_armitage(df, "y", "g", scores=None)
+
+
+def test_friedman_known_values(spark):
+    """Perfect concordance (every block ranks 1<2<3): chi2_F =
+    12/(4·3·4)·(16+64+144) − 3·4·4 = 8 at n=4, k=3 — the maximum
+    n(k−1), so W = 1. All-tied blocks have zero ranking information:
+    C = 0 and NULL statistics. Midranks handle partial ties."""
+    from dataframes_jl_spark.functions.stats import friedman_test
+
+    rows = [(1.0, 2.0, 3.0)] * 4
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    r = friedman_test(df, ["a", "b", "c"]).collect()[0]
+    assert (r.n_blocks, r.k) == (4, 3)
+    assert r.chi2_f == pytest.approx(8.0, abs=1e-6)
+    assert r.w == pytest.approx(1.0, abs=1e-6)
+
+    tied = spark.createDataFrame(
+        [(2.0, 2.0, 2.0)] * 3, "a double, b double, c double"
+    )
+    r2 = friedman_test(tied, ["a", "b", "c"]).collect()[0]
+    assert r2.chi2_f is None and r2.w is None
+
+    # one block with a 2-way tie: ranks (1.5, 1.5, 3), tie term 6;
+    # plus one clean block (1, 2, 3): R = (2.5, 3.5, 6),
+    # chi_raw = 12/(2·3·4)·(6.25+12.25+36) − 3·2·4 = 27.25 − 24 = 3.25
+    # C = 1 − 6/(2·3·8) = 0.875 => chi = 3.714286, W = chi/(2·2)
+    part = spark.createDataFrame(
+        [(1.0, 1.0, 3.0), (1.0, 2.0, 3.0)], "a double, b double, c double"
+    )
+    r3 = friedman_test(part, ["a", "b", "c"]).collect()[0]
+    assert r3.chi2_f == pytest.approx(3.25 / 0.875, abs=1e-5)
+    assert r3.w == pytest.approx(3.25 / 0.875 / 4.0, abs=1e-5)
+    with pytest.raises(ValueError):
+        friedman_test(df, ["a"])

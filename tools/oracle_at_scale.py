@@ -97,6 +97,10 @@ NAMES = [
     "q_tfidf_topk",        # quantize-before-rank winners, 10x df table
     "q_readability",       # int64 score sums at 10x docs
     "q_stream_cusum_merge",# snapshot max-merge + integer CUSUM at 10x
+    "q_ljung_box",         # exact lag-covariance decimals at 10x days
+    "q_dispersion",        # (n, Σx, Σx²) day folds at 10x counts
+    "q_cochran_armitage",  # integer trend folds at 10x orders
+    "q_friedman",          # per-block array midranks at 10x users
 ]
 
 
