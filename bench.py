@@ -151,6 +151,7 @@ HEADLINE = [
     "q_dispersion",
     "q_cochran_armitage",
     "q_friedman",
+    "q_embed_truncation",
 ]
 
 

@@ -16,6 +16,8 @@ integer codes are bit-identical across engines and partition orders
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -153,4 +155,101 @@ def quantized_rescore_topk(
     )
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
+    )
+
+
+def truncation_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: Sequence[int] = (8, 16, 32),
+    out_scale: int = 6,
+) -> DataFrame:
+    """Matryoshka-style truncation audit: how much cosine structure
+    survives keeping only the first d dimensions? The sibling of
+    :func:`quantize_embeddings` on the OTHER axis — int8 shrinks each
+    coordinate, truncation drops coordinates — and the measurement a
+    pipeline runs before committing to a truncated index (MRL,
+    Kusupati et al. 2022, made prefix-truncation the standard cheap
+    embedding downgrade; the audit tells you what it costs on YOUR
+    corpus).
+
+    Pairs are the deterministic consecutive-id sample (b = a+1): a
+    linear, shuffle-light probe set that re-runs identically anywhere
+    (the repo's leakage-safe determinism contract), with no quadratic
+    pair volume at any corpus size. For each dim d the pair scores
+    cos(a[:d], b[:d]) and the full-width cosine quantize to 1e-6
+    units FIRST; gaps |q_d − q_full| are then exact integers, so the
+    three reported means are ratios of exact int64 sums.
+
+    Returns one row per dim: ``(dim, n_pairs, mean_cos_full,
+    mean_cos_trunc, mean_abs_gap)`` — a flat mean_abs_gap curve means
+    the index can drop to that width; pairs where either side has a
+    zero-norm prefix are excluded from that dim's row (cosine
+    undefined).
+
+    Scale shape: ONE self-join keyed by consecutive id (co-partitioned
+    hash join, no broadcast needed, linear), |dims| score columns per
+    pair computed in one projection, one map-side-combining aggregate
+    per dim via an explode of the bounded dims array.
+    """
+    from .similarity import cosine
+
+    ds = [int(d) for d in dims]
+    if not ds or min(ds) < 1:
+        raise ValueError("dims must be positive ints")
+    a = emb.select(
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        (F.col(id_col) - F.lit(1)).alias("ia"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, "ia")
+    m = F.lit(float(10**out_scale))
+
+    def _qu(c):
+        return F.floor(c * m + F.lit(0.5)).cast("long")
+
+    full = _qu(cosine(F.col("va"), F.col("vb"))).alias("qf")
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                _qu(
+                    cosine(
+                        F.slice(F.col("va"), 1, d),
+                        F.slice(F.col("vb"), 1, d),
+                    )
+                ).alias("qd"),
+            )
+            for d in ds
+        ]
+    )
+    ex = (
+        pairs.select(full, F.explode(per_dim).alias("s"))
+        .select("qf", F.col("s.dim").alias("dim"), F.col("s.qd").alias("qd"))
+        # cosine() yields NULL for zero-norm prefixes — exclude the
+        # pair from THAT dim's row only
+        .filter(F.col("qf").isNotNull() & F.col("qd").isNotNull())
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("qf").alias("sf"),
+        F.sum("qd").alias("sd"),
+        F.sum(F.abs(F.col("qd") - F.col("qf"))).alias("sg"),
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    nd = F.col("n_pairs").cast("double")
+    return agg.select(
+        "dim",
+        "n_pairs",
+        _q(F.col("sf").cast("double") / nd / m).alias("mean_cos_full"),
+        _q(F.col("sd").cast("double") / nd / m).alias("mean_cos_trunc"),
+        _q(F.col("sg").cast("double") / nd / m).alias("mean_abs_gap"),
     )

@@ -12543,6 +12543,68 @@ def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q_embed_truncation",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (
+      SELECT a.e AS va, b.e AS vb
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+    ),
+    ex AS (
+      SELECT d.dim,
+             CASE WHEN isnan(list_cosine_similarity(va, vb))
+                  THEN NULL
+                  ELSE CAST(FLOOR(list_cosine_similarity(va, vb)
+                                  * 1e6 + 0.5) AS BIGINT) END AS qf,
+             CASE WHEN isnan(list_cosine_similarity(
+                              va[1:d.dim], vb[1:d.dim]))
+                  THEN NULL
+                  ELSE CAST(FLOOR(list_cosine_similarity(
+                              va[1:d.dim], vb[1:d.dim])
+                              * 1e6 + 0.5) AS BIGINT) END AS qd
+      FROM p CROSS JOIN (SELECT unnest([8, 16, 32]) AS dim) d
+    ),
+    f AS (
+      SELECT dim, qf, qd FROM ex
+      WHERE qf IS NOT NULL AND qd IS NOT NULL
+    ),
+    agg AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(qf) AS BIGINT) AS sf,
+             CAST(SUM(qd) AS BIGINT) AS sd,
+             CAST(SUM(ABS(qd - qf)) AS BIGINT) AS sg
+      FROM f GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim, n_pairs,
+           FLOOR(CAST(sf AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6
+                 * 1e6 + 0.5) / 1e6 AS mean_cos_full,
+           FLOOR(CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6
+                 * 1e6 + 0.5) / 1e6 AS mean_cos_trunc,
+           FLOOR(CAST(sg AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6
+                 * 1e6 + 0.5) / 1e6 AS mean_abs_gap
+    FROM agg
+    """,
+)
+def q_embed_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit over the embeddings table
+    (llm.quant.truncation_audit, dims 8/16/32 of 64): how much cosine
+    structure survives a prefix-truncated index — the measurement
+    before committing to a cheaper ANN width, beside
+    q_embed_quantize's int8 axis. Consecutive-id pair probe (linear,
+    co-partitioned self-join), per-pair scores quantized to 1e-6
+    units BEFORE the gap so every reported mean is a ratio of exact
+    int64 sums."""
+    from .llm.quant import truncation_audit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncation_audit(emb, "vec_id", "embedding", dims=(8, 16, 32))
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -12575,6 +12637,7 @@ _PRIORITY = [
     "q_dispersion",         # VMR overdispersion check, new this round
     "q_cochran_armitage",   # ordered-rate trend test, new this round
     "q_friedman",           # paired k-rank test + Kendall W, new this round
+    "q_embed_truncation",   # Matryoshka cosine audit, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -12588,8 +12651,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (8 of the 50 names whose latest driver row is
-    # r7 fit below; the 42 deferred ride r7 rows one more round:
+    # --- round-7-era (7 of the 50 names whose latest driver row is
+    # r7 fit below; the 43 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -12603,7 +12666,8 @@ _PRIORITY = [
     # q_exact_quantiles, q_fuzzy_match, q_dedup_minhash_lsh, q_dedup_simhash
     # q_cut_histogram, q_dedup_embedding, q_dedup_exact_groups
     # q_cumulative_user_value
-    # — the last seventeen displaced by this session's seventeen
+    # q_crosstab
+    # — the last eighteen displaced by this session's eighteen
     # new first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
@@ -12612,7 +12676,6 @@ _PRIORITY = [
     "q_ann_lsh",
     "q_colwise_stats",
     "q_corr_cov",
-    "q_crosstab",
 ]
 
 

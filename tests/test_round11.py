@@ -1074,3 +1074,38 @@ def test_friedman_known_values(spark):
     assert r3.w == pytest.approx(3.25 / 0.875 / 4.0, abs=1e-5)
     with pytest.raises(ValueError):
         friedman_test(df, ["a"])
+
+
+def test_truncation_audit_known_values(spark):
+    """Hand vectors: pair (1,0,0,0)·(1,0,0,0) keeps cos 1 at every
+    prefix (gap 0); pair (1,1,0,0)·(1,-1,0,0) has full cos 0 but
+    prefix-1 cos 1 (gap 1). A zero prefix drops the pair from that
+    dim only."""
+    from dataframes_jl_spark.llm.quant import truncation_audit
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # pair (1,2): identical
+        (10, [1.0, 1.0, 0.0, 0.0]),
+        (11, [1.0, -1.0, 0.0, 0.0]),  # pair (10,11): orthogonal, d=1 cos 1
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 1.0, 0.0, 0.0]),   # pair (20,21): zero d=1 prefix
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.dim: r
+        for r in truncation_audit(
+            df, "vec_id", "embedding", dims=(1, 2)
+        ).collect()
+    }
+    d1 = got[1]
+    # pair (20,21) excluded at d=1 (zero prefix): 2 pairs remain
+    assert d1.n_pairs == 2
+    assert d1.mean_cos_full == pytest.approx(0.5, abs=1e-6)  # (1+0)/2
+    assert d1.mean_cos_trunc == pytest.approx(1.0, abs=1e-6)
+    assert d1.mean_abs_gap == pytest.approx(0.5, abs=1e-6)
+    d2 = got[2]
+    assert d2.n_pairs == 3
+    assert d2.mean_abs_gap == pytest.approx(0.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        truncation_audit(df, "vec_id", "embedding", dims=())

@@ -20,6 +20,7 @@ plan shape.
 
 Usage:
   python tools/oracle_at_scale.py             # full list -> ORACLE_SF1.md
+  python tools/oracle_at_scale.py --sf10      # 100x tier -> ORACLE_SF10.md
   python tools/oracle_at_scale.py q_zipf_fit  # subset, report to stdout
 """
 
@@ -101,11 +102,36 @@ NAMES = [
     "q_dispersion",        # (n, Σx, Σx²) day folds at 10x counts
     "q_cochran_armitage",  # integer trend folds at 10x orders
     "q_friedman",          # per-block array midranks at 10x users
+    "q_embed_truncation",  # prefix-cosine quantized gaps at 10x pairs
+]
+
+
+# sf10 subset: a second evidence tier — "correct at 100x driver data".
+# Restricted to ALL-TABLE-CHEAP queries (DuckDB must also chew 100x;
+# the explode-heavy text/dedup shapes stay sf1-only) and biased toward
+# saturation-sensitive sketches and quantized-sum folds, where a
+# 100x-only bug would live.
+NAMES_SF10 = [
+    "q_anova",             # Σq² decimals at 6e8-row group sizes
+    "q_wilson_ci",         # z-fold at 100x (n, n_pos)
+    "q_theil_index",       # quantized-ln mass sums, 100x orders
+    "q_dispersion",        # day folds at 100x counts
+    "q_cochran_armitage",  # integer trend folds, 100x orders
+    "q_mann_kendall",      # Var(S) decimals, 100x-count day table
+    "q_cusum_shift",       # integer CUSUM path at 100x daily counts
+    "q_hll_distinct",      # register saturation at 100x distincts
+    "q_cm_sketch",         # count-min saturation at 100x keys
+    "q_bloom_prefilter",   # Bloom fill ratio at 100x keys
+    "q_cronbach",          # decimal moments at 100x users
+    "q_ljung_box",         # lag-covariance decimals at 100x counts
 ]
 
 
 def main() -> int:
-    names = sys.argv[1:] or NAMES
+    argv = [a for a in sys.argv[1:] if a != "--sf10"]
+    sf10 = "--sf10" in sys.argv[1:]
+    data_dir = SF1.replace("sf1", "sf10") if sf10 else SF1
+    names = argv or (NAMES_SF10 if sf10 else NAMES)
     from pyspark.sql import SparkSession
 
     from dataframes_jl_spark.oracle import compare, duckdb_run
@@ -115,8 +141,8 @@ def main() -> int:
     if unknown:
         print(f"not oracle-gated registry names: {unknown}")
         return 2
-    if not os.path.isdir(SF1):
-        print(f"missing {SF1} — run tools/gen_scale_data.py first")
+    if not os.path.isdir(data_dir):
+        print(f"missing {data_dir} — run tools/gen_scale_data.py first")
         return 2
 
     spark = (
@@ -132,7 +158,8 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             problems = compare(
-                QUERIES[name](spark, SF1), duckdb_run(ORACLES[name], SF1)
+                QUERIES[name](spark, data_dir),
+                duckdb_run(ORACLES[name], data_dir),
             )
         except Exception as exc:  # surface, keep going: report all rows
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
@@ -143,20 +170,22 @@ def main() -> int:
         rows.append((name, status, dt, problems[:2]))
         print(f"{status:4} {name:28} {dt:7.2f}s {problems[:2]}", flush=True)
 
-    if not sys.argv[1:]:
-        _write_report(rows, failed)
+    if not argv:
+        _write_report(rows, failed, sf10)
     print(f"\n{len(rows) - len(failed)}/{len(rows)} ok; failed: {failed}")
     return 1 if failed else 0
 
 
-def _write_report(rows, failed) -> None:
+def _write_report(rows, failed, sf10=False) -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tier = ("sf10", "100x") if sf10 else ("sf1", "10x")
     lines = [
-        "# ORACLE_SF1 — DuckDB-oracle hash replay at sf1 (10x driver data)",
+        f"# ORACLE_{tier[0].upper()} — DuckDB-oracle hash replay at "
+        f"{tier[0]} ({tier[1]} driver data)",
         "",
         "Same strict compare as the driver's sf0.01 gate (row count, column",
         "names, dtype class, exact values after column-name sort), run",
-        f"against `.scale_data/sf1`. Generated by tools/oracle_at_scale.py.",
+        f"against `.scale_data/{tier[0]}`. Generated by tools/oracle_at_scale.py.",
         "",
         f"Result: **{len(rows) - len(failed)}/{len(rows)} hash-green**"
         + (f"; FAILED: {failed}" if failed else "."),
@@ -168,9 +197,10 @@ def _write_report(rows, failed) -> None:
         note = "; ".join(str(p) for p in probs) if probs else ""
         lines.append(f"| {name} | {status} | {dt:.2f} | {note} |")
     lines.append("")
-    with open(os.path.join(here, "ORACLE_SF1.md"), "w") as fh:
+    fname = f"ORACLE_{tier[0].upper()}.md"
+    with open(os.path.join(here, fname), "w") as fh:
         fh.write("\n".join(lines))
-    print("wrote ORACLE_SF1.md")
+    print(f"wrote {fname}")
 
 
 if __name__ == "__main__":
