@@ -152,6 +152,8 @@ HEADLINE = [
     "q_cochran_armitage",
     "q_friedman",
     "q_embed_truncation",
+    "q_rmst",
+    "q_cuped",
 ]
 
 

@@ -2912,3 +2912,101 @@ def friedman_test(
             corr > 0, _q(chi / (nd * (kd - F.lit(1.0))))
         ).alias("w"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric: str,
+    covariate: str,
+    variant_col: str,
+    scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """CUPED-adjusted per-variant means (Deng, Xu, Kohavi & Walker
+    2013) — the industry-standard A/B variance reduction: regress the
+    metric on a pre-experiment covariate ONCE across all arms,
+
+        theta = cov(X, Y) / var(X),
+        Y_adj = Y − theta · (X − X̄_pooled),
+
+    and compare arms on Y_adj — the adjustment is mean-preserving per
+    arm up to the covariate imbalance it corrects, and shrinks metric
+    variance by the squared correlation (var_ratio = 1 − ρ², also
+    reported: the fraction of variance the covariate buys back,
+    i.e. how much smaller the experiment could have been).
+
+    Completes q_ab_test / q_welch_ttest's lane: those price the raw
+    gap; CUPED is the production step BEFORE them.
+
+    Determinism: X and Y quantize to int64 units once; pooled
+    (n, Σx, Σy, Σxy, Σx², Σy²) come from ONE map-side-combining
+    aggregate (decimals for the products) and per-variant (n, Σx, Σy)
+    from a second keyed one; theta, rho², and every adjusted mean are
+    then correctly-rounded expressions over exact integers, and the
+    pooled 1-row frame broadcasts onto the bounded |variants| table.
+
+    Returns one row per variant: ``(variant, n, mean_raw, mean_adj,
+    theta, var_ratio)`` (theta/var_ratio repeated per row — the
+    pooled fit). NULL theta/mean_adj when var(X) = 0.
+    """
+    m = F.lit(float(10**scale))
+    dec = "decimal(38,0)"
+    qx = F.floor(F.col(covariate).cast("double") * m + F.lit(0.5)).cast(
+        "long"
+    )
+    qy = F.floor(F.col(metric).cast("double") * m + F.lit(0.5)).cast(
+        "long"
+    )
+    base = df.filter(
+        F.col(metric).isNotNull()
+        & F.col(covariate).isNotNull()
+        & F.col(variant_col).isNotNull()
+    ).select(
+        F.col(variant_col).cast("string").alias("variant"),
+        qx.alias("qx"),
+        qy.alias("qy"),
+    )
+    pooled = base.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qy").cast(dec)).alias("sxy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qx").cast(dec)).alias("sxx"),
+        F.sum(F.col("qy").cast(dec) * F.col("qy").cast(dec)).alias("syy"),
+    )
+    per_v = base.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("vx"),
+        F.sum("qy").alias("vy"),
+    )
+    j = per_v.crossJoin(F.broadcast(pooled))
+    npd = F.col("np").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_xy = F.col("sxy").cast("double") - sxd * syd / npd
+    var_x = F.col("sxx").cast("double") - sxd * sxd / npd
+    var_y = F.col("syy").cast("double") - syd * syd / npd
+    theta = cov_xy / var_x
+    rho2 = cov_xy * cov_xy / (var_x * var_y)
+    nd = F.col("n").cast("double")
+    mean_raw = F.col("vy").cast("double") / nd / m
+    mean_adj = (
+        F.col("vy").cast("double")
+        - theta * (F.col("vx").cast("double") - sxd / npd * nd)
+    ) / nd / m
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    ok = var_x > 0
+    return j.select(
+        "variant",
+        "n",
+        _q(mean_raw).alias("mean_raw"),
+        F.when(ok, _q(mean_adj)).alias("mean_adj"),
+        F.when(ok, _q(theta)).alias("theta"),
+        F.when(
+            ok & (var_y > 0), _q(F.lit(1.0) - rho2)
+        ).alias("var_ratio"),
+    )

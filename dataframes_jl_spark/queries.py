@@ -12605,6 +12605,195 @@ def q_embed_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncation_audit(emb, "vec_id", "embedding", dims=(8, 16, 32))
 
 
+
+
+@register(
+    "q_rmst",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    per_t AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(e) AS BIGINT) AS c
+      FROM per_user GROUP BY 1
+    ),
+    run AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(d + c) OVER () AS N
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, d, c, N - (cum - (d + c)) AS n_risk,
+             CASE WHEN d <= 0 THEN 0
+                  WHEN N - (cum - (d + c)) = d THEN -100000000000000000
+                  ELSE CAST(FLOOR(LN(CAST(N - (cum - (d + c)) - d
+                                          AS DOUBLE)
+                                     / CAST(N - (cum - (d + c))
+                                            AS DOUBLE))
+                                  * 1e8 + 0.5) AS BIGINT) END AS lt
+      FROM run
+    ),
+    curve AS (
+      SELECT t, d,
+             FLOOR(EXP(CAST(SUM(lt) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / 1e8) * 1e6 + 0.5) / 1e6 AS survival
+      FROM terms
+    ),
+    km AS (SELECT t, survival FROM curve WHERE d > 0),
+    lagged AS (
+      SELECT t, survival,
+             COALESCE(LAG(t) OVER (ORDER BY t), 0) AS t_prev,
+             COALESCE(LAG(survival) OVER (ORDER BY t), 1.0) AS s_prev
+      FROM km
+    ),
+    segs AS (
+      SELECT CAST(FLOOR(s_prev
+                        * CAST(LEAST(t, 21) - LEAST(t_prev, 21)
+                               AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT) AS contrib,
+             t, survival
+      FROM lagged
+    ),
+    folded AS (
+      SELECT CAST(SUM(contrib) AS BIGINT) AS area_u,
+             MAX_BY(survival, t) AS s_last,
+             MAX(t) AS t_last
+      FROM segs
+    ),
+    counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user)
+    SELECT 21.0 AS tau, counts.n,
+           FLOOR((CAST(area_u AS DOUBLE)
+                  + FLOOR(s_last
+                          * CAST(21 - LEAST(t_last, 21) AS DOUBLE)
+                          * 1e6 + 0.5))
+                 / 1e6 * 1e6 + 0.5) / 1e6 AS rmst
+    FROM folded, counts
+    """,
+)
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at a 21-day horizon over the
+    same time-to-conversion frame as q_kaplan_meier
+    (functions.survival.rmst): the area under the KM curve — the one
+    survival summary defined under heavy censoring, pricing the curve
+    q_kaplan_meier draws as a single number. The KM chain's prefix
+    scans are the only row-volume jobs; the integral is a lag window
+    plus one fold over the bounded event-time table, every segment
+    quantized to exact int64 units before the sum."""
+    from .functions.survival import rmst
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("double")
+        .alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("ev"),
+    )
+    return rmst(per_user, "dur", "ev", tau=21.0, scale=0)
+
+
+@register(
+    "q_cuped",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS variant,
+             CAST(FLOOR((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 97
+                         + value * 0.5) * 1e4 + 0.5) AS BIGINT) AS qx,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS qy
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(qx) AS BIGINT) AS sx,
+             CAST(SUM(qy) AS BIGINT) AS sy,
+             SUM(CAST(qx AS HUGEINT) * CAST(qy AS HUGEINT)) AS sxy,
+             SUM(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS sxx,
+             SUM(CAST(qy AS HUGEINT) * CAST(qy AS HUGEINT)) AS syy
+      FROM base
+    ),
+    per_v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qx) AS BIGINT) AS vx,
+             CAST(SUM(qy) AS BIGINT) AS vy
+      FROM base GROUP BY 1
+    ),
+    x AS (
+      SELECT v.variant, v.n, v.vx, v.vy,
+             CAST(p.np AS DOUBLE) AS npd,
+             CAST(p.sx AS DOUBLE) AS sxd,
+             CAST(p.sy AS DOUBLE) AS syd,
+             CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE)
+               * CAST(p.sy AS DOUBLE) / CAST(p.np AS DOUBLE) AS cov_xy,
+             CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE)
+               * CAST(p.sx AS DOUBLE) / CAST(p.np AS DOUBLE) AS var_x,
+             CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE)
+               * CAST(p.sy AS DOUBLE) / CAST(p.np AS DOUBLE) AS var_y
+      FROM per_v v CROSS JOIN pooled p
+    )
+    SELECT variant, n,
+           FLOOR(CAST(vy AS DOUBLE) / CAST(n AS DOUBLE) / 1e4
+                 * 1e6 + 0.5) / 1e6 AS mean_raw,
+           CASE WHEN var_x > 0 THEN
+             FLOOR((CAST(vy AS DOUBLE)
+                    - (cov_xy / var_x)
+                      * (CAST(vx AS DOUBLE)
+                         - sxd / npd * CAST(n AS DOUBLE)))
+                   / CAST(n AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6
+           END AS mean_adj,
+           CASE WHEN var_x > 0 THEN
+             FLOOR(cov_xy / var_x * 1e6 + 0.5) / 1e6 END AS theta,
+           CASE WHEN var_x > 0 AND var_y > 0 THEN
+             FLOOR((1.0 - cov_xy * cov_xy / (var_x * var_y))
+                   * 1e6 + 0.5) / 1e6 END AS var_ratio
+    FROM x
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted per-event-type mean value
+    (functions.stats.cuped_adjust) — the production variance-
+    reduction step BEFORE q_ab_test/q_welch_ttest price a gap: one
+    pooled theta = cov(X,Y)/var(X) from exact quantized sums, mean-
+    preserving per-arm adjustment, and the 1−rho² variance ratio that
+    says how much smaller the experiment could have been. The
+    covariate is a deterministic value-correlated proxy (a hash-
+    residue plus half the metric), so both engines fit the identical
+    theta."""
+    from .functions.stats import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    x = (
+        F.pmod(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            F.lit(97),
+        ).cast("double")
+        + F.col("value") * F.lit(0.5)
+    )
+    return cuped_adjust(
+        ev.withColumn("pre_metric", x),
+        "value",
+        "pre_metric",
+        "event_type",
+    )
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -12638,6 +12827,8 @@ _PRIORITY = [
     "q_cochran_armitage",   # ordered-rate trend test, new this round
     "q_friedman",           # paired k-rank test + Kendall W, new this round
     "q_embed_truncation",   # Matryoshka cosine audit, new this round
+    "q_rmst",               # restricted mean survival, new this round
+    "q_cuped",              # variance-reduced A/B means, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -12651,8 +12842,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (7 of the 50 names whose latest driver row is
-    # r7 fit below; the 43 deferred ride r7 rows one more round:
+    # --- round-7-era (5 of the 50 names whose latest driver row is
+    # r7 fit below; the 45 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -12667,15 +12858,14 @@ _PRIORITY = [
     # q_cut_histogram, q_dedup_embedding, q_dedup_exact_groups
     # q_cumulative_user_value
     # q_crosstab
-    # — the last eighteen displaced by this session's eighteen
-    # new first-ever names)
+    # q_colwise_stats, q_corr_cov
+    # — the last twenty displaced by this session's twenty new
+    # first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
     "q_ann_bruteforce",
     "q_ann_lsh",
-    "q_colwise_stats",
-    "q_corr_cov",
 ]
 
 

@@ -1109,3 +1109,57 @@ def test_truncation_audit_known_values(spark):
     assert d2.mean_abs_gap == pytest.approx(0.0, abs=1e-6)
     with pytest.raises(ValueError):
         truncation_audit(df, "vec_id", "embedding", dims=())
+
+
+def test_rmst_known_values(spark):
+    """Durations (1 event, 2 censored, 3 event) at tau=4: S steps
+    1 → 2/3 at t=1 → 0 at t=3, so RMST = 1·1 + (2/3)·2 + 0·1 ≈
+    2.333334 (quantized step heights). An all-censored group
+    integrates S = 1: rmst = tau. Horizon below the first event
+    also gives tau."""
+    from dataframes_jl_spark.functions.survival import rmst
+
+    rows = [("g1", 1.0, 1), ("g1", 2.0, 0), ("g1", 3.0, 1),
+            ("g2", 5.0, 0), ("g2", 7.0, 0)]
+    df = spark.createDataFrame(rows, "g string, d double, e int")
+    got = {
+        r.g: r
+        for r in rmst(df, "d", "e", tau=4.0, group_by=["g"]).collect()
+    }
+    assert got["g1"].n == 3
+    assert got["g1"].rmst == pytest.approx(2.333334, abs=2e-6)
+    assert got["g2"].rmst == pytest.approx(4.0, abs=1e-6)
+
+    early = rmst(
+        df.filter("g = 'g1'"), "d", "e", tau=1.0
+    ).collect()[0]
+    assert early.rmst == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        rmst(df, "d", "e", tau=0.0)
+
+
+def test_cuped_known_values(spark):
+    """Perfectly correlated covariate (X = Y): theta = 1, var_ratio =
+    0, and every arm's adjusted mean collapses to the pooled mean
+    (the arm difference was pure covariate imbalance). A constant
+    covariate leaves NULL adjustments."""
+    from dataframes_jl_spark.functions.stats import cuped_adjust
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("b", float(v)) for v in (5, 6, 7, 8)]
+    df = spark.createDataFrame(rows, "g string, y double").withColumn(
+        "x", F.col("y")
+    )
+    got = {
+        r.variant: r
+        for r in cuped_adjust(df, "y", "x", "g").collect()
+    }
+    assert got["a"].theta == pytest.approx(1.0, abs=1e-6)
+    assert got["a"].var_ratio == pytest.approx(0.0, abs=1e-6)
+    assert got["a"].mean_raw == pytest.approx(2.5, abs=1e-6)
+    assert got["a"].mean_adj == pytest.approx(4.5, abs=1e-6)
+    assert got["b"].mean_adj == pytest.approx(4.5, abs=1e-6)
+
+    const = df.withColumn("x", F.lit(3.0))
+    r = cuped_adjust(const, "y", "x", "g").collect()[0]
+    assert r.theta is None and r.mean_adj is None

@@ -103,6 +103,8 @@ NAMES = [
     "q_cochran_armitage",  # integer trend folds at 10x orders
     "q_friedman",          # per-block array midranks at 10x users
     "q_embed_truncation",  # prefix-cosine quantized gaps at 10x pairs
+    "q_rmst",              # KM-integral segment sums at 10x users
+    "q_cuped",             # pooled theta decimals at 10x rows
 ]
 
 
