@@ -154,6 +154,8 @@ HEADLINE = [
     "q_embed_truncation",
     "q_rmst",
     "q_cuped",
+    "q_weighted_kappa",
+    "q_multimodal_ppm",
 ]
 
 

@@ -431,3 +431,82 @@ def mcnemar_test(
         F.when(s > 0.0, _q(d * d / s)).alias("chi2"),
         F.when(s > 0.0, _q(dc * dc / s)).alias("chi2_cc"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    a: str | Column,
+    b: str | Column,
+    weight: str = "quadratic",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Weighted Cohen's kappa over two ORDINAL integer ratings — the
+    agreement statistic :func:`cohens_kappa` under-reports for graded
+    labels: unweighted kappa charges a 1-vs-2 disagreement exactly as
+    much as 1-vs-5, while the weighted form prices disagreement by
+    DISTANCE (Cohen 1968; quadratic weights make kappa_w numerically
+    an ICC, the convention for rubric scores):
+
+        kappa_w = 1 − [n · Σ_ij w_ij O_ij] / [Σ_ij w_ij n_a(i) n_b(j)]
+
+    with w_ij = |i−j| (``weight="linear"``) or (i−j)²
+    (``"quadratic"``). Rows with a NULL rating on either side drop —
+    distance from nothing is undefined, unlike the unweighted
+    operator's NULL-as-level audit stance.
+
+    Determinism: ratings cast to int64; both the observed and the
+    expected weighted sums are exact integer folds (decimal(38,0) for
+    the margin cross-products) over the bounded |A|×|B| cell table
+    and the |A|·|B| margin cross join — the ONLY float op is the
+    final division. Returns one row ``(n_total, wkappa)``; when the
+    expected weighted disagreement is 0 (both raters constant and
+    equal), kappa_w is 1 by convention — perfect agreement.
+
+    Scale shape: ONE aggregate to the bounded contingency table, a
+    broadcast margin cross join, two bounded folds.
+    """
+    if weight not in ("linear", "quadratic"):
+        raise ValueError("weight must be 'linear' or 'quadratic'")
+    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+    t = contingency(
+        df.filter(ca.isNotNull() & cb.isNotNull()), ca, cb
+    )
+
+    def w(i, j):
+        d = F.abs(i - j)
+        return d if weight == "linear" else d * d
+
+    dec = "decimal(38,0)"
+    obs = t.agg(
+        F.max("n_total").alias("n_total"),
+        F.sum(
+            (w(F.col("a"), F.col("b")) * F.col("n")).cast(dec)
+        ).alias("so"),
+    )
+    ma = t.groupBy("a").agg(F.max("n_a").alias("na"))
+    mb = t.groupBy("b").agg(F.max("n_b").alias("nb"))
+    exp = (
+        ma.crossJoin(F.broadcast(mb))
+        .agg(
+            F.sum(
+                w(F.col("a"), F.col("b")).cast(dec)
+                * F.col("na").cast(dec)
+                * F.col("nb").cast(dec)
+            ).alias("se")
+        )
+    )
+    j = obs.crossJoin(F.broadcast(exp))
+    m = F.lit(float(10**out_scale))
+    k = F.lit(1.0) - (
+        F.col("n_total").cast("double") * F.col("so").cast("double")
+    ) / F.col("se").cast("double")
+    return j.select(
+        "n_total",
+        F.when(
+            F.col("se").cast("double") > 0,
+            F.floor(k * m + F.lit(0.5)) / m,
+        )
+        .otherwise(F.lit(1.0))
+        .alias("wkappa"),
+    )

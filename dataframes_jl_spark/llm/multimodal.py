@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode kernels are STUBBED (this environment has no image/audio
-libraries): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder derived from
-the payload bytes stands in. Everything around the kernel — schema,
-batching, partition sizing, UDF signatures — is real and tested; a
-production deployment swaps ``_decode_image_kernel`` for a Pillow/ffmpeg
-implementation with the same contract.
+Decode capability is tiered by what the environment can honestly do:
+binary PPM (P6) decodes FOR REAL in pure numpy (no imaging library —
+see :func:`_decode_ppm`), other formats use Pillow when importable
+(not present in this container), and ``fake=True`` substitutes a
+deterministic sha256-derived stand-in so the distributed plumbing
+stays testable and SQL-oracle-recomputable with neither. Everything
+around the kernel — schema, batching, partition sizing, UDF
+signatures — is real and tested; a production deployment swaps
+``_decode_image_kernel`` for a Pillow/ffmpeg implementation with the
+same contract.
 """
 
 from __future__ import annotations
@@ -57,21 +60,72 @@ def _pil():
         return None
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of binary PPM (P6) — the one raster format that
+    needs no imaging library, just the public netpbm spec: an ASCII
+    header ``P6 <w> <h> <maxval>`` (whitespace/comment separated)
+    followed by ``3·w·h`` raw bytes. Returns None when the payload is
+    not P6 (the caller falls through to Pillow/fake), raises on a
+    malformed P6 — a truncated image is corruption, not a format miss.
+
+    mean_luma is the Rec.601 luma (0.299 R + 0.587 G + 0.114 B)
+    averaged over pixels, normalized to [0, 1] — exact double
+    arithmetic over exact integer channel sums, so an oracle with the
+    pixel-generation formula reproduces it bit-for-bit.
+    """
+    if not payload.startswith(b"P6"):
+        return None
+    import numpy as np
+
+    # header tokenizer: P6, width, height, maxval — '#' comments run
+    # to end-of-line, any whitespace separates tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            eol = payload.find(b"\n", pos)
+            pos = eol + 1 if eol >= 0 else len(payload)
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"P6 maxval {maxval} unsupported (8-bit only)")
+    pos += 1  # single whitespace after maxval, per spec
+    raster = payload[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated P6 raster")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    n = w * h
+    luma = (
+        0.299 * float(sums[0]) + 0.587 * float(sums[1]) + 0.114 * float(sums[2])
+    ) / n / 255.0
+    return w, h, 3, luma
+
+
 def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, int, float]:
     """Decode one image → (width, height, channels, mean_luma).
 
-    ``fake=True`` produces a deterministic stand-in derived from the
-    payload sha256 so the distributed plumbing is testable end-to-end
-    and recomputable by a SQL oracle. ``fake=False`` uses Pillow when
-    importable (not present in this container) and raises loudly
-    otherwise.
+    Resolution order: binary PPM (P6) decodes FOR REAL in pure numpy
+    (no imaging library — the format is raw bytes behind an ASCII
+    header); anything else uses Pillow when importable; ``fake=True``
+    substitutes the deterministic sha256-derived stand-in so the
+    distributed plumbing stays testable and SQL-oracle-recomputable
+    in environments with neither.
     """
     if not fake:
+        ppm = _decode_ppm(payload)
+        if ppm is not None:
+            return ppm
         Image = _pil()
         if Image is None:
             raise NotImplementedError(
-                "image decoding requires Pillow/libvips; run with "
-                "fake=True or install Pillow"
+                "non-PPM image decoding requires Pillow/libvips; run "
+                "with fake=True, install Pillow, or supply P6 PPM"
             )
         import io
 
@@ -215,4 +269,39 @@ def resize_images(
 
     return df.select(id_col, payload_col).repartition(par).mapInPandas(
         run, schema=RESIZED_SCHEMA
+    )
+
+
+def synth_ppm_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Deterministically synthesize REAL binary P6 payloads, one per
+    id: a ``width×height`` constant-color image whose RGB derives
+    from the id (``(37·id, 59·id, 83·id) mod 256``). The output is a
+    genuine image file any netpbm reader opens — so the decode gate
+    exercises the REAL parser end-to-end (header tokenizing, raster
+    framing, luma arithmetic), while an oracle that never sees bytes
+    still knows every expected feature in closed form.
+
+    Built in the same Arrow-batched mapInPandas shape as the decoder
+    (the pair is the round-trip test of the multimodal plumbing).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        n = width * height
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                header
+                + bytes([37 * i % 256, 59 * i % 256, 83 * i % 256]) * n
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, schema="media_id bigint, payload binary"
     )

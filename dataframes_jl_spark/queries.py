@@ -12794,6 +12794,145 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q_weighted_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events WHERE value IS NOT NULL
+    ),
+    lab AS (
+      SELECT user_id,
+             LEAST(CAST(FLOOR(MAX(CASE WHEN rn_a = 1 THEN value END)
+                              * 0.01) AS BIGINT) + 1, 5) AS a,
+             LEAST(CAST(FLOOR(MAX(CASE WHEN rn_d = 1 THEN value END)
+                              * 0.01) AS BIGINT) + 1, 5) AS b
+      FROM r GROUP BY 1
+    ),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM lab
+      WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(CAST((a - b) * (a - b) AS HUGEINT)
+                 * CAST(n AS HUGEINT)) AS so
+      FROM cells
+    ),
+    ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+    mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+    exp AS (
+      SELECT SUM(CAST((ma.a - mb.b) * (ma.a - mb.b) AS HUGEINT)
+                 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS se
+      FROM ma CROSS JOIN mb
+    )
+    SELECT n_total,
+           CASE WHEN CAST(se AS DOUBLE) > 0 THEN
+             FLOOR((1.0 - CAST(n_total AS DOUBLE) * CAST(so AS DOUBLE)
+                          / CAST(se AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           ELSE 1.0 END AS wkappa
+    FROM obs, exp
+    """,
+)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between each user's FIRST and LAST
+    event-value quintile (functions.infotheory.weighted_kappa) — the
+    ordinal-agreement question between q_kappa_agreement (nominal
+    kappa) and q_mcnemar (binary marginals): a 1-vs-2 drift is priced
+    less than 1-vs-5. Pairing reuses the kappa/mcnemar first-last
+    row_number windows; the statistic itself is two exact integer
+    folds over the bounded 5x5 cell table and its margin cross
+    join."""
+    from pyspark.sql import Window
+
+    from .functions.infotheory import weighted_kappa
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+
+    def bucket(c):
+        return F.least(
+            F.floor(c * F.lit(0.01)).cast("long") + F.lit(1), F.lit(5)
+        )
+
+    lab = r.groupBy("user_id").agg(
+        bucket(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias(
+            "a"
+        ),
+        bucket(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias(
+            "b"
+        ),
+    )
+    return weighted_kappa(lab, "a", "b", weight="quadratic")
+
+
+
+
+@register(
+    "q_multimodal_ppm",
+    oracle="""
+    WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+    rgb AS (
+      SELECT media_id,
+             (37 * media_id) % 256 AS r,
+             (59 * media_id) % 256 AS g,
+             (83 * media_id) % 256 AS b
+      FROM ids
+    )
+    SELECT media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           FLOOR((0.299 * CAST(48 * r AS DOUBLE)
+                  + 0.587 * CAST(48 * g AS DOUBLE)
+                  + 0.114 * CAST(48 * b AS DOUBLE))
+                 / 48 / 255.0 * 1e6 + 0.5) / 1e6 AS mean_luma
+    FROM rgb
+    """,
+)
+def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end in THIS container: synthesize
+    genuine binary P6 payloads (llm.multimodal.synth_ppm_images — an
+    actual netpbm file per id, constant color derived from the id),
+    then decode them with fake=False through the pure-numpy PPM
+    parser (llm.multimodal._decode_ppm: header tokenizing, raster
+    framing, Rec.601 luma over exact channel sums). The oracle never
+    sees a byte — it knows every expected feature in closed form from
+    the generation formula, so a hash match certifies the DECODER,
+    not the generator. Upgrades the multimodal lane from fake-kernel
+    plumbing to a real decode path with zero library dependencies;
+    Arrow-batched mapInPandas on both sides of the round trip."""
+    from .llm.multimodal import decode_images, synth_ppm_images
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    imgs = synth_ppm_images(ids, "media_id", width=8, height=6)
+    feats = decode_images(imgs, "payload", "media_id", fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        (F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "mean_luma"
+        ),
+    )
+
+
 _PRIORITY = [
     # --- round 11: first-ever driver rows ------------------------------
     "q_calibration_drift",  # registered after the r10 driver ran
@@ -12829,6 +12968,8 @@ _PRIORITY = [
     "q_embed_truncation",   # Matryoshka cosine audit, new this round
     "q_rmst",               # restricted mean survival, new this round
     "q_cuped",              # variance-reduced A/B means, new this round
+    "q_weighted_kappa",     # ordinal first/last agreement, new this round
+    "q_multimodal_ppm",     # REAL pure-numpy image decode, new this round
     # --- stalest evidence: round-5-era (all 12 remaining) ---------------
     "q_asof_join",
     "q_bpe_token_budget",
@@ -12842,8 +12983,8 @@ _PRIORITY = [
     "q_rolling_stats",
     "q_sortperm_nulls",
     "q_weighted_sample",
-    # --- round-7-era (5 of the 50 names whose latest driver row is
-    # r7 fit below; the 45 deferred ride r7 rows one more round:
+    # --- round-7-era (3 of the 50 names whose latest driver row is
+    # r7 fit below; the 47 deferred ride r7 rows one more round:
     # q_moments, q_na_propagating_agg, q_ngram_counts,
     # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
     # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
@@ -12859,13 +13000,13 @@ _PRIORITY = [
     # q_cumulative_user_value
     # q_crosstab
     # q_colwise_stats, q_corr_cov
-    # — the last twenty displaced by this session's twenty new
-    # first-ever names)
+    # q_ann_lsh
+    # q_ann_bruteforce
+    # — the last twenty-two displaced by this session's twenty-two
+    # new first-ever names)
     "q03_nation_revenue",
     "q04_order_priority",
     "q06_forecast_revenue",
-    "q_ann_bruteforce",
-    "q_ann_lsh",
 ]
 
 

@@ -1163,3 +1163,111 @@ def test_cuped_known_values(spark):
     const = df.withColumn("x", F.lit(3.0))
     r = cuped_adjust(const, "y", "x", "g").collect()[0]
     assert r.theta is None and r.mean_adj is None
+
+
+def test_weighted_kappa_known_values(spark):
+    """Hand 2-rater ordinal table: pairs (1,1),(2,2),(3,3) twice each
+    agree perfectly => kappa_w = 1 under both weights. A known
+    disagreement layout: ratings a=[1,1,2,3], b=[1,2,2,1] with
+    quadratic weights: observed Σw·O = 0+1+0+4 = 5, margins
+    n_a=(2,1,1), n_b=(2,2,0)... computed independently below."""
+    from dataframes_jl_spark.functions.infotheory import weighted_kappa
+
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)] * 2, "a int, b int"
+    )
+    r = weighted_kappa(perfect, "a", "b").collect()[0]
+    assert r.wkappa == pytest.approx(1.0, abs=1e-6)
+
+    rows = [(1, 1), (1, 2), (2, 2), (3, 1)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    # independent computation
+    import itertools
+    n = len(rows)
+    so = sum((a - b) ** 2 for a, b in rows)
+    from collections import Counter
+    ca, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    se = sum(
+        (i - j) ** 2 * ca[i] * cb[j]
+        for i, j in itertools.product(ca, cb)
+    )
+    expect = 1.0 - n * so / se
+    r2 = weighted_kappa(df, "a", "b", weight="quadratic").collect()[0]
+    assert r2.n_total == n
+    assert r2.wkappa == pytest.approx(expect, abs=1e-6)
+    # linear weights differ from quadratic on this layout
+    so_l = sum(abs(a - b) for a, b in rows)
+    se_l = sum(
+        abs(i - j) * ca[i] * cb[j] for i, j in itertools.product(ca, cb)
+    )
+    r3 = weighted_kappa(df, "a", "b", weight="linear").collect()[0]
+    assert r3.wkappa == pytest.approx(1.0 - n * so_l / se_l, abs=1e-6)
+    # constant equal raters: expected weighted disagreement 0 -> 1.0
+    const = spark.createDataFrame([(2, 2)] * 3, "a int, b int")
+    r4 = weighted_kappa(const, "a", "b").collect()[0]
+    assert r4.wkappa == 1.0
+    with pytest.raises(ValueError):
+        weighted_kappa(df, "a", "b", weight="cubic")
+
+
+def test_ppm_decoder_real(spark):
+    """The pure-numpy P6 parser handles comments and arbitrary header
+    whitespace, computes exact Rec.601 luma on a non-constant raster,
+    raises on truncation/odd maxval, and falls through (None) on
+    non-PPM payloads so the kernel's honest-raise still guards other
+    formats."""
+    import numpy as np
+
+    from dataframes_jl_spark.llm.multimodal import (
+        _decode_image_kernel,
+        _decode_ppm,
+    )
+
+    w, h = 3, 2
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    payload = (
+        b"P6\n# a comment\n  3 2\n255\n" + px.tobytes()
+    )
+    got = _decode_ppm(payload)
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    expect = (
+        0.299 * float(sums[0]) + 0.587 * float(sums[1]) + 0.114 * float(sums[2])
+    ) / (w * h) / 255.0
+    assert got == (3, 2, 3, expect)
+    # the kernel uses the REAL path for P6 even with fake=False
+    assert _decode_image_kernel(payload, fake=False) == got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _decode_ppm(b"P6\n3 2\n255\n" + px.tobytes()[:-1])
+    with _pt.raises(ValueError):
+        _decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    assert _decode_ppm(b"\x89PNG....") is None
+
+
+def test_ppm_roundtrip_distributed(spark):
+    """synth -> decode round trip through both mapInPandas kernels:
+    features match the closed-form expectation for every id."""
+    from dataframes_jl_spark.llm.multimodal import (
+        decode_images,
+        synth_ppm_images,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 7, 255, 1000)],
+                                "media_id long")
+    imgs = synth_ppm_images(ids, "media_id", width=4, height=3)
+    feats = {
+        r.media_id: r
+        for r in decode_images(imgs, "payload", "media_id",
+                               fake=False).collect()
+    }
+    for i in (0, 1, 7, 255, 1000):
+        r, g, b = 37 * i % 256, 59 * i % 256, 83 * i % 256
+        n = 12
+        expect = (
+            0.299 * float(n * r) + 0.587 * float(n * g) + 0.114 * float(n * b)
+        ) / n / 255.0
+        f = feats[i]
+        assert (f.width, f.height, f.channels) == (4, 3, 3)
+        assert f.mean_luma == pytest.approx(expect, abs=1e-12)

@@ -105,6 +105,8 @@ NAMES = [
     "q_embed_truncation",  # prefix-cosine quantized gaps at 10x pairs
     "q_rmst",              # KM-integral segment sums at 10x users
     "q_cuped",             # pooled theta decimals at 10x rows
+    "q_weighted_kappa",    # 5x5 ordinal folds at 10x user pairs
+    "q_multimodal_ppm",    # real P6 decode round trip at 10x ids
 ]
 
 
