@@ -2176,6 +2176,10 @@ def anova_oneway(
     no join back). Returns one row ``(n_groups, n, f_stat, df_between,
     df_within, eta_sq, welch_f, welch_df)``; F columns are NULL when
     a denominator degenerates (k < 2, N ≤ k, or zero within-variance).
+    The Welch columns use k_w = |Welch-eligible groups| (n_j > 1 and
+    positive variance) in every (k−1)/(k−2)/(k²−1) term — groups that
+    drop out of the weight sums also drop out of the dfs — and are
+    NULL when k_w < 2.
     """
     m = F.lit(float(10**scale))
     dec = "decimal(38,0)"
@@ -2211,6 +2215,12 @@ def anova_oneway(
     # bounded k-row fold: every sum below is over |groups| rows
     agg = per_g.agg(
         F.count(F.lit(1)).alias("k"),
+        # Welch-eligible group count: groups with n_j=1 or zero
+        # variance drop out of every w_j sum, so the Welch dfs must
+        # count only the groups that actually contribute (using the
+        # full k here silently mixes two different k's — the
+        # round-11 ADVICE finding)
+        F.sum(F.when(w_ok, F.lit(1)).otherwise(F.lit(0))).alias("kw"),
         F.sum("nj").alias("n"),
         F.sum("sj").alias("s_tot"),
         F.sum(F.col("ssj")).alias("ss_tot"),
@@ -2238,14 +2248,15 @@ def anova_oneway(
     # Λ = Σ(1−w/W)²/(n−1)/... folded from the carried W-free sums:
     # Σ(1−w/W)²/(n−1) = inv_sum − 2·winv_sum/W + wwinv_sum/W²
     wsum = F.col("w_sum")
+    kwd = F.col("kw").cast("double")
     wvar = F.col("wmm_sum") - F.col("wm_sum") * F.col("wm_sum") / wsum
     lam = (
         F.col("inv_sum")
         - F.lit(2.0) * F.col("winv_sum") / wsum
         + F.col("wwinv_sum") / (wsum * wsum)
-    ) / (kd * kd - F.lit(1.0))
-    welch_f = (wvar / (kd - F.lit(1.0))) / (
-        F.lit(1.0) + F.lit(2.0) * (kd - F.lit(2.0)) * lam
+    ) / (kwd * kwd - F.lit(1.0))
+    welch_f = (wvar / (kwd - F.lit(1.0))) / (
+        F.lit(1.0) + F.lit(2.0) * (kwd - F.lit(2.0)) * lam
     )
     welch_df = F.lit(1.0) / (F.lit(3.0) * lam)
     om = F.lit(float(10**out_scale))
@@ -2261,10 +2272,12 @@ def anova_oneway(
         F.when(ok, kd - F.lit(1.0)).alias("df_between"),
         F.when(ok, nd - kd).alias("df_within"),
         F.when(ok & (sst > 0), _q(ssb / sst)).alias("eta_sq"),
-        F.when(ok & (wsum > 0) & (lam > 0), _q(welch_f)).alias(
-            "welch_f"
+        F.when(
+            ok & (F.col("kw") > 1) & (wsum > 0) & (lam > 0), _q(welch_f)
+        ).alias("welch_f"),
+        F.when(ok & (F.col("kw") > 1) & (lam > 0), _q(welch_df)).alias(
+            "welch_df"
         ),
-        F.when(ok & (lam > 0), _q(welch_df)).alias("welch_df"),
     )
 
 
@@ -2327,15 +2340,25 @@ def kendall_tau_binned(
         F.col("c").alias("d"),
     )
     cd = F.col("c").cast(dec) * F.col("d").cast(dec)
+    # all-x-in-one-bin: the px > qx join is EMPTY, so the ungrouped
+    # sums would return NULL — coalesce to 0 so only tau_b is NULL in
+    # the all-ties case (the documented contract; round-11 ADVICE)
+    zero = F.lit(0).cast(dec)
     pairs = grid.join(
         F.broadcast(other), F.col("px") > F.col("qx"), "inner"
     ).agg(
-        F.sum(F.when(F.col("py") > F.col("qy"), cd).otherwise(F.lit(0)))
-        .cast(dec)
-        .alias("concordant"),
-        F.sum(F.when(F.col("py") < F.col("qy"), cd).otherwise(F.lit(0)))
-        .cast(dec)
-        .alias("discordant"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("py") > F.col("qy"), cd).otherwise(F.lit(0))
+            ).cast(dec),
+            zero,
+        ).alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("py") < F.col("qy"), cd).otherwise(F.lit(0))
+            ).cast(dec),
+            zero,
+        ).alias("discordant"),
     )
     c2 = F.col("t").cast(dec) * (F.col("t").cast(dec) - F.lit(1)) / F.lit(2)
     tx = (
@@ -2531,7 +2554,10 @@ def split_conformal(
     Returns one row ``(n_cal, n_test, k, q_hat, coverage)``; q_hat is
     NULL when k > n_cal (alpha too small for the calibration size —
     the interval is infinite and coverage trivially 1, reported NULL
-    to flag the degenerate regime rather than hide it).
+    to flag the degenerate regime rather than hide it). An empty
+    evaluation half reports n_test = 0 with coverage NULL while
+    n_cal/k/q_hat stay calibration-derived (they ride the broadcast
+    meta frame, not the test fold).
 
     Scale shape: two map-side-combining aggregates over the row volume
     (per-unit calibration counts; the evaluation fold), one bounded
@@ -2583,17 +2609,22 @@ def split_conformal(
     meta = tot_k.crossJoin(F.broadcast(q_row))
     test = base.filter(~F.col("is_cal"))
     om = F.lit(float(10**out_scale))
-    # 1-row broadcast: q_unit rides to the evaluation fold
+    # 1-row broadcast: q_unit rides to the evaluation fold. Only the
+    # TEST-side quantities come out of this aggregate — n_cal/k/q_unit
+    # are re-attached from the meta frame afterwards, so an EMPTY
+    # evaluation half (calib_frac ~ 1, tiny buckets) still reports the
+    # calibration-derived columns instead of max-over-zero-rows NULLs
+    # (the round-11 ADVICE finding)
     ev = test.crossJoin(F.broadcast(meta)).agg(
-        F.max("n_cal").alias("n_cal"),
         F.count(F.lit(1)).alias("n_test"),
-        F.max("k").alias("k"),
-        F.max("q_unit").alias("q_unit"),
-        F.sum(
-            F.when(F.col("r") <= F.col("q_unit"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("r") <= F.col("q_unit"), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_cov"),
     )
-    return ev.select(
+    return meta.crossJoin(F.broadcast(ev)).select(
         "n_cal",
         "n_test",
         "k",
@@ -2604,7 +2635,7 @@ def split_conformal(
             / om
         ).alias("q_hat"),
         F.when(
-            F.col("q_unit").isNotNull(),
+            F.col("q_unit").isNotNull() & (F.col("n_test") > 0),
             F.floor(
                 F.col("n_cov").cast("double")
                 / F.col("n_test").cast("double")

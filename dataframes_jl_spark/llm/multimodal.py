@@ -2,8 +2,9 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode capability is tiered by what the environment can honestly do:
-binary PPM (P6) decodes FOR REAL in pure numpy (no imaging library —
-see :func:`_decode_ppm`), other formats use Pillow when importable
+the binary netpbm family (PPM/P6, PGM/P5, PBM/P4) decodes FOR REAL in
+pure numpy (no imaging library — see :func:`_decode_netpbm` and the
+per-format parsers behind it), other formats use Pillow when importable
 (not present in this container), and ``fake=True`` substitutes a
 deterministic sha256-derived stand-in so the distributed plumbing
 stays testable and SQL-oracle-recomputable with neither. Everything
@@ -60,27 +61,31 @@ def _pil():
         return None
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int, int, float] | None:
-    """REAL decode of binary PPM (P6) — the one raster format that
-    needs no imaging library, just the public netpbm spec: an ASCII
-    header ``P6 <w> <h> <maxval>`` (whitespace/comment separated)
-    followed by ``3·w·h`` raw bytes. Returns None when the payload is
-    not P6 (the caller falls through to Pillow/fake), raises on a
-    malformed P6 — a truncated image is corruption, not a format miss.
+# netpbm magic: 'P6'/'P5'/'P4' must be followed by whitespace or a
+# '#' comment — a non-netpbm binary that merely STARTS 0x50 0x36 must
+# fall through to Pillow/fake, not die in the strict parser (the
+# round-11 ADVICE sniff finding)
+_NETPBM_SEP = b" \t\n\r\x0b\x0c#"
 
-    mean_luma is the Rec.601 luma (0.299 R + 0.587 G + 0.114 B)
-    averaged over pixels, normalized to [0, 1] — exact double
-    arithmetic over exact integer channel sums, so an oracle with the
-    pixel-generation formula reproduces it bit-for-bit.
-    """
-    if not payload.startswith(b"P6"):
+
+def _netpbm_header(
+    payload: bytes, magic: bytes, n_tokens: int
+) -> tuple[list[int], int] | None:
+    """Shared netpbm header tokenizer: verify ``magic`` (+ separator),
+    then read ``n_tokens`` ASCII integers, skipping whitespace and
+    ``#``-to-end-of-line comments. Returns (tokens, raster_offset) —
+    the offset is one byte past the single whitespace that terminates
+    the header, per spec — or None when the magic doesn't match."""
+    # explicit length check: payload[2:3] on a 2-byte payload is b"",
+    # and b"" is "in" every bytes — a bare magic must still fall through
+    if (
+        len(payload) < 3
+        or payload[:2] != magic
+        or payload[2:3] not in _NETPBM_SEP
+    ):
         return None
-    import numpy as np
-
-    # header tokenizer: P6, width, height, maxval — '#' comments run
-    # to end-of-line, any whitespace separates tokens
     pos, tokens = 2, []
-    while len(tokens) < 3:
+    while len(tokens) < n_tokens:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":
@@ -90,11 +95,33 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, float] | None:
         start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
-        tokens.append(payload[start:pos])
-    w, h, maxval = (int(t) for t in tokens)
+        if pos == start:
+            raise ValueError(f"truncated {magic.decode()} header")
+        tokens.append(int(payload[start:pos]))
+    return tokens, pos + 1  # single whitespace after the last token
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of binary PPM (P6) — a raster format that needs no
+    imaging library, just the public netpbm spec: an ASCII header
+    ``P6 <w> <h> <maxval>`` (whitespace/comment separated) followed by
+    ``3·w·h`` raw bytes. Returns None when the payload is not P6 (the
+    caller falls through to P5/P4/Pillow/fake), raises on a malformed
+    P6 — a truncated image is corruption, not a format miss.
+
+    mean_luma is the Rec.601 luma (0.299 R + 0.587 G + 0.114 B)
+    averaged over pixels, normalized to [0, 1] — exact double
+    arithmetic over exact integer channel sums, so an oracle with the
+    pixel-generation formula reproduces it bit-for-bit.
+    """
+    head = _netpbm_header(payload, b"P6", 3)
+    if head is None:
+        return None
+    import numpy as np
+
+    (w, h, maxval), pos = head
     if maxval != 255:
         raise ValueError(f"P6 maxval {maxval} unsupported (8-bit only)")
-    pos += 1  # single whitespace after maxval, per spec
     raster = payload[pos : pos + 3 * w * h]
     if len(raster) != 3 * w * h:
         raise ValueError("truncated P6 raster")
@@ -105,6 +132,62 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, float] | None:
         0.299 * float(sums[0]) + 0.587 * float(sums[1]) + 0.114 * float(sums[2])
     ) / n / 255.0
     return w, h, 3, luma
+
+
+def _decode_pgm(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of binary PGM (P5) — the grayscale netpbm sibling:
+    header ``P5 <w> <h> <maxval>`` then ``w·h`` raw bytes, one per
+    pixel. Same tokenizer, same contract as :func:`_decode_ppm`
+    (None on magic miss, raise on malformed). mean_luma is the exact
+    integer pixel sum over ``w·h·255``."""
+    head = _netpbm_header(payload, b"P5", 3)
+    if head is None:
+        return None
+    import numpy as np
+
+    (w, h, maxval), pos = head
+    if maxval != 255:
+        raise ValueError(f"P5 maxval {maxval} unsupported (8-bit only)")
+    raster = payload[pos : pos + w * h]
+    if len(raster) != w * h:
+        raise ValueError("truncated P5 raster")
+    total = int(np.frombuffer(raster, dtype=np.uint8).sum(dtype=np.int64))
+    return w, h, 1, total / (w * h) / 255.0
+
+
+def _decode_pbm(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of binary PBM (P4) — the 1-bit netpbm sibling:
+    header ``P4 <w> <h>`` (no maxval) then ``h`` rows of
+    ``ceil(w/8)`` bytes, MSB-first, bit 1 = BLACK, trailing pad bits
+    in the last byte of each row ignored. mean_luma is the white
+    fraction ``(w·h − black) / (w·h)`` so 1.0 = all white, matching
+    the [0, 1] luma convention of the P6/P5 paths."""
+    head = _netpbm_header(payload, b"P4", 2)
+    if head is None:
+        return None
+    import numpy as np
+
+    (w, h), pos = head
+    row_bytes = (w + 7) // 8
+    raster = payload[pos : pos + row_bytes * h]
+    if len(raster) != row_bytes * h:
+        raise ValueError("truncated P4 raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)
+    bits = np.unpackbits(rows, axis=1)[:, :w]  # drop row padding
+    black = int(bits.sum(dtype=np.int64))
+    n = w * h
+    return w, h, 1, (n - black) / n
+
+
+def _decode_netpbm(payload: bytes) -> tuple[int, int, int, float] | None:
+    """Dispatch across the binary netpbm family (P6/P5/P4) — the
+    formats this container decodes FOR REAL with zero libraries.
+    Returns None when the payload is none of them."""
+    for dec in (_decode_ppm, _decode_pgm, _decode_pbm):
+        out = dec(payload)
+        if out is not None:
+            return out
+    return None
 
 
 def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, int, float]:
@@ -118,14 +201,14 @@ def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, int, flo
     in environments with neither.
     """
     if not fake:
-        ppm = _decode_ppm(payload)
-        if ppm is not None:
-            return ppm
+        pbm = _decode_netpbm(payload)
+        if pbm is not None:
+            return pbm
         Image = _pil()
         if Image is None:
             raise NotImplementedError(
-                "non-PPM image decoding requires Pillow/libvips; run "
-                "with fake=True, install Pillow, or supply P6 PPM"
+                "non-netpbm image decoding requires Pillow/libvips; run "
+                "with fake=True, install Pillow, or supply P6/P5/P4"
             )
         import io
 
@@ -300,6 +383,74 @@ def synth_ppm_images(
                 + bytes([37 * i % 256, 59 * i % 256, 83 * i % 256]) * n
                 for i in ids
             ]
+            yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, schema="media_id bigint, payload binary"
+    )
+
+
+def synth_pgm_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Deterministically synthesize REAL binary P5 payloads, one per
+    id: a ``width×height`` grayscale image whose row is a horizontal
+    gradient ``g0, g0+1, …, g0+width−1`` with ``g0 = (53·id) mod
+    (256 − width)`` (so the ramp never wraps and the pixel sum has
+    the closed form ``height·(width·g0 + width·(width−1)/2)``). The
+    per-pixel variation — unlike a constant fill — makes the gate
+    sensitive to raster framing (off-by-one offsets shift the sum).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P5\n{width} {height}\n255\n".encode()
+        mod = 256 - width
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                header
+                + bytes(range(53 * i % mod, 53 * i % mod + width)) * height
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, schema="media_id bigint, payload binary"
+    )
+
+
+def synth_pbm_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 12,
+    height: int = 6,
+) -> DataFrame:
+    """Deterministically synthesize REAL binary P4 payloads, one per
+    id: a ``width×height`` bitmap whose every row starts with
+    ``b = id mod (width+1)`` BLACK pixels (bit 1) then white — so
+    mean_luma has the closed form ``(width − b) / width``. The
+    default width 12 is deliberately NOT a multiple of 8: each row
+    carries 4 padding bits, so the gate verifies the decoder masks
+    row padding (an unmasked decoder counts phantom black pixels).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P4\n{width} {height}\n".encode()
+        row_bytes = (width + 7) // 8
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                b = int(i) % (width + 1)
+                rowbits = [1] * b + [0] * (row_bytes * 8 - b)
+                row = bytes(
+                    sum(bit << (7 - j) for j, bit in enumerate(rowbits[k : k + 8]))
+                    for k in range(0, row_bytes * 8, 8)
+                )
+                payloads.append(header + row * height)
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(

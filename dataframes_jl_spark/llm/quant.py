@@ -186,7 +186,9 @@ def truncation_audit(
     mean_cos_trunc, mean_abs_gap)`` — a flat mean_abs_gap curve means
     the index can drop to that width; pairs where either side has a
     zero-norm prefix are excluded from that dim's row (cosine
-    undefined).
+    undefined), and a dim WIDER than the embedding yields no row at
+    all (rather than a fake gap-0 "lossless" entry — F.slice would
+    silently return the full vector).
 
     Scale shape: ONE self-join keyed by consecutive id (co-partitioned
     hash join, no broadcast needed, linear), |dims| score columns per
@@ -213,15 +215,23 @@ def truncation_audit(
         return F.floor(c * m + F.lit(0.5)).cast("long")
 
     full = _qu(cosine(F.col("va"), F.col("vb"))).alias("qf")
+    # a dim WIDER than the embedding must not masquerade as a lossless
+    # truncation (F.slice silently stops at the vector end, so cos
+    # would equal the full-width cosine and report gap 0 — the
+    # round-11 ADVICE finding); NULL the score so the filter below
+    # drops that dim's pairs, leaving the invalid width with no row
     per_dim = F.array(
         *[
             F.struct(
                 F.lit(d).alias("dim"),
-                _qu(
-                    cosine(
-                        F.slice(F.col("va"), 1, d),
-                        F.slice(F.col("vb"), 1, d),
-                    )
+                F.when(
+                    F.size(F.col("va")) >= F.lit(d),
+                    _qu(
+                        cosine(
+                            F.slice(F.col("va"), 1, d),
+                            F.slice(F.col("vb"), 1, d),
+                        )
+                    ),
                 ).alias("qd"),
             )
             for d in ds

@@ -11250,6 +11250,8 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN njd > 1 AND var_j > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS kw,
              CAST(SUM(sj) AS DOUBLE) AS std,
              CAST(SUM(ssj) AS DOUBLE) AS ss_tot,
              SUM(sjd * sjd / njd) AS sb,
@@ -11270,15 +11272,16 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w2
     ),
     x AS (
-      SELECT k, n,
+      SELECT k, n, kw,
              CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+             CAST(kw AS DOUBLE) AS kwd,
              sb - std * std / CAST(n AS DOUBLE) AS ssb,
              ss_tot - sb AS ssw,
              w_sum,
              wmm_sum - wm_sum * wm_sum / w_sum AS wvar,
              (inv_sum - 2.0 * winv_sum / w_sum
               + wwinv_sum / (w_sum * w_sum))
-               / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) AS lam
+               / (CAST(kw AS DOUBLE) * CAST(kw AS DOUBLE) - 1.0) AS lam
       FROM agg
     )
     SELECT k AS n_groups, n,
@@ -11289,11 +11292,12 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN k > 1 AND nd > kd THEN nd - kd END AS df_within,
            CASE WHEN k > 1 AND nd > kd AND ssb + ssw > 0 THEN
              FLOOR(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 END AS eta_sq,
-           CASE WHEN k > 1 AND nd > kd AND w_sum > 0 AND lam > 0 THEN
-             FLOOR((wvar / (kd - 1.0))
-                   / (1.0 + 2.0 * (kd - 2.0) * lam) * 1e6 + 0.5) / 1e6
+           CASE WHEN k > 1 AND nd > kd AND kw > 1 AND w_sum > 0
+                AND lam > 0 THEN
+             FLOOR((wvar / (kwd - 1.0))
+                   / (1.0 + 2.0 * (kwd - 2.0) * lam) * 1e6 + 0.5) / 1e6
              END AS welch_f,
-           CASE WHEN k > 1 AND nd > kd AND lam > 0 THEN
+           CASE WHEN k > 1 AND nd > kd AND kw > 1 AND lam > 0 THEN
              FLOOR(1.0 / (3.0 * lam) * 1e6 + 0.5) / 1e6 END AS welch_df
     FROM x
     """,
@@ -11334,12 +11338,12 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qx, qy, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
     ),
     pairs AS (
-      SELECT SUM(CASE WHEN b.qy > a.qy
+      SELECT COALESCE(SUM(CASE WHEN b.qy > a.qy
                  THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
-                 ELSE 0 END) AS concordant,
-             SUM(CASE WHEN b.qy < a.qy
+                 ELSE 0 END), 0) AS concordant,
+             COALESCE(SUM(CASE WHEN b.qy < a.qy
                  THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
-                 ELSE 0 END) AS discordant
+                 ELSE 0 END), 0) AS discordant
       FROM grid a JOIN grid b ON b.qx > a.qx
     ),
     tx AS (
@@ -12934,79 +12938,66 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # --- round 11: first-ever driver rows ------------------------------
-    "q_calibration_drift",  # registered after the r10 driver ran
-    "q_curation_pipeline",  # end-to-end composition gate, new this round
-    "q_log_rank",           # two-sample survival test, new this round
-    "q_bh_fdr",             # FDR step-up adjustment, new this round
-    "q_rank_metrics",       # recall/MRR/nDCG scorecard, new this round
-    "q_kruskal",            # k-group omnibus rank test, new this round
-    "q_bootstrap_ratio",    # ratio-of-sums bootstrap CI, new this round
-    "q_good_turing",        # GT frequency-of-frequencies, new this round
-    "q_cvm_drift",          # Cramér-von Mises drift, new this round
-    "q_hill_tail",          # Hill tail-index estimator, new this round
-    "q_effect_size",        # Cohen's d / Hedges' g, new this round
-    "q_mcnemar",            # paired discordant-cell test, new this round
-    "q_wilson_ci",          # Wilson proportion interval, new this round
-    "q_anova",              # classic + Welch F omnibus, new this round
-    "q_kendall_tau",        # binned tau-b concordance, new this round
-    "q_chao1_richness",     # trigram-type Chao1 bound, new this round
-    "q_isotonic",           # PAV recalibration curve, new this round
-    "q_mann_kendall",       # daily-series trend test, new this round
-    "q_conformal",          # split-conformal interval, new this round
-    "q_perm_test",          # randomization mean-diff test, new this round
-    "q_cronbach",           # item-consistency alpha, new this round
-    "q_theil_index",        # decomposable inequality, new this round
-    "q_audience_overlap",   # exact segment-overlap matrix, new this round
-    "q_tfidf_topk",         # per-doc distinctive term, new this round
-    "q_readability",        # Flesch/FK prose difficulty, new this round
-    "q_stream_cusum_merge", # streaming CUSUM snapshot-merge, new this round
-    "q_ljung_box",          # portmanteau white-noise test, new this round
-    "q_dispersion",         # VMR overdispersion check, new this round
-    "q_cochran_armitage",   # ordered-rate trend test, new this round
-    "q_friedman",           # paired k-rank test + Kendall W, new this round
-    "q_embed_truncation",   # Matryoshka cosine audit, new this round
-    "q_rmst",               # restricted mean survival, new this round
-    "q_cuped",              # variance-reduced A/B means, new this round
-    "q_weighted_kappa",     # ordinal first/last agreement, new this round
-    "q_multimodal_ppm",     # REAL pure-numpy image decode, new this round
-    # --- stalest evidence: round-5-era (all 12 remaining) ---------------
-    "q_asof_join",
-    "q_bpe_token_budget",
-    "q_dedup_pipeline",
-    "q_ewma",
-    "q_hash_split",
-    "q_k_anonymity",
-    "q_monthly_revenue",
-    "q_orc_roundtrip",
-    "q_quantile_sketch",
-    "q_rolling_stats",
-    "q_sortperm_nulls",
-    "q_weighted_sample",
-    # --- round-7-era (3 of the 50 names whose latest driver row is
-    # r7 fit below; the 47 deferred ride r7 rows one more round:
-    # q_moments, q_na_propagating_agg, q_ngram_counts,
-    # q_paste_columns, q_pct_change, q_pivot_status, q_rank_windows,
-    # q_resample_linear, q_resample_locf, q_rolling_distinct, q_rollup,
-    # q_skew_report, q_sortperm, q_table_diff, q_temperature_mix,
-    # q_union_by_name, q_weighted_quantiles, q_window_topk_per_group,
-    # q_zorder_roundtrip, q_multimodal_decode, q_semdedup,
-    # q_merge_intervals, q_mad_outliers, q_kmv_overlap,
-    # q_kmeans_clusters, q_interarrival, q_join_left,
-    # q_join_semi_anti, q_global_running_sum, q_heavy_hitters,
-    # q_hll_distinct, q_hll_groups, q_distinct, q_doc_fingerprint,
-    # q_exact_quantiles, q_fuzzy_match, q_dedup_minhash_lsh, q_dedup_simhash
-    # q_cut_histogram, q_dedup_embedding, q_dedup_exact_groups
-    # q_cumulative_user_value
-    # q_crosstab
-    # q_colwise_stats, q_corr_cov
-    # q_ann_lsh
-    # q_ann_bruteforce
-    # — the last twenty-two displaced by this session's twenty-two
-    # new first-ever names)
-    "q03_nation_revenue",
-    "q04_order_priority",
-    "q06_forecast_revenue",
+    # --- round 12: evidence-rotation round (judge ask #1) ---------------
+    # All 47 names whose latest green driver row is r7 (four rounds
+    # stale after round 11's 35-new-name window) plus the 3 oldest
+    # r8-era names by registration order (q_row_reductions,
+    # q_dedup_jaccard_exact, q_text_stats). No new first-ever names
+    # this round: round-12 additions carry local oracle + scale pin +
+    # sf1 answer-row evidence at introduction (round-11 ask #3 protocol)
+    # and take driver seats in round 13.
+    # --- r7-era refresh (47) --------------------------------------
+    "q_ann_bruteforce",
+    "q_ann_lsh",
+    "q_colwise_stats",
+    "q_corr_cov",
+    "q_crosstab",
+    "q_cumulative_user_value",
+    "q_cut_histogram",
+    "q_dedup_embedding",
+    "q_dedup_exact_groups",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_doc_fingerprint",
+    "q_exact_quantiles",
+    "q_fuzzy_match",
+    "q_global_running_sum",
+    "q_heavy_hitters",
+    "q_hll_distinct",
+    "q_hll_groups",
+    "q_interarrival",
+    "q_join_left",
+    "q_join_semi_anti",
+    "q_kmeans_clusters",
+    "q_kmv_overlap",
+    "q_mad_outliers",
+    "q_merge_intervals",
+    "q_moments",
+    "q_multimodal_decode",
+    "q_na_propagating_agg",
+    "q_ngram_counts",
+    "q_paste_columns",
+    "q_pct_change",
+    "q_pivot_status",
+    "q_rank_windows",
+    "q_resample_linear",
+    "q_resample_locf",
+    "q_rolling_distinct",
+    "q_rollup",
+    "q_semdedup",
+    "q_skew_report",
+    "q_sortperm",
+    "q_table_diff",
+    "q_temperature_mix",
+    "q_union_by_name",
+    "q_weighted_quantiles",
+    "q_window_topk_per_group",
+    "q_zorder_roundtrip",
+    # --- oldest r8-era (3) ------------------------------------------
+    "q_row_reductions",
+    "q_dedup_jaccard_exact",
+    "q_text_stats",
 ]
 
 
