@@ -124,7 +124,12 @@ HEADLINE = [
     "q_calibration_drift",
     "q_log_rank",
     "q_bh_fdr",
-    "q_rank_metrics",
+    # q_rank_metrics rides the battery as its 32-probe variant (round-
+    # 11 ask #6): the 64-probe gate was 5.4 s = 11.6% of the battery,
+    # cost-by-design (exact-cosine baseline, linear in corpus at fixed
+    # probes); the full shape keeps its oracle, scale pin, and sf1
+    # answer row — same plan, half the probe broadcast here
+    "q_rank_metrics32",
     "q_kruskal",
     "q_good_turing",
     "q_cvm_drift",
@@ -156,6 +161,9 @@ HEADLINE = [
     "q_cuped",
     "q_weighted_kappa",
     "q_multimodal_ppm",
+    # round 12 operators
+    "q_multimodal_pgm",
+    "q_multimodal_pbm",
 ]
 
 

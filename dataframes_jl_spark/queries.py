@@ -10550,11 +10550,19 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     before exact int64 sums, and the ideal DCG is a closed k-term
     fold off the relevant-count aggregate, never a second ranking
     pass."""
+    return _rank_metrics_probes(spark, sf_dir, 64)
+
+
+def _rank_metrics_probes(
+    spark: SparkSession, sf_dir: str, n_probes: int
+) -> DataFrame:
+    """Shared body of q_rank_metrics / q_rank_metrics32 — identical
+    plan shape, parameterized probe count."""
     from .functions.ranking import rank_metrics
     from .llm.similarity import _as_double, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 64).select(
+    q = emb.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("qid"),
         _as_double(F.col("embedding")).alias("qv"),
         F.col("label").alias("ql"),
@@ -10576,6 +10584,87 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rank_metrics(scored, "qid", "cs", "rel", "nid", k=10)
+
+
+@register(
+    "q_rank_metrics32",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 32
+    ),
+    c AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, c.nid,
+             ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cs,
+             CASE WHEN q.ql = c.cl THEN 1 ELSE 0 END AS rel
+      FROM q CROSS JOIN c WHERE q.qid != c.nid
+    ),
+    totals AS (
+      SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel FROM scored GROUP BY 1
+    ),
+    ranked AS (
+      SELECT qid, nid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cs DESC, nid) AS rank
+      FROM scored
+    ),
+    topk AS (
+      SELECT qid, rel, rank,
+             CAST(FLOOR(1.0 / log2(CAST(rank AS DOUBLE) + 1.0) * 1e8 + 0.5)
+                  AS BIGINT) AS dt
+      FROM ranked WHERE rank <= 10
+    ),
+    top AS (
+      SELECT qid, CAST(SUM(rel) AS BIGINT) AS hits_k,
+             MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+             CAST(SUM(CASE WHEN rel = 1 THEN dt ELSE 0 END) AS BIGINT) AS dcg
+      FROM topk GROUP BY 1
+    ),
+    series AS (
+      SELECT CAST(i AS BIGINT) AS i,
+             CAST(FLOOR(1.0 / log2(CAST(i AS DOUBLE) + 1.0) * 1e8 + 0.5)
+                  AS BIGINT) AS dt
+      FROM range(1, 11) r(i)
+    ),
+    idl AS (
+      SELECT t.qid, CAST(COALESCE(SUM(s.dt), 0) AS BIGINT) AS idcg
+      FROM totals t LEFT JOIN series s ON s.i <= LEAST(10, t.n_rel)
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT t.qid, t.n_rel,
+             COALESCE(p.hits_k, 0) AS hits_k, p.first_rel,
+             COALESCE(p.dcg, 0) AS dcg, i.idcg
+      FROM totals t LEFT JOIN top p USING (qid)
+      JOIN idl i ON i.qid = t.qid
+    )
+    SELECT qid, n_rel, CAST(hits_k AS BIGINT) AS hits_k,
+           CASE WHEN n_rel > 0 THEN
+             FLOOR(CAST(hits_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS recall_k,
+           COALESCE(FLOOR(1.0 / CAST(first_rel AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                    0.0) AS mrr_k,
+           CASE WHEN n_rel > 0 THEN
+             FLOOR(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS ndcg_k
+    FROM j
+    """,
+)
+def q_rank_metrics32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32-probe BATTERY variant of q_rank_metrics (round-11 ask
+    #6 — the q_bootstrap_ratio lean precedent): q_rank_metrics at 64
+    probes was 5.4 s = 11.6% of the round-11 battery, cost-by-design
+    (exact cosine over all candidates per probe, linear in corpus at
+    fixed probes). This gate is the SAME plan with half the probe
+    broadcast, so the battery tracks the family's wall at half the
+    share, while the 64-probe shape keeps its own oracle, scale pin,
+    and sf1 answer row — the full gate is not weakened, it just no
+    longer rides every bench run."""
+    return _rank_metrics_probes(spark, sf_dir, 32)
 
 
 @register(
@@ -12925,6 +13014,92 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("media_id")
     )
     imgs = synth_ppm_images(ids, "media_id", width=8, height=6)
+    feats = decode_images(imgs, "payload", "media_id", fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        (F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "mean_luma"
+        ),
+    )
+
+
+@register(
+    "q_multimodal_pgm",
+    oracle="""
+    WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+    g AS (
+      SELECT media_id, (53 * media_id) % 248 AS g0 FROM ids
+    )
+    SELECT media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           FLOOR(CAST(6 * (8 * g0 + 28) AS DOUBLE) / 48 / 255.0
+                 * 1e6 + 0.5) / 1e6 AS mean_luma
+    FROM g
+    """,
+)
+def q_multimodal_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL grayscale decode end-to-end: synthesize genuine binary P5
+    payloads (llm.multimodal.synth_pgm_images — a horizontal gradient
+    g0..g0+7 per row, g0 = (53·id) mod 248, chosen so the ramp never
+    wraps and the pixel sum has the closed form h·(w·g0 + w(w−1)/2)),
+    then decode with fake=False through the pure-numpy P5 parser
+    (llm.multimodal._decode_pgm: shared netpbm tokenizer, w·h raster
+    framing, exact integer pixel sum). The per-pixel gradient — unlike
+    q_multimodal_ppm's constant fill — makes this gate sensitive to
+    raster framing: an off-by-one offset shifts the sum. The oracle
+    never sees a byte; a hash match certifies the DECODER."""
+    from .llm.multimodal import decode_images, synth_pgm_images
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    imgs = synth_pgm_images(ids, "media_id", width=8, height=6)
+    feats = decode_images(imgs, "payload", "media_id", fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        (F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "mean_luma"
+        ),
+    )
+
+
+@register(
+    "q_multimodal_pbm",
+    oracle="""
+    WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+    g AS (
+      SELECT media_id, media_id % 13 AS b FROM ids
+    )
+    SELECT media_id, CAST(12 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           FLOOR(CAST(72 - 6 * b AS DOUBLE) / 72.0 * 1e6 + 0.5) / 1e6
+             AS mean_luma
+    FROM g
+    """,
+)
+def q_multimodal_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 1-bit decode end-to-end: synthesize genuine binary P4
+    payloads (llm.multimodal.synth_pbm_images — every row starts with
+    b = id mod 13 black bits at width 12, deliberately NOT a byte
+    multiple so each row carries 4 padding bits), then decode with
+    fake=False through the pure-numpy P4 parser
+    (llm.multimodal._decode_pbm: MSB-first unpack, row-padding mask,
+    white-fraction luma). An unmasked decoder counts phantom black
+    pixels and hash-mismatches immediately — the gate certifies the
+    one netpbm subtlety P6/P5 don't exercise. Oracle is the closed
+    generation formula, zero bytes seen."""
+    from .llm.multimodal import decode_images, synth_pbm_images
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    imgs = synth_pbm_images(ids, "media_id", width=12, height=6)
     feats = decode_images(imgs, "payload", "media_id", fake=False)
     return feats.select(
         "media_id",

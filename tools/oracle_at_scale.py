@@ -107,6 +107,29 @@ NAMES = [
     "q_cuped",             # pooled theta decimals at 10x rows
     "q_weighted_kappa",    # 5x5 ordinal folds at 10x user pairs
     "q_multimodal_ppm",    # real P6 decode round trip at 10x ids
+    # round-12 additions (pin + sf1 row land WITH the operator — the
+    # round-11 ask #3 protocol)
+    "q_multimodal_pgm",    # real P5 gradient decode at 10x ids
+    "q_multimodal_pbm",    # real P4 padded-bitmap decode at 10x ids
+    "q_rank_metrics32",    # the battery variant earns its own sf1 row
+    # round-12 extension (round-11 ask #2): the walls-only pinned
+    # heavy families — iterative fits, prefix scans, saturating
+    # sketches, interval carries — exactly the shapes where a
+    # MinHash-class bug (right at sf0.01, wrong at scale) could hide
+    "q_kmeans_clusters",   # Lloyd iterations at 10x points
+    "q_dedup_embedding",   # banded cosine dup pairs at 10x vectors
+    "q_dedup_exact_groups",# hash-group dup clusters at 10x docs
+    "q_heavy_hitters",     # Misra-Gries merge at 10x stream mass
+    "q_weighted_quantiles",# weighted rank scan at 10x rows
+    "q_exact_quantiles",   # distributed order stats at 10x rows
+    "q_merge_intervals",   # interval-chain carries at 10x spans
+    "q_resample_linear",   # gap interpolation at 10x grid
+    "q_resample_locf",     # last-obs carry at 10x grid
+    "q_temperature_mix",   # softmax mixture weights at 10x sources
+    "q_global_running_sum",# range-partitioned prefix scan at 10x rows
+    "q_table_diff",        # full-outer diff at 10x keys
+    "q_rolling_distinct",  # sliding distinct windows at 10x days
+    "q_zorder_roundtrip",  # Z-order interleave + scan at 10x rows
 ]
 
 

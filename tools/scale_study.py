@@ -205,6 +205,14 @@ STUDY = [
     # Wilson is one (n, n_pos) aggregate per group + closed-form
     # columns — the wall is the scan
     "q_wilson_ci",
+    # round-12: the P5/P4 real-decode round trips — synth + decode are
+    # both Arrow-batched mapInPandas, linear in ids, no shuffle at all
+    "q_multimodal_pgm",
+    "q_multimodal_pbm",
+    # the 32-probe battery variant of q_rank_metrics (same plan, half
+    # the probe broadcast) — pinned separately so the battery's wall
+    # tracker has its own scale evidence
+    "q_rank_metrics32",
 ]
 
 
