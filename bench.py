@@ -164,6 +164,11 @@ HEADLINE = [
     # round 12 operators
     "q_multimodal_pgm",
     "q_multimodal_pbm",
+    "q_wasserstein_drift",
+    "q_atkinson",
+    "q_hhi",
+    "q_term_burstiness",
+    "q_brown_forsythe",
 ]
 
 

@@ -832,6 +832,117 @@ def cvm_statistic(
     )
 
 
+def wasserstein_1d(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 (earth-mover) distance between
+    the distributions of ``col`` in two frames — the drift family's
+    TRANSPORT member: :func:`ks_statistic` reports the worst ECDF gap
+    (sup-norm), :func:`cvm_statistic` the integrated SQUARED gap;
+    W1 integrates the absolute gap itself,
+
+        W1 = ∫ |F_a(x) − F_b(x)| dx,
+
+    which is the minimum mass-times-distance to morph one empirical
+    distribution into the other (Monge-Kantorovich on the line has
+    this closed form; Villani 2003 §2). Unlike KS/CvM it carries the
+    UNITS of ``col`` — "the score distribution moved by 0.03 points"
+    — which is what a drift runbook wants to threshold on.
+
+    Determinism: values quantize to ``10^scale`` int64 units once, so
+    the ECDF gap is piecewise-constant on integer support and the
+    integral is the EXACT integer sum Σ_v |cum_a·n_b − cum_b·n_a| ·
+    (v_next − v) in decimal(38,0) (|d| ≤ n_a·n_b guarded by the same
+    in-plan assert as KS/CvM); one division by n_a·n_b·10^scale at
+    the end, so both engines compare identical doubles.
+
+    Scale shape: per-VALUE counts map-side on each side, one
+    full-outer merge, ONE distributed prefix scan for both cums
+    (range partition + carries, never SinglePartition), a global
+    row-number (same machinery) and ONE co-partitioned self-join on
+    rn+1 for the next-value gap — all over the bounded
+    |distinct quantized values| table — then a single fold. The last
+    value drops out of the inner join, which is exact: beyond it both
+    ECDFs are 1 and the gap is 0. Returns one row
+    ``(n_a, n_b, w1)``; w1 is NULL when either side is empty.
+    """
+    m = F.lit(float(10**scale))
+    qv = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(qv.alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    from ..ops.sorting import global_row_number
+    from ..ops.window import with_running
+
+    run = with_running(
+        merged,
+        {"cum_a": ("sum", "ca"), "cum_b": ("sum", "cb")},
+        order_by="v",
+    )
+    rn = global_row_number(run, "v", col_name="__rn__")
+    nxt = rn.select(
+        (F.col("__rn__") - F.lit(1)).alias("__rn__"),
+        F.col("v").alias("v_next"),
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    ok = F.assert_true(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        < F.lit(9.0e18),
+        F.lit("wasserstein_1d: n_a*n_b exceeds int64 — pre-aggregate"),
+    )
+    dec = "decimal(38,0)"
+    d = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ).cast(dec)
+    gap = (F.col("v_next") - F.col("v")).cast(dec)
+    agg = (
+        rn.join(nxt, "__rn__")
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.coalesce(F.sum(d * gap), F.lit(0).cast(dec)).alias("s"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(F.coalesce(ok.cast("long"), F.lit(0))).alias("ok"),
+        )
+    )
+    om = F.lit(float(10**out_scale))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    w1 = F.col("s").cast("double") / (na * nb) / m
+    final = totals.crossJoin(
+        F.broadcast(agg.select(F.col("s"), F.col("ok")))
+    )
+    return final.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(w1 * om + F.lit(0.5)) / om,
+        ).alias("w1"),
+    )
+
+
 def hill_tail_index(
     df: DataFrame,
     col: str,
@@ -3040,4 +3151,116 @@ def cuped_adjust(
         F.when(
             ok & (var_y > 0), _q(F.lit(1.0) - rho2)
         ).alias("var_ratio"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test for equal VARIANCES across the k levels of
+    ``group_col`` — the missing premise-check of the omnibus lane:
+    :func:`anova_oneway` asks "did the mean move?" (and its Welch arm
+    assumes the variances differ), :func:`kruskal_wallis` asks it in
+    ranks; this asks whether the SPREADS themselves differ (Levene
+    1960's test with Brown & Forsythe 1974's median centering — the
+    robust form every stats package defaults to). The statistic is
+    the one-way ANOVA F computed on the absolute deviations from the
+    group MEDIAN:
+
+        z_ij = |x_ij − med_j|,   F = [Σ n_j (z̄_j − z̄)²/(k−1)] /
+                                     [Σ (z_ij − z̄_j)²/(N−k)]
+
+    Determinism, exactly: values quantize to ``10^scale`` int64 units
+    and collapse to per-(group, value) counts; each group's median
+    comes from the SAME grouped prefix scan the rank tests use — as
+    med2_j = u_(⌈n/2⌉) + u_(⌊n/2+1⌋), TWICE the interpolated median,
+    an exact integer — so the deviations z' = |2u − med2_j| = 2z are
+    exact int64 and F (scale-invariant in z) folds from exact
+    (n_j, Σz', Σz'²) sums, decimal(38,0) for the squares. Both
+    engines divide identical integers.
+
+    Scale shape: ONE map-side-combining (group, value) count is the
+    only row-volume job; the prefix scan and the median pick run over
+    the bounded |group × distinct values| table; the bounded k-row
+    median frame joins BACK onto that same per-value table
+    (co-partitioned on group, broadcast-sized), and the final fold is
+    one aggregate over it. Returns one row ``(n_groups, n, f_stat,
+    df_between, df_within)``; f_stat is NULL when k < 2, N ≤ k, or
+    the pooled within-spread is zero.
+    """
+    from ..ops.window import with_running
+
+    m = F.lit(float(10**scale))
+    q = F.floor(F.col(value_col).cast("double") * m + F.lit(0.5)).cast(
+        "long"
+    )
+    per_v = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).cast("string").alias("g"), q.alias("u"))
+        .groupBy("g", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    run = with_running(
+        per_v, {"cum": ("sum", "c")}, order_by="u", partition_by=["g"]
+    )
+    tot = per_v.groupBy("g").agg(F.sum("c").alias("n"))
+    # order-statistic picks: k1 = ceil(n/2), k2 = floor(n/2) + 1 — for
+    # odd n both hit the middle value, for even n the two central ones
+    j = run.join(tot, "g")
+    k1 = F.ceil(F.col("n").cast("double") / F.lit(2.0)).cast("long")
+    k2 = F.floor(F.col("n") / F.lit(2)) + F.lit(1)
+    med2 = (
+        j.groupBy("g")
+        .agg(
+            F.min(F.when(F.col("cum") >= k1, F.col("u"))).alias("m1"),
+            F.min(F.when(F.col("cum") >= k2, F.col("u"))).alias("m2"),
+        )
+        .select("g", (F.col("m1") + F.col("m2")).alias("med2"))
+    )
+    dec = "decimal(38,0)"
+    z = F.abs(F.lit(2) * F.col("u") - F.col("med2"))
+    per_g = (
+        per_v.join(med2, "g")
+        .select("g", "c", z.alias("z"))
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(F.col("c") * F.col("z")).alias("sj"),
+            F.sum(
+                F.col("c").cast(dec) * F.col("z").cast(dec)
+                * F.col("z").cast(dec)
+            ).alias("ssj"),
+        )
+    )
+    njd = F.col("nj").cast("double")
+    sjd = F.col("sj").cast("double")
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum("sj").alias("s_tot"),
+        F.sum(F.col("ssj")).alias("ss_tot"),
+        F.sum(sjd * sjd / njd).alias("sb"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    std = F.col("s_tot").cast("double")
+    ssb = F.col("sb") - std * std / nd
+    ssw = F.col("ss_tot").cast("double") - F.col("sb")
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    om = F.lit(float(10**out_scale))
+    ok = (F.col("k") > 1) & (nd > kd)
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        "n",
+        F.when(
+            ok & (ssw > 0), F.floor(f_stat * om + F.lit(0.5)) / om
+        ).alias("f_stat"),
+        F.when(ok, kd - F.lit(1.0)).alias("df_between"),
+        F.when(ok, nd - kd).alias("df_within"),
     )

@@ -435,3 +435,78 @@ def chao1_richness(
         _q(chao1).alias("chao1"),
         _q(cov).alias("coverage"),
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-term burstiness over the corpus — the lexical lane's
+    CLUMPING diagnostic: frequency alone (zipf_fit, good_turing) says
+    how OFTEN a term occurs; burstiness says how it is SPREAD. A term
+    with tf = 1000 over 1000 docs is function-word-like; the same tf
+    packed into 40 docs is topical/boilerplate (Church & Gale 1995
+    made this the standard content-word signal; a curation pipeline
+    uses it to separate template spam from genuinely topical terms).
+
+    Reported per term over the ``top_k`` by total count:
+
+    - ``df_docs`` — documents containing the term,
+    - ``tf`` — total occurrences,
+    - ``per_doc`` — mean occurrences per CONTAINING doc (tf/df, the
+      Church-Gale burstiness; 1.0 = never repeats within a doc),
+    - ``vmr`` — variance-to-mean ratio of the per-doc count over ALL
+      n docs, zeros included (1 = Poisson scatter, >1 = clumped):
+      closed-form from exact sums, vmr = (n·Σc² − tf²)/(n·tf), no
+      zero rows ever materialized.
+
+    Determinism: every reported ratio is a ratio of exact int64 sums
+    (Σc, Σc² per term, corpus doc count) — both engines divide the
+    same integers; floor-quantized on output. Top-k selection orders
+    by (tf DESC, term ASC) — a total order, so the cut is unique.
+
+    Scale shape: ONE (doc, term) map-side-combining count (the token
+    explode is the only row-volume job), one |postings|-row regroup
+    to per-term sums, then a top-k — Spark plans
+    TakeOrderedAndProject (per-partition k-heaps, no global sort).
+    The corpus doc count rides a 1-row broadcast.
+    """
+    per_dt = (
+        df.select(
+            F.monotonically_increasing_id().alias("__doc__"),
+            _tokens(text_col).alias("toks"),
+        )
+        .select("__doc__", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("__doc__", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = "decimal(38,0)"
+    per_term = per_dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("c").alias("tf"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    top = (
+        per_term.orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(int(top_k))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    tfd = F.col("tf").cast("double")
+    nd = F.col("n_docs").cast("double")
+    vmr = (nd * F.col("ss").cast("double") - tfd * tfd) / (nd * tfd)
+    return top.select(
+        "term",
+        "df_docs",
+        "tf",
+        _q(tfd / F.col("df_docs").cast("double")).alias("per_doc"),
+        _q(vmr).alias("vmr"),
+    )

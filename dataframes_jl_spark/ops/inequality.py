@@ -237,3 +237,142 @@ def theil_index(
             F.col("n") > 0, F.floor(t * om + F.lit(0.5)) / om
         ).alias("theil"),
     )
+
+
+def atkinson_index(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str] = (),
+    scale: int = 2,
+    ln_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Atkinson index (ε = 1) of ``value`` — the WELFARE
+    member of the inequality lane (gini: rank concentration; theil:
+    additive decomposition): Atkinson states inequality as the share
+    of total mass society could discard and be equally well off under
+    equal division (Atkinson 1970). At inequality-aversion ε = 1 it
+    has the closed geometric-mean form
+
+        A = 1 − exp(mean(ln x)) / mean(x)
+
+    (0 = perfect equality, →1 as mass concentrates; scale-invariant,
+    so the quantized int64 units cancel exactly as in
+    :func:`theil_index`). Zero/negative/NULL values are excluded —
+    ln x is undefined there and mass-less rows carry no signal.
+
+    Determinism: the theil_index discipline verbatim — values
+    quantize to int64 units once and collapse to per-DISTINCT-value
+    counts, ln runs once per distinct value quantized to
+    ``ln_scale`` decimals, Σ c·ln_q(u) accumulates in
+    decimal(38,0); exp / divide act on identical doubles in both
+    engines, floor-quantized on output.
+
+    Scale shape: ONE map-side-combining (group, value) count, one
+    bounded regroup over |distinct values| rows. Returns
+    ``(*group_by, n, total, atkinson)``.
+    """
+    gb = list(group_by)
+    x = _q64(value, scale)
+    per_v = (
+        df.filter(F.col(value).isNotNull() & (F.col(value) > 0))
+        .select(*gb, x.alias("u"))
+        .filter(F.col("u") > 0)
+        .groupBy(*gb, "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = F.lit(float(10**ln_scale))
+    lq = F.floor(
+        F.log(F.col("u").cast("double")) * lm + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    agg = per_v.groupBy(*gb).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast(dec) * F.col("u").cast(dec)).alias("total"),
+        F.sum(F.col("c").cast(dec) * lq.cast(dec)).alias("sl"),
+    )
+    nd = F.col("n").cast("double")
+    # geometric mean in UNITS: exp(Σ c·ln_q(u) / n / 10^ln_scale);
+    # arithmetic mean in the same units: total/n — the ratio is unit-
+    # free, so A needs no de-quantization
+    a = F.lit(1.0) - F.exp(
+        F.col("sl").cast("double") / nd / lm
+    ) / (F.col("total").cast("double") / nd)
+    om = F.lit(float(10**out_scale))
+    return agg.select(
+        *gb,
+        "n",
+        F.col("total").cast("long").alias("total"),
+        F.when(
+            F.col("n") > 0, F.floor(a * om + F.lit(0.5)) / om
+        ).alias("atkinson"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    value: str,
+    entity: str,
+    group_by: Sequence[str] = (),
+    scale: int = 2,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-group Herfindahl-Hirschman concentration of ``value`` mass
+    over ``entity`` — the market-structure member of the inequality
+    lane, and the question antitrust, vendor-risk, and corpus-mixing
+    audits actually ask: "is this segment's mass a competitive spread
+    or one dominant holder?"
+
+        HHI = Σ_e s_e²,   s_e = mass_e / total
+
+    (1/k = perfectly even over k entities, 1 = monopoly; the US DOJ
+    thresholds quote it ×10000). Reported with ``n_entities`` and
+    ``top_share`` so the reader sees both the index and its extreme.
+
+    Determinism: per-(group, entity) mass is an exact int64 sum of
+    quantized units; HHI = Σ m_e² / (Σ m_e)² is a ratio of exact
+    decimal(38,0) integers (squares in decimal — m_e can reach 1e14
+    units at 100 TB), so both engines divide identical doubles; one
+    floor-quantize on output.
+
+    Scale shape: ONE map-side-combining (group, entity) aggregate is
+    the only row-volume job; the HHI fold reduces the bounded
+    |groups × entities| table with a second map-side-combining
+    aggregate. No window, no join. Returns
+    ``(*group_by, n_entities, total, hhi, top_share)``.
+    """
+    gb = list(group_by)
+    x = _q64(value, scale)
+    per_e = (
+        df.filter(F.col(value).isNotNull() & F.col(entity).isNotNull())
+        .select(*gb, F.col(entity).alias("__e__"), x.alias("u"))
+        .groupBy(*gb, "__e__")
+        .agg(F.sum("u").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    dec = "decimal(38,0)"
+    agg = per_e.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.col("m").cast(dec)).alias("total"),
+        F.sum(F.col("m").cast(dec) * F.col("m").cast(dec)).alias("ss"),
+        F.max("m").alias("mx"),
+    )
+    tot = F.col("total").cast("double")
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return agg.select(
+        *gb,
+        "n_entities",
+        F.col("total").cast("long").alias("total"),
+        F.when(
+            F.col("n_entities") > 0,
+            _q(F.col("ss").cast("double") / (tot * tot)),
+        ).alias("hhi"),
+        F.when(
+            F.col("n_entities") > 0,
+            _q(F.col("mx").cast("double") / tot),
+        ).alias("top_share"),
+    )

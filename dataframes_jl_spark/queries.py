@@ -13112,6 +13112,298 @@ def q_multimodal_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_wasserstein_drift",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+      GROUP BY 1
+    ), b AS (
+      SELECT CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+      GROUP BY 1
+    ), m AS (
+      SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM m
+    ), r AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+             LEAD(v) OVER (ORDER BY v) AS vn
+      FROM m
+    ), s AS (
+      SELECT COALESCE(SUM(
+               ABS(CAST(cum_a * (SELECT n_b FROM t)
+                        - cum_b * (SELECT n_a FROM t) AS HUGEINT))
+               * CAST(vn - v AS HUGEINT)), 0) AS s
+      FROM r WHERE vn IS NOT NULL
+    )
+    SELECT t.n_a, t.n_b,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+             FLOOR(CAST(s.s AS DOUBLE)
+                   / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                   / 1e4 * 1e6 + 0.5) / 1e6
+           END AS w1
+    FROM t, s
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) drift between click and view
+    event values (functions.stats.wasserstein_1d) — the TRANSPORT
+    member completing the drift family: q_ks_drift reads the worst
+    ECDF gap, q_cvm_drift the integrated squared gap; W1 integrates
+    |gap| dx, so it carries the UNITS of the column ("the score moved
+    by 0.03 points") — the thresholdable number a drift runbook
+    wants. Values quantize to 1e-4 units so the integral is the
+    exact integer sum |cum_a·n_b − cum_b·n_a|·gap in decimal(38,0)
+    over the per-value table (KS/CvM's prefix-scan shape plus one
+    co-partitioned rn+1 self-join for next-value gaps — never a
+    SinglePartition window)."""
+    from .functions.stats import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_1d(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        scale=4,
+    )
+
+
+@register(
+    "q_atkinson",
+    oracle="""
+    WITH per_v AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS u,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      GROUP BY 1, 2
+    ),
+    pos AS (SELECT g, u, c FROM per_v WHERE u > 0),
+    agg AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * CAST(u AS HUGEINT)) AS total,
+             SUM(CAST(c AS HUGEINT)
+                 * CAST(FLOOR(LN(CAST(u AS DOUBLE)) * 1e8 + 0.5)
+                        AS HUGEINT)) AS sl
+      FROM pos GROUP BY 1
+    )
+    SELECT g AS o_orderpriority, n, CAST(total AS BIGINT) AS total,
+           CASE WHEN n > 0 THEN
+             FLOOR((1.0 - EXP(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1e8)
+                          / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6
+           END AS atkinson
+    FROM agg
+    """,
+)
+def q_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Atkinson index (epsilon = 1) of order totals
+    (ops.inequality.atkinson_index) — the WELFARE member beside
+    q_gini_revenue (rank concentration) and q_theil_index (additive
+    decomposition): 1 − geometric/arithmetic mean, "the share of
+    total mass society could discard under equal division". Same
+    per-distinct-cent collapse and quantized-ln discipline as Theil
+    (ln once per distinct value at 1e-8, Σ c·ln_q in decimal(38,0));
+    the unit scale cancels in the mean ratio."""
+    from .ops.inequality import atkinson_index
+
+    od = _t(spark, sf_dir, "orders")
+    return atkinson_index(
+        od, "o_totalprice", group_by=["o_orderpriority"], scale=2
+    )
+
+
+@register(
+    "q_hhi",
+    oracle="""
+    WITH per_e AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS e,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS m
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+      HAVING SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                      AS BIGINT)) > 0
+    ),
+    agg AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_entities,
+             SUM(CAST(m AS HUGEINT)) AS total,
+             SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS ss,
+             CAST(MAX(m) AS BIGINT) AS mx
+      FROM per_e GROUP BY 1
+    )
+    SELECT seg AS c_mktsegment, n_entities,
+           CAST(total AS BIGINT) AS total,
+           CASE WHEN n_entities > 0 THEN
+             FLOOR(CAST(ss AS DOUBLE)
+                   / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 END AS hhi,
+           CASE WHEN n_entities > 0 THEN
+             FLOOR(CAST(mx AS DOUBLE) / CAST(total AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS top_share
+    FROM agg
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue over
+    customers within each market segment
+    (ops.inequality.hhi_concentration) — the market-structure member
+    of the inequality lane: Σ share², the antitrust/vendor-risk
+    number, with n_entities and top_share so the reader sees the
+    extreme behind the index. One broadcast customer join, ONE
+    (segment, customer) map-side-combining aggregate, one bounded
+    fold; HHI is a ratio of exact decimal(38,0) integers."""
+    from .ops.inequality import hhi_concentration
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    j = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    return hhi_concentration(
+        j,
+        "o_totalprice",
+        entity="o_custkey",
+        group_by=["c_mktsegment"],
+        scale=2,
+    )
+
+
+@register(
+    "q_term_burstiness",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '[^a-z0-9]+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    per_dt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    per_term AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs,
+             CAST(SUM(c) AS BIGINT) AS tf,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+      FROM per_dt GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    top AS (
+      SELECT * FROM per_term ORDER BY tf DESC, term LIMIT 100
+    )
+    SELECT term, df_docs, tf,
+           FLOOR(CAST(tf AS DOUBLE) / CAST(df_docs AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS per_doc,
+           FLOOR((CAST(n_docs AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) * CAST(tf AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS vmr
+    FROM top, nd
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness scorecard for the corpus's top-100 terms by count
+    (llm.lexical.term_burstiness) — the lexical lane's CLUMPING
+    diagnostic (Church & Gale 1995): per_doc = tf/df (mean repeats
+    per containing doc) and vmr = variance-to-mean of the per-doc
+    count with zeros included, both closed-form ratios of exact
+    int64 sums (no zero rows materialized). ONE (doc, term) map-side
+    count is the only row-volume job; top-100 by (tf DESC, term) is
+    a total order, planned as TakeOrderedAndProject."""
+    from .llm.lexical import term_burstiness
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_burstiness(docs, "text", top_k=100)
+
+
+@register(
+    "q_brown_forsythe",
+    oracle="""
+    WITH per_v AS (
+      SELECT event_type AS g,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS u,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT g, u, c,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY u)
+                  AS BIGINT) AS cum
+      FROM per_v
+    ),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM per_v GROUP BY 1),
+    med AS (
+      SELECT r.g,
+             MIN(CASE WHEN r.cum >= CAST(CEIL(CAST(t.n AS DOUBLE) / 2.0)
+                                         AS BIGINT)
+                      THEN r.u END)
+             + MIN(CASE WHEN r.cum >= t.n // 2 + 1 THEN r.u END) AS med2
+      FROM run r JOIN tot t ON r.g = t.g
+      GROUP BY 1
+    ),
+    per_g AS (
+      SELECT p.g, CAST(SUM(p.c) AS BIGINT) AS nj,
+             CAST(SUM(p.c * ABS(2 * p.u - m.med2)) AS BIGINT) AS sj,
+             SUM(CAST(p.c AS HUGEINT)
+                 * CAST(ABS(2 * p.u - m.med2) AS HUGEINT)
+                 * CAST(ABS(2 * p.u - m.med2) AS HUGEINT)) AS ssj
+      FROM per_v p JOIN med m ON p.g = m.g
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(SUM(sj) AS DOUBLE) AS std,
+             CAST(SUM(ssj) AS DOUBLE) AS ss_tot,
+             SUM(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                 / CAST(nj AS DOUBLE)) AS sb
+      FROM per_g
+    ),
+    x AS (
+      SELECT k, n, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd,
+             sb - std * std / CAST(n AS DOUBLE) AS ssb,
+             ss_tot - sb AS ssw
+      FROM agg
+    )
+    SELECT k AS n_groups, n,
+           CASE WHEN k > 1 AND nd > kd AND ssw > 0 THEN
+             FLOOR((ssb / (kd - 1.0)) / (ssw / (nd - kd)) * 1e6 + 0.5)
+               / 1e6 END AS f_stat,
+           CASE WHEN k > 1 AND nd > kd THEN kd - 1.0 END AS df_between,
+           CASE WHEN k > 1 AND nd > kd THEN nd - kd END AS df_within
+    FROM x
+    """,
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe equal-variance test of event value across the
+    five event types (functions.stats.brown_forsythe) — the premise
+    check the omnibus lane was missing: q_anova's Welch arm ASSUMES
+    unequal variances, this TESTS them (ANOVA F on |x − group
+    median|, the robust Levene form). Group medians come from the
+    same grouped prefix scan the rank tests use, carried as exact
+    2x-median integers so every deviation and every F input is an
+    exact int64/decimal fold — both engines divide identical
+    integers."""
+    from .functions.stats import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type")
+
+
 _PRIORITY = [
     # --- round 12: evidence-rotation round (judge ask #1) ---------------
     # All 47 names whose latest green driver row is r7 (four rounds

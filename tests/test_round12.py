@@ -220,3 +220,126 @@ def test_truncation_audit_overwide_dim_yields_no_row(spark):
     # d == full width IS lossless and must report gap 0
     assert got[8]["mean_abs_gap"] == 0.0
     assert got[4]["n_pairs"] == 29
+
+
+# ---------------------------------------------------------------------------
+# Round-12 new operators: hand-checked values
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_hand_values(spark):
+    """A={0,1}, B={1,2}: quantile functions differ by 1 everywhere, so
+    W1 = 1 exactly; a pure shift by c gives W1 = c; identical
+    distributions give 0; empty side gives NULL."""
+    from dataframes_jl_spark.functions.stats import wasserstein_1d
+
+    mk = lambda vals: spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    )
+    r = wasserstein_1d(mk([0, 1]), mk([1, 2]), "x", scale=0).collect()[0]
+    assert (r["n_a"], r["n_b"], r["w1"]) == (2, 2, 1.0)
+    r = wasserstein_1d(
+        mk([1, 5, 9]), mk([3.5, 7.5, 11.5]), "x", scale=2
+    ).collect()[0]
+    assert r["w1"] == 2.5
+    r = wasserstein_1d(mk([3, 7]), mk([3, 7]), "x", scale=0).collect()[0]
+    assert r["w1"] == 0.0
+    r = wasserstein_1d(mk([1]), mk([]), "x", scale=0).collect()[0]
+    assert r["n_b"] == 0 and r["w1"] is None
+
+
+def test_atkinson_hand_values(spark):
+    """x=[1,4]: geometric mean 2, arithmetic 2.5 => A = 0.2; constant
+    column => 0; the index is scale-invariant (x and 100x match)."""
+    from dataframes_jl_spark.ops.inequality import atkinson_index
+
+    df = spark.createDataFrame([(1.0,), (4.0,)], "x double")
+    r = atkinson_index(df, "x", scale=0).collect()[0]
+    assert abs(r["atkinson"] - 0.2) < 2e-6
+    const = spark.createDataFrame([(5.0,)] * 4, "x double")
+    assert atkinson_index(const, "x", scale=0).collect()[0]["atkinson"] == 0.0
+    big = spark.createDataFrame([(100.0,), (400.0,)], "x double")
+    rb = atkinson_index(big, "x", scale=0).collect()[0]
+    assert abs(rb["atkinson"] - r["atkinson"]) < 2e-6
+
+
+def test_hhi_hand_values(spark):
+    """Two equal entities => HHI 0.5, top_share 0.5; monopoly => 1;
+    shares 3:1 => 0.625."""
+    from dataframes_jl_spark.ops.inequality import hhi_concentration
+
+    df = spark.createDataFrame(
+        [("s", "e1", 10.0), ("s", "e2", 10.0), ("m", "e1", 8.0)],
+        "g string, e string, x double",
+    )
+    got = {
+        r["g"]: r
+        for r in hhi_concentration(
+            df, "x", entity="e", group_by=["g"], scale=0
+        ).collect()
+    }
+    assert got["s"]["hhi"] == 0.5 and got["s"]["top_share"] == 0.5
+    assert got["m"]["hhi"] == 1.0 and got["m"]["n_entities"] == 1
+    df2 = spark.createDataFrame(
+        [("g", "a", 3.0), ("g", "b", 1.0)], "g string, e string, x double"
+    )
+    r = hhi_concentration(df2, "x", entity="e", group_by=["g"], scale=0)
+    row = r.collect()[0]
+    assert row["hhi"] == 0.625 and row["top_share"] == 0.75
+
+
+def test_term_burstiness_hand_values(spark):
+    """Docs 'a a b' / 'a c' / 'c': term a has df=2, tf=3, ss=5 over
+    n=3 docs => per_doc 1.5, vmr (3*5-9)/(3*3)=2/3; c: vmr 1/3."""
+    from dataframes_jl_spark.llm.lexical import term_burstiness
+
+    docs = spark.createDataFrame(
+        [("a a b",), ("a c",), ("c",)], "text string"
+    )
+    got = {r["term"]: r for r in term_burstiness(docs, "text").collect()}
+    assert got["a"]["df_docs"] == 2 and got["a"]["tf"] == 3
+    assert got["a"]["per_doc"] == 1.5
+    assert abs(got["a"]["vmr"] - 2 / 3) < 2e-6
+    assert got["c"]["per_doc"] == 1.0
+    assert abs(got["c"]["vmr"] - 1 / 3) < 2e-6
+    # b occurs once: vmr = (3*1-1)/(3*1) = 2/3
+    assert abs(got["b"]["vmr"] - 2 / 3) < 2e-6
+
+
+def test_brown_forsythe_hand_values(spark):
+    """a=[1,2,3,4] (median 2.5, |z|=1.5,.5,.5,1.5), b=[10,20,30]
+    (median 20, |z|=10,0,10): in doubled units z'=(3,1,1,3)/(20,0,20),
+    SSB/SSW computed by hand => F = 220.190476/54.133333 = 4.067557;
+    equal-spread groups => F ~ 0; one group => NULL f_stat."""
+    from dataframes_jl_spark.functions.stats import brown_forsythe
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("b", v) for v in [10.0, 20.0, 30.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = brown_forsythe(df, "x", "g", scale=0).collect()[0]
+    assert (r["n_groups"], r["n"]) == (2, 7)
+    sb = 64 / 4 + 1600 / 3
+    ssb = sb - 48.0 * 48.0 / 7
+    ssw = 820 - sb
+    f = (ssb / 1.0) / (ssw / 5.0)
+    # Python's summation order differs from the engine's fold by an
+    # ulp, which can flip the 1e-6 quantization digit — compare to
+    # within one quantum
+    assert abs(r["f_stat"] - f) < 2e-6
+    assert (r["df_between"], r["df_within"]) == (1.0, 5.0)
+    # identical deviation PATTERNS, shifted location: mean |z| equal in
+    # both groups => SSB = 0 => F = 0 (within-spread stays positive)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 11.0), ("b", 12.0), ("b", 14.0)],
+        "g string, x double",
+    )
+    assert brown_forsythe(same, "x", "g", scale=0).collect()[0]["f_stat"] == 0.0
+    # ALL deviations identical: SSW = 0 — genuinely undefined, NULL
+    degen = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0)],
+        "g string, x double",
+    )
+    assert brown_forsythe(degen, "x", "g", scale=0).collect()[0]["f_stat"] is None
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, x double")
+    assert brown_forsythe(one, "x", "g", scale=0).collect()[0]["f_stat"] is None

@@ -112,6 +112,11 @@ NAMES = [
     "q_multimodal_pgm",    # real P5 gradient decode at 10x ids
     "q_multimodal_pbm",    # real P4 padded-bitmap decode at 10x ids
     "q_rank_metrics32",    # the battery variant earns its own sf1 row
+    "q_wasserstein_drift", # exact |gap|·width integral at 10x values
+    "q_atkinson",          # quantized-ln mass folds at 10x orders
+    "q_hhi",               # decimal share squares at 10x customers
+    "q_term_burstiness",   # exact (n·Σc²−tf²) folds at 10x postings
+    "q_brown_forsythe",    # grouped median prefix scan at 10x values
     # round-12 extension (round-11 ask #2): the walls-only pinned
     # heavy families — iterative fits, prefix scans, saturating
     # sketches, interval carries — exactly the shapes where a

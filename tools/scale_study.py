@@ -213,6 +213,16 @@ STUDY = [
     # the probe broadcast) — pinned separately so the battery's wall
     # tracker has its own scale evidence
     "q_rank_metrics32",
+    # round-12 statistics/lexical additions: W1 rides the KS/CvM
+    # prefix-scan shape plus one co-partitioned rn+1 join; Atkinson
+    # and HHI are single map-side aggregates + bounded folds;
+    # burstiness is one (doc, term) count + TakeOrdered top-100;
+    # Brown-Forsythe is a grouped prefix scan + two bounded joins
+    "q_wasserstein_drift",
+    "q_atkinson",
+    "q_hhi",
+    "q_term_burstiness",
+    "q_brown_forsythe",
 ]
 
 
