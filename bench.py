@@ -169,6 +169,7 @@ HEADLINE = [
     "q_hhi",
     "q_term_burstiness",
     "q_brown_forsythe",
+    "q_silhouette",
 ]
 
 

@@ -548,3 +548,154 @@ def pca_project(
             d = d / F.lit(float(whiten_variance[j]) ** 0.5)
         coords.append(d)
     return df.withColumn(out_col, F.array(*coords))
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> dict:
+    """Exact per-label mean vectors as plain Python lists — the
+    bounded control-plane step behind :func:`label_silhouette` (the
+    kmeans_fit precedent: the BIG data never leaves the cluster, only
+    the |labels|·dim sum table does).
+
+    Each component quantizes to ``10^scale`` int64 units once;
+    posexplode + ONE map-side-combining (label, dim) aggregate of
+    exact integer sums is the only row-volume job. The centroid
+    component c_d = S_d / (n·10^scale) is a ratio of exact integers,
+    so both engines (and any re-run) materialize the identical
+    double. Returns {label: [c_0 … c_{D−1}]}.
+    """
+    m = F.lit(float(10**scale))
+    per = (
+        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col).alias("__l__"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("__d__", "x"),
+        )
+        .groupBy("__l__", "__d__")
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * m + F.lit(0.5)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rows = per.collect()  # bounded: |labels| x dim
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["__l__"], {})[r["__d__"]] = (r["s"], r["n"])
+    mm = float(10**scale)
+    return {
+        lab: [
+            dims[d][0] / (dims[d][1] * mm) for d in sorted(dims)
+        ]
+        for lab, dims in sorted(by_label.items())
+    }
+
+
+def label_silhouette(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the
+    clustering-quality number the eval lane was missing: q_kmeans
+    profiles WITHIN-cluster dispersion, q_dedup_embedding finds
+    near-pairs; silhouette asks "are the label regions actually
+    SEPARATED?" per point as s = (b − a)/max(a, b) with a = distance
+    to the OWN label centroid and b = the nearest OTHER label
+    centroid (the simplified/medoid-free variant — Hruschka et al.
+    2004 — which replaces the classic all-pairs a/b with centroid
+    distances: O(n·k) instead of O(n²), the only form that scales).
+    s ≈ 1: compact and far from the next label; s ≈ 0: on the
+    boundary; s < 0: closer to another label's centroid than its own
+    (likely mislabeled or mixed region).
+
+    Determinism: centroids are exact-integer ratios
+    (:func:`label_centroids`); distances are the per-dim-quantized
+    exact int64 sums of kmeans_assign (`_qdist_lit`); s is a closed
+    expression over those integers, quantized per POINT to
+    ``out_scale`` int64 units, so the per-label mean is a ratio of
+    exact sums. max(a, b) = 0 (a point identical to every centroid)
+    reports s = 0 by convention. A singleton label has a = its own
+    distance to itself = 0 → s = 1 against any distinct neighbor —
+    the documented simplified-variant artifact (classic silhouette
+    defines 0 there; at corpus scale singleton labels are a data bug
+    the 1.0 makes visible).
+
+    Scale shape: one posexplode aggregate for centroids (bounded
+    collect), then ONE map-only projection computing |labels|
+    quantized distances per row (literal-inlined centroids, no join,
+    no shuffle beyond the final |labels|-row aggregate). Returns
+    ``(label, n, mean_sil, mean_a, mean_b)`` sorted by label.
+    """
+    cents = label_centroids(df, label_col, vec_col, scale)
+    if len(cents) < 2:
+        raise ValueError("label_silhouette needs >= 2 labels")
+    v = _as_double(F.col(vec_col))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(lab).alias("l"),
+                _qdist_lit(v, c, scale).alias("qd"),
+            )
+            for lab, c in cents.items()
+        ]
+    )
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(label_col).alias("pl"), structs.alias("ds"))
+    # materialize the distance array ONCE per row, then split it into
+    # own-label (a) and min-other (b) in a second projection — the
+    # |labels| x dim HOF expression is interpreted, so re-deriving it
+    # per output column would evaluate it twice (the kmeans_assign
+    # double-eval lesson)
+    mid = base.select(
+        "pl",
+        F.element_at(
+            F.filter(F.col("ds"), lambda s: s["l"] == F.col("pl")), 1
+        )["qd"].alias("a"),
+        F.array_min(
+            F.transform(
+                F.filter(F.col("ds"), lambda s: s["l"] != F.col("pl")),
+                lambda s: s["qd"],
+            )
+        ).alias("b"),
+    )
+    om = F.lit(float(10**out_scale))
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    su = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        F.floor((bd - ad) / F.greatest(ad, bd) * om + F.lit(0.5)).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = mid.select("pl", F.col("a"), F.col("b"), su.alias("su")).groupBy(
+        "pl"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("su").alias("ss"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.lit(float(10**scale))
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    return agg.select(
+        F.col("pl").alias("label"),
+        "n",
+        (
+            F.floor(F.col("ss").cast("double") / nd + F.lit(0.5)) / om
+        ).alias("mean_sil"),
+        _q(F.col("sa").cast("double") / nd / m).alias("mean_a"),
+        _q(F.col("sb").cast("double") / nd / m).alias("mean_b"),
+    ).orderBy("label")

@@ -13404,6 +13404,78 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe(ev, "value", "event_type")
 
 
+@register(
+    "q_silhouette",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    comp AS (
+      SELECT label, i AS dim,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q CROSS JOIN range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label AS cl,
+             list(CAST(s AS DOUBLE) / (n * 1e6) ORDER BY dim) AS ce
+      FROM comp GROUP BY 1
+    ),
+    d AS (
+      SELECT p.vec_id, p.label AS pl, c.cl,
+             list_sum([CAST(FLOOR(
+                 (CAST(p.embedding[i] AS DOUBLE) - c.ce[i])
+               * (CAST(p.embedding[i] AS DOUBLE) - c.ce[i])
+               * 1e6 + 0.5) AS BIGINT) for i in range(1, 65)]) AS qd
+      FROM q p CROSS JOIN cent c
+    ),
+    ab AS (
+      SELECT vec_id, pl,
+             MIN(CASE WHEN cl = pl THEN qd END) AS a,
+             MIN(CASE WHEN cl <> pl THEN qd END) AS b
+      FROM d GROUP BY 1, 2
+    ),
+    su AS (
+      SELECT pl, a, b,
+             CASE WHEN GREATEST(a, b) > 0 THEN
+               CAST(FLOOR((CAST(b AS DOUBLE) - CAST(a AS DOUBLE))
+                    / GREATEST(CAST(a AS DOUBLE), CAST(b AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END AS su
+      FROM ab
+    )
+    SELECT pl AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(su) AS DOUBLE) / COUNT(*) + 0.5) / 1e6
+             AS mean_sil,
+           FLOOR(CAST(SUM(a) AS DOUBLE) / COUNT(*) / 1e6 * 1e6 + 0.5)
+             / 1e6 AS mean_a,
+           FLOOR(CAST(SUM(b) AS DOUBLE) / COUNT(*) / 1e6 * 1e6 + 0.5)
+             / 1e6 AS mean_b
+    FROM su GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the embedding space
+    by label (llm.cluster.label_silhouette) — the separation metric
+    the embedding-eval lane was missing: q_kmeans_clusters profiles
+    within-cluster dispersion, this asks whether the LABEL regions
+    are actually separated (s = (b−a)/max(a,b) against own vs
+    nearest-other label centroid — the O(n·k) simplified variant,
+    the only silhouette that scales). Centroids are exact-integer
+    ratios from one posexplode aggregate (bounded |labels|·dim
+    collect, the kmeans_fit control-plane precedent); distances are
+    kmeans_assign's per-dim-quantized int64 sums, map-only against
+    literal centroids; per-point s quantizes before the exact per-
+    label mean."""
+    from .llm.cluster import label_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_silhouette(emb, "label", "embedding")
+
+
 _PRIORITY = [
     # --- round 12: evidence-rotation round (judge ask #1) ---------------
     # All 47 names whose latest green driver row is r7 (four rounds

@@ -343,3 +343,34 @@ def test_brown_forsythe_hand_values(spark):
     assert brown_forsythe(degen, "x", "g", scale=0).collect()[0]["f_stat"] is None
     one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, x double")
     assert brown_forsythe(one, "x", "g", scale=0).collect()[0]["f_stat"] is None
+
+
+def test_label_silhouette_hand_values(spark):
+    """Two well-separated 2-D labels: centroids (1,0) and (11,0);
+    point (0,0) has a=1, b=121 => s=120/121; (2,0) a=1, b=81 =>
+    s=80/81 — per-label means check exactly under the 1e-6 per-point
+    quantization. A singleton third label reports s=1 (documented
+    simplified-variant artifact)."""
+    from dataframes_jl_spark.llm.cluster import label_silhouette
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (0, [2.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (1, [12.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {r["label"]: r for r in label_silhouette(df).collect()}
+    import math
+
+    su = [math.floor(120 / 121 * 1e6 + 0.5), math.floor(80 / 81 * 1e6 + 0.5)]
+    want = math.floor(sum(su) / 2 + 0.5) / 1e6
+    assert got[0]["mean_sil"] == want
+    assert got[1]["mean_sil"] == want  # symmetric construction
+    assert got[0]["mean_a"] == 1.0 and got[0]["mean_b"] == 101.0
+    single = rows + [(2, [100.0, 0.0])]
+    df2 = spark.createDataFrame(
+        single, "label int, embedding array<double>"
+    )
+    got2 = {r["label"]: r for r in label_silhouette(df2).collect()}
+    assert got2[2]["mean_sil"] == 1.0 and got2[2]["mean_a"] == 0.0

@@ -117,6 +117,7 @@ NAMES = [
     "q_hhi",               # decimal share squares at 10x customers
     "q_term_burstiness",   # exact (n·Σc²−tf²) folds at 10x postings
     "q_brown_forsythe",    # grouped median prefix scan at 10x values
+    "q_silhouette",        # exact centroid ratios at 10x vectors
     # round-12 extension (round-11 ask #2): the walls-only pinned
     # heavy families — iterative fits, prefix scans, saturating
     # sketches, interval carries — exactly the shapes where a

@@ -223,6 +223,9 @@ STUDY = [
     "q_hhi",
     "q_term_burstiness",
     "q_brown_forsythe",
+    # simplified silhouette: one posexplode centroid aggregate
+    # (bounded collect) + a map-only |labels|-distance projection
+    "q_silhouette",
 ]
 
 
