@@ -257,6 +257,29 @@ SHOWCASE = [
         "folds a 64-row bounded table against a broadcast observed "
         "row.",
     ),
+    (
+        "q_wasserstein_drift",
+        "Both sides collapse map-side to per-value counts; cums ride "
+        "the range-partitioned prefix scan and the next-value gap is "
+        "one co-partitioned rn+1 self-join over the distinct-value "
+        "table — no SinglePartition window, no CartesianProduct "
+        "(totals ride broadcast 1-row crossJoins).",
+    ),
+    (
+        "q_brown_forsythe",
+        "ONE partial->final (group, value) hash aggregate is the only "
+        "row-volume job; the grouped prefix scan, the median pick, "
+        "and the deviation fold all ride the bounded per-value table "
+        "— the raw event rows are scanned exactly once.",
+    ),
+    (
+        "q_silhouette",
+        "Two row-volume jobs, both map-only shapes: the posexplode "
+        "(label, dim) centroid aggregate, then a single projection "
+        "computing all |labels| quantized distances per row against "
+        "LITERAL centroids — no join, no window; the final exchange "
+        "aggregates to |labels| rows.",
+    ),
 ]
 
 
