@@ -6,20 +6,28 @@ A single bench.py run is one draw from a ±10% ambient distribution
 (41.9 s) and the driver's post-commit re-run (46.3 s) differed by
 10.5% with zero per-query regressions. The round RECORD should not
 depend on which JVM ran last, so the committed BENCH_LOCAL_r{N} is
-now produced by this wrapper: three FRESH bench.py processes (three
-JVMs — within-JVM repeats share warmup state and undercount the
-ambient spread), per-query MEDIAN wall, total = sum of medians.
+produced by this wrapper: three FRESH bench.py processes (three JVMs
+— within-JVM repeats share warmup state and undercount the ambient
+spread), per-query MEDIAN wall, total = sum of medians.
 
-Usage:  python tools/bench_median.py            # 3 runs, prints record
-        python tools/bench_median.py --runs 5
-Writes nothing; redirect stdout to BENCH_LOCAL_r{N}.json. Run on an
-IDLE machine — concurrent pytest/Spark inflates walls 2-3x.
+Mechanics: bench.py's STDOUT line is the driver-capture-clipped form
+(17 baseline-core queries); the FULL per-query map is the
+BENCH_LOCAL_r{N}.json file each run writes. This wrapper collects
+that file after each run and REMOVES it before the next, so (a) the
+medians cover the full battery and (b) run 2 does not silently
+compare against run 1 instead of the previous round's record.
+
+Usage:  python tools/bench_median.py [--runs N]   # default 3
+Writes BENCH_LOCAL_r{N}.json (full map, medians) and prints it.
+Run on an IDLE machine — concurrent pytest/Spark inflates walls 2-3x.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
@@ -27,11 +35,26 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _local_records() -> dict[int, str]:
+    out = {}
+    for f in glob.glob(os.path.join(HERE, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", f)
+        if m:
+            out[int(m.group(1))] = f
+    return out
+
+
 def main() -> int:
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
+
+    before = _local_records()
+    prior_round = max(before) if before else None
+    prior = json.load(open(before[prior_round])) if prior_round else None
+
     records = []
+    new_path = None
     for i in range(runs):
         proc = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench.py")],
@@ -39,20 +62,20 @@ def main() -> int:
             text=True,
             cwd=HERE,
         )
-        line = None
-        for ln in proc.stdout.splitlines():
-            ln = ln.strip()
-            if ln.startswith("{") and '"metric"' in ln:
-                line = ln
-        if line is None:
-            print(f"run {i + 1}/{runs}: no JSON line", file=sys.stderr)
-            print(proc.stdout[-2000:], file=sys.stderr)
-            print(proc.stderr[-2000:], file=sys.stderr)
+        after = _local_records()
+        fresh = [r for r in after if r not in before]
+        if proc.returncode != 0 or not fresh:
+            print(f"run {i + 1}/{runs}: bench.py failed", file=sys.stderr)
+            print(proc.stdout[-1500:], file=sys.stderr)
+            print(proc.stderr[-1500:], file=sys.stderr)
             return 1
-        rec = json.loads(line)
+        new_path = after[fresh[0]]
+        rec = json.load(open(new_path))
         records.append(rec)
+        os.remove(new_path)  # keep the prior round the vs_prior target
         print(
-            f"run {i + 1}/{runs}: total {rec['value']}s",
+            f"run {i + 1}/{runs}: total {rec['value']}s"
+            f" ({len(rec['queries'])} queries)",
             file=sys.stderr,
             flush=True,
         )
@@ -62,28 +85,27 @@ def main() -> int:
         n: round(statistics.median(r["queries"][n] for r in records), 3)
         for n in names
     }
-    out = dict(records[-1])  # carries sf / notes / vs_prior shape
-    out["queries"] = med
-    out["value"] = round(sum(med.values()), 3)
-    out["protocol"] = (
-        f"median of {runs} fresh-JVM bench.py runs per query "
-        f"(totals per run: {[r['value'] for r in records]}); "
-        "single-run records are one draw from a ~±10% ambient band"
-    )
-    # recompute vs_prior against the same prior bench.py used, from
-    # the MEDIAN walls
-    vp = records[-1].get("vs_prior")
-    if vp and vp.get("prior_total"):
-        sys.path.insert(0, HERE)
-        import bench as _b
-
-        prior = _b._latest_local_bench() or _b._latest_recorded_bench()
-        ref = (prior or {}).get("queries", {})
+    out = {
+        "metric": records[-1]["metric"],
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": dict(sorted(med.items())),
+        "sf": records[-1]["sf"],
+        "notes": records[-1].get("notes"),
+        "protocol": (
+            f"median of {runs} fresh-JVM bench.py runs per query "
+            f"(totals per run: {[r['value'] for r in records]}); "
+            "single-run records are one draw from a ~±10% ambient band"
+        ),
+    }
+    if prior:
+        ref = prior.get("queries", {})
         out["vs_prior"] = {
-            "prior_total": prior.get("value") if prior else None,
+            "prior": f"BENCH_LOCAL_r{prior_round:02d}",
+            "prior_total": prior.get("value"),
             "ratio": (
                 round(out["value"] / prior["value"], 3)
-                if prior and prior.get("value")
+                if prior.get("value")
                 else None
             ),
             "regressed": {
@@ -92,7 +114,12 @@ def main() -> int:
                 if n in ref and ref[n] > 0 and t / ref[n] > 1.5
             },
         }
+    final = new_path  # same r{N} slot the runs were writing
+    with open(final, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(out))
+    print(f"wrote {final}", file=sys.stderr)
     return 0
 
 

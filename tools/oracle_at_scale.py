@@ -157,6 +157,13 @@ NAMES_SF10 = [
     "q_bloom_prefilter",   # Bloom fill ratio at 100x keys
     "q_cronbach",          # decimal moments at 100x users
     "q_ljung_box",         # lag-covariance decimals at 100x counts
+    # round-12: the all-table-cheap additions whose failure mode is
+    # arithmetic (int64 guards, decimal folds, quantized-ln mass) —
+    # exactly what only a 100x answer replay can certify
+    "q_wasserstein_drift", # |cum_a*n_b - cum_b*n_a| int64 guard at 100x
+    "q_atkinson",          # quantized-ln mass folds at 100x orders
+    "q_hhi",               # decimal share squares at 100x customers
+    "q_brown_forsythe",    # 2x-median integers + decimal z² at 100x
 ]
 
 
