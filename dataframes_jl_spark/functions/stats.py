@@ -828,7 +828,14 @@ def cvm_statistic(
         "n_b",
         _q(t).alias("cvm_t"),
         _q(et).alias("cvm_mean0"),
-        F.when(vt > 0.0, _q((t - et) / F.sqrt(vt))).alias("cvm_z"),
+        # Referencing `ok` (0/NULL) in the gate keeps ColumnPruning
+        # from eliminating max(ok) — the in-plan overflow assert must
+        # survive (same fix as wasserstein_1d; ks embeds it in the
+        # max_by struct).
+        F.when(
+            (vt > 0.0) & (F.coalesce(F.col("ok"), F.lit(0)) >= 0),
+            _q((t - et) / F.sqrt(vt)),
+        ).alias("cvm_z"),
     )
 
 
@@ -870,6 +877,8 @@ def wasserstein_1d(
     ECDFs are 1 and the gap is 0. Returns one row
     ``(n_a, n_b, w1)``; w1 is NULL when either side is empty.
     """
+    from pyspark import StorageLevel
+
     m = F.lit(float(10**scale))
     qv = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
 
@@ -881,6 +890,13 @@ def wasserstein_1d(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
+    # Persist the bounded |distinct quantized values| table: it feeds
+    # FOUR plan branches (the prefix scan, the rn+1 shift, the totals
+    # aggregate, and the final one-row frame), and Spark re-runs the
+    # two row-volume per-value count aggregates per branch otherwise
+    # (ReuseExchange only matches identical exchanges — the scan
+    # fan-out rule). Caller/clearCache owns unpersisting (the
+    # with_running contract).
     merged = (
         counts(df_a, "ca")
         .join(counts(df_b, "cb"), "v", "full_outer")
@@ -889,6 +905,7 @@ def wasserstein_1d(
             F.coalesce("ca", F.lit(0)).alias("ca"),
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     from ..ops.sorting import global_row_number
     from ..ops.window import with_running
@@ -921,8 +938,6 @@ def wasserstein_1d(
         .crossJoin(F.broadcast(totals))
         .agg(
             F.coalesce(F.sum(d * gap), F.lit(0).cast(dec)).alias("s"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
             F.max(F.coalesce(ok.cast("long"), F.lit(0))).alias("ok"),
         )
     )
@@ -930,14 +945,18 @@ def wasserstein_1d(
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     w1 = F.col("s").cast("double") / (na * nb) / m
-    final = totals.crossJoin(
-        F.broadcast(agg.select(F.col("s"), F.col("ok")))
-    )
+    final = totals.crossJoin(F.broadcast(agg))
+    # The overflow assert rides `ok` (0 after coalesce, NULL over an
+    # empty gap join); referencing it inside the returned gate keeps
+    # ColumnPruning from eliminating max(ok) — the assert must stay
+    # in the executed plan (the cvm/ks surviving-struct discipline).
     return final.select(
         "n_a",
         "n_b",
         F.when(
-            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.coalesce(F.col("ok"), F.lit(0)) >= 0),
             F.floor(w1 * om + F.lit(0.5)) / om,
         ).alias("w1"),
     )

@@ -151,7 +151,17 @@ def triangle_count(
     10^14 wedge pairs on one key. Plan: two self-joins of the oriented
     edge table (wedge build + closing-edge semi check), all keyed
     equi-joins, no windows, no driver state.
+
+    Both bounded edge tables persist (MEMORY_AND_DISK): ``und`` feeds
+    the degree aggregate AND the orientation join, and ``oriented``
+    feeds THREE branches (both wedge sides + the closing-edge probe) —
+    unpersisted, Spark re-ran the whole distinct+degree+join pipeline
+    per branch (ReuseExchange only matches identical exchanges), which
+    is where the sf10 wall's 54–113 s draw-to-draw volatility lived.
+    Caller/clearCache owns unpersisting (the with_running contract).
     """
+    from pyspark import StorageLevel
+
     u = F.least(F.col(src), F.col(dst)).alias("u")
     v = F.greatest(F.col(src), F.col(dst)).alias("v")
     und = (
@@ -159,6 +169,7 @@ def triangle_count(
         .filter(F.col(src) != F.col(dst))
         .select(u, v)
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -179,7 +190,7 @@ def triangle_count(
     oriented = ann.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented
     e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")

@@ -11715,21 +11715,25 @@ def _conformal_oracle() -> str:
       SELECT MIN(r) AS q_unit FROM run, tot WHERE cum >= k
     ),
     ev AS (
-      SELECT t.n_cal, t.k, q.q_unit,
-             CAST(COUNT(*) AS BIGINT) AS n_test,
-             CAST(SUM(CASE WHEN b.r <= q.q_unit THEN 1 ELSE 0 END)
+      -- UNGROUPED aggregate (n_cal/k/q_unit re-attached below from
+      -- tot/q): one row even when the evaluation half is EMPTY, so
+      -- the oracle mirrors split_conformal's degenerate contract
+      -- (n_test=0, coverage NULL) instead of vanishing the output
+      -- row (round-12 advice #4)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(COALESCE(SUM(CASE WHEN b.r <= q.q_unit
+                                    THEN 1 ELSE 0 END), 0)
                   AS BIGINT) AS n_cov
-      FROM base b, tot t, q
+      FROM base b, q
       WHERE NOT b.is_cal
-      GROUP BY 1, 2, 3
     )
-    SELECT n_cal, n_test, k,
-           FLOOR(CAST(q_unit AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+    SELECT t.n_cal, ev.n_test, t.k,
+           FLOOR(CAST(q.q_unit AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
              AS q_hat,
-           CASE WHEN q_unit IS NOT NULL THEN
-             FLOOR(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE)
+           CASE WHEN q.q_unit IS NOT NULL AND ev.n_test > 0 THEN
+             FLOOR(CAST(ev.n_cov AS DOUBLE) / CAST(ev.n_test AS DOUBLE)
                    * 1e6 + 0.5) / 1e6 END AS coverage
-    FROM ev
+    FROM tot t, q, ev
     """
 
 
@@ -13477,66 +13481,68 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # --- round 12: evidence-rotation round (judge ask #1) ---------------
-    # All 47 names whose latest green driver row is r7 (four rounds
-    # stale after round 11's 35-new-name window) plus the 3 oldest
-    # r8-era names by registration order (q_row_reductions,
-    # q_dedup_jaccard_exact, q_text_stats). No new first-ever names
-    # this round: round-12 additions carry local oracle + scale pin +
-    # sf1 answer-row evidence at introduction (round-11 ask #3 protocol)
-    # and take driver seats in round 13.
-    # --- r7-era refresh (47) --------------------------------------
-    "q_ann_bruteforce",
-    "q_ann_lsh",
-    "q_colwise_stats",
-    "q_corr_cov",
-    "q_crosstab",
-    "q_cumulative_user_value",
-    "q_cut_histogram",
-    "q_dedup_embedding",
-    "q_dedup_exact_groups",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_doc_fingerprint",
-    "q_exact_quantiles",
-    "q_fuzzy_match",
-    "q_global_running_sum",
-    "q_heavy_hitters",
-    "q_hll_distinct",
-    "q_hll_groups",
-    "q_interarrival",
-    "q_join_left",
-    "q_join_semi_anti",
-    "q_kmeans_clusters",
-    "q_kmv_overlap",
-    "q_mad_outliers",
-    "q_merge_intervals",
-    "q_moments",
-    "q_multimodal_decode",
-    "q_na_propagating_agg",
-    "q_ngram_counts",
-    "q_paste_columns",
-    "q_pct_change",
-    "q_pivot_status",
-    "q_rank_windows",
-    "q_resample_linear",
-    "q_resample_locf",
-    "q_rolling_distinct",
-    "q_rollup",
-    "q_semdedup",
-    "q_skew_report",
-    "q_sortperm",
-    "q_table_diff",
-    "q_temperature_mix",
-    "q_union_by_name",
-    "q_weighted_quantiles",
-    "q_window_topk_per_group",
-    "q_zorder_roundtrip",
-    # --- oldest r8-era (3) ------------------------------------------
-    "q_row_reductions",
-    "q_dedup_jaccard_exact",
-    "q_text_stats",
+    # --- round 13 rotation (judge ask #1) -------------------------------
+    # The 9 round-12 operators (the only registry names with zero driver
+    # rows; COVERAGE.md ledger "awaiting" list) take their promised first
+    # driver seats, plus the 41 oldest r8-era names by registration order
+    # (evidence histogram this round: r8:47 is the stale tail; the 6
+    # remaining r8 names -- q_char_lm_quality, q_theilsen_trend,
+    # q_autocorrelation, q_join_size_estimate, q_cell_residuals,
+    # q_null_matrix -- rotate in round 14 alongside round-13 additions,
+    # which per the standing protocol carry local oracle + scale pin +
+    # sf1 answer-row evidence at introduction).
+    # --- round-12 first certification (9) --------------------------
+    "q_wasserstein_drift",
+    "q_atkinson",
+    "q_hhi",
+    "q_term_burstiness",
+    "q_brown_forsythe",
+    "q_silhouette",
+    "q_multimodal_pgm",
+    "q_multimodal_pbm",
+    "q_rank_metrics32",
+    # --- oldest r8-era refresh (41) ---------------------------------
+    "q_language_id",
+    "q_quality_score",
+    "q_positional_rows",
+    "q_join_natural_right",
+    "q_sliding_window",
+    "q_special_functions",
+    "q_dedup_clusters",
+    "q_string_functions",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_mixture_weights",
+    "q_bm25_search",
+    "q_seasonal_residuals",
+    "q_stream_distinct_merge",
+    "q_stream_topk_merge",
+    "q_transition_matrix",
+    "q_mutual_info",
+    "q_equidepth_histogram",
+    "q_frequent_pairs",
+    "q_apply_diff",
+    "q_ref_integrity",
+    "q_ks_drift",
+    "q_char_entropy",
+    "q_triangle_count",
+    "q_gini_revenue",
+    "q_kappa_agreement",
+    "q_benford_prices",
+    "q_survivorship",
+    "q_decayed_engagement",
+    "q_cusum_shift",
+    "q_ab_test",
+    "q_winsorized_balance",
+    "q_containment_pairs",
+    "q_assortativity",
+    "q_label_confusion",
+    "q_rare_collapse",
+    "q_welch_ttest",
+    "q_mann_whitney",
+    "q_jsd_drift",
+    "q_stream_drift_merge",
+    "q_vocab_oov",
 ]
 
 

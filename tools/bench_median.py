@@ -44,17 +44,44 @@ def _local_records() -> dict[int, str]:
     return out
 
 
+def _target_round() -> int:
+    """The slot bench.py will write: latest BENCH_r{N} (driver record)
+    + 1 — mirrors bench.py's own `nxt` inference, so the wrapper knows
+    the output path WITHOUT diffing directory listings (which breaks
+    when the current round's record already exists on disk and bench.py
+    overwrites it in place: 'fresh' is empty and run 1 misreports as a
+    failure — round-12 advice #3)."""
+    best = 0
+    for p in glob.glob(os.path.join(HERE, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
 def main() -> int:
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
 
+    target = _target_round()
+    new_path = os.path.join(HERE, f"BENCH_LOCAL_r{target:02d}.json")
+    # Stash a pre-existing current-round record (normal once a round's
+    # median has been committed and the wrapper re-runs): bench.py
+    # would overwrite it in place AND treat it as its own vs_prior.
+    stash = None
+    if os.path.exists(new_path):
+        stash = new_path + ".rerun-stash"
+        os.replace(new_path, stash)
+
+    # vs_prior = the newest round STRICTLY BELOW the slot being
+    # written, never the slot itself (self-referential otherwise).
     before = _local_records()
-    prior_round = max(before) if before else None
+    priors = [r for r in before if r < target]
+    prior_round = max(priors) if priors else None
     prior = json.load(open(before[prior_round])) if prior_round else None
 
     records = []
-    new_path = None
     for i in range(runs):
         proc = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench.py")],
@@ -62,14 +89,13 @@ def main() -> int:
             text=True,
             cwd=HERE,
         )
-        after = _local_records()
-        fresh = [r for r in after if r not in before]
-        if proc.returncode != 0 or not fresh:
+        if proc.returncode != 0 or not os.path.exists(new_path):
             print(f"run {i + 1}/{runs}: bench.py failed", file=sys.stderr)
             print(proc.stdout[-1500:], file=sys.stderr)
             print(proc.stderr[-1500:], file=sys.stderr)
+            if stash:
+                os.replace(stash, new_path)
             return 1
-        new_path = after[fresh[0]]
         rec = json.load(open(new_path))
         records.append(rec)
         os.remove(new_path)  # keep the prior round the vs_prior target
@@ -114,12 +140,13 @@ def main() -> int:
                 if n in ref and ref[n] > 0 and t / ref[n] > 1.5
             },
         }
-    final = new_path  # same r{N} slot the runs were writing
-    with open(final, "w") as fh:
+    with open(new_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    if stash and os.path.exists(stash):
+        os.remove(stash)
     print(json.dumps(out))
-    print(f"wrote {final}", file=sys.stderr)
+    print(f"wrote {new_path}", file=sys.stderr)
     return 0
 
 
