@@ -962,6 +962,138 @@ def wasserstein_1d(
     )
 
 
+def energy_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 4,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Two-sample 1-D energy distance between the distributions of
+    ``col`` — the drift family's CHARACTERISTIC-FUNCTION member,
+    completing the quartet: :func:`ks_statistic` (sup gap),
+    :func:`cvm_statistic` (integrated squared gap),
+    :func:`wasserstein_1d` (integrated absolute gap), and now
+
+        D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|    (Székely & Rizzo 2004),
+
+    which is zero iff the distributions are equal and on the line
+    equals ``2·∫ (F_a − F_b)² dx`` — an L2 gap in the UNITS of
+    ``col`` (CvM's L2 is unit-free over pooled ranks), so it reacts
+    to tail drift that pooled-rank statistics compress.
+
+    Determinism: values quantize to ``10^scale`` int64 units once;
+    with per-value counts on the common support each expectation is
+    an exact integer fold over the gap grid —
+    ``E|X−Y|·n·m = Σ_k gap_k·[A_k(m−B_k) + B_k(n−A_k)]`` with
+    ``A_k/B_k`` the cumulative counts (prefix scan), and the
+    within-sample terms the same formula at (a,a)/(b,b) — all three
+    accumulate in ONE decimal(38,0) fold over the bounded distinct-
+    value table, divided once at the end, so both engines compare
+    identical doubles. The in-plan int64 guard on n·m rides the
+    returned gate like :func:`wasserstein_1d`.
+
+    Scale shape: identical to wasserstein_1d (it shares the merged
+    per-value count table, ONE range-partitioned prefix scan, the
+    co-partitioned rn+1 self-join, persist on the bounded merged
+    table). Returns one row ``(n_a, n_b, e_xy, e_xx, e_yy, energy)``
+    — energy = D², NULL when either side is empty.
+    """
+    from pyspark import StorageLevel
+
+    m = F.lit(float(10**scale))
+    qv = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(qv.alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    from ..ops.sorting import global_row_number
+    from ..ops.window import with_running
+
+    run = with_running(
+        merged,
+        {"cum_a": ("sum", "ca"), "cum_b": ("sum", "cb")},
+        order_by="v",
+    )
+    rn = global_row_number(run, "v", col_name="__rn__")
+    nxt = rn.select(
+        (F.col("__rn__") - F.lit(1)).alias("__rn__"),
+        F.col("v").alias("v_next"),
+    )
+    totals = merged.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    ok = F.assert_true(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        < F.lit(9.0e18),
+        F.lit("energy_distance: n_a*n_b exceeds int64 — pre-aggregate"),
+    )
+    dec = "decimal(38,0)"
+    gap = (F.col("v_next") - F.col("v")).cast(dec)
+    A = F.col("cum_a").cast(dec)
+    B = F.col("cum_b").cast(dec)
+    na_d = F.col("n_a").cast(dec)
+    nb_d = F.col("n_b").cast(dec)
+    # straddling-pair counts per gap: cross, within-a, within-b
+    s_xy = gap * (A * (nb_d - B) + B * (na_d - A))
+    s_xx = gap * (F.lit(2).cast(dec) * A * (na_d - A))
+    s_yy = gap * (F.lit(2).cast(dec) * B * (nb_d - B))
+    z = F.lit(0).cast(dec)
+    agg = (
+        rn.join(nxt, "__rn__")
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.coalesce(F.sum(s_xy), z).alias("sxy"),
+            F.coalesce(F.sum(s_xx), z).alias("sxx"),
+            F.coalesce(F.sum(s_yy), z).alias("syy"),
+            F.max(F.coalesce(ok.cast("long"), F.lit(0))).alias("ok"),
+        )
+    )
+    om = F.lit(float(10**out_scale))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    e_xy = F.col("sxy").cast("double") / (na * nb) / m
+    e_xx = F.col("sxx").cast("double") / (na * na) / m
+    e_yy = F.col("syy").cast("double") / (nb * nb) / m
+
+    def _q(c):
+        return F.floor(c * om + F.lit(0.5)) / om
+
+    final = totals.crossJoin(F.broadcast(agg))
+    nonempty = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        # the ok reference keeps the in-plan overflow assert from
+        # being column-pruned (the wasserstein/cvm discipline)
+        & (F.coalesce(F.col("ok"), F.lit(0)) >= 0)
+    )
+    return final.select(
+        "n_a",
+        "n_b",
+        F.when(nonempty, _q(e_xy)).alias("e_xy"),
+        F.when(nonempty, _q(e_xx)).alias("e_xx"),
+        F.when(nonempty, _q(e_yy)).alias("e_yy"),
+        F.when(
+            nonempty, _q(F.lit(2.0) * e_xy - e_xx - e_yy)
+        ).alias("energy"),
+    )
+
+
 def hill_tail_index(
     df: DataFrame,
     col: str,
@@ -2046,6 +2178,140 @@ def _calibration_fold(
         _q(ece).alias("ece"),
         _q(F.col("__mce__")).alias("mce"),
         _q(brier).alias("brier"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label: str,
+    score: str,
+    n_bins: int = 10,
+    scale: int = 6,
+    term_scale: int = 15,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973) — the
+    ATTRIBUTION layer the calibration lane lacked:
+    :func:`calibration_report` says HOW BAD (ECE/MCE/Brier as
+    scalars); this says WHY, splitting the Brier score into
+
+        BS = UNC + REL − RES + WBV
+
+    where UNC = ō(1−ō) is the irreducible base-rate uncertainty,
+    REL = (1/N)Σ_b n_b(p̄_b − ō_b)² the calibration error (forecast
+    says 0.9, bin observes 0.7 — drives REL up), RES =
+    (1/N)Σ_b n_b(ō_b − ō)² the resolution (how much the forecast
+    SEPARATES outcomes — the only term a better model can GROW), and
+    WBV the within-bin forecast variance the binning hides. A model
+    gate reads it as: is my Brier bad because the world is noisy
+    (UNC), because I'm miscalibrated (REL — recalibration fixes it),
+    or because I can't discriminate (low RES — recalibration can't)?
+
+    Determinism: the :func:`_binned_scores` contract (unit
+    quantization, integer-exact bin index), then per-bin exact int
+    sums (n_b, Σy, Σu, Σu², Σu·y) in decimal(38,0); the raw Brier
+    folds from the exact integer identity Σ(u − y·10^s)² =
+    Σu² − 2·10^s·Σuy + 10^{2s}·Σy; REL/RES per-bin quotient terms
+    quantize to ``10^term_scale`` units before summing (the
+    order-independent dsum discipline — the squared deviations ride
+    exact ints cast to double ONCE, so both engines square identical
+    doubles). WBV is reported as the closed residual
+    BS − UNC − REL + RES, ≥ 0 by construction.
+
+    Scale shape: ONE map-side-combining aggregate over the row volume
+    produces ≤ n_bins rows; everything after is bounded (one ≤n_bins
+    regroup + two broadcast attaches). Returns one row ``(n, n_pos,
+    brier, uncertainty, reliability, resolution, within_bin_var)``.
+    """
+    from pyspark import StorageLevel
+
+    m = 10**scale
+    dec = "decimal(38,0)"
+    # persist the ≤n_bins-row table: it feeds the totals AND the term
+    # fold — unpersisted, the row-volume binned aggregate re-runs per
+    # branch (the scan fan-out rule). Caller/clearCache unpersists.
+    per_b = (
+        _binned_scores(
+            df, label, score, [], n_bins, scale, "brier_decomposition"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("u").cast(dec)).alias("su"),
+            F.sum(F.col("u").cast(dec) * F.col("u").cast(dec)).alias(
+                "su2"
+            ),
+            F.sum(F.col("u").cast(dec) * F.col("y").cast(dec)).alias(
+                "suy"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = per_b.agg(
+        F.sum("nb").alias("n"),
+        F.sum("sy").alias("n_pos"),
+        F.sum("su2").alias("tsu2"),
+        F.sum("suy").alias("tsuy"),
+    )
+    tm = F.lit(float(10**term_scale))
+    md = F.lit(float(m))
+    nbd = F.col("nb").cast("double")
+    nd = F.col("n").cast("double")
+    # REL term: (Σu − 10^s·Σy)² / n_b — deviation exact in decimal,
+    # cast to double once, squared as ONE IEEE multiply
+    d_rel = (
+        F.col("su") - F.lit(m).cast(dec) * F.col("sy").cast(dec)
+    ).cast("double")
+    t_rel = F.floor(d_rel * d_rel / nbd + F.lit(0.5)).cast(dec)
+    # RES term: (Σy·N − n_pos·n_b)² / (n_b·N²), scaled by 10^ts
+    d_res = (
+        F.col("sy").cast(dec) * F.col("n").cast(dec)
+        - F.col("n_pos").cast(dec) * F.col("nb").cast(dec)
+    ).cast("double")
+    t_res = F.floor(
+        d_res * d_res / (nbd * nd * nd) * tm + F.lit(0.5)
+    ).cast(dec)
+    folded = (
+        per_b.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(t_rel).alias("s_rel"),
+            F.sum(t_res).alias("s_res"),
+            F.max("n").alias("n"),
+            F.max("n_pos").alias("n_pos"),
+            F.max("tsu2").alias("tsu2"),
+            F.max("tsuy").alias("tsuy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    y_d = F.col("n_pos").cast("double")
+    m2 = F.lit(float(m) * float(m))
+    brier = (
+        F.col("tsu2")
+        - F.lit(2 * m).cast(dec) * F.col("tsuy")
+        + F.lit(m).cast(dec) * F.lit(m).cast(dec)
+        * F.col("n_pos").cast(dec)
+    ).cast("double") / (n_d * m2)
+    rate = y_d / n_d
+    unc = rate * (F.lit(1.0) - rate)
+    rel = F.col("s_rel").cast("double") / (n_d * m2)
+    res = F.col("s_res").cast("double") / (n_d * tm)
+    wbv = brier - unc - rel + res
+    om = F.lit(float(10**out_scale))
+
+    def _q(c):
+        return F.when(
+            F.col("n") > 0, F.floor(c * om + F.lit(0.5)) / om
+        )
+
+    return folded.select(
+        "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        _q(brier).alias("brier"),
+        _q(unc).alias("uncertainty"),
+        _q(rel).alias("reliability"),
+        _q(res).alias("resolution"),
+        _q(wbv).alias("within_bin_var"),
     )
 
 
@@ -3282,4 +3548,135 @@ def brown_forsythe(
         ).alias("f_stat"),
         F.when(ok, kd - F.lit(1.0)).alias("df_between"),
         F.when(ok, nd - kd).alias("df_within"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 6,
+    term_scale: int = 15,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Mood's median test across the k levels of ``group_col`` — the
+    LOCATION sibling of :func:`brown_forsythe` in the omnibus lane's
+    robust corner: ANOVA compares means (moment-fragile),
+    Kruskal-Wallis compares rank sums (needs full rank machinery);
+    Mood's test (Mood 1950) asks only "does each group straddle the
+    POOLED median the way chance would?" — a 2×k chi-square on the
+    counts above vs not-above the grand median, the heaviest-tail-
+    proof location test there is and the one that survives arbitrary
+    monotone transforms of the value.
+
+    Statistic, exactly: with ``a_g`` = count above the pooled lower
+    median, ``n_g`` group sizes, ``A = Σa_g``, ``N = Σn_g``,
+
+        chi² = N·(Σ_g a_g²/(n_g·A) + Σ_g (n_g−a_g)²/(n_g·(N−A))) − N
+
+    (the Σo²/e − N identity, so empty cells need no special-casing),
+    df = k−1. Determinism: values quantize to ``10^scale`` int64
+    units and collapse to per-(group, value) counts; the pooled
+    median is an exact order statistic off ONE range-partitioned
+    prefix scan (smallest u with 2·cum ≥ N — never SinglePartition);
+    each group's two quotient terms quantize to ``10^term_scale``
+    int64 units before summing (the dsum discipline: int64 sums are
+    order-independent, double sums are not), and both engines fold
+    identical integers. chi² is NULL when k < 2 or the median
+    degenerates (A = 0 or A = N — every value on one side).
+
+    Scale shape: ONE map-side-combining (group, value) count is the
+    only row-volume job; the prefix scan runs over the bounded
+    |distinct values| table, the median is a 1-row broadcast onto the
+    bounded per-(group, value) table, and two bounded k-row
+    aggregates finish. Returns one row
+    ``(n_groups, n, n_above, grand_median, chi2, dof)``.
+    """
+    from ..ops.window import with_running
+
+    m = F.lit(float(10**scale))
+    q = F.floor(F.col(value_col).cast("double") * m + F.lit(0.5)).cast(
+        "long"
+    )
+    from pyspark import StorageLevel
+
+    # persist the bounded |group × distinct values| table: it feeds
+    # the pooled prefix scan, the totals, AND the per-group straddle
+    # counts — unpersisted, the row-volume count re-runs per branch
+    # (the scan fan-out rule). Caller/clearCache owns unpersisting.
+    per_v = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).cast("string").alias("g"), q.alias("u"))
+        .groupBy("g", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pooled = per_v.groupBy("u").agg(F.sum("c").alias("c"))
+    run = with_running(pooled, {"cum": ("sum", "c")}, order_by="u")
+    tot = pooled.agg(F.sum("c").alias("n_tot"))
+    med = (
+        run.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("cum") >= F.col("n_tot"))
+        .agg(F.min("u").alias("med_u"))
+    )
+    per_g = (
+        per_v.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.coalesce(
+                F.sum(F.when(F.col("u") > F.col("med_u"), F.col("c"))),
+                F.lit(0),
+            ).alias("ag"),
+        )
+    )
+    tm = F.lit(float(10**term_scale))
+    agd = F.col("ag").cast("double")
+    ngd = F.col("ng").cast("double")
+    bgd = (F.col("ng") - F.col("ag")).cast("double")
+    # per-group quotient terms need the grand totals — attach the
+    # bounded 1-row totals frame, then quantize each term to int64
+    # units BEFORE summing so the fold is order-independent
+    gt = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("ag").alias("a_tot"),
+    )
+    ad = F.col("a_tot").cast("double")
+    nd = F.col("n").cast("double")
+    t1 = F.floor(agd * agd / (ngd * ad) * tm + F.lit(0.5)).cast("long")
+    t2 = F.floor(bgd * bgd / (ngd * (nd - ad)) * tm + F.lit(0.5)).cast(
+        "long"
+    )
+    folded = (
+        per_g.crossJoin(F.broadcast(gt))
+        .agg(
+            F.sum(t1).alias("s1"),
+            F.sum(t2).alias("s2"),
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+            F.max("a_tot").alias("a_tot"),
+        )
+    )
+    chi2 = (
+        F.col("n").cast("double")
+        * (F.col("s1") + F.col("s2")).cast("double")
+        / tm
+        - F.col("n").cast("double")
+    )
+    om = F.lit(float(10**out_scale))
+    ok = (
+        (F.col("k") > 1)
+        & (F.col("a_tot") > 0)
+        & (F.col("a_tot") < F.col("n"))
+    )
+    return folded.crossJoin(F.broadcast(med)).select(
+        F.col("k").alias("n_groups"),
+        "n",
+        F.col("a_tot").alias("n_above"),
+        (F.col("med_u").cast("double") / m).alias("grand_median"),
+        F.when(ok, F.floor(chi2 * om + F.lit(0.5)) / om).alias("chi2"),
+        (F.col("k") - F.lit(1)).cast("long").alias("dof"),
     )

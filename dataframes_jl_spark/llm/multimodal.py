@@ -179,11 +179,105 @@ def _decode_pbm(payload: bytes) -> tuple[int, int, int, float] | None:
     return w, h, 1, (n - black) / n
 
 
+def _ascii_samples(payload: bytes, offset: int, n: int) -> list[int]:
+    """Tokenize an ASCII netpbm raster: ``n`` whitespace-separated
+    decimal samples starting at ``offset``, with ``#``-to-end-of-line
+    comments allowed between samples (the plain-format spec permits
+    them anywhere). Raises on a short raster — truncation is
+    corruption, not a format miss. Extra bytes after the n-th sample
+    are ignored per spec (readers stop at the advertised count)."""
+    body = payload[offset:]
+    if b"#" in body:
+        import re
+
+        body = re.sub(rb"#[^\n]*", b" ", body)
+    toks = body.split()
+    if len(toks) < n:
+        raise ValueError("truncated ASCII netpbm raster")
+    return [int(t) for t in toks[:n]]
+
+
+def _decode_ppm_ascii(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of plain/ASCII PPM (P3) — header ``P3 <w> <h>
+    <maxval>`` then ``3·w·h`` whitespace-separated decimal samples.
+    Unlike the 8-bit-only binary paths, the ASCII parser is
+    maxval-agnostic (1..65535 per spec): samples are exact ints, so
+    mean_luma is the Rec.601 luma over exact channel sums normalized
+    by ``n·maxval``. Same contract as :func:`_decode_ppm` (None on
+    magic miss, raise on malformed)."""
+    head = _netpbm_header(payload, b"P3", 3)
+    if head is None:
+        return None
+    (w, h, maxval), pos = head
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"P3 maxval {maxval} out of spec range")
+    vals = _ascii_samples(payload, pos, 3 * w * h)
+    if max(vals) > maxval:
+        raise ValueError("P3 sample exceeds maxval")
+    sr = sum(vals[0::3])
+    sg = sum(vals[1::3])
+    sb = sum(vals[2::3])
+    n = w * h
+    luma = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / maxval
+    return w, h, 3, luma
+
+
+def _decode_pgm_ascii(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of plain/ASCII PGM (P2) — header ``P2 <w> <h>
+    <maxval>`` then ``w·h`` decimal samples. Maxval-agnostic like
+    :func:`_decode_ppm_ascii` (the gate synthesizes maxval 999 to
+    exercise the >8-bit range the binary P5 path refuses). mean_luma
+    is the exact integer sample sum over ``w·h·maxval``."""
+    head = _netpbm_header(payload, b"P2", 3)
+    if head is None:
+        return None
+    (w, h, maxval), pos = head
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"P2 maxval {maxval} out of spec range")
+    vals = _ascii_samples(payload, pos, w * h)
+    if max(vals) > maxval:
+        raise ValueError("P2 sample exceeds maxval")
+    return w, h, 1, sum(vals) / (w * h) / maxval
+
+
+def _decode_pbm_ascii(payload: bytes) -> tuple[int, int, int, float] | None:
+    """REAL decode of plain/ASCII PBM (P1) — header ``P1 <w> <h>``
+    (no maxval) then ``w·h`` pixels as '0'/'1' characters with
+    whitespace OPTIONAL (the one plain format whose samples may be
+    packed: ``0110`` is four pixels), 1 = BLACK. mean_luma is the
+    white fraction, matching the P4 convention."""
+    head = _netpbm_header(payload, b"P1", 2)
+    if head is None:
+        return None
+    (w, h), pos = head
+    body = payload[pos:]
+    if b"#" in body:
+        import re
+
+        body = re.sub(rb"#[^\n]*", b" ", body)
+    bits = b"".join(body.split())[: w * h]
+    if len(bits) < w * h:
+        raise ValueError("truncated P1 raster")
+    if any(c not in (0x30, 0x31) for c in bits):
+        raise ValueError("P1 raster contains non-0/1 sample")
+    black = bits.count(0x31)
+    n = w * h
+    return w, h, 1, (n - black) / n
+
+
 def _decode_netpbm(payload: bytes) -> tuple[int, int, int, float] | None:
-    """Dispatch across the binary netpbm family (P6/P5/P4) — the
-    formats this container decodes FOR REAL with zero libraries.
-    Returns None when the payload is none of them."""
-    for dec in (_decode_ppm, _decode_pgm, _decode_pbm):
+    """Dispatch across the FULL netpbm family — binary P6/P5/P4 and
+    plain/ASCII P3/P2/P1 — the six formats this container decodes FOR
+    REAL with zero libraries. Returns None when the payload is none
+    of them."""
+    for dec in (
+        _decode_ppm,
+        _decode_pgm,
+        _decode_pbm,
+        _decode_ppm_ascii,
+        _decode_pgm_ascii,
+        _decode_pbm_ascii,
+    ):
         out = dec(payload)
         if out is not None:
             return out
@@ -208,7 +302,8 @@ def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, int, flo
         if Image is None:
             raise NotImplementedError(
                 "non-netpbm image decoding requires Pillow/libvips; run "
-                "with fake=True, install Pillow, or supply P6/P5/P4"
+                "with fake=True, install Pillow, or supply netpbm "
+                "(binary P6/P5/P4 or plain P3/P2/P1)"
             )
         import io
 
@@ -451,6 +546,107 @@ def synth_pbm_images(
                     for k in range(0, row_bytes * 8, 8)
                 )
                 payloads.append(header + row * height)
+            yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, schema="media_id bigint, payload binary"
+    )
+
+
+def synth_ppm_ascii_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 5,
+    height: int = 4,
+    maxval: int = 9,
+) -> DataFrame:
+    """Deterministically synthesize REAL plain/ASCII P3 payloads, one
+    per id: a constant-color image with ``(r,g,b) = ((3·id) mod
+    (maxval+1), (5·id) mod (maxval+1), (7·id) mod (maxval+1))`` at a
+    deliberately non-255 maxval — the capability the binary P6 path
+    refuses — plus a ``#`` comment line inside the header so the gate
+    exercises comment skipping end-to-end. mean_luma has the closed
+    form ``(0.299·r + 0.587·g + 0.114·b) / maxval``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = (
+            f"P3\n# synthesized by dataframes_jl_spark\n"
+            f"{width} {height}\n{maxval}\n"
+        ).encode()
+        m1 = maxval + 1
+        n = width * height
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                r, g, b = 3 * int(i) % m1, 5 * int(i) % m1, 7 * int(i) % m1
+                raster = "\n".join([f"{r} {g} {b}"] * n).encode()
+                payloads.append(header + raster + b"\n")
+            yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, schema="media_id bigint, payload binary"
+    )
+
+
+def synth_pgm_ascii_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 5,
+    maxval: int = 999,
+) -> DataFrame:
+    """Deterministically synthesize REAL plain/ASCII P2 payloads, one
+    per id: each row is the horizontal gradient ``g0, g0+1, …,
+    g0+width−1`` with ``g0 = (67·id) mod (maxval − width + 2)`` (ramp
+    never exceeds maxval), at a 3-digit maxval (999) no 8-bit binary
+    reader could carry — the pixel sum has the closed form
+    ``height·(width·g0 + width·(width−1)/2)`` and mean_luma is that
+    sum over ``width·height·maxval``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P2\n{width} {height}\n{maxval}\n".encode()
+        mod = maxval - width + 2
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                g0 = 67 * int(i) % mod
+                row = " ".join(str(g0 + j) for j in range(width))
+                payloads.append(
+                    header + ("\n".join([row] * height)).encode() + b"\n"
+                )
+            yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
+        run, schema="media_id bigint, payload binary"
+    )
+
+
+def synth_pbm_ascii_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    width: int = 9,
+    height: int = 4,
+) -> DataFrame:
+    """Deterministically synthesize REAL plain/ASCII P1 payloads, one
+    per id: every row starts with ``b = id mod (width+1)`` BLACK
+    pixels ('1') then white, with the row's digits PACKED (no
+    whitespace between samples — the P1-only spec freedom a
+    token-splitting reader parses wrong), rows separated by newlines.
+    mean_luma has the closed form ``(width − b) / width``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P1\n{width} {height}\n".encode()
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                b = int(i) % (width + 1)
+                row = "1" * b + "0" * (width - b)
+                payloads.append(
+                    header + ("\n".join([row] * height)).encode() + b"\n"
+                )
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(

@@ -728,3 +728,68 @@ def readability_report(
             ),
         ).alias("mean_grade"),
     )
+
+
+# Encoding-artifact patterns (escape-built so the source file stays
+# pure ASCII). All are plain character classes a SQL oracle mirrors
+# verbatim:
+#  - U+FFFD REPLACEMENT CHARACTER: a decoder already gave up once.
+#  - C1 controls U+0080-U+009F: the classic CP1252-read-as-Latin-1
+#    artifact (curly quotes become invisible controls).
+#  - C0 controls except tab/newline/CR: binary junk inside "text".
+#  - U+00C3 + Latin-1-supplement continuation (U+0080-U+00BF):
+#    UTF-8 bytes decoded as Latin-1 then re-encoded - 'e-acute'
+#    becomes 'A-tilde, copyright-sign' - the canonical
+#    double-encoding fingerprint.
+_MOJIBAKE_PATTERNS = {
+    "fffd": "\ufffd",
+    "c1_control": "[\u0080-\u009f]",
+    "c0_control": "[\u0000-\u0008\u000b\u000c\u000e-\u001f]",
+    "double_utf8": "\u00c3[\u0080-\u00bf]",
+}
+
+
+def mojibake_audit(
+    docs: DataFrame,
+    col: str = "text",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Encoding-artifact audit over a text corpus - the data-quality
+    check upstream of every text operator in this package: tokenizers,
+    LM scores, and dedup shingles all silently degrade on mojibake,
+    and at 100 TB nobody eyeballs the bytes. Flags the four artifact
+    families in ``_MOJIBAKE_PATTERNS`` (replacement chars, C1/C0
+    controls, double-encoded UTF-8) and reports, per group, the
+    document counts and total occurrence counts of each - the triage
+    numbers that decide "re-decode this source with cp1252" vs "drop
+    it".
+
+    Scale shape: ONE map-side-combining aggregate; every count is a
+    JVM-side ``regexp_count`` (whole-stage codegen, no UDF). Exact
+    integers end-to-end - a SQL oracle reproduces every column with
+    the same character-class regexes. Returns one row per group:
+    ``(*group_by, n_docs, docs_fffd, n_fffd, docs_c1_control,
+    n_c1_control, docs_c0_control, n_c0_control, docs_double_utf8,
+    n_double_utf8, clean_docs)``.
+    """
+    gb = list(group_by)
+    t = F.coalesce(F.col(col), F.lit(""))
+    cnt = {
+        k: F.regexp_count(t, F.lit(p))
+        for k, p in _MOJIBAKE_PATTERNS.items()
+    }
+    proj = docs.select(
+        *gb, *[c.alias(f"__{k}__") for k, c in cnt.items()]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    clean = F.lit(True)
+    for k in _MOJIBAKE_PATTERNS:
+        aggs.append(
+            F.sum(F.when(F.col(f"__{k}__") > 0, 1).otherwise(0)).alias(
+                f"docs_{k}"
+            )
+        )
+        aggs.append(F.sum(F.col(f"__{k}__")).alias(f"n_{k}"))
+        clean = clean & (F.col(f"__{k}__") == 0)
+    aggs.append(F.sum(F.when(clean, 1).otherwise(0)).alias("clean_docs"))
+    return proj.groupBy(*gb).agg(*aggs)

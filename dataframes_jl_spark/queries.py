@@ -9807,6 +9807,97 @@ _CALIBRATION_ORACLE_SQL = """
     """
 
 
+@register(
+    "q_brier_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(((((CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 101)
+                           + 101) % 101) / 100.0) * 1e6 + 0.5) AS BIGINT) AS u,
+             CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(CAST(u AS DOUBLE) * 10.0 / 1e6) AS BIGINT),
+                   CAST(9 AS BIGINT)) AS bin, u, y
+      FROM base
+    ),
+    per AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(u) AS HUGEINT) AS su,
+             SUM(CAST(u AS HUGEINT) * u) AS su2,
+             SUM(CAST(u AS HUGEINT) * y) AS suy
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS n_pos,
+             SUM(su2) AS tsu2, SUM(suy) AS tsuy
+      FROM per
+    ),
+    folded AS (
+      SELECT
+        SUM(CAST(FLOOR(
+          CAST(su - 1000000 * sy AS DOUBLE)
+          * CAST(su - 1000000 * sy AS DOUBLE)
+          / CAST(nb AS DOUBLE) + 0.5) AS HUGEINT)) AS s_rel,
+        SUM(CAST(FLOOR(
+          CAST(sy * (SELECT n FROM tot)
+               - (SELECT n_pos FROM tot) * nb AS DOUBLE)
+          * CAST(sy * (SELECT n FROM tot)
+                 - (SELECT n_pos FROM tot) * nb AS DOUBLE)
+          / (CAST(nb AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE)
+             * CAST((SELECT n FROM tot) AS DOUBLE))
+          * 1e15 + 0.5) AS HUGEINT)) AS s_res
+      FROM per
+    ),
+    vals AS (
+      SELECT t.n, t.n_pos,
+        CAST(t.tsu2 - 2000000 * t.tsuy
+             + CAST(1000000 AS HUGEINT) * 1000000 * t.n_pos AS DOUBLE)
+          / (CAST(t.n AS DOUBLE) * 1e12) AS brier,
+        (CAST(t.n_pos AS DOUBLE) / CAST(t.n AS DOUBLE))
+          * (1.0 - CAST(t.n_pos AS DOUBLE) / CAST(t.n AS DOUBLE)) AS unc,
+        CAST(f.s_rel AS DOUBLE) / (CAST(t.n AS DOUBLE) * 1e12) AS rel,
+        CAST(f.s_res AS DOUBLE) / (CAST(t.n AS DOUBLE) * 1e15) AS res
+      FROM tot t, folded f
+    )
+    SELECT n, n_pos,
+           FLOOR(brier * 1e6 + 0.5) / 1e6 AS brier,
+           FLOOR(unc * 1e6 + 0.5) / 1e6 AS uncertainty,
+           FLOOR(rel * 1e6 + 0.5) / 1e6 AS reliability,
+           FLOOR(res * 1e6 + 0.5) / 1e6 AS resolution,
+           FLOOR((brier - unc - rel + res) * 1e6 + 0.5) / 1e6
+             AS within_bin_var
+    FROM vals
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (functions.stats.
+    brier_decomposition) on q_calibration's synthetic probability —
+    the attribution layer of the calibration lane: BS = UNC + REL −
+    RES + WBV, separating irreducible base-rate noise from
+    miscalibration (recalibration fixes it) from missing resolution
+    (it can't). Exact per-bin int sums in decimal(38,0); the Brier
+    rides the Σu² − 2·10^s·Σuy + 10^{2s}·Σy integer identity;
+    REL/RES quotient terms quantize to 1e-15 int64 units before the
+    order-independent fold."""
+    from .functions.stats import brier_decomposition
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("lbl", F.pmod(F.col("user_id"), F.lit(2)))
+        .withColumn(
+            "prob",
+            F.pmod(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                F.lit(101),
+            ).cast("double")
+            / F.lit(100.0),
+        )
+    )
+    return brier_decomposition(ev, "lbl", "prob", n_bins=10, scale=6)
+
+
 @register("q_calibration", oracle=_CALIBRATION_ORACLE_SQL)
 def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type ECE / MCE / Brier (functions.stats.
@@ -13116,6 +13207,126 @@ def q_multimodal_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _netpbm_gate(feats: DataFrame) -> DataFrame:
+    """Shared projection for the netpbm decode gates: quantize
+    mean_luma to 1e-6 so both engines compare identical doubles."""
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        (
+            F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("mean_luma"),
+    )
+
+
+@register(
+    "q_multimodal_p3",
+    oracle="""
+    WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+    rgb AS (
+      SELECT media_id,
+             (3 * media_id) % 10 AS r,
+             (5 * media_id) % 10 AS g,
+             (7 * media_id) % 10 AS b
+      FROM ids
+    )
+    SELECT media_id, CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           FLOOR((0.299 * CAST(20 * r AS DOUBLE)
+                  + 0.587 * CAST(20 * g AS DOUBLE)
+                  + 0.114 * CAST(20 * b AS DOUBLE))
+                 / 20 / 9 * 1e6 + 0.5) / 1e6 AS mean_luma
+    FROM rgb
+    """,
+)
+def q_multimodal_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL plain/ASCII PPM decode end-to-end: synthesize genuine P3
+    payloads (llm.multimodal.synth_ppm_ascii_images — constant color
+    at maxval 9 with a # comment INSIDE the header), decode with
+    fake=False through the maxval-agnostic ASCII parser
+    (llm.multimodal._decode_ppm_ascii: shared netpbm header tokenizer
+    + whitespace/comment-tolerant sample reader). Exercises the two
+    things the binary P6 gate can't: non-255 maxval normalization and
+    comment skipping between header tokens. Oracle is the closed
+    generation formula — it never sees a byte, so a hash match
+    certifies the DECODER."""
+    from .llm.multimodal import decode_images, synth_ppm_ascii_images
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    imgs = synth_ppm_ascii_images(ids, "media_id", width=5, height=4, maxval=9)
+    return _netpbm_gate(decode_images(imgs, "payload", "media_id", fake=False))
+
+
+@register(
+    "q_multimodal_p2",
+    oracle="""
+    WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+    g AS (
+      SELECT media_id, (67 * media_id) % 993 AS g0 FROM ids
+    )
+    SELECT media_id, CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           FLOOR(CAST(5 * (8 * g0 + 28) AS DOUBLE) / 40 / 999
+                 * 1e6 + 0.5) / 1e6 AS mean_luma
+    FROM g
+    """,
+)
+def q_multimodal_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL plain/ASCII PGM decode end-to-end: genuine P2 payloads
+    (llm.multimodal.synth_pgm_ascii_images — per-row gradient
+    g0..g0+7 with g0 = (67·id) mod 993 at maxval 999, a 3-digit
+    sample depth the 8-bit binary P5 path refuses), decoded through
+    the ASCII parser (llm.multimodal._decode_pgm_ascii). The gradient
+    makes the gate sensitive to sample-order framing; the maxval-999
+    normalization certifies the >8-bit range. Oracle is the closed
+    pixel-sum formula h·(w·g0 + w(w−1)/2)."""
+    from .llm.multimodal import decode_images, synth_pgm_ascii_images
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    imgs = synth_pgm_ascii_images(
+        ids, "media_id", width=8, height=5, maxval=999
+    )
+    return _netpbm_gate(decode_images(imgs, "payload", "media_id", fake=False))
+
+
+@register(
+    "q_multimodal_p1",
+    oracle="""
+    WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+    g AS (
+      SELECT media_id, media_id % 10 AS b FROM ids
+    )
+    SELECT media_id, CAST(9 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           FLOOR(CAST(36 - 4 * b AS DOUBLE) / 36 * 1e6 + 0.5) / 1e6
+             AS mean_luma
+    FROM g
+    """,
+)
+def q_multimodal_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL plain/ASCII PBM decode end-to-end: genuine P1 payloads
+    (llm.multimodal.synth_pbm_ascii_images — b = id mod 10 black
+    pixels per row at width 9, digits PACKED with no whitespace
+    between samples, the P1-only spec freedom) decoded through
+    llm.multimodal._decode_pbm_ascii. A reader that tokenizes the
+    raster by whitespace sees one 9-digit "sample" per row and dies;
+    the packed-digit path is exactly what this gate certifies. Oracle
+    is the closed white-fraction (w − b)/w."""
+    from .llm.multimodal import decode_images, synth_pbm_ascii_images
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    imgs = synth_pbm_ascii_images(ids, "media_id", width=9, height=4)
+    return _netpbm_gate(decode_images(imgs, "payload", "media_id", fake=False))
+
+
 @register(
     "q_wasserstein_drift",
     oracle="""
@@ -13178,6 +13389,248 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         "value",
         scale=4,
+    )
+
+
+@register(
+    "q_mojibake_audit",
+    oracle="""
+    WITH t0 AS (
+      SELECT source,
+        CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+             THEN COALESCE(text, '') || ' ' || chr(195) || chr(169)
+             ELSE COALESCE(text, '') END AS t1,
+        doc_id
+      FROM documents
+    ),
+    t1 AS (
+      SELECT source,
+        CASE WHEN ((doc_id % 11) + 11) % 11 = 0
+             THEN t1 || chr(65533) ELSE t1 END AS t2,
+        doc_id
+      FROM t0
+    ),
+    t2 AS (
+      SELECT source,
+        CASE WHEN ((doc_id % 13) + 13) % 13 = 0
+             THEN t2 || chr(1) || chr(146) ELSE t2 END AS t
+      FROM t1
+    ),
+    cnt AS (
+      SELECT source,
+        len(regexp_extract_all(t, chr(65533))) AS k_fffd,
+        len(regexp_extract_all(t, '[\\x{80}-\\x{9f}]')) AS k_c1,
+        len(regexp_extract_all(t,
+            '[\\x{01}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}]')) AS k_c0,
+        len(regexp_extract_all(t, chr(195) || '[\\x{80}-\\x{bf}]')) AS k_dbl
+      FROM t2
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN k_fffd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_fffd,
+      CAST(SUM(k_fffd) AS BIGINT) AS n_fffd,
+      CAST(SUM(CASE WHEN k_c1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_c1_control,
+      CAST(SUM(k_c1) AS BIGINT) AS n_c1_control,
+      CAST(SUM(CASE WHEN k_c0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_c0_control,
+      CAST(SUM(k_c0) AS BIGINT) AS n_c0_control,
+      CAST(SUM(CASE WHEN k_dbl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_double_utf8,
+      CAST(SUM(k_dbl) AS BIGINT) AS n_double_utf8,
+      CAST(SUM(CASE WHEN k_fffd = 0 AND k_c1 = 0 AND k_c0 = 0
+                     AND k_dbl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS clean_docs
+    FROM cnt GROUP BY source
+    """,
+)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact audit per source (llm.text.mojibake_audit)
+    over documents with deterministically INJECTED artifacts (the
+    synthetic corpus is clean, so doc_id mod 7/11/13 rows gain a
+    double-encoded '\u00c3\u00a9', a U+FFFD, and a C0+C1 control
+    pair respectively - the oracle injects the same bytes with chr()
+    and mirrors the same character-class regexes). Four artifact
+    families counted JVM-side via regexp_count in ONE map-side-
+    combining aggregate - the triage report that decides "re-decode
+    with cp1252" vs "drop the source" before any text operator runs.
+    Exact integers end-to-end."""
+    from .llm.text import mojibake_audit
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(t, F.lit(" \u00c3\u00a9")),
+    ).otherwise(t)
+    t = F.when(
+        F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+        F.concat(t, F.lit("\ufffd")),
+    ).otherwise(t)
+    t = F.when(
+        F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+        F.concat(t, F.lit("\u0001\u0092")),
+    ).otherwise(t)
+    return mojibake_audit(
+        d.select("source", t.alias("dirty")), "dirty", group_by=["source"]
+    )
+
+
+@register(
+    "q_energy_distance",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ), b AS (
+      SELECT CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM events WHERE event_type = 'error' AND value IS NOT NULL
+      GROUP BY 1
+    ), m AS (
+      SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM m
+    ), r AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+             LEAD(v) OVER (ORDER BY v) AS vn
+      FROM m
+    ), s AS (
+      SELECT
+        COALESCE(SUM(CAST(vn - v AS HUGEINT)
+          * (CAST(cum_a AS HUGEINT) * ((SELECT n_b FROM t) - cum_b)
+             + CAST(cum_b AS HUGEINT) * ((SELECT n_a FROM t) - cum_a))
+        ), 0) AS sxy,
+        COALESCE(SUM(CAST(vn - v AS HUGEINT)
+          * (2 * CAST(cum_a AS HUGEINT) * ((SELECT n_a FROM t) - cum_a))
+        ), 0) AS sxx,
+        COALESCE(SUM(CAST(vn - v AS HUGEINT)
+          * (2 * CAST(cum_b AS HUGEINT) * ((SELECT n_b FROM t) - cum_b))
+        ), 0) AS syy
+      FROM r WHERE vn IS NOT NULL
+    )
+    SELECT t.n_a, t.n_b,
+      CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN FLOOR(
+        CAST(s.sxy AS DOUBLE)
+        / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) / 1e4
+        * 1e6 + 0.5) / 1e6 END AS e_xy,
+      CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN FLOOR(
+        CAST(s.sxx AS DOUBLE)
+        / (CAST(t.n_a AS DOUBLE) * CAST(t.n_a AS DOUBLE)) / 1e4
+        * 1e6 + 0.5) / 1e6 END AS e_xx,
+      CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN FLOOR(
+        CAST(s.syy AS DOUBLE)
+        / (CAST(t.n_b AS DOUBLE) * CAST(t.n_b AS DOUBLE)) / 1e4
+        * 1e6 + 0.5) / 1e6 END AS e_yy,
+      CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN FLOOR(
+        (2.0 * (CAST(s.sxy AS DOUBLE)
+                / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) / 1e4)
+         - CAST(s.sxx AS DOUBLE)
+           / (CAST(t.n_a AS DOUBLE) * CAST(t.n_a AS DOUBLE)) / 1e4
+         - CAST(s.syy AS DOUBLE)
+           / (CAST(t.n_b AS DOUBLE) * CAST(t.n_b AS DOUBLE)) / 1e4)
+        * 1e6 + 0.5) / 1e6 END AS energy
+    FROM t, s
+    """,
+)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample energy distance between purchase and error event
+    values (functions.stats.energy_distance) — the CHARACTERISTIC-
+    FUNCTION member completing the drift quartet (q_ks_drift sup gap,
+    q_cvm_drift pooled-rank L2, q_wasserstein_drift L1 transport):
+    D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| = 2∫(F_a−F_b)²dx on the line,
+    an L2 gap in the column's UNITS, so tail drift that pooled-rank
+    statistics compress still registers. Values quantize to 1e-4
+    units; all three expectations are ONE exact decimal(38,0) fold of
+    straddling-pair counts over the same persisted per-value table,
+    prefix scan, and rn+1 gap join wasserstein rides — never a
+    SinglePartition window."""
+    from .functions.stats import energy_distance
+
+    ev = _t(spark, sf_dir, "events")
+    return energy_distance(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+        "value",
+        scale=4,
+    )
+
+
+@register(
+    "q_mood_median",
+    oracle="""
+    WITH per_v AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS u,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pooled AS (SELECT u, CAST(SUM(c) AS BIGINT) AS c FROM per_v GROUP BY 1),
+    run AS (
+      SELECT u, CAST(SUM(c) OVER (ORDER BY u) AS BIGINT) AS cum FROM pooled
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM pooled),
+    med AS (SELECT MIN(u) AS med_u FROM run, tot WHERE 2 * cum >= n_tot),
+    per_g AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+             CAST(COALESCE(SUM(CASE WHEN u > (SELECT med_u FROM med)
+                                    THEN c END), 0) AS BIGINT) AS ag
+      FROM per_v GROUP BY 1
+    ),
+    gt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(SUM(ag) AS BIGINT) AS a_tot
+      FROM per_g
+    ),
+    folded AS (
+      SELECT
+        CAST(SUM(CAST(FLOOR(
+          CAST(ag AS DOUBLE) * CAST(ag AS DOUBLE)
+          / (CAST(ng AS DOUBLE) * CAST((SELECT a_tot FROM gt) AS DOUBLE))
+          * 1e15 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        CAST(SUM(CAST(FLOOR(
+          CAST(ng - ag AS DOUBLE) * CAST(ng - ag AS DOUBLE)
+          / (CAST(ng AS DOUBLE)
+             * (CAST((SELECT n FROM gt) AS DOUBLE)
+                - CAST((SELECT a_tot FROM gt) AS DOUBLE)))
+          * 1e15 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+      FROM per_g
+    )
+    SELECT gt.k AS n_groups, gt.n AS n, gt.a_tot AS n_above,
+           CAST(med.med_u AS DOUBLE) / 100.0 AS grand_median,
+           CASE WHEN gt.k > 1 AND gt.a_tot > 0 AND gt.a_tot < gt.n THEN
+             FLOOR((CAST(gt.n AS DOUBLE)
+                    * CAST(folded.s1 + folded.s2 AS DOUBLE) / 1e15
+                    - CAST(gt.n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS chi2,
+           CAST(gt.k - 1 AS BIGINT) AS dof
+    FROM gt, med, folded
+    """,
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of order totals across the five order
+    priorities (functions.stats.mood_median_test) — the robust
+    LOCATION omnibus beside q_brown_forsythe's robust SPREAD omnibus:
+    a 2×k chi-square on counts above vs not-above the POOLED exact
+    median, immune to heavy tails and monotone transforms. Prices
+    quantize to cents; the grand median is an exact order statistic
+    off one range-partitioned prefix scan; the per-group quotient
+    terms quantize to 1e-15 int64 units before folding (order-
+    independent sums; both engines fold identical integers)."""
+    from .functions.stats import mood_median_test
+
+    od = _t(spark, sf_dir, "orders")
+    return mood_median_test(
+        od, "o_totalprice", "o_orderpriority", scale=2
     )
 
 
