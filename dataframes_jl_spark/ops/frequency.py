@@ -209,3 +209,107 @@ def _heavy_hitters_distributed(
         .withColumn("share", F.col("cnt") / F.col("__n__").cast("double"))
         .drop("__n__")
     )
+
+
+# AMS sign-hash parameters. The sign hash must be (near-)4-wise
+# independent for the AMS variance bound to hold - and an AFFINE map
+# (the ops.sampling multiplicative hash) provably is not: over
+# consecutive ids its parity bit alternates almost perfectly, the
+# signed sums collapse toward zero, and the estimator under-reads F2
+# by ~30x (measured on the sf0.01 user_id stream before this was
+# caught). The classic fix is a random DEGREE-3 polynomial over GF(P)
+# (Carter-Wegman): 4-wise independent by construction, and Horner
+# evaluation keeps every intermediate < P*x_max ~ 1e18, inside int64
+# for BOTH engines - no overflow, no engine-private hashing.
+_AMS_P = 1_000_000_007
+_AMS_MULT = 2_654_435_761 % _AMS_P
+_AMS_SALT = 1_000_003
+_AMS_COEF_STEP = 7_919
+
+
+def _ams_coeffs(seed: int, r: int) -> list[int]:
+    """Deterministic per-row polynomial coefficients (a3..a0): the
+    row/seed folded through the multiplicative map - fixed, public,
+    reproducible in SQL as plain integer literals."""
+    return [
+        ((seed + r * _AMS_SALT + k * _AMS_COEF_STEP) % _AMS_P)
+        * _AMS_MULT
+        % _AMS_P
+        for k in range(4)
+    ]
+
+
+def ams_f2(
+    df: DataFrame,
+    col: str,
+    n_rows: int = 8,
+    seed: int = 7,
+    out_scale: int = 6,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    1996) beside its exact baseline - the SELF-JOIN-SIZE planning
+    number the sketch lane lacked: F2 = Σ_v f_v² is exactly the row
+    count a self-equijoin on ``col`` produces, the quantity that
+    decides "can I join this on user_id or will one hot key explode
+    the shuffle?". HLL answers |distinct| (F0), Count-Min answers
+    point frequencies; F2 is the skew-weighted mass neither reads.
+
+    Estimator: ``n_rows`` independent ±1 sign hashes, each the parity
+    of a deterministic degree-3 polynomial over GF(P) in Horner form
+    (4-wise independent - see the coefficient note above; every
+    intermediate fits int64, so the DuckDB oracle replays every
+    sign); each sketch counter is the plain streaming sum
+    S_r = Σ_rows sign_r(v) - ONE map-side-combining aggregate,
+    trivially mergeable across shards/streams (sum of sums) - and
+    E[S_r²] = F2 with Var ≤ 2·F2² (4-wise), so mean_r S_r² lands
+    within ~sqrt(2/n_rows)·F2. The exact baseline Σ f_v² folds from
+    per-value counts in decimal(38,0) (second row-volume pass, the
+    documented cost of certifying the estimate; production keeps only
+    the sketch pass). S_r is exact int64 (|S_r| ≤ N), squares exact
+    in decimal - both engines fold identical integers.
+
+    Returns one row ``(n, n_distinct, f2_exact, f2_est, rel_err)``
+    with rel_err = |est − exact| / exact (NULL on an empty input).
+    """
+    x = F.pmod(F.col(col).cast("long"), F.lit(_AMS_P))
+    sums = []
+    for r in range(n_rows):
+        a3, a2, a1, a0 = _ams_coeffs(seed, r)
+        h = F.lit(a3)
+        for a in (a2, a1, a0):
+            h = F.pmod(h * x + F.lit(a), F.lit(_AMS_P))
+        sign = F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))
+        sums.append(F.sum(sign).alias(f"s{r}"))
+    base = df.filter(F.col(col).isNotNull())
+    sk = base.agg(F.count(F.lit(1)).alias("n"), *sums)
+    dec = "decimal(38,0)"
+    est_num = None
+    for r in range(n_rows):
+        sq = F.col(f"s{r}").cast(dec) * F.col(f"s{r}").cast(dec)
+        est_num = sq if est_num is None else est_num + sq
+    exact = (
+        base.groupBy(F.col(col).cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias(
+                "f2_exact"
+            ),
+        )
+    )
+    om = F.lit(float(10**out_scale))
+    est = est_num.cast("double") / F.lit(float(n_rows))
+    ex = F.col("f2_exact").cast("double")
+    rel = F.abs(est - ex) / ex
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n",
+        "n_distinct",
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        F.when(
+            F.col("n") > 0, F.floor(est * om + F.lit(0.5)) / om
+        ).alias("f2_est"),
+        F.when(
+            (F.col("n") > 0) & (ex > 0),
+            F.floor(rel * om + F.lit(0.5)) / om,
+        ).alias("rel_err"),
+    )

@@ -110,6 +110,52 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit(last)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    frac: float,
+    key: str,
+) -> DataFrame:
+    """EXACT proportional-allocation stratified sample: within each
+    stratum, rank rows by the deterministic :func:`split_bucket` hash
+    of ``key`` (key itself as tiebreak — a total order) and keep the
+    first ``floor(frac·n_g)``. The two guarantees ``sampleBy``'s
+    Bernoulli draw cannot give: the per-stratum sample size is EXACT
+    (a 1% sample of a 100-row stratum is 1 row, never 0 or 3), and
+    membership is a pure function of the data — re-runs, engine
+    changes, and the DuckDB oracle select the identical rows.
+
+    Scale shape: one hash shuffle keyed on the stratum + an in-
+    partition sort for the rank window (count rides the same window,
+    no second pass). Heavily skewed strata serialize into one task —
+    inherent to exact per-stratum ranking; for approximate-allocation
+    needs at extreme skew, :func:`hash_split` stays shuffle-free.
+    Selection quality note: ranking by the multiplicative hash makes
+    the sample hash-uniform over keys, not the first-k by key order.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    from pyspark.sql import Window
+
+    h = split_bucket(key, _SPLIT_P)  # full-range hash, not bucketed
+    w = Window.partitionBy(strata).orderBy(
+        F.col("__h__").asc(), F.col(key).asc()
+    )
+    wc = Window.partitionBy(strata)
+    return (
+        df.withColumn("__h__", h)
+        .withColumn("__rn__", F.row_number().over(w))
+        .withColumn("__ng__", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("__rn__")
+            <= F.floor(
+                F.lit(float(frac)) * F.col("__ng__").cast("double")
+            )
+        )
+        .drop("__h__", "__rn__", "__ng__")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: str | Column,

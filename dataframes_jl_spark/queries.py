@@ -13392,6 +13392,122 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ams_oracle(n_rows: int = 8, seed: int = 7) -> str:
+    from .ops.frequency import _AMS_P, _ams_coeffs
+
+    P = _AMS_P
+    terms = []
+    for r in range(n_rows):
+        a3, a2, a1, a0 = _ams_coeffs(seed, r)
+        x = f"(((user_id % {P}) + {P}) % {P})"
+        h = str(a3)
+        for a in (a2, a1, a0):
+            h = f"((({h}) * {x} + {a}) % {P})"
+        terms.append(
+            f"CAST(SUM(1 - 2 * (({h}) % 2)) AS BIGINT) AS s{r}"
+        )
+    cols = ",\n             ".join(terms)
+    sq = " + ".join(
+        f"CAST(s{r} AS HUGEINT) * s{r}" for r in range(n_rows)
+    )
+    return f"""
+    WITH base AS (
+      SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {cols}
+      FROM base
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             SUM(CAST(c AS HUGEINT) * c) AS f2_exact
+      FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1)
+    )
+    SELECT sk.n, ex.n_distinct,
+           CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+           CASE WHEN sk.n > 0 THEN
+             FLOOR(CAST({sq} AS DOUBLE) / {float(n_rows)}
+                   * 1e6 + 0.5) / 1e6 END AS f2_est,
+           CASE WHEN sk.n > 0 AND CAST(ex.f2_exact AS DOUBLE) > 0 THEN
+             FLOOR(ABS(CAST({sq} AS DOUBLE) / {float(n_rows)}
+                       - CAST(ex.f2_exact AS DOUBLE))
+                   / CAST(ex.f2_exact AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS rel_err
+    FROM sk, ex
+    """
+
+
+@register("q_ams_f2", oracle=_ams_oracle())
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch vs exact baseline over per-user event frequencies
+    (ops.frequency.ams_f2) - the self-join-size / skew-mass planning
+    number beside the lane's F0 (q_hll_distinct) and point-frequency
+    (q_cm_sketch) members: F2 = sum f_v^2 is the row count a
+    user_id self-join would produce. Eight engine-neutral +/-1 sign
+    hashes, each counter a plain mergeable SUM in ONE map-side-
+    combining pass; estimate = mean of squared counters (exact int64
+    sums, decimal squares). The exact per-value fold certifies the
+    estimate; rel_err reports the draw's accuracy."""
+    from .ops.frequency import ams_f2
+
+    ev = _t(spark, sf_dir, "events")
+    return ams_f2(ev, "user_id", n_rows=8, seed=7)
+
+
+
+def _stratified_oracle() -> str:
+    from .ops.sampling import split_bucket_sql
+
+    h = split_bucket_sql("o_orderkey", 1_000_000_007)
+    return f"""
+    WITH base AS (
+      SELECT o_orderstatus AS s, o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST({h} AS BIGINT) AS hh
+      FROM orders
+    ),
+    ranked AS (
+      SELECT s, k, cents,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY hh, k) AS rn,
+             COUNT(*) OVER (PARTITION BY s) AS ng
+      FROM base
+    )
+    SELECT s AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_taken,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM ranked
+    WHERE rn <= FLOOR(0.25 * CAST(ng AS DOUBLE))
+    GROUP BY s
+    """
+
+
+@register("q_stratified_sample", oracle=_stratified_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT proportional stratified sample of orders by order status
+    (ops.sampling.stratified_sample): within each stratum rows rank by
+    the engine-neutral multiplicative hash (key tiebreak) and exactly
+    floor(0.25*n_g) survive - the deterministic allocation
+    DataFrame.sampleBy's Bernoulli draw cannot give (its per-stratum
+    size is a coin-flip count and its selection is engine-private).
+    The gate certifies the SELECTION, not just the sizes: per-stratum
+    exact key and price-cents checksums over the sampled rows."""
+    from .ops.sampling import stratified_sample
+
+    od = _t(spark, sf_dir, "orders")
+    s = stratified_sample(od, "o_orderstatus", 0.25, "o_orderkey")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return s.groupBy(F.col("o_orderstatus").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_taken"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.sum(cents).alias("sum_cents"),
+    )
+
+
 @register(
     "q_mojibake_audit",
     oracle="""
