@@ -170,6 +170,16 @@ HEADLINE = [
     "q_term_burstiness",
     "q_brown_forsythe",
     "q_silhouette",
+    # round 13 operators
+    "q_multimodal_p3",
+    "q_multimodal_p2",
+    "q_multimodal_p1",
+    "q_energy_distance",
+    "q_mood_median",
+    "q_brier_decomposition",
+    "q_mojibake_audit",
+    "q_stratified_sample",
+    "q_ams_f2",
 ]
 
 

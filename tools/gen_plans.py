@@ -280,6 +280,97 @@ SHOWCASE = [
         "LITERAL centroids — no join, no window; the final exchange "
         "aggregates to |labels| rows.",
     ),
+    (
+        "q_atkinson",
+        "ONE map-side-combining (group, value) count is the only "
+        "row-volume job; ln runs once per DISTINCT value and the "
+        "Σc·ln_q(u) / Σc·u folds are a bounded regroup — no window, "
+        "no join, no second scan of the fact table.",
+    ),
+    (
+        "q_hhi",
+        "One (group, entity) partial->final aggregate over the row "
+        "volume, then the share-square fold over the bounded entity "
+        "table; group totals attach via broadcast — no "
+        "SinglePartition, no CartesianProduct on row volume.",
+    ),
+    (
+        "q_term_burstiness",
+        "ONE (doc, term) map-side-combining count is the only "
+        "row-volume job; tf/df and the zero-inclusive VMR fold from "
+        "exact int64 sums over the bounded term table, and the top-k "
+        "is TakeOrderedAndProject (per-partition heaps, no global "
+        "sort).",
+    ),
+    (
+        "q_rank_metrics32",
+        "The probe set rides ONE broadcast onto the corpus scan; "
+        "exact-cosine scores fold map-side and the per-probe DCG "
+        "ladder aggregates the bounded (probe, rank) table — linear "
+        "in the corpus at fixed probes, no CartesianProduct on row "
+        "volume.",
+    ),
+    (
+        "q_multimodal_pgm",
+        "The full binary-decode round trip is two chained "
+        "Arrow-batched mapInPandas stages over the id scan — "
+        "synthesize then parse — with NO shuffle anywhere: the plan "
+        "is a straight pipeline, so decode throughput scales with "
+        "input splits alone.",
+    ),
+    (
+        "q_multimodal_p2",
+        "Same straight mapInPandas pipeline as the binary family — "
+        "the ASCII parser changes the kernel, not the plan: no "
+        "shuffle, no join; per-file splits are the only parallelism "
+        "lever needed at 100 TB of payloads.",
+    ),
+    (
+        "q_energy_distance",
+        "Wasserstein's exact plan family: map-side per-value counts, "
+        "ONE range-partitioned prefix scan for both cums, one "
+        "co-partitioned rn+1 gap join — and all three straddling-"
+        "pair expectations fold in a SINGLE aggregate over that "
+        "joined table (no extra pass per expectation); the merged "
+        "table is persisted against branch re-computation.",
+    ),
+    (
+        "q_mood_median",
+        "ONE (group, value) map-side-combining count feeds every "
+        "branch from persisted cache: the pooled prefix scan, the "
+        "1-row broadcast median, the per-group straddle counts, and "
+        "the quantized quotient fold — the fact table is scanned "
+        "exactly once.",
+    ),
+    (
+        "q_brier_decomposition",
+        "ONE binned map-side-combining aggregate over the row volume "
+        "produces <= n_bins rows (persisted); totals and the REL/RES "
+        "term folds are bounded-table work under broadcast attaches — "
+        "no window, no second scan.",
+    ),
+    (
+        "q_mojibake_audit",
+        "A single map-side-combining aggregate whose inputs are "
+        "JVM-side regexp_count projections — whole-stage codegen from "
+        "scan to partial agg, one exchange keyed on the group, no "
+        "UDF, no second pass.",
+    ),
+    (
+        "q_stratified_sample",
+        "ONE hash shuffle keyed on the stratum; rank and stratum "
+        "count ride the same Window sort (no second exchange), and "
+        "the checksum regroup reuses the stratum partitioning — "
+        "selection is a pure row-local predicate after the rank.",
+    ),
+    (
+        "q_ams_f2",
+        "The sketch pass is ONE map-side-combining ungrouped "
+        "aggregate carrying all 8 sign sums (mergeable counters — the "
+        "streaming shape); the exact baseline is the documented "
+        "second pass; the two 1-row results meet in a broadcast "
+        "crossJoin.",
+    ),
 ]
 
 

@@ -136,6 +136,29 @@ NAMES = [
     "q_table_diff",        # full-outer diff at 10x keys
     "q_rolling_distinct",  # sliding distinct windows at 10x days
     "q_zorder_roundtrip",  # Z-order interleave + scan at 10x rows
+    # round-13 additions (pin + sf1 row land WITH the operator)
+    "q_multimodal_p3",     # ASCII P3 comment+maxval decode at 10x ids
+    "q_multimodal_p2",     # ASCII P2 maxval-999 gradient at 10x ids
+    "q_multimodal_p1",     # ASCII P1 packed-digit decode at 10x ids
+    "q_energy_distance",   # straddling-pair decimal folds at 10x values
+    "q_mood_median",       # pooled-median straddle counts at 10x rows
+    "q_brier_decomposition",  # per-bin quantized-term folds at 10x rows
+    "q_mojibake_audit",    # regexp-class counters at 10x docs
+    "q_stratified_sample", # exact allocation checksums at 10x strata n
+    "q_ams_f2",            # 4-wise sign sums at 10x stream mass
+    # round-13 extension (round-12 ask #3): the remaining high-risk
+    # pinned-without-sf1 names — iterative fits, interval carries,
+    # join-heavy shapes (the MinHash-class risk profile)
+    "q_triangle_count",    # oriented wedge join at 10x edges
+    "q_pagerank",          # iterative mass passing at 10x graph
+    "q_frequent_pairs",    # support-pruned pair join at 10x baskets
+    "q_containment_pairs", # inverted-index containment at 10x docs
+    "q_decontaminate",     # broadcast eval-shingle hit join at 10x docs
+    "q_scd2_lookup",       # as-of interval lookup at 10x keys
+    "q_nelson_aalen",      # hazard prefix scan at 10x distinct times
+    "q_seasonal_residuals",# per-(dow) seasonal fit at 10x days
+    "q_interpolate_linear",# neighbor-carry interpolation at 10x gaps
+    "q_stream_expectations",  # rule-counter snapshot merge at 10x rows
 ]
 
 
@@ -164,6 +187,11 @@ NAMES_SF10 = [
     "q_atkinson",          # quantized-ln mass folds at 100x orders
     "q_hhi",               # decimal share squares at 100x customers
     "q_brown_forsythe",    # 2x-median integers + decimal z² at 100x
+    # round-13: the new quantized/decimal folds at 100x
+    "q_energy_distance",   # three straddling-pair decimal folds at 100x
+    "q_mood_median",       # int64 quotient-term folds at 100x rows
+    "q_brier_decomposition",  # decimal bin sums + term folds at 100x
+    "q_ams_f2",            # 4-wise sign sums + decimal squares at 100x
 ]
 
 
