@@ -115,44 +115,72 @@ def stratified_sample(
     strata: str,
     frac: float,
     key: str,
+    buckets: int = 64,
 ) -> DataFrame:
     """EXACT proportional-allocation stratified sample: within each
     stratum, rank rows by the deterministic :func:`split_bucket` hash
-    of ``key`` (key itself as tiebreak — a total order) and keep the
+    of ``key`` (key itself as tiebreak - a total order) and keep the
     first ``floor(frac·n_g)``. The two guarantees ``sampleBy``'s
     Bernoulli draw cannot give: the per-stratum sample size is EXACT
     (a 1% sample of a 100-row stratum is 1 row, never 0 or 3), and
-    membership is a pure function of the data — re-runs, engine
+    membership is a pure function of the data - re-runs, engine
     changes, and the DuckDB oracle select the identical rows.
 
-    Scale shape: one hash shuffle keyed on the stratum + an in-
-    partition sort for the rank window (count rides the same window,
-    no second pass). Heavily skewed strata serialize into one task —
-    inherent to exact per-stratum ranking; for approximate-allocation
-    needs at extreme skew, :func:`hash_split` stays shuffle-free.
-    Selection quality note: ranking by the multiplicative hash makes
-    the sample hash-uniform over keys, not the first-k by key order.
+    Scale shape - two-level rank, never one-task-per-stratum: a
+    naive ``row_number() OVER (PARTITION BY stratum)`` serializes
+    each stratum into ONE task (measured 17 s at sf10 with 3 strata
+    vs ~1 s here). Instead the hash space splits into ``buckets``
+    RANGE buckets (order-consistent: every row of bucket b hashes
+    below every row of b+1, and equal hashes share a bucket, so the
+    tiebreak stays inside one task); the row volume takes ONE shuffle
+    keyed (stratum, bucket) with |strata|·buckets-way parallelism and
+    a local sort, and the stratum rank reassembles as
+    local row_number + the lower-buckets offset - offsets and
+    per-stratum totals ride a bounded |strata|·buckets aggregate
+    broadcast back. Selection quality note: ranking by the
+    multiplicative hash makes the sample hash-uniform over keys, not
+    the first-k by key order.
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
     from pyspark.sql import Window
 
     h = split_bucket(key, _SPLIT_P)  # full-range hash, not bucketed
-    w = Window.partitionBy(strata).orderBy(
+    width = (_SPLIT_P + buckets - 1) // buckets
+    base = df.withColumn("__h__", h).withColumn(
+        "__b__", F.floor(F.col("__h__") / F.lit(width)).cast("int")
+    )
+    counts = base.groupBy(strata, "__b__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    # bounded |strata|·buckets table: running offset + stratum total
+    woff = (
+        Window.partitionBy(strata)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(strata)
+    offs = counts.select(
+        strata,
+        "__b__",
+        (F.sum("__c__").over(woff) - F.col("__c__")).alias("__off__"),
+        F.sum("__c__").over(wtot).alias("__ng__"),
+    )
+    w = Window.partitionBy(strata, "__b__").orderBy(
         F.col("__h__").asc(), F.col(key).asc()
     )
-    wc = Window.partitionBy(strata)
     return (
-        df.withColumn("__h__", h)
-        .withColumn("__rn__", F.row_number().over(w))
-        .withColumn("__ng__", F.count(F.lit(1)).over(wc))
+        base.withColumn("__rn__", F.row_number().over(w))
+        .join(F.broadcast(offs), [strata, "__b__"])
         .filter(
-            F.col("__rn__")
+            (F.col("__rn__") + F.col("__off__"))
             <= F.floor(
                 F.lit(float(frac)) * F.col("__ng__").cast("double")
             )
         )
-        .drop("__h__", "__rn__", "__ng__")
+        .drop("__h__", "__b__", "__rn__", "__off__", "__ng__")
     )
 
 

@@ -358,10 +358,12 @@ SHOWCASE = [
     ),
     (
         "q_stratified_sample",
-        "ONE hash shuffle keyed on the stratum; rank and stratum "
-        "count ride the same Window sort (no second exchange), and "
-        "the checksum regroup reuses the stratum partitioning — "
-        "selection is a pure row-local predicate after the rank.",
+        "Two-level rank, never one-task-per-stratum: the row volume "
+        "shuffles ONCE keyed (stratum, hash-range-bucket) — "
+        "|strata|·64-way parallel — and the stratum rank reassembles "
+        "as local row_number + broadcast lower-bucket offsets over "
+        "the bounded counts table (a naive per-stratum window "
+        "serialized 3 strata into 3 tasks: 17 s at sf10 vs 3.7 s).",
     ),
     (
         "q_ams_f2",
