@@ -167,15 +167,26 @@ def run(sf_dir: str, shards: int = 8) -> tuple[bool, str]:
         ]
 
         # ---- lane 2: sharded Misra-Gries top-k --------------------
+        # user_id alone is near-uniform at sf0.1 (no key crosses n/k —
+        # a vacuously-true superset check), so the MG lane streams a
+        # deterministic SKEWED key: 40% of events collapse onto three
+        # hot keys (each ~13% of mass, far above the 2% threshold)
+        # and the rest keep their user tail — enough distinct tail
+        # keys per shard to force real MG compactions.
+        skew = (
+            "CASE WHEN event_id % 5 < 2 THEN 'hot_' || (event_id % 3)"
+            " ELSE 'u' || user_id END"
+        )
         n_before = len(problems)
         t0 = time.perf_counter()
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(chunk_dir)
+            .withColumn("hh_key", F.expr(skew))
         )
         q = (
-            heavy_hitters_stream(stream, "user_id", k=K, shards=4)
+            heavy_hitters_stream(stream, "hh_key", k=K, shards=4)
             .writeStream.outputMode("update")
             .format("memory")
             .queryName("hh_replay_sink")
@@ -196,8 +207,9 @@ def run(sf_dir: str, shards: int = 8) -> tuple[bool, str]:
 
         exact = {
             str(r["v"]): r["c"]
-            for r in ev.filter(F.col("user_id").isNotNull())
-            .groupBy(F.col("user_id").alias("v"))
+            for r in ev.withColumn("hh_key", F.expr(skew))
+            .filter(F.col("hh_key").isNotNull())
+            .groupBy(F.col("hh_key").alias("v"))
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         }
@@ -228,7 +240,8 @@ def run(sf_dir: str, shards: int = 8) -> tuple[bool, str]:
         lines += [
             "## Sharded Misra-Gries top-k — stream replay vs exact batch",
             "",
-            f"- events: {n_events} rows; key = user_id, k = {K},"
+            f"- events: {n_events} rows; key = deterministic skewed mix"
+            f" (3 hot keys at ~13% mass each + the user tail), k = {K},"
             f" 4 state shards",
             f"- micro-batches: {hh_batches}; sink rows (stale summaries"
             f" included): {hh_snaps}",
