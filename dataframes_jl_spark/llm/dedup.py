@@ -75,10 +75,10 @@ def jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥
     threshold).
 
-    Plan: explode distinct shingles → self equi-join on shingle (Spark
-    plans a shuffled hash join on the shingle key — the classic
-    inverted-index intersection) → count common shingles per pair →
-    filter on |A∩B| / (|A|+|B|-|A∩B|).
+    Plan: explode distinct shingles → self equi-join on shingle
+    (sort-merge by hint — the classic inverted-index intersection,
+    spill-safe under posting-list skew) → count common shingles per
+    pair → filter on |A∩B| / (|A|+|B|-|A∩B|).
 
     ``hash_shingles=True`` is the 100 TB path: join on
     ``xxhash64(shingle)`` instead of the raw n-gram string, shrinking
@@ -112,8 +112,16 @@ def jaccard_pairs(
     b = ex.select(
         F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
     )
+    # hint("merge"): without it Catalyst's size estimate for the exploded
+    # posting table can come in under autoBroadcastJoinThreshold (explode
+    # defeats the sizeInBytes heuristic) and it BROADCASTS a row-volume
+    # side — the build of that single in-memory HashedRelation is exactly
+    # the BytesToBytesMap allocation failure observed at sf10 (round-13
+    # scale incident). Sort-merge streams both sides and its per-key match
+    # buffer spills (ExternalAppendOnlyUnsafeRowArray), so the join is
+    # bounded-memory by construction regardless of posting-list skew.
     pairs = (
-        a.join(b, on="shingle")
+        a.hint("merge").join(b.hint("merge"), on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -162,8 +170,13 @@ def containment_pairs(
     )
     a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    # hint("merge") — the round-13 sf10 incident fix: Catalyst's size
+    # estimate for an exploded posting table can undershoot the broadcast
+    # threshold and build one giant in-memory HashedRelation (the observed
+    # BytesToBytesMap allocation failure). Sort-merge join spills its
+    # per-key match buffer, bounding memory under posting-list skew.
     pairs = (
-        a.join(b, on="shingle")
+        a.hint("merge").join(b.hint("merge"), on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))

@@ -14050,68 +14050,70 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # --- round 13 rotation (judge ask #1) -------------------------------
-    # The 9 round-12 operators (the only registry names with zero driver
+    # --- round 14 rotation (judge ask #1) -------------------------------
+    # The 9 round-13 operators (the only registry names with zero driver
     # rows; COVERAGE.md ledger "awaiting" list) take their promised first
-    # driver seats, plus the 41 oldest r8-era names by registration order
-    # (evidence histogram this round: r8:47 is the stale tail; the 6
-    # remaining r8 names -- q_char_lm_quality, q_theilsen_trend,
-    # q_autocorrelation, q_join_size_estimate, q_cell_residuals,
-    # q_null_matrix -- rotate in round 14 alongside round-13 additions,
-    # which per the standing protocol carry local oracle + scale pin +
-    # sf1 answer-row evidence at introduction).
-    # --- round-12 first certification (9) --------------------------
-    "q_wasserstein_drift",
-    "q_atkinson",
-    "q_hhi",
-    "q_term_burstiness",
-    "q_brown_forsythe",
-    "q_silhouette",
-    "q_multimodal_pgm",
-    "q_multimodal_pbm",
-    "q_rank_metrics32",
-    # --- oldest r8-era refresh (41) ---------------------------------
-    "q_language_id",
-    "q_quality_score",
-    "q_positional_rows",
-    "q_join_natural_right",
-    "q_sliding_window",
-    "q_special_functions",
-    "q_dedup_clusters",
-    "q_string_functions",
-    "q_pack_sequences",
-    "q_decontaminate",
-    "q_mixture_weights",
-    "q_bm25_search",
-    "q_seasonal_residuals",
-    "q_stream_distinct_merge",
-    "q_stream_topk_merge",
-    "q_transition_matrix",
-    "q_mutual_info",
-    "q_equidepth_histogram",
-    "q_frequent_pairs",
-    "q_apply_diff",
-    "q_ref_integrity",
-    "q_ks_drift",
-    "q_char_entropy",
-    "q_triangle_count",
-    "q_gini_revenue",
-    "q_kappa_agreement",
-    "q_benford_prices",
-    "q_survivorship",
-    "q_decayed_engagement",
-    "q_cusum_shift",
-    "q_ab_test",
-    "q_winsorized_balance",
-    "q_containment_pairs",
-    "q_assortativity",
-    "q_label_confusion",
-    "q_rare_collapse",
-    "q_welch_ttest",
-    "q_mann_whitney",
-    "q_jsd_drift",
-    "q_stream_drift_merge",
-    "q_vocab_oov",
+    # driver seats, plus the 6 residual r8-evidence names
+    # (q_autocorrelation, q_cell_residuals, q_char_lm_quality,
+    # q_join_size_estimate, q_null_matrix, q_theilsen_trend) and the 35
+    # oldest r9-evidence names by registration order.  The 15 remaining
+    # r9 names (q_dedup_incremental ... q_lexical_diversity) rotate in
+    # round 15 alongside any round-14 additions, which per the standing
+    # protocol carry local oracle + scale pin + sf1 answer-row evidence
+    # at introduction.
+    # --- round-13 first certification (9) --------------------------
+    "q_ams_f2",
+    "q_stratified_sample",
+    "q_mood_median",
+    "q_energy_distance",
+    "q_brier_decomposition",
+    "q_mojibake_audit",
+    "q_multimodal_p1",
+    "q_multimodal_p2",
+    "q_multimodal_p3",
+    # --- residual r8-evidence refresh (6) ---------------------------
+    "q_autocorrelation",
+    "q_cell_residuals",
+    "q_char_lm_quality",
+    "q_join_size_estimate",
+    "q_null_matrix",
+    "q_theilsen_trend",
+    # --- oldest r9-evidence refresh (35, registration order) --------
+    "q_stream_quantile_merge",
+    "q_window_running_sum",
+    "q_describe",
+    "q_colwise_grouped",
+    "q_pivot_table_lib",
+    "q_windowed_rollup",
+    "q_set_ops",
+    "q_any_all_tristate",
+    "q_complete_cases",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q_systematic_sample",
+    "q_corpus_shuffle",
+    "q_dedup_spans",
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_bracket_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
+    "q_cube",
+    "q_count_distinct",
+    "q_grouped_percentiles",
+    "q_spearman",
+    "q_bucketed_join",
+    "q_gopher_rules",
+    "q_token_budget_sample",
+    "q_jsonl_roundtrip",
+    "q_repetition_signals",
+    "q_pii_scrub",
+    "q_ngram_topk",
+    "q_chunk_documents",
 ]
 
 
