@@ -876,6 +876,13 @@ def wasserstein_1d(
     value drops out of the inner join, which is exact: beyond it both
     ECDFs are 1 and the gap is 0. Returns one row
     ``(n_a, n_b, w1)``; w1 is NULL when either side is empty.
+
+    Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
+    bounded intermediate that feeds multiple plan branches and does
+    NOT unpersist it (the result is lazy; unpersisting before the
+    caller's action would void the cache). In a long-lived session,
+    release it with ``spark.catalog.clearCache()`` once the result is
+    consumed — the with_running contract.
     """
     from pyspark import StorageLevel
 
@@ -998,6 +1005,13 @@ def energy_distance(
     co-partitioned rn+1 self-join, persist on the bounded merged
     table). Returns one row ``(n_a, n_b, e_xy, e_xx, e_yy, energy)``
     — energy = D², NULL when either side is empty.
+
+    Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
+    bounded intermediate that feeds multiple plan branches and does
+    NOT unpersist it (the result is lazy; unpersisting before the
+    caller's action would void the cache). In a long-lived session,
+    release it with ``spark.catalog.clearCache()`` once the result is
+    consumed — the with_running contract.
     """
     from pyspark import StorageLevel
 
@@ -2215,13 +2229,27 @@ def brier_decomposition(
     quantize to ``10^term_scale`` units before summing (the
     order-independent dsum discipline — the squared deviations ride
     exact ints cast to double ONCE, so both engines square identical
-    doubles). WBV is reported as the closed residual
-    BS − UNC − REL + RES, ≥ 0 by construction.
+    doubles). ``within_bin_var`` is the closed residual
+    BS − UNC − REL + RES = WBV − 2·WBCov (within-bin forecast
+    variance minus TWICE the within-bin forecast/outcome covariance)
+    — it is NOT non-negative: whenever forecasts discriminate inside
+    a bin (outcomes co-vary with forecasts within the bin, e.g. one
+    bin holding (0.21, y=0) and (0.39, y=1)), the covariance term
+    dominates and the residual goes negative. Near zero it reads as
+    "the binning hides little"; large |residual| of either sign says
+    the bins are too coarse (round-13 advice #3 correction).
 
     Scale shape: ONE map-side-combining aggregate over the row volume
     produces ≤ n_bins rows; everything after is bounded (one ≤n_bins
     regroup + two broadcast attaches). Returns one row ``(n, n_pos,
     brier, uncertainty, reliability, resolution, within_bin_var)``.
+
+    Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
+    bounded intermediate that feeds multiple plan branches and does
+    NOT unpersist it (the result is lazy; unpersisting before the
+    caller's action would void the cache). In a long-lived session,
+    release it with ``spark.catalog.clearCache()`` once the result is
+    consumed — the with_running contract.
     """
     from pyspark import StorageLevel
 
@@ -3591,6 +3619,13 @@ def mood_median_test(
     bounded per-(group, value) table, and two bounded k-row
     aggregates finish. Returns one row
     ``(n_groups, n, n_above, grand_median, chi2, dof)``.
+
+    Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
+    bounded intermediate that feeds multiple plan branches and does
+    NOT unpersist it (the result is lazy; unpersisting before the
+    caller's action would void the cache). In a long-lived session,
+    release it with ``spark.catalog.clearCache()`` once the result is
+    consumed — the with_running contract.
     """
     from ..ops.window import with_running
 

@@ -211,16 +211,22 @@ def _heavy_hitters_distributed(
     )
 
 
-# AMS sign-hash parameters. The sign hash must be (near-)4-wise
+# AMS sign-hash parameters. The sign hash should be (near-)4-wise
 # independent for the AMS variance bound to hold - and an AFFINE map
 # (the ops.sampling multiplicative hash) provably is not: over
 # consecutive ids its parity bit alternates almost perfectly, the
 # signed sums collapse toward zero, and the estimator under-reads F2
 # by ~30x (measured on the sf0.01 user_id stream before this was
-# caught). The classic fix is a random DEGREE-3 polynomial over GF(P)
-# (Carter-Wegman): 4-wise independent by construction, and Horner
-# evaluation keeps every intermediate < P*x_max ~ 1e18, inside int64
-# for BOTH engines - no overflow, no engine-private hashing.
+# caught). We use DEGREE-3 polynomials over GF(P) in Horner form —
+# the Carter-Wegman 4-wise family's SHAPE — but honesty note
+# (round-13 advice #4): the coefficients below are a fixed affine
+# progression of (seed, r), NOT random draws from the family, so the
+# textbook Var ≤ 2·F2² bound is not formally guaranteed; structured
+# key sets could in principle correlate with the fixed polynomials.
+# The rel_err gate in the oracle/unit battery is the empirical check.
+# Horner evaluation keeps every intermediate < P*x_max ~ 1e18,
+# inside int64 for BOTH engines - no overflow, no engine-private
+# hashing.
 _AMS_P = 1_000_000_007
 _AMS_MULT = 2_654_435_761 % _AMS_P
 _AMS_SALT = 1_000_003
@@ -254,15 +260,18 @@ def ams_f2(
     the shuffle?". HLL answers |distinct| (F0), Count-Min answers
     point frequencies; F2 is the skew-weighted mass neither reads.
 
-    Estimator: ``n_rows`` independent ±1 sign hashes, each the parity
-    of a deterministic degree-3 polynomial over GF(P) in Horner form
-    (4-wise independent - see the coefficient note above; every
-    intermediate fits int64, so the DuckDB oracle replays every
-    sign); each sketch counter is the plain streaming sum
-    S_r = Σ_rows sign_r(v) - ONE map-side-combining aggregate,
-    trivially mergeable across shards/streams (sum of sums) - and
-    E[S_r²] = F2 with Var ≤ 2·F2² (4-wise), so mean_r S_r² lands
-    within ~sqrt(2/n_rows)·F2. The exact baseline Σ f_v² folds from
+    Estimator: ``n_rows`` ±1 sign hashes, each the parity of a
+    deterministic degree-3 polynomial over GF(P) in Horner form —
+    FIXED pseudorandom polynomials (a heuristic stand-in for the
+    Carter-Wegman 4-wise family; see the coefficient honesty note
+    above — the quoted AMS bound assumes random draws, and the
+    rel_err column is the empirical check). Every intermediate fits
+    int64, so the DuckDB oracle replays every sign. Each sketch
+    counter is the plain streaming sum S_r = Σ_rows sign_r(v) - ONE
+    map-side-combining aggregate, trivially mergeable across
+    shards/streams (sum of sums) - with E[S_r²] = F2 and, under a
+    true 4-wise family, Var ≤ 2·F2², putting mean_r S_r² within
+    ~sqrt(2/n_rows)·F2. The exact baseline Σ f_v² folds from
     per-value counts in decimal(38,0) (second row-volume pass, the
     documented cost of certifying the estimate; production keeps only
     the sketch pass). S_r is exact int64 (|S_r| ≤ N), squares exact

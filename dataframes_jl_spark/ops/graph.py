@@ -159,6 +159,13 @@ def triangle_count(
     per branch (ReuseExchange only matches identical exchanges), which
     is where the sf10 wall's 54–113 s draw-to-draw volatility lived.
     Caller/clearCache owns unpersisting (the with_running contract).
+
+    Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
+    bounded intermediate that feeds multiple plan branches and does
+    NOT unpersist it (the result is lazy; unpersisting before the
+    caller's action would void the cache). In a long-lived session,
+    release it with ``spark.catalog.clearCache()`` once the result is
+    consumed — the with_running contract.
     """
     from pyspark import StorageLevel
 

@@ -140,12 +140,31 @@ def stratified_sample(
     broadcast back. Selection quality note: ranking by the
     multiplicative hash makes the sample hash-uniform over keys, not
     the first-k by key order.
+
+    NULL strata are a FIRST-CLASS stratum: groupBy/window already
+    treat NULL as its own group, and the offset join is null-safe
+    (eqNullSafe), so NULL-stratum rows get their own exact
+    floor(frac·n_NULL) allocation instead of silently vanishing
+    through an equi-join (round-13 advice #1).
+
+    The keep threshold is computed in INTEGER arithmetic: ``frac``'s
+    decimal literal becomes an exact rational num/den
+    (``Fraction(str(frac))``), and a row survives iff
+    ``rank·den <= num·n_g`` — exactly ``rank <= floor(frac·n_g)`` with
+    no IEEE-double boundary case (0.7 of a 10-row stratum keeps 7,
+    where ``floor(0.7 * 10.0)`` in doubles keeps 6 — round-13 advice
+    #2).
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
+    from fractions import Fraction
+
     from pyspark.sql import Window
+
+    fr = Fraction(str(frac))
+    num, den = fr.numerator, fr.denominator
 
     h = split_bucket(key, _SPLIT_P)  # full-range hash, not bucketed
     width = (_SPLIT_P + buckets - 1) // buckets
@@ -171,16 +190,29 @@ def stratified_sample(
     w = Window.partitionBy(strata, "__b__").orderBy(
         F.col("__h__").asc(), F.col(key).asc()
     )
+    offs = offs.withColumnRenamed(strata, "__s__").withColumnRenamed(
+        "__b__", "__ob__"
+    )
+    ranked = base.withColumn("__rn__", F.row_number().over(w))
     return (
-        base.withColumn("__rn__", F.row_number().over(w))
-        .join(F.broadcast(offs), [strata, "__b__"])
-        .filter(
-            (F.col("__rn__") + F.col("__off__"))
-            <= F.floor(
-                F.lit(float(frac)) * F.col("__ng__").cast("double")
-            )
+        ranked.join(
+            F.broadcast(offs),
+            ranked[strata].eqNullSafe(offs["__s__"])
+            & (ranked["__b__"] == offs["__ob__"]),
         )
-        .drop("__h__", "__b__", "__rn__", "__off__", "__ng__")
+        .filter(
+            # decimal(38,0) products: num/den come from the decimal
+            # literal (e.g. 0.3333333333333333 -> den 1e16) and n_g is
+            # unbounded, so int64 multiplication could overflow under
+            # ANSI; 38-digit decimals cannot here.
+            (F.col("__rn__") + F.col("__off__")).cast("decimal(38,0)")
+            * F.lit(den).cast("decimal(38,0)")
+            <= F.lit(num).cast("decimal(38,0)")
+            * F.col("__ng__").cast("decimal(38,0)")
+        )
+        .drop(
+            "__h__", "__b__", "__rn__", "__off__", "__ng__", "__s__", "__ob__"
+        )
     )
 
 

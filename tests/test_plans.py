@@ -321,3 +321,43 @@ def test_ungrouped_gini_no_single_partition(spark):
         # tail (1-row gini agg / <=10-row decile cum-window), never the
         # row-level window
         assert plan.count("SinglePartition") <= 1
+
+
+def test_overflow_asserts_survive_column_pruning(spark):
+    """The n_a*n_b int64 overflow guards in the drift statistics are
+    aggregate columns referenced only for their side effect; this pins
+    that ColumnPruning cannot eliminate them from the EXECUTED plan
+    (round-13 advice: a pruned assert is a silent-overflow plan)."""
+    from dataframes_jl_spark.functions.stats import (
+        cvm_statistic,
+        ks_statistic,
+        wasserstein_1d,
+    )
+    from dataframes_jl_spark.session import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    a = o.filter("o_orderkey % 2 = 0").select("o_totalprice")
+    b = o.filter("o_orderkey % 2 = 1").select("o_totalprice")
+    for fn in (wasserstein_1d, cvm_statistic, ks_statistic):
+        df = fn(a, b, "o_totalprice", scale=0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "assert_true" in plan or "raise_error" in plan, fn.__name__
+
+
+def test_shingle_self_join_is_sort_merge_never_broadcast(spark):
+    """The inverted-index self-join in jaccard/containment pairs must
+    be a SortMergeJoin (spillable match buffer). Catalyst's size
+    estimate for the exploded posting table can undershoot the
+    broadcast threshold and build one giant in-memory HashedRelation —
+    the round-13 sf10 BytesToBytesMap allocation failure."""
+    from dataframes_jl_spark.llm.dedup import containment_pairs, jaccard_pairs
+    from dataframes_jl_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5),
+        containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin [shingle" in plan
+        assert "BroadcastHashJoin [shingle" not in plan

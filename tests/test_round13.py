@@ -241,8 +241,10 @@ def test_brier_decomposition_identity_and_values(spark):
 
 
 def test_brier_decomposition_murphy_identity(spark):
-    """On an arbitrary mix, BS = UNC + REL - RES + WBV holds by
-    construction and every component is non-negative."""
+    """On an arbitrary mix, BS = UNC + REL - RES + residual holds by
+    construction; UNC/REL/RES are non-negative. The residual is
+    WBV - 2*WBCov and is NOT sign-constrained (round-13 advice #3):
+    forecasts that discriminate inside a bin drive it negative."""
     from dataframes_jl_spark.functions.stats import brier_decomposition
 
     rows = [
@@ -257,9 +259,27 @@ def test_brier_decomposition_murphy_identity(spark):
         + r["within_bin_var"]
     )
     assert lhs == pytest.approx(rhs, abs=5e-6)
-    for k in ("uncertainty", "reliability", "resolution",
-              "within_bin_var"):
+    for k in ("uncertainty", "reliability", "resolution"):
         assert r[k] >= -1e-6
+
+
+def test_brier_decomposition_residual_goes_negative_when_discriminating(
+    spark,
+):
+    """The advice's own counterexample: one bin holding (0.21, y=0) and
+    (0.39, y=1) — within-bin covariance dominates, residual < 0."""
+    from dataframes_jl_spark.functions.stats import brier_decomposition
+
+    df = spark.createDataFrame(
+        [(0.21, 0), (0.39, 1)], "p double, y int"
+    )
+    r = brier_decomposition(df, "y", "p", n_bins=5).collect()[0]
+    assert r["within_bin_var"] < 0
+    rhs = (
+        r["uncertainty"] + r["reliability"] - r["resolution"]
+        + r["within_bin_var"]
+    )
+    assert r["brier"] == pytest.approx(rhs, abs=5e-6)
 
 
 # ---------------------------------------------------------------------------

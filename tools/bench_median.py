@@ -35,16 +35,16 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _local_records() -> dict[int, str]:
+def _local_records(base: str = HERE) -> dict[int, str]:
     out = {}
-    for f in glob.glob(os.path.join(HERE, "BENCH_LOCAL_r*.json")):
+    for f in glob.glob(os.path.join(base, "BENCH_LOCAL_r*.json")):
         m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", f)
         if m:
             out[int(m.group(1))] = f
     return out
 
 
-def _target_round() -> int:
+def _target_round(base: str = HERE) -> int:
     """The slot bench.py will write: latest BENCH_r{N} (driver record)
     + 1 — mirrors bench.py's own `nxt` inference, so the wrapper knows
     the output path WITHOUT diffing directory listings (which breaks
@@ -52,7 +52,7 @@ def _target_round() -> int:
     overwrites it in place: 'fresh' is empty and run 1 misreports as a
     failure — round-12 advice #3)."""
     best = 0
-    for p in glob.glob(os.path.join(HERE, "BENCH_r*.json")):
+    for p in glob.glob(os.path.join(base, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             best = max(best, int(m.group(1)))
