@@ -180,6 +180,12 @@ HEADLINE = [
     "q_mojibake_audit",
     "q_stratified_sample",
     "q_ams_f2",
+    # round 14 operators
+    "q_spearman_footrule",
+    "q_rbo_topk",
+    "q_hodges_lehmann",
+    "q_containment_lsh",
+    "q_dsir_weights",
 ]
 
 
@@ -191,6 +197,35 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
+
+    # Pre-fork a FULL complement of Python workers with numpy already
+    # imported (one task per core, reuse=true returns them to the
+    # pool). The ~1 s worker-fork + numpy-import cost otherwise binds
+    # to whichever mapInPandas decode seat first needs a worker the
+    # earlier queries didn't happen to spawn — a battery-order
+    # artifact that masqueraded as a q_multimodal_* regression two
+    # rounds running (SCALING.md; round-13 ask #7).
+    def _prefork_python_workers():
+        import pandas as pd  # noqa: F401
+
+        cores = spark.sparkContext.defaultParallelism
+
+        def _touch(it):
+            import numpy as np  # the expensive per-worker import
+
+            for batch in it:
+                yield batch.assign(x=np.int64(0))
+
+        (
+            spark.range(cores * 4, numPartitions=cores)
+            .mapInPandas(_touch, "id long, x long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _prefork_python_workers()
+
     # warm-up pass: JVM, codegen caches, parquet footers, python workers —
     # measured numbers are steady-state throughput, not cold-start
     for name in names:

@@ -1791,6 +1791,124 @@ def mann_whitney_u(
     )
 
 
+def hodges_lehmann_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    scale: int = 0,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Hodges–Lehmann location-shift estimator between two samples:
+    the MEDIAN of all pairwise differences a − b (a ~ A, b ~ B) — the
+    robust "how far apart are these distributions" in the UNITS of
+    ``col`` that completes the two-sample lane: mann_whitney_u tests
+    the shift, cliffs_delta sizes it on [−1,1], HL reports it in
+    dollars/tokens/seconds (30% breakdown point, ~95% Gaussian
+    efficiency — the standard robust effect estimate).
+
+    EXACT path over QUANTIZED values: both sides collapse to
+    per-value count tables at ``10^scale`` units (the wasserstein_1d
+    contract), the |V_a| × |V_b| cross of DISTINCT values carries
+    weight ca·cb per difference d = v_a − v_b, per-d weights
+    aggregate, and the weighted median selects via one bounded prefix
+    scan: with N = n_a·n_b pairs, hl = (d@⌈N/2⌉ + d@⌊N/2⌋+1) / 2
+    (order statistics of the pair multiset — both engines select
+    identical integers; the even-N midpoint halves exactly in
+    doubles).
+
+    Scale contract: the cross is |V_a|·|V_b| over DISTINCT quantized
+    values — bounded by the quantization, NOT by row count (the
+    per-value tables persist once and the small side broadcasts).
+    Choose ``scale`` so |V| stays ~1e4 per side (1e8 diff rows worst
+    case — a bounded shuffle, no row-volume quadratics); for
+    continuous cols at fine scales use a coarser ``scale`` — the HL
+    estimate moves by at most one quantization unit.
+
+    Caching contract: persists the two bounded per-value tables
+    (MEMORY_AND_DISK) and does not unpersist — call
+    ``spark.catalog.clearCache()`` once the result is consumed.
+
+    Returns one row ``(n_a, n_b, n_pairs, hl_shift)`` with hl_shift
+    back in ``col`` units (NULL when either side is empty).
+    """
+    from pyspark import StorageLevel
+
+    m = F.lit(float(10**scale))
+    qv = F.floor(F.col(col).cast("double") * m + F.lit(0.5)).cast("long")
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(qv.alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    va = counts(df_a)
+    vb = counts(df_b)
+    dec = "decimal(38,0)"
+    diffs = (
+        va.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+        .crossJoin(
+            F.broadcast(
+                vb.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+            )
+        )
+        .select(
+            (F.col("va") - F.col("vb")).alias("d"),
+            (F.col("ca").cast(dec) * F.col("cb").cast(dec)).alias("w"),
+        )
+        .groupBy("d")
+        .agg(F.sum("w").alias("w"))
+    )
+    from ..ops.window import with_running
+
+    run = with_running(diffs, {"cum": ("sum", "w")}, order_by="d")
+    tot = (
+        va.agg(F.sum("c").alias("n_a"))
+        .crossJoin(F.broadcast(vb.agg(F.sum("c").alias("n_b"))))
+        .select(
+            "n_a",
+            "n_b",
+            (F.col("n_a").cast(dec) * F.col("n_b").cast(dec)).alias(
+                "n_pairs"
+            ),
+        )
+    )
+    # k_lo = ceil(N/2), k_hi = floor(N/2) + 1 (1-indexed order stats;
+    # equal when N is odd). Spark's decimal cast rounds HALF-UP, so
+    # never divide-and-cast an odd decimal — compute from the exact
+    # even part (N - N%2)/2 instead (the dividend is even, the
+    # division exact at any decimal scale).
+    half = (F.col("n_pairs") - F.pmod(F.col("n_pairs"), F.lit(2))) / F.lit(
+        2
+    )
+    k_lo = F.when(
+        F.pmod(F.col("n_pairs"), F.lit(2)) == 0, half
+    ).otherwise(half + F.lit(1))  # ceil(N/2)
+    k_hi = half + F.lit(1)  # floor(N/2) + 1
+    sel = run.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("d"))).alias("d_lo"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("d"))).alias("d_hi"),
+    )
+    om = F.lit(float(10**out_scale))
+    hl = (
+        (F.col("d_lo").cast("double") + F.col("d_hi").cast("double"))
+        / F.lit(2.0)
+        / m
+    )
+    return tot.crossJoin(F.broadcast(sel)).select(
+        "n_a",
+        "n_b",
+        F.col("n_pairs").cast("double").alias("n_pairs"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(hl * om + F.lit(0.5)) / om,
+        ).alias("hl_shift"),
+    )
+
+
 def roc_auc(
     df: DataFrame,
     label: str,

@@ -351,6 +351,78 @@ def minhash_lsh_pairs(
     return _verify_pairs(cand, sh_tab, sh_tab, threshold)
 
 
+def containment_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    out_scale: int = 6,
+    num_partitions: int | None = None,
+    rows: int | None = None,
+) -> DataFrame:
+    """LSH-candidate CONTAINMENT pairs — the 100 TB lane for
+    :func:`containment_pairs`: band-bucket collisions from the same
+    MinHash machinery as :func:`minhash_lsh_pairs` (linear +
+    collision-bounded, never the inverted-index self-join whose exact
+    baseline is the certification-only path), then exact containment
+    scores ``|A∩B| / |A|`` (and the B mirror) computed ONLY on
+    candidates via one array_intersect per pair. Quantizes the scores
+    BEFORE the threshold filter (the containment_pairs ulp contract).
+
+    Recall honesty: MinHash estimates JACCARD, so a pair with high
+    one-sided containment but LOW Jaccard (a paragraph quoted inside
+    a much longer article) can miss the candidate set — at j the
+    candidate probability is 1−(1−j^{r})^{b}. On near-dup corpora
+    (the driver gate's regime: every containment-0.8 pair also has
+    jaccard ≥ 0.8, measured at sf0.01/sf0.1) recall is 1−6e−15;
+    for true subset mining at scale, shrink rows-per-band (more
+    bands) or use an asymmetric scheme. The gate's oracle is the
+    EXACT containment pair set, so the check demonstrates recall=1
+    at the tested scale, exactly like the q_dedup_minhash_lsh
+    precedent.
+    """
+    assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
+    par = num_partitions or _auto_partitions(df, rows)
+    banded, sh_tab = _lsh_tables(
+        df, id_col, text_col, num_hashes, bands, n, par
+    )
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")),
+        on="id_a",
+    ).join(
+        sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")),
+        on="id_b",
+    )
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    m = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    ca = _q(common.cast("double") / F.size("sa").cast("double"))
+    cb = _q(common.cast("double") / F.size("sb").cast("double"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+    ).filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= F.lit(float(threshold))
+    )
+
+
 _TARGET_ROWS_PER_PARTITION = 100_000
 _TARGET_BAND_ROWS_PER_PARTITION = 250_000
 

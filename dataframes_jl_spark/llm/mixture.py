@@ -184,3 +184,164 @@ def temperature_weights(
         target.alias("target_share"),
         (target / F.col("token_share")).alias("weight"),
     )
+
+
+def dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 2048,
+    logp_scale: int = 9,
+    out_scale: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every ``raw`` document by how
+    much more likely its unigrams are under the ``target`` corpus's
+    bag-of-words model than under ``raw``'s own — the standard
+    "select pretraining data that looks like my high-quality target"
+    operation (the original uses hashed n-gram features; this variant
+    uses a deterministic top-V RAW vocabulary + one OOV bucket so the
+    DuckDB oracle replays the features as plain strings, no engine-
+    private hashing).
+
+    log_weight(doc) = Σ_tokens [ln p̂_t(tok) − ln p̂_r(tok)] with
+    add-one smoothing over V+1 events (V vocab + OOV):
+    p̂(tok) = (cnt(tok)+1)/(n_tokens+V+1). Each per-token log-ratio is
+    floor-quantized to ``10^logp_scale`` units IMMEDIATELY (the
+    char_lm_quality libm-absorption discipline: both engines ln the
+    identical rational, the quantization absorbs any final-ulp
+    disagreement), so the per-doc sum is an exact int64 fold —
+    order-independent and engine-portable. Resample by feeding
+    ``exp(log_weight)`` (or a temperature-flattened version) to
+    ops.sampling.weighted_sample.
+
+    Scale shape: two map-side-combining token-count aggregates (one
+    per corpus), ONE top-V selection (TakeOrderedAndProject — per-
+    partition heaps, never a global sort; ties break on the token
+    string so the vocabulary is deterministic), a V+1-row log-ratio
+    table BROADCAST to the raw-corpus token explode, and one per-doc
+    aggregate. The only row-volume shuffles are the two token counts
+    and the final per-doc groupBy.
+
+    Returns one row per raw document: ``(id, n_tok, log_weight)``;
+    empty/whitespace-only docs get log_weight 0.0 (no evidence either
+    way), n_tok 0.
+    """
+    if vocab_size < 1:
+        raise ValueError("dsir_weights: vocab_size must be >= 1")
+    from .text import tokens
+
+    def tok_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+            .select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ct = tok_counts(target)
+    cr = tok_counts(raw)
+    from ..ops.sorting import order, top_k
+
+    vocab = top_k(
+        cr.select("tok", "c"),
+        [order("c", rev=True), order("tok", rev=False)],
+        vocab_size,
+    ).select(F.col("tok").alias("v_tok"), F.col("c").alias("cr_v"))
+    # vocab rows with target counts attached; OOV mass = totals minus
+    # in-vocab mass (no second pass over the token tables)
+    vt = vocab.join(
+        ct.select(F.col("tok").alias("v_tok"), F.col("c").alias("ct_v")),
+        "v_tok",
+        "left",
+    ).select(
+        "v_tok",
+        F.coalesce("ct_v", F.lit(0)).alias("ct_v"),
+        "cr_v",
+    )
+    tot_t = ct.agg(F.sum("c").alias("n_t"))
+    tot_r = cr.agg(F.sum("c").alias("n_r"))
+    invoc = vt.agg(
+        F.coalesce(F.sum("ct_v"), F.lit(0)).alias("ct_in"),
+        F.coalesce(F.sum("cr_v"), F.lit(0)).alias("cr_in"),
+    )
+    m = F.lit(float(10**logp_scale))
+    vp1 = F.lit(float(vocab_size + 1))
+
+    def lr(ct_c, cr_c, n_t, n_r):
+        pt = (ct_c.cast("double") + F.lit(1.0)) / (
+            n_t.cast("double") + vp1
+        )
+        pr = (cr_c.cast("double") + F.lit(1.0)) / (
+            n_r.cast("double") + vp1
+        )
+        # per-TERM floor quantization of each ln before the difference
+        # is NOT needed: both engines ln the identical rationals and
+        # the DIFFERENCE is quantized — but quantizing each ln
+        # separately makes the oracle mirror trivially exact, so do
+        # that (two int64 terms, one subtraction).
+        qt = F.floor(F.log(pt) * m + F.lit(0.5)).cast("long")
+        qr = F.floor(F.log(pr) * m + F.lit(0.5)).cast("long")
+        return qt - qr
+
+    lrs = (
+        vt.crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "v_tok",
+            lr(F.col("ct_v"), F.col("cr_v"), F.col("n_t"), F.col("n_r")).alias(
+                "__lr__"
+            ),
+        )
+    )
+    oov = (
+        invoc.crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            lr(
+                F.col("n_t") - F.col("ct_in"),
+                F.col("n_r") - F.col("cr_in"),
+                F.col("n_t"),
+                F.col("n_r"),
+            ).alias("__oov_lr__")
+        )
+    )
+    doc_toks = raw.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(text_col)).alias("tok"),
+    ).select(
+        "id",
+        F.when(F.col("tok") == "", None).otherwise(F.col("tok")).alias("tok"),
+    )
+    om = F.lit(float(10**out_scale))
+    scored = (
+        doc_toks.join(F.broadcast(lrs), doc_toks["tok"] == lrs["v_tok"], "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "id",
+            F.col("tok"),
+            F.when(F.col("tok").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.coalesce(F.col("__lr__"), F.col("__oov_lr__")))
+            .alias("__w__"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0)).alias(
+                "n_tok"
+            ),
+            F.sum("__w__").alias("__lw__"),
+        )
+        .select(
+            "id",
+            "n_tok",
+            (
+                F.floor(
+                    F.col("__lw__").cast("double") / m * om + F.lit(0.5)
+                )
+                / om
+            ).alias("log_weight"),
+        )
+    )

@@ -14049,6 +14049,297 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_silhouette(emb, "label", "embedding")
 
 
+
+# ---------------------------------------------------------------------------
+# Round-14 operators: ranking similarity, robust shift, containment LSH lane
+# ---------------------------------------------------------------------------
+
+_PART_RANK_CTE = """
+    WITH pr AS (
+      SELECT l_partkey AS id,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT id,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, id) AS ra,
+             ROW_NUMBER() OVER (ORDER BY qty DESC, id) AS rb
+      FROM pr
+    )
+"""
+
+
+def _part_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the ranking-similarity gates: per-part revenue
+    (exact cents) vs total quantity — two business orders over the
+    same ~|part| items whose disagreement the metrics quantify."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.filter(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .groupBy(F.col("l_partkey").alias("id"))
+        .agg(
+            F.sum(cents).alias("rev"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+
+
+@register(
+    "q_spearman_footrule",
+    oracle=_PART_RANK_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(ra - rb)) AS BIGINT) AS footrule,
+           CASE WHEN COUNT(*) >= 2 THEN
+             FLOOR(CAST(SUM(ABS(ra - rb)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                      / 2.0)
+                   * 1e6 + 0.5) / 1e6 END AS norm_footrule
+    FROM r
+    """,
+)
+def q_spearman_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule distance between the revenue and quantity
+    rankings of parts (functions.ranking.spearman_footrule): total
+    rank displacement Σ|rank_rev − rank_qty| plus the
+    Diaconis-Graham-normalized form — the whole-permutation
+    complement to the head-weighted RBO gate. Ranks are
+    range-partitioned global row_numbers (never SinglePartition),
+    then one id join + one aggregate."""
+    from .functions.ranking import spearman_footrule
+
+    pr = _part_rank_frame(spark, sf_dir)
+    return spearman_footrule(pr, "rev", "qty", "id", descending=True)
+
+
+@register(
+    "q_rbo_topk",
+    oracle=_PART_RANK_CTE
+    + f"""
+    , top AS (
+      SELECT GREATEST(ra, rb) AS m FROM r WHERE ra <= 50 AND rb <= 50
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_joint,
+           FLOOR(CAST(COALESCE(SUM(([2557551391666, 1557551391666, 1107551391666, 837551391666, 655301391666, 524081391666, 425666391666, 349746248809, 289959136309, 242129446309, 203387397409, 171689357400, 145538474392, 123813125432, 105656940944, 90405745974, 77537550218, 66637431460, 57372330516, 49472612869, 42718354281, 36928989777, 31955399362, 27673786744, 23980895861, 20790238138, 18029092031, 15636098739, 13559322417, 11754675407, 10184632508, 8817175789, 7624924463, 6584414214, 5675497909, 4880845368, 4185524394, 3576648731, 3043081373, 2575183844, 2164603762, 1804094422, 1487361216, 1208930630, 964038274, 748533001, 558794663, 391663446, 244379061, 114528338])[m]), 0) AS DOUBLE)
+                 * 9.999999999999998e-14 * 1e6 + 0.5) / 1e6 AS rbo
+    FROM top
+    """,
+)
+def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap RBO@50 (p=0.9) between the revenue and
+    quantity rankings of parts (functions.ranking.rbo_topk) — the
+    top-weighted rank similarity: geometrically decaying attention
+    over prefix overlaps, with the per-depth weights precomputed as
+    INTEGER literals in Python and embedded in BOTH engines (zero
+    pow/log at runtime — the engines cannot disagree on a weight by
+    an ulp). Ranks filter to ≤ k BEFORE the id join."""
+    from .functions.ranking import rbo_topk
+
+    pr = _part_rank_frame(spark, sf_dir)
+    return rbo_topk(pr, "rev", "qty", "id", k=50, p=0.9, descending=True)
+
+
+@register(
+    "q_hodges_lehmann",
+    oracle="""
+    WITH av AS (
+      SELECT CAST(FLOOR(value + 0.5) AS BIGINT) AS v, COUNT(*) AS c
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    bv AS (
+      SELECT CAST(FLOOR(value + 0.5) AS BIGINT) AS v, COUNT(*) AS c
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    diffs AS (
+      SELECT av.v - bv.v AS d,
+             SUM(CAST(av.c AS HUGEINT) * CAST(bv.c AS HUGEINT)) AS w
+      FROM av CROSS JOIN bv GROUP BY 1
+    ),
+    run AS (
+      SELECT d, SUM(w) OVER (ORDER BY d) AS cum FROM diffs
+    ),
+    tot AS (
+      SELECT CAST((SELECT SUM(c) FROM av) AS BIGINT) AS n_a,
+             CAST((SELECT SUM(c) FROM bv) AS BIGINT) AS n_b,
+             CAST((SELECT SUM(c) FROM av) AS HUGEINT)
+               * CAST((SELECT SUM(c) FROM bv) AS HUGEINT) AS np
+    ),
+    sel AS (
+      SELECT MIN(CASE WHEN cum >= (np - np % 2) / 2
+                           + (CASE WHEN np % 2 = 0 THEN 0 ELSE 1 END)
+                 THEN d END) AS d_lo,
+             MIN(CASE WHEN cum >= (np - np % 2) / 2 + 1 THEN d END) AS d_hi
+      FROM run, tot
+    )
+    SELECT t.n_a, t.n_b, CAST(t.np AS DOUBLE) AS n_pairs,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+             FLOOR((CAST(s.d_lo AS DOUBLE) + CAST(s.d_hi AS DOUBLE))
+                   / 2.0 / 1.0 * 1e6 + 0.5) / 1e6 END AS hl_shift
+    FROM tot t, sel s
+    """,
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift between purchase and click event values
+    (functions.stats.hodges_lehmann_shift): the median of all pairwise
+    differences — the robust location shift in VALUE units that
+    completes the two-sample lane (q_mann_whitney tests it,
+    q_cliffs_delta sizes it on [-1,1], this reports it in dollars).
+    Per-value tables at unit scale (|V| bounded by the value RANGE,
+    ~600 at any sf), bounded cross of distinct values, one prefix
+    scan — never a row-volume quadratic."""
+    from .functions.stats import hodges_lehmann_shift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("value")
+    b = ev.filter(F.col("event_type") == "click").select("value")
+    return hodges_lehmann_shift(a, b, "value", scale=0)
+
+
+@register(
+    "q_containment_lsh",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)]) AS shl
+      FROM tok WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), cpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(ANY_VALUE(a.n_sh) AS BIGINT) AS na,
+             CAST(ANY_VALUE(b.n_sh) AS BIGINT) AS nb
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT id_a, id_b,
+             FLOOR(CAST(common AS DOUBLE) / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS containment_a,
+             FLOOR(CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS containment_b
+      FROM cpairs
+    )
+    SELECT id_a, id_b, containment_a, containment_b
+    FROM scored
+    WHERE GREATEST(containment_a, containment_b) >= 0.8
+    """,
+)
+def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate containment pairs (llm.dedup.containment_pairs_lsh)
+    — the 100 TB lane for the exact containment baseline that OOM'd
+    at sf10 in round 13: band-bucket collisions (linear +
+    collision-bounded) then exact containment scores on candidates
+    only. The oracle is the EXACT containment pair set, so the gate
+    demonstrates LSH recall = 1 at the tested scale (candidate
+    probability 1-6e-15 at the corpus's jaccard >= 0.8 near-dup
+    pairs), the q_dedup_minhash_lsh precedent."""
+    from .llm.dedup import containment_pairs_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs_lsh(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+
+@register(
+    "q_dsir_weights",
+    oracle=r"""
+    WITH rt AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tt AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+      WHERE source IN ('src0', 'src1')
+            AND text IS NOT NULL AND trim(text) <> ''
+    ),
+    cr AS (SELECT tok, COUNT(*) AS c FROM rt GROUP BY 1),
+    ct AS (SELECT tok, COUNT(*) AS c FROM tt GROUP BY 1),
+    vocab AS (
+      SELECT tok, c AS cr_v FROM cr ORDER BY c DESC, tok LIMIT 512
+    ),
+    vt AS (
+      SELECT v.tok, COALESCE(ct.c, 0) AS ct_v, v.cr_v
+      FROM vocab v LEFT JOIN ct ON v.tok = ct.tok
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM ct) AS n_t,
+             (SELECT SUM(c) FROM cr) AS n_r
+    ),
+    invoc AS (
+      SELECT COALESCE(SUM(ct_v), 0) AS ct_in,
+             COALESCE(SUM(cr_v), 0) AS cr_in FROM vt
+    ),
+    lrs AS (
+      SELECT vt.tok,
+             CAST(FLOOR(LN((ct_v + 1.0) / (CAST(n_t AS DOUBLE) + 513.0))
+                        * 1e9 + 0.5) AS BIGINT)
+             - CAST(FLOOR(LN((cr_v + 1.0) / (CAST(n_r AS DOUBLE) + 513.0))
+                          * 1e9 + 0.5) AS BIGINT) AS lr
+      FROM vt, tot
+    ),
+    oov AS (
+      SELECT CAST(FLOOR(LN((n_t - ct_in + 1.0)
+                           / (CAST(n_t AS DOUBLE) + 513.0))
+                        * 1e9 + 0.5) AS BIGINT)
+             - CAST(FLOOR(LN((n_r - cr_in + 1.0)
+                             / (CAST(n_r AS DOUBLE) + 513.0))
+                          * 1e9 + 0.5) AS BIGINT) AS oov_lr
+      FROM invoc, tot
+    ),
+    per_doc AS (
+      SELECT rt.doc_id AS id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             SUM(CASE WHEN l.lr IS NOT NULL THEN l.lr
+                      ELSE (SELECT oov_lr FROM oov) END) AS lw
+      FROM rt LEFT JOIN lrs l ON rt.tok = l.tok
+      GROUP BY 1
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok,
+           FLOOR(CAST(COALESCE(p.lw, 0) AS DOUBLE) / 1e9 * 1e6 + 0.5)
+             / 1e6 AS log_weight
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights toward a target sub-corpus
+    (llm.mixture.dsir_weights): every document scored by the exact
+    int64 sum of per-token quantized log-likelihood ratios between the
+    target's (src0/src1) and the raw corpus's smoothed unigram models
+    over a deterministic top-512 vocabulary + OOV bucket — the
+    "select pretraining data that looks like my target" lane (Xie et
+    al. 2023), feature-hashed in the original, string-exact here so
+    the oracle replays every count. The V+1-row ratio table broadcasts
+    to the token explode; only the token counts and the per-doc
+    aggregate shuffle."""
+    from .llm.mixture import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_weights(
+        target, docs, "doc_id", "text", vocab_size=512
+    )
+
+
 _PRIORITY = [
     # --- round 14 rotation (judge ask #1) -------------------------------
     # The 9 round-13 operators (the only registry names with zero driver

@@ -5,8 +5,11 @@ contracts, bench_median round detection."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from dataframes_jl_spark.oracle import compare
+
+from conftest import SF_DIR
 
 
 def test_split_conformal_degenerate_split_through_oracle_gate(spark):
@@ -139,3 +142,143 @@ def test_bench_median_round_resolution(tmp_path):
     # the wrapper's prior rule: newest round STRICTLY BELOW the target
     priors = [r for r in recs if r < target]
     assert max(priors) == 13
+
+
+# ---------------------------------------------------------------------------
+# round-14 operators
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_footrule_reversal_and_identity(spark):
+    """Reversed ranking: F = n^2/2 for even n (here 4 -> 8), norm 1.0;
+    identical ranking: F = 0, norm 0.0."""
+    from dataframes_jl_spark.functions.ranking import spearman_footrule
+
+    rev = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(1, 5)],
+        "id long, a double, b double",
+    )
+    r = spearman_footrule(rev, "a", "b", "id").collect()[0]
+    assert (r["n"], r["footrule"], r["norm_footrule"]) == (4, 8, 1.0)
+
+    same = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(1, 6)],
+        "id long, a double, b double",
+    )
+    r = spearman_footrule(same, "a", "b", "id").collect()[0]
+    assert (r["n"], r["footrule"], r["norm_footrule"]) == (5, 0, 0.0)
+
+
+def test_rbo_identical_and_disjoint(spark):
+    """Identical lists at k=10, p=0.9: RBO = 1 - p^k = 0.651322
+    (closed form); disjoint prefixes: n_joint 0, rbo 0.0."""
+    from dataframes_jl_spark.functions.ranking import rbo_topk
+
+    same = spark.createDataFrame(
+        [(i, float(100 - i), float(100 - i)) for i in range(1, 21)],
+        "id long, a double, b double",
+    )
+    r = rbo_topk(same, "a", "b", "id", k=10, p=0.9).collect()[0]
+    assert r["n_joint"] == 10
+    assert r["rbo"] == pytest.approx(1.0 - 0.9**10, abs=2e-6)
+
+    # a ranks ids 1..4 on top; b ranks 5..8 on top (k=2 prefixes disjoint)
+    disj = spark.createDataFrame(
+        [(i, float(10 - i), float(i)) for i in range(1, 9)],
+        "id long, a double, b double",
+    )
+    r = rbo_topk(disj, "a", "b", "id", k=2, p=0.9).collect()[0]
+    assert (r["n_joint"], r["rbo"]) == (0, 0.0)
+
+
+def test_hodges_lehmann_hand_checks(spark):
+    """Odd pair-count median and the even-N midpoint convention."""
+    from dataframes_jl_spark.functions.stats import hodges_lehmann_shift
+
+    a = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4, 5]], "v double")
+    b = spark.createDataFrame([(float(x),) for x in [3, 4, 5, 6, 7]], "v double")
+    r = hodges_lehmann_shift(a, b, "v").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_pairs"], r["hl_shift"]) == (5, 5, 25.0, -2.0)
+
+    # even N: diffs of {1,2} x {1,3} = [-2,-1,0,1] -> (-1+0)/2 = -0.5
+    a2 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b2 = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+    r = hodges_lehmann_shift(a2, b2, "v").collect()[0]
+    assert (r["n_pairs"], r["hl_shift"]) == (4.0, -0.5)
+
+
+def test_containment_lsh_equals_exact_on_testdata(spark):
+    """The LSH lane must reproduce the exact containment pair set on
+    the near-dup corpus (recall-1 regime: every containment-0.8 pair
+    has jaccard >= 0.8 here, candidate probability 1-6e-15)."""
+    from dataframes_jl_spark.llm.dedup import (
+        containment_pairs,
+        containment_pairs_lsh,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    exact = set(
+        map(tuple, containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect())
+    )
+    lsh = set(
+        map(tuple, containment_pairs_lsh(docs, "doc_id", "text", n=3, threshold=0.8).collect())
+    )
+    assert lsh == exact and len(exact) > 0
+
+
+def test_dsir_weights_hand_corpus(spark):
+    """Hand corpus replayed with the same integer quantization in
+    Python: vocab = top-2 raw tokens (count desc, token asc) = {c, a};
+    b falls to the OOV bucket; every per-token log-ratio is
+    floor(ln(p)*1e9+0.5) int64."""
+    import math
+
+    from dataframes_jl_spark.llm.mixture import dsir_weights
+
+    target = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, "c c"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_tok"], r["log_weight"])
+        for r in dsir_weights(target, raw, "doc_id", "text", vocab_size=2).collect()
+    }
+
+    def q(x):
+        return math.floor(math.log(x) * 1e9 + 0.5)
+
+    V1 = 3.0  # vocab_size + 1
+    n_t, n_r = 3.0, 5.0
+    lr_a = q(3.0 / (n_t + V1)) - q(2.0 / (n_r + V1))
+    lr_c = q(1.0 / (n_t + V1)) - q(4.0 / (n_r + V1))
+    lr_oov = q(2.0 / (n_t + V1)) - q(2.0 / (n_r + V1))  # b
+
+    def out_q(units):
+        return math.floor(units / 1e9 * 1e6 + 0.5) / 1e6
+
+    assert out[1] == (3, out_q(lr_a + lr_oov + lr_c))
+    assert out[2] == (2, out_q(2 * lr_c))
+    # NULL / whitespace-only docs: zero evidence, weight 0
+    assert out[3] == (0, 0.0)
+    assert out[4] == (0, 0.0)
+
+
+def test_dsir_weights_target_lookalike_scores_higher(spark):
+    """Directionality: a raw doc made of target-typical tokens must
+    outscore one made of raw-typical tokens."""
+    from dataframes_jl_spark.llm.mixture import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "quality prose " * 5) for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw_rows = [(i, "quality prose " * 5) for i in range(5)] + [
+        (100 + i, "spam junk " * 5) for i in range(50)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    w = {
+        r["id"]: r["log_weight"]
+        for r in dsir_weights(target, raw, "doc_id", "text", vocab_size=4).collect()
+    }
+    assert w[0] > w[100]

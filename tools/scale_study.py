@@ -226,6 +226,19 @@ STUDY = [
     # simplified silhouette: one posexplode centroid aggregate
     # (bounded collect) + a map-only |labels|-distance projection
     "q_silhouette",
+    # round-14 operators: footrule/RBO are two range-partitioned global
+    # ranks + one id join (RBO filters to k before the join); HL is a
+    # bounded |V_a|x|V_b| distinct-value cross + one prefix scan; the
+    # containment LSH lane is the band-bucket join + per-candidate
+    # array_intersect (the scale path replacing the exact baseline that
+    # OOM'd at sf10 in round 13)
+    "q_spearman_footrule",
+    "q_rbo_topk",
+    "q_hodges_lehmann",
+    "q_containment_lsh",
+    # DSIR: two token-count aggregates + broadcast V+1 ratio table over
+    # the token explode + one per-doc aggregate — scan-bound
+    "q_dsir_weights",
 ]
 
 
