@@ -165,6 +165,7 @@ NAMES = [
     "q_hodges_lehmann",    # weighted pair-diff order stats at 10x events
     "q_containment_lsh",   # band-candidate containment at 10x docs
     "q_dsir_weights",      # quantized log-ratio folds at 10x tokens
+    "q_fuzzy_match",       # FastSS blocked-exact replay (see override)
     # round-14 extension (round-13 ask #5): the next highest-risk
     # pinned-without-sf1 names — the simhash band join, drift/outlier
     # per-value scans, the n-gram explode, skew/report aggregates,
