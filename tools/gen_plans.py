@@ -366,6 +366,40 @@ SHOWCASE = [
         "serialized 3 strata into 3 tasks: 17 s at sf10 vs 3.7 s).",
     ),
     (
+        "q_containment_pairs",
+        "The inverted-index self-join is a SortMergeJoin (merge hint, "
+        "round-14 fix): posting lists stream with a spillable match "
+        "buffer — never a BroadcastHashJoin over the exploded "
+        "row-volume side (the r13 sf10 BytesToBytesMap incident).",
+    ),
+    (
+        "q_containment_lsh",
+        "Band-bucket equi-join generates candidates (collision-"
+        "bounded, never all-pairs); exact containment verifies via "
+        "array_intersect on the candidates only; banded + verify "
+        "tables branch off ONE hash-on-id exchange (ReusedExchange).",
+    ),
+    (
+        "q_spearman_footrule",
+        "Both global ranks are range-partitioned prefix-scan ranks "
+        "(rangepartitioning + per-pid offsets) — no SinglePartition "
+        "window anywhere; one hash join on the item id, one final "
+        "1-row aggregate.",
+    ),
+    (
+        "q_hodges_lehmann",
+        "The pairwise-difference space is the |V_a| x |V_b| cross of "
+        "BOUNDED per-value tables (broadcast small side), never a "
+        "row-volume product; one prefix scan selects both weighted "
+        "order statistics.",
+    ),
+    (
+        "q_dsir_weights",
+        "The V+1-row log-ratio table BROADCASTS into the raw token "
+        "explode (BroadcastHashJoin); row volume shuffles only at the "
+        "two token-count aggregates and the final per-doc groupBy.",
+    ),
+    (
         "q_ams_f2",
         "The sketch pass is ONE map-side-combining ungrouped "
         "aggregate carrying all 8 sign sums (mergeable counters — the "
