@@ -41,14 +41,13 @@ SF1 = os.path.join(
 # most expensive battery queries (r10 walls, sec at sf0.1) + the
 # verdict-named scale-sensitive families; every name is oracle-gated.
 #
-# Deliberately ABSENT: q_fuzzy_match and q_containment_pairs. Their
-# DuckDB oracles are, by design, the brute-force exact baselines (the
-# all-pairs levenshtein / full inverted-index pair join the Spark side
-# exists to avoid); at sf1 that is ~10^10 single-threaded comparisons —
-# the ORACLE is quadratic, not the engine (both Spark plans carry sf10
-# wall pins). The pair-loss-at-scale evidence class they would add is
-# covered by q_dedup_minhash_lsh, whose exact-Jaccard oracle replays
-# feasibly here.
+# Historical note: q_fuzzy_match was absent through round 13 (its
+# registered oracle is the brute-force all-pairs levenshtein — ~1e10
+# single-threaded comparisons at sf1: the ORACLE is quadratic, not the
+# engine). Round 14 seated it via SCALE_ORACLE_OVERRIDES below — an
+# independent DuckDB replay of the FastSS blocked-exact algorithm.
+# q_containment_pairs replays its registered inverted-index oracle
+# directly (seated round 13).
 NAMES = [
     "q_bootstrap_ci",      # 3.33 — 100x Poisson explode, quantized sums
     "q_char_lm_quality",   # 2.00 — char-LM log-prob quantization
