@@ -186,6 +186,8 @@ HEADLINE = [
     "q_hodges_lehmann",
     "q_containment_lsh",
     "q_dsir_weights",
+    "q_theils_u",
+    "q_krippendorff",
 ]
 
 

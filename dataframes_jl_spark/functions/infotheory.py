@@ -510,3 +510,187 @@ def weighted_kappa(
         .otherwise(F.lit(1.0))
         .alias("wkappa"),
     )
+
+
+def theils_u(
+    df: DataFrame,
+    a: str | Column,
+    b: str | Column,
+    term_scale: int = 8,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Theil's uncertainty coefficient — the ASYMMETRIC member the
+    categorical-association lane lacked: :func:`association`'s
+    Cramér's V says only "how associated"; U(a|b) = MI/H(a) says
+    "what fraction of a's entropy does knowing b remove", and
+    U(a|b) ≠ U(b|a) exposes direction (department predicts job title
+    far better than title predicts department). Also returns the
+    symmetric form 2·MI/(H(a)+H(b)) — the single-number summary on
+    the same [0,1] scale.
+
+    Exactness: per-CELL MI terms and per-LEVEL entropy terms are each
+    floor-quantized to ``term_scale`` decimals before the sums (the
+    association/char_lm libm-absorption discipline — both engines ln
+    identical rationals), so every ratio divides identical quantized
+    sums. NULL categories stay as levels (the contingency contract).
+
+    Scale shape: ONE (a, b) count aggregate; everything after is
+    bounded |A|·|B| cell-table work (margins are windows over the
+    cell table, entropy folds over distinct margins).
+
+    Returns one row ``(n_total, h_a, h_b, mutual_info, u_a_given_b,
+    u_b_given_a, u_symmetric)``; the U columns are NULL when the
+    corresponding entropy is 0 (a constant column — "explained
+    fraction" is undefined, flagged rather than faked as 0 or 1).
+    """
+    t = contingency(df, a, b)
+    m = F.lit(float(10**term_scale))
+    n = F.col("n").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = F.col("n_total").cast("double")
+    mi_term = (n / nt) * F.log(n * nt / (na * nb))
+    mi = t.agg(
+        F.max("n_total").alias("n_total"),
+        (F.sum(F.floor(mi_term * m + F.lit(0.5))) / m).alias(
+            "mutual_info"
+        ),
+    )
+
+    def entropy(level: str, margin: str, name: str) -> DataFrame:
+        lv = t.select(level, margin, "n_total").distinct()
+        mc = F.col(margin).cast("double")
+        term = -(mc / nt) * F.log(mc / nt)
+        return lv.agg(
+            (F.sum(F.floor(term * m + F.lit(0.5))) / m).alias(name)
+        )
+
+    ha = entropy("a", "n_a", "h_a")
+    hb = entropy("b", "n_b", "h_b")
+    om = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * om + F.lit(0.5)) / om
+
+    j = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    return j.select(
+        "n_total",
+        "h_a",
+        "h_b",
+        "mutual_info",
+        F.when(
+            F.col("h_a") > 0, _q(F.col("mutual_info") / F.col("h_a"))
+        ).alias("u_a_given_b"),
+        F.when(
+            F.col("h_b") > 0, _q(F.col("mutual_info") / F.col("h_b"))
+        ).alias("u_b_given_a"),
+        F.when(
+            F.col("h_a") + F.col("h_b") > 0,
+            _q(
+                F.lit(2.0)
+                * F.col("mutual_info")
+                / (F.col("h_a") + F.col("h_b"))
+            ),
+        ).alias("u_symmetric"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+    term_scale: int = 9,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the general
+    inter-annotator agreement coefficient the labeling-QA lane
+    needed: cohens_kappa handles exactly two raters on paired items;
+    alpha handles ANY number of ratings per unit (missing ratings
+    included by construction — units with one rating drop out), which
+    is how real annotation jobs and LLM-judge ensembles arrive. The
+    standard acceptance bar alpha >= 0.8 (Krippendorff 2004) makes it
+    a gateable annotation-quality number.
+
+    Coincidence-matrix form, reduced to per-unit closed terms: with
+    n_uc = count of label c in unit u and m_u = Σ_c n_uc (keep
+    m_u >= 2), observed disagreement D_o = Σ_u d_u with
+    d_u = (m_u² − Σ_c n_uc²)/(m_u − 1); the coincidence marginals are
+    plain label totals n_c over the kept units, so expected
+    disagreement D_e = (n² − Σ_c n_c²)/(n − 1) and
+    alpha = 1 − (n − 1)·D_o / (n² − Σ_c n_c²).
+
+    Exactness: each unit's d_u is the only rational — floor-quantized
+    to ``term_scale`` decimals (identical int division both engines),
+    then summed exactly; everything else is integer (Σ n_uc², n_c,
+    n in decimal(38,0)). NULL labels are a level (they carry signal
+    in an annotation audit); NULL units are dropped.
+
+    Scale shape: one (unit, label) count aggregate, one per-unit fold
+    (bounded by units), one label-marginal aggregate — map-side
+    combining throughout, no window over row volume.
+
+    Returns one row ``(n_units, n_ratings, n_levels, d_o, d_e,
+    alpha)``; alpha NULL when D_e = 0 (every kept rating has the same
+    label — agreement is undefined, not 1.0).
+    """
+    dec = "decimal(38,0)"
+    uc = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("u"), F.col(label_col).alias("c")
+        )
+        .agg(F.count(F.lit(1)).alias("n_uc"))
+    )
+    per_u = uc.groupBy("u").agg(
+        F.sum("n_uc").alias("m_u"),
+        F.sum(F.col("n_uc").cast(dec) * F.col("n_uc").cast(dec)).alias(
+            "ss_u"
+        ),
+    ).filter(F.col("m_u") >= 2)
+    m = F.lit(float(10**term_scale))
+    d_u = (
+        F.col("m_u").cast("double") * F.col("m_u").cast("double")
+        - F.col("ss_u").cast("double")
+    ) / (F.col("m_u").cast("double") - F.lit(1.0))
+    units = per_u.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(
+            F.sum(F.floor(d_u * m + F.lit(0.5)).cast("long")),
+            F.lit(0),
+        ).alias("__do_q__"),
+    )
+    # label marginals over KEPT units only (coincidence-matrix margins)
+    kept = uc.join(per_u.select("u"), "u", "semi")
+    marg = kept.groupBy("c").agg(F.sum("n_uc").alias("n_c"))
+    totals = marg.agg(
+        F.count(F.lit(1)).alias("n_levels"),
+        F.coalesce(F.sum("n_c"), F.lit(0)).alias("n_ratings"),
+        F.coalesce(
+            F.sum(F.col("n_c").cast(dec) * F.col("n_c").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("__ssc__"),
+    )
+    om = F.lit(float(10**out_scale))
+    j = units.crossJoin(F.broadcast(totals))
+    nr = F.col("n_ratings").cast("double")
+    denom = nr * nr - F.col("__ssc__").cast("double")
+    d_o = F.col("__do_q__").cast("double") / m
+    d_e = F.when(
+        F.col("n_ratings") > 1, denom / (nr - F.lit(1.0))
+    )
+    alpha = F.when(
+        denom > 0,
+        F.floor(
+            (F.lit(1.0) - (nr - F.lit(1.0)) * d_o / denom) * om
+            + F.lit(0.5)
+        )
+        / om,
+    )
+    return j.select(
+        "n_units",
+        "n_ratings",
+        "n_levels",
+        (F.floor(d_o * om + F.lit(0.5)) / om).alias("d_o"),
+        (F.floor(F.coalesce(d_e, F.lit(0.0)) * om + F.lit(0.5)) / om).alias("d_e"),
+        alpha.alias("alpha"),
+    )

@@ -14340,6 +14340,131 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "q_theils_u",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), t AS (
+      SELECT a, b, n,
+             CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+             CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS n_b,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_total
+      FROM cells
+    ), mi AS (
+      SELECT MAX(n_total) AS n_total,
+             SUM(CAST(FLOOR(
+               (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1e8 + 0.5) AS BIGINT)) / 1e8 AS mutual_info
+      FROM t
+    ), ha AS (
+      SELECT SUM(CAST(FLOOR(
+               -(CAST(n_a AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * ln(CAST(n_a AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * 1e8 + 0.5) AS BIGINT)) / 1e8 AS h_a
+      FROM (SELECT DISTINCT a, n_a, n_total FROM t)
+    ), hb AS (
+      SELECT SUM(CAST(FLOOR(
+               -(CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * ln(CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE))
+               * 1e8 + 0.5) AS BIGINT)) / 1e8 AS h_b
+      FROM (SELECT DISTINCT b, n_b, n_total FROM t)
+    )
+    SELECT mi.n_total, ha.h_a, hb.h_b, mi.mutual_info,
+           CASE WHEN ha.h_a > 0 THEN
+             FLOOR(mi.mutual_info / ha.h_a * 1e6 + 0.5) / 1e6 END
+             AS u_a_given_b,
+           CASE WHEN hb.h_b > 0 THEN
+             FLOOR(mi.mutual_info / hb.h_b * 1e6 + 0.5) / 1e6 END
+             AS u_b_given_a,
+           CASE WHEN ha.h_a + hb.h_b > 0 THEN
+             FLOOR(2.0 * mi.mutual_info / (ha.h_a + hb.h_b)
+                   * 1e6 + 0.5) / 1e6 END AS u_symmetric
+    FROM mi, ha, hb
+    """,
+)
+def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between order status and
+    priority (functions.infotheory.theils_u) — the ASYMMETRIC member
+    of the categorical-association lane: U(status|priority) vs
+    U(priority|status) exposes direction where q_mutual_info's MI and
+    Cramér's V cannot; per-cell MI terms and per-level entropy terms
+    quantized before the folds (the association discipline)."""
+    from .functions.infotheory import theils_u
+
+    od = _t(spark, sf_dir, "orders")
+    return theils_u(od, "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "q_krippendorff",
+    oracle="""
+    WITH uc AS (
+      SELECT user_id AS u, event_type AS c, CAST(COUNT(*) AS BIGINT) AS n_uc
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    per_u AS (
+      SELECT u, CAST(SUM(n_uc) AS BIGINT) AS m_u,
+             SUM(CAST(n_uc AS HUGEINT) * CAST(n_uc AS HUGEINT)) AS ss_u
+      FROM uc GROUP BY 1 HAVING SUM(n_uc) >= 2
+    ),
+    units AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(COALESCE(SUM(CAST(FLOOR(
+               (CAST(m_u AS DOUBLE) * CAST(m_u AS DOUBLE)
+                - CAST(ss_u AS DOUBLE))
+               / (CAST(m_u AS DOUBLE) - 1.0) * 1e9 + 0.5)
+               AS BIGINT)), 0) AS BIGINT) AS do_q
+      FROM per_u
+    ),
+    marg AS (
+      SELECT uc.c, CAST(SUM(uc.n_uc) AS BIGINT) AS n_c
+      FROM uc JOIN per_u ON uc.u = per_u.u GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_levels,
+             CAST(COALESCE(SUM(n_c), 0) AS BIGINT) AS n_ratings,
+             COALESCE(SUM(CAST(n_c AS HUGEINT) * CAST(n_c AS HUGEINT)),
+                      0) AS ssc
+      FROM marg
+    )
+    SELECT u.n_units, t.n_ratings, t.n_levels,
+           FLOOR(CAST(u.do_q AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS d_o,
+           FLOOR((CASE WHEN t.n_ratings > 1 THEN
+                    (CAST(t.n_ratings AS DOUBLE) * CAST(t.n_ratings AS DOUBLE)
+                     - CAST(t.ssc AS DOUBLE))
+                    / (CAST(t.n_ratings AS DOUBLE) - 1.0)
+                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS d_e,
+           CASE WHEN CAST(t.n_ratings AS DOUBLE) * CAST(t.n_ratings AS DOUBLE)
+                     - CAST(t.ssc AS DOUBLE) > 0 THEN
+             FLOOR((1.0 - (CAST(t.n_ratings AS DOUBLE) - 1.0)
+                          * (CAST(u.do_q AS DOUBLE) / 1e9)
+                          / (CAST(t.n_ratings AS DOUBLE)
+                             * CAST(t.n_ratings AS DOUBLE)
+                             - CAST(t.ssc AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 END AS alpha
+    FROM units u, tot t
+    """,
+)
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over per-user event-type labels
+    (functions.infotheory.krippendorff_alpha): each user is a unit,
+    each event a rating — "how consistently is a unit labeled" with
+    ANY number of ratings per unit, the general agreement coefficient
+    beside q_kappa_agreement's two-rater kappa. Per-unit disagreement
+    terms quantized to int64 before the exact folds; alpha NULL when
+    expected disagreement is 0."""
+    from .functions.infotheory import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    return krippendorff_alpha(ev, "user_id", "event_type")
+
+
 _PRIORITY = [
     # --- round 14 rotation (judge ask #1) -------------------------------
     # The 9 round-13 operators (the only registry names with zero driver

@@ -282,3 +282,63 @@ def test_dsir_weights_target_lookalike_scores_higher(spark):
         for r in dsir_weights(target, raw, "doc_id", "text", vocab_size=4).collect()
     }
     assert w[0] > w[100]
+
+
+def test_theils_u_deterministic_and_independent(spark):
+    """b determines a exactly -> U(a|b) = 1 both ways on a bijective
+    map; independent columns -> U ~ 0."""
+    from dataframes_jl_spark.functions.infotheory import theils_u
+
+    det = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"), ("z", "r")],
+        "a string, b string",
+    )
+    r = det.transform(lambda d: theils_u(d, "a", "b")).collect()[0]
+    assert r["u_a_given_b"] == 1.0 and r["u_b_given_a"] == 1.0
+
+    # independent: every (a, b) combination equally likely -> MI = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "xy" for y in "pq" for _ in range(5)],
+        "a string, b string",
+    )
+    r = theils_u(ind, "a", "b").collect()[0]
+    assert abs(r["u_symmetric"]) < 1e-6
+
+
+def test_theils_u_asymmetry(spark):
+    """Direction: a (fine) determines b (coarse) but not vice versa ->
+    U(b|a) = 1 while U(a|b) < 1."""
+    from dataframes_jl_spark.functions.infotheory import theils_u
+
+    rows = [("a1", "g1"), ("a2", "g1"), ("a3", "g2"), ("a4", "g2")]
+    df = spark.createDataFrame(rows * 3, "a string, b string")
+    r = theils_u(df, "a", "b").collect()[0]
+    assert r["u_b_given_a"] == 1.0
+    assert r["u_a_given_b"] < 1.0
+
+
+def test_krippendorff_alpha_hand_cases(spark):
+    """Perfect agreement -> 1.0; systematic disagreement (every unit
+    split A/B) -> the textbook -0.5; single-rating units drop out."""
+    from dataframes_jl_spark.functions.infotheory import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "A"), (3, "A"),
+         (9, "Z")],  # single rating: excluded
+        "u long, c string",
+    )
+    r = krippendorff_alpha(perfect, "u", "c").collect()[0]
+    assert (r["n_units"], r["n_ratings"], r["alpha"]) == (3, 6, 1.0)
+
+    disagree = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B")], "u long, c string"
+    )
+    r = krippendorff_alpha(disagree, "u", "c").collect()[0]
+    assert r["alpha"] == -0.5
+
+    # degenerate: one label everywhere -> D_e = 0 -> NULL, not 1.0
+    const = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "A"), (2, "A")], "u long, c string"
+    )
+    r = krippendorff_alpha(const, "u", "c").collect()[0]
+    assert r["alpha"] is None

@@ -165,6 +165,8 @@ NAMES = [
     "q_containment_lsh",   # band-candidate containment at 10x docs
     "q_dsir_weights",      # quantized log-ratio folds at 10x tokens
     "q_fuzzy_match",       # FastSS blocked-exact replay (see override)
+    "q_theils_u",          # quantized entropy/MI folds at 10x orders
+    "q_krippendorff",      # per-unit disagreement folds at 10x events
     # round-14 extension (round-13 ask #5): the next highest-risk
     # pinned-without-sf1 names — the simhash band join, drift/outlier
     # per-value scans, the n-gram explode, skew/report aggregates,
@@ -222,6 +224,8 @@ NAMES_SF10 = [
     "q_spearman_footrule", # decimal displacement sums at 100x parts
     "q_rbo_topk",          # integer weight folds at 100x parts
     "q_hodges_lehmann",    # HUGEINT pair-weight order stats at 100x
+    "q_theils_u",          # quantized ln folds at 100x orders
+    "q_krippendorff",      # HUGEINT unit folds at 100x events
 ]
 
 

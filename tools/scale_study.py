@@ -239,6 +239,10 @@ STUDY = [
     # DSIR: two token-count aggregates + broadcast V+1 ratio table over
     # the token explode + one per-doc aggregate — scan-bound
     "q_dsir_weights",
+    # Theil's U is one cell aggregate + bounded-margin entropy folds;
+    # Krippendorff is one (unit,label) aggregate + per-unit fold
+    "q_theils_u",
+    "q_krippendorff",
 ]
 
 
