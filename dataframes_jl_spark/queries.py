@@ -14466,70 +14466,67 @@ def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # --- round 14 rotation (judge ask #1) -------------------------------
-    # The 9 round-13 operators (the only registry names with zero driver
-    # rows; COVERAGE.md ledger "awaiting" list) take their promised first
-    # driver seats, plus the 6 residual r8-evidence names
-    # (q_autocorrelation, q_cell_residuals, q_char_lm_quality,
-    # q_join_size_estimate, q_null_matrix, q_theilsen_trend) and the 35
-    # oldest r9-evidence names by registration order.  The 15 remaining
-    # r9 names (q_dedup_incremental ... q_lexical_diversity) rotate in
-    # round 15 alongside any round-14 additions, which per the standing
-    # protocol carry local oracle + scale pin + sf1 answer-row evidence
-    # at introduction.
-    # --- round-13 first certification (9) --------------------------
-    "q_ams_f2",
-    "q_stratified_sample",
-    "q_mood_median",
-    "q_energy_distance",
-    "q_brier_decomposition",
-    "q_mojibake_audit",
-    "q_multimodal_p1",
-    "q_multimodal_p2",
-    "q_multimodal_p3",
-    # --- residual r8-evidence refresh (6) ---------------------------
-    "q_autocorrelation",
-    "q_cell_residuals",
-    "q_char_lm_quality",
-    "q_join_size_estimate",
-    "q_null_matrix",
-    "q_theilsen_trend",
-    # --- oldest r9-evidence refresh (35, registration order) --------
-    "q_stream_quantile_merge",
-    "q_window_running_sum",
-    "q_describe",
-    "q_colwise_grouped",
-    "q_pivot_table_lib",
-    "q_windowed_rollup",
-    "q_set_ops",
-    "q_any_all_tristate",
-    "q_complete_cases",
-    "q05_local_supplier_volume",
-    "q10_returned_items",
-    "q_systematic_sample",
-    "q_corpus_shuffle",
-    "q_dedup_spans",
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q13_order_count_dist",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_bracket_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_balances",
-    "q_cube",
-    "q_count_distinct",
-    "q_grouped_percentiles",
-    "q_spearman",
-    "q_bucketed_join",
-    "q_gopher_rules",
-    "q_token_budget_sample",
-    "q_jsonl_roundtrip",
-    "q_repetition_signals",
-    "q_pii_scrub",
-    "q_ngram_topk",
-    "q_chunk_documents",
+    # --- round 15 rotation (judge ask #1) -------------------------------
+    # First driver certification for the 7 round-14 operators (the only
+    # registry names with zero driver rows), the 15 residual r9-evidence
+    # names promised by the round-14 rotation note, and the 28 oldest
+    # r10-evidence names by registration order to fill the 50 seats.
+    # Round-15 additions carry local oracle + scale pin + sf1 answer-row
+    # evidence at introduction and take seats here when slots allow
+    # (swap out the youngest r10 fills).
+    # --- round-14 first certification (7) ---------------------------
+    "q_spearman_footrule",
+    "q_rbo_topk",
+    "q_hodges_lehmann",
+    "q_containment_lsh",
+    "q_dsir_weights",
+    "q_theils_u",
+    "q_krippendorff",
+    # --- residual r9-evidence refresh (15) --------------------------
+    "q_dedup_incremental",
+    "q_pca_whiten",
+    "q_gini_global",
+    "q_lorenz_global",
+    "q_kll_sketch",
+    "q_roc_auc",
+    "q_interpolate_linear",
+    "q_attribution",
+    "q_pr_auc",
+    "q_expectations",
+    "q_kaplan_meier",
+    "q_target_encode",
+    "q_npmi_pairs",
+    "q_log_odds",
+    "q_lexical_diversity",
+    # --- oldest r10-evidence refresh (28, registration order) -------
+    "q01_pricing_summary",
+    "q_melt_stack",
+    "q_join_outer_nullsafe",
+    "q_vcat_promote",
+    "q_dedup_simhash_pairs",
+    "q_span_coverage",
+    "q_scd2_intervals",
+    "q_scd2_merge",
+    "q_bloom_prefilter",
+    "q_data_profile",
+    "q_psi_drift",
+    "q_cm_sketch",
+    "q_scd2_lookup",
+    "q_c4_filter",
+    "q_curation_audit",
+    "q_pagerank",
+    "q_cohort_retention",
+    "q_funnel",
+    "q_grouped_ols",
+    "q_ann_quantized",
+    "q_embed_quantize",
+    "q_quality_deciles",
+    "q_model_matrix",
+    "q_scalar_math",
+    "q_by_apply_topn",
+    "q_ann_ivf",
+    "q_sessionize",
+    "q08_market_share",
 ]
 
 
