@@ -158,11 +158,13 @@ def spearman_footrule(
     budget in ITEMS — "how far did entries move between the two
     rankings" — which makes it the natural regression gate for ranker
     changes (nDCG@k reads the head; footrule reads the whole
-    permutation). Normalization note: the Diaconis-Graham maximum is
-    ⌊n²/2⌋; we divide by n²/2 computed in doubles — the SAME IEEE
-    expression in both engines (a decimal floor-division would hit
-    Spark's round-half-up decimal cast), and the ⌊·⌋ difference is
-    ≤ 1 part in n² — below out_scale resolution for any real n.
+    permutation). Normalization note: the divisor is the EXACT
+    Diaconis-Graham maximum ⌊n²/2⌋, computed in integer arithmetic as
+    (n² − n² mod 2) in decimal(38,0), cast to double, then halved
+    (halving a double is exact) — never divide-and-cast, which would
+    hit Spark's round-half-up decimal cast on odd n². The oracle
+    mirrors the identical expression, so e.g. n = 3 fully reversed
+    yields norm_footrule = 4/4 = 1.0 exactly in both engines.
 
     Ranks are ``row_number`` under ``(col, id)`` ordering (score
     ``descending`` by default, id ascending tiebreak — a TOTAL order,
@@ -218,17 +220,15 @@ def spearman_footrule(
         F.coalesce(F.sum(disp), F.lit(0).cast(dec)).alias("__f__"),
     )
     om = F.lit(float(10**out_scale))
-    nd = F.col("n").cast("double")
+    n2 = F.col("n").cast(dec) * F.col("n").cast(dec)
+    max_f = (n2 - n2 % F.lit(2).cast(dec)).cast("double") * F.lit(0.5)
     return agg.select(
         "n",
         F.col("__f__").cast("long").alias("footrule"),
         F.when(
             F.col("n") >= 2,
             F.floor(
-                F.col("__f__").cast("double")
-                / (nd * nd / F.lit(2.0))
-                * om
-                + F.lit(0.5)
+                F.col("__f__").cast("double") / max_f * om + F.lit(0.5)
             )
             / om,
         ).alias("norm_footrule"),

@@ -13457,9 +13457,17 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _stratified_oracle() -> str:
+def _stratified_oracle(frac: str = "0.25") -> str:
+    # Mirror the engine's EXACT rational allocation (rank·den <= num·n_g,
+    # frac passed through Fraction) instead of FLOOR(frac * ng) in doubles:
+    # for dyadic frac (0.25) the two agree, but a non-dyadic frac (0.7)
+    # would diverge (floor(0.7*10.0) keeps 6, the rational test keeps 7).
+    from fractions import Fraction
+
     from .ops.sampling import split_bucket_sql
 
+    fr = Fraction(frac)
+    num, den = fr.numerator, fr.denominator
     h = split_bucket_sql("o_orderkey", 1_000_000_007)
     return f"""
     WITH base AS (
@@ -13479,7 +13487,7 @@ def _stratified_oracle() -> str:
            CAST(SUM(k) AS BIGINT) AS sum_keys,
            CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM ranked
-    WHERE rn <= FLOOR(0.25 * CAST(ng AS DOUBLE))
+    WHERE CAST(rn AS HUGEINT) * {den} <= CAST(ng AS HUGEINT) * {num}
     GROUP BY s
     """
 
@@ -14104,8 +14112,8 @@ def _part_rank_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(ABS(ra - rb)) AS BIGINT) AS footrule,
            CASE WHEN COUNT(*) >= 2 THEN
              FLOOR(CAST(SUM(ABS(ra - rb)) AS DOUBLE)
-                   / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
-                      / 2.0)
+                   / (CAST(COUNT(*) * COUNT(*)
+                           - (COUNT(*) * COUNT(*)) % 2 AS DOUBLE) * 0.5)
                    * 1e6 + 0.5) / 1e6 END AS norm_footrule
     FROM r
     """,
@@ -14179,10 +14187,10 @@ def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                * CAST((SELECT SUM(c) FROM bv) AS HUGEINT) AS np
     ),
     sel AS (
-      SELECT MIN(CASE WHEN cum >= (np - np % 2) / 2
+      SELECT MIN(CASE WHEN cum >= (np - np % 2) // 2
                            + (CASE WHEN np % 2 = 0 THEN 0 ELSE 1 END)
                  THEN d END) AS d_lo,
-             MIN(CASE WHEN cum >= (np - np % 2) / 2 + 1 THEN d END) AS d_hi
+             MIN(CASE WHEN cum >= (np - np % 2) // 2 + 1 THEN d END) AS d_hi
       FROM run, tot
     )
     SELECT t.n_a, t.n_b, CAST(t.np AS DOUBLE) AS n_pairs,
