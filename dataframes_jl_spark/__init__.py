@@ -6,5 +6,6 @@ Streaming), plus large-scale training-data-pipeline operators.
 
 __version__ = "0.1.0"
 
+from .core.cache import hold, release  # noqa: F401
 from .core.frame import JlDataFrame  # noqa: F401
 from .session import get_spark, load_table, load_tables, register_tables  # noqa: F401

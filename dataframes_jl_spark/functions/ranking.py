@@ -180,9 +180,10 @@ def spearman_footrule(
     n²/2 rides decimal(38,0) — exact for any real table.
 
     Caching contract: global_row_number persists its range-partitioned
-    input (MEMORY_AND_DISK) and does not unpersist — in a long-lived
-    session call ``spark.catalog.clearCache()`` once the result is
-    consumed.
+    input (MEMORY_AND_DISK); the handles ride the result as
+    ``unpersist_handles`` — release with
+    ``dataframes_jl_spark.release(result)`` once consumed (or
+    session-wide ``spark.catalog.clearCache()``).
 
     Returns one row ``(n, footrule, norm_footrule)``; norm_footrule is
     NULL when n < 2 (max(F) = 0 — no displacement is possible).
@@ -207,7 +208,9 @@ def spearman_footrule(
             )
         else:
             ranked = global_row_number(ordered, [col, "__id__"], col_name=name)
-        return ranked.select("__id__", name)
+        from ..core.cache import hold
+
+        return hold(ranked.select("__id__", name), ranked)
 
     ra = _rank(col_a, "__ra__")
     rb = _rank(col_b, "__rb__")
@@ -222,16 +225,23 @@ def spearman_footrule(
     om = F.lit(float(10**out_scale))
     n2 = F.col("n").cast(dec) * F.col("n").cast(dec)
     max_f = (n2 - n2 % F.lit(2).cast(dec)).cast("double") * F.lit(0.5)
-    return agg.select(
-        "n",
-        F.col("__f__").cast("long").alias("footrule"),
-        F.when(
-            F.col("n") >= 2,
-            F.floor(
-                F.col("__f__").cast("double") / max_f * om + F.lit(0.5)
-            )
-            / om,
-        ).alias("norm_footrule"),
+    from ..core.cache import hold
+
+    return hold(
+        agg.select(
+            "n",
+            F.col("__f__").cast("long").alias("footrule"),
+            F.when(
+                F.col("n") >= 2,
+                F.floor(
+                    F.col("__f__").cast("double") / max_f * om
+                    + F.lit(0.5)
+                )
+                / om,
+            ).alias("norm_footrule"),
+        ),
+        ra,
+        rb,
     )
 
 
@@ -287,8 +297,10 @@ def rbo_topk(
     id join (the join ships ≤ 2k rows), one bounded aggregate.
 
     Caching contract: global_row_number persists its range-partitioned
-    input (MEMORY_AND_DISK) and does not unpersist — call
-    ``spark.catalog.clearCache()`` once the result is consumed.
+    input (MEMORY_AND_DISK); the handles ride the result as
+    ``unpersist_handles`` — release with
+    ``dataframes_jl_spark.release(result)`` once consumed (or
+    session-wide ``spark.catalog.clearCache()``).
 
     Returns one row ``(n_joint, rbo)`` — n_joint = |items in both
     top-k prefixes|; rbo ∈ [0, 1], 0.0 when the prefixes are disjoint.
@@ -316,7 +328,12 @@ def rbo_topk(
             ranked = global_row_number(
                 base.select(col, "__id__"), [col, "__id__"], col_name=name
             )
-        return ranked.filter(F.col(name) <= k).select("__id__", name)
+        from ..core.cache import hold
+
+        return hold(
+            ranked.filter(F.col(name) <= k).select("__id__", name),
+            ranked,
+        )
 
     ra = _rank(col_a, "__ra__")
     rb = _rank(col_b, "__rb__")
@@ -333,12 +350,19 @@ def rbo_topk(
     # one Python-computed literal — a single double multiply in both
     # engines (the oracle embeds repr() of the same value)
     norm = F.lit((1.0 - float(p)) / float(10**weight_scale))
-    return agg.select(
-        "n_joint",
-        (
-            F.floor(
-                F.col("__wsum__").cast("double") * norm * om + F.lit(0.5)
-            )
-            / om
-        ).alias("rbo"),
+    from ..core.cache import hold
+
+    return hold(
+        agg.select(
+            "n_joint",
+            (
+                F.floor(
+                    F.col("__wsum__").cast("double") * norm * om
+                    + F.lit(0.5)
+                )
+                / om
+            ).alias("rbo"),
+        ),
+        ra,
+        rb,
     )

@@ -880,9 +880,10 @@ def wasserstein_1d(
     Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
     bounded intermediate that feeds multiple plan branches and does
     NOT unpersist it (the result is lazy; unpersisting before the
-    caller's action would void the cache). In a long-lived session,
-    release it with ``spark.catalog.clearCache()`` once the result is
-    consumed — the with_running contract.
+    caller's action would void the cache). The handle is attached to
+    the result as ``unpersist_handles`` (core.cache.hold); release it
+    with ``dataframes_jl_spark.release(result)`` once the result is
+    consumed (or session-wide ``spark.catalog.clearCache()``).
     """
     from pyspark import StorageLevel
 
@@ -957,15 +958,21 @@ def wasserstein_1d(
     # empty gap join); referencing it inside the returned gate keeps
     # ColumnPruning from eliminating max(ok) — the assert must stay
     # in the executed plan (the cvm/ks surviving-struct discipline).
-    return final.select(
-        "n_a",
-        "n_b",
-        F.when(
-            (F.col("n_a") > 0)
-            & (F.col("n_b") > 0)
-            & (F.coalesce(F.col("ok"), F.lit(0)) >= 0),
-            F.floor(w1 * om + F.lit(0.5)) / om,
-        ).alias("w1"),
+    from ..core.cache import hold
+
+    return hold(
+        final.select(
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") > 0)
+                & (F.col("n_b") > 0)
+                & (F.coalesce(F.col("ok"), F.lit(0)) >= 0),
+                F.floor(w1 * om + F.lit(0.5)) / om,
+            ).alias("w1"),
+        ),
+        merged,
+        rn,
     )
 
 
@@ -1009,9 +1016,10 @@ def energy_distance(
     Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
     bounded intermediate that feeds multiple plan branches and does
     NOT unpersist it (the result is lazy; unpersisting before the
-    caller's action would void the cache). In a long-lived session,
-    release it with ``spark.catalog.clearCache()`` once the result is
-    consumed — the with_running contract.
+    caller's action would void the cache). The handle is attached to
+    the result as ``unpersist_handles`` (core.cache.hold); release it
+    with ``dataframes_jl_spark.release(result)`` once the result is
+    consumed (or session-wide ``spark.catalog.clearCache()``).
     """
     from pyspark import StorageLevel
 
@@ -1096,15 +1104,21 @@ def energy_distance(
         # being column-pruned (the wasserstein/cvm discipline)
         & (F.coalesce(F.col("ok"), F.lit(0)) >= 0)
     )
-    return final.select(
-        "n_a",
-        "n_b",
-        F.when(nonempty, _q(e_xy)).alias("e_xy"),
-        F.when(nonempty, _q(e_xx)).alias("e_xx"),
-        F.when(nonempty, _q(e_yy)).alias("e_yy"),
-        F.when(
-            nonempty, _q(F.lit(2.0) * e_xy - e_xx - e_yy)
-        ).alias("energy"),
+    from ..core.cache import hold
+
+    return hold(
+        final.select(
+            "n_a",
+            "n_b",
+            F.when(nonempty, _q(e_xy)).alias("e_xy"),
+            F.when(nonempty, _q(e_xx)).alias("e_xx"),
+            F.when(nonempty, _q(e_yy)).alias("e_yy"),
+            F.when(
+                nonempty, _q(F.lit(2.0) * e_xy - e_xx - e_yy)
+            ).alias("energy"),
+        ),
+        merged,
+        rn,
     )
 
 
@@ -1825,8 +1839,10 @@ def hodges_lehmann_shift(
     estimate moves by at most one quantization unit.
 
     Caching contract: persists the two bounded per-value tables
-    (MEMORY_AND_DISK) and does not unpersist — call
-    ``spark.catalog.clearCache()`` once the result is consumed.
+    (MEMORY_AND_DISK); the handles ride the result as
+    ``unpersist_handles`` — release with
+    ``dataframes_jl_spark.release(result)`` once consumed (or
+    session-wide ``spark.catalog.clearCache()``).
 
     Returns one row ``(n_a, n_b, n_pairs, hl_shift)`` with hl_shift
     back in ``col`` units (NULL when either side is empty).
@@ -1898,14 +1914,21 @@ def hodges_lehmann_shift(
         / F.lit(2.0)
         / m
     )
-    return tot.crossJoin(F.broadcast(sel)).select(
-        "n_a",
-        "n_b",
-        F.col("n_pairs").cast("double").alias("n_pairs"),
-        F.when(
-            (F.col("n_a") > 0) & (F.col("n_b") > 0),
-            F.floor(hl * om + F.lit(0.5)) / om,
-        ).alias("hl_shift"),
+    from ..core.cache import hold
+
+    return hold(
+        tot.crossJoin(F.broadcast(sel)).select(
+            "n_a",
+            "n_b",
+            F.col("n_pairs").cast("double").alias("n_pairs"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.floor(hl * om + F.lit(0.5)) / om,
+            ).alias("hl_shift"),
+        ),
+        va,
+        vb,
+        run,
     )
 
 
@@ -2365,9 +2388,10 @@ def brier_decomposition(
     Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
     bounded intermediate that feeds multiple plan branches and does
     NOT unpersist it (the result is lazy; unpersisting before the
-    caller's action would void the cache). In a long-lived session,
-    release it with ``spark.catalog.clearCache()`` once the result is
-    consumed — the with_running contract.
+    caller's action would void the cache). The handle is attached to
+    the result as ``unpersist_handles`` (core.cache.hold); release it
+    with ``dataframes_jl_spark.release(result)`` once the result is
+    consumed (or session-wide ``spark.catalog.clearCache()``).
     """
     from pyspark import StorageLevel
 
@@ -2450,14 +2474,19 @@ def brier_decomposition(
             F.col("n") > 0, F.floor(c * om + F.lit(0.5)) / om
         )
 
-    return folded.select(
-        "n",
-        F.col("n_pos").cast("long").alias("n_pos"),
-        _q(brier).alias("brier"),
-        _q(unc).alias("uncertainty"),
-        _q(rel).alias("reliability"),
-        _q(res).alias("resolution"),
-        _q(wbv).alias("within_bin_var"),
+    from ..core.cache import hold
+
+    return hold(
+        folded.select(
+            "n",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            _q(brier).alias("brier"),
+            _q(unc).alias("uncertainty"),
+            _q(rel).alias("reliability"),
+            _q(res).alias("resolution"),
+            _q(wbv).alias("within_bin_var"),
+        ),
+        per_b,
     )
 
 
@@ -3053,13 +3082,18 @@ def isotonic_calibration(
         return F.floor(c * om + F.lit(0.5)) / om
 
     obs = F.col("n_pos").cast("double") / F.col("n").cast("double")
-    return per.join(F.broadcast(iso), back_cond).select(
-        *gb,
-        "bin",
-        "n",
-        "n_pos",
-        _q(obs).alias("obs_rate"),
-        _q(F.col("iso")).alias("iso_rate"),
+    from ..core.cache import hold
+
+    return hold(
+        per.join(F.broadcast(iso), back_cond).select(
+            *gb,
+            "bin",
+            "n",
+            "n_pos",
+            _q(obs).alias("obs_rate"),
+            _q(F.col("iso")).alias("iso_rate"),
+        ),
+        per,
     )
 
 
@@ -3741,9 +3775,10 @@ def mood_median_test(
     Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
     bounded intermediate that feeds multiple plan branches and does
     NOT unpersist it (the result is lazy; unpersisting before the
-    caller's action would void the cache). In a long-lived session,
-    release it with ``spark.catalog.clearCache()`` once the result is
-    consumed — the with_running contract.
+    caller's action would void the cache). The handle is attached to
+    the result as ``unpersist_handles`` (core.cache.hold); release it
+    with ``dataframes_jl_spark.release(result)`` once the result is
+    consumed (or session-wide ``spark.catalog.clearCache()``).
     """
     from ..ops.window import with_running
 
@@ -3825,11 +3860,19 @@ def mood_median_test(
         & (F.col("a_tot") > 0)
         & (F.col("a_tot") < F.col("n"))
     )
-    return folded.crossJoin(F.broadcast(med)).select(
-        F.col("k").alias("n_groups"),
-        "n",
-        F.col("a_tot").alias("n_above"),
-        (F.col("med_u").cast("double") / m).alias("grand_median"),
-        F.when(ok, F.floor(chi2 * om + F.lit(0.5)) / om).alias("chi2"),
-        (F.col("k") - F.lit(1)).cast("long").alias("dof"),
+    from ..core.cache import hold
+
+    return hold(
+        folded.crossJoin(F.broadcast(med)).select(
+            F.col("k").alias("n_groups"),
+            "n",
+            F.col("a_tot").alias("n_above"),
+            (F.col("med_u").cast("double") / m).alias("grand_median"),
+            F.when(ok, F.floor(chi2 * om + F.lit(0.5)) / om).alias(
+                "chi2"
+            ),
+            (F.col("k") - F.lit(1)).cast("long").alias("dof"),
+        ),
+        per_v,
+        run,
     )

@@ -163,9 +163,10 @@ def triangle_count(
     Caching contract: this function ``persist(MEMORY_AND_DISK)``-s a
     bounded intermediate that feeds multiple plan branches and does
     NOT unpersist it (the result is lazy; unpersisting before the
-    caller's action would void the cache). In a long-lived session,
-    release it with ``spark.catalog.clearCache()`` once the result is
-    consumed — the with_running contract.
+    caller's action would void the cache). The handle is attached to
+    the result as ``unpersist_handles`` (core.cache.hold); release it
+    with ``dataframes_jl_spark.release(result)`` once the result is
+    consumed (or session-wide ``spark.catalog.clearCache()``).
     """
     from pyspark import StorageLevel
 
@@ -205,8 +206,14 @@ def triangle_count(
     tri = wedges.join(closing, ["a", "c"], "semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    return stats.crossJoin(F.broadcast(tri)).select(
-        "n_nodes", "n_edges", "n_triangles"
+    from ..core.cache import hold
+
+    return hold(
+        stats.crossJoin(F.broadcast(tri)).select(
+            "n_nodes", "n_edges", "n_triangles"
+        ),
+        und,
+        oriented,
     )
 
 

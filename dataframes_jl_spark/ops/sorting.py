@@ -136,8 +136,10 @@ def global_row_number(
     against one partitioning applied to another would duplicate or
     skip ranks silently. ``persist=False`` is safe only when the input
     is small enough to be fully sampled (every partition fits the
-    reservoir) — fine for tests, not for scale. Caller owns
-    unpersisting via ``df.sparkSession.catalog`` or executor eviction.
+    reservoir) — fine for tests, not for scale. The persisted handle is
+    attached to the result as ``unpersist_handles`` (core.cache.hold);
+    release it with ``dataframes_jl_spark.release(result)`` once the
+    result is consumed (or session-wide ``spark.catalog.clearCache()``).
     """
     if cols is None:
         cols = df.columns
@@ -172,6 +174,9 @@ def global_row_number(
     # `acc` is the exact row total, already paid for by the offsets
     # count job — with_total hands it back so callers (global_ntile)
     # don't run a second full scan just to learn n
+    from ..core.cache import hold
+
+    out = hold(out, parted, df)  # df: propagate upstream handles
     return (out, acc) if with_total else out
 
 

@@ -195,8 +195,9 @@ def with_running(
     # a boundary would land in different __pid__s — the driver carries
     # would then double-count or drop them silently. Materializing the
     # partitioning once (MEMORY_AND_DISK) pins a single boundary draw
-    # for both jobs. Caller owns unpersisting (spark.catalog.clearCache
-    # or executor eviction); an evicted block recomputes THE SAME plan
+    # for both jobs. The handle rides the result as unpersist_handles
+    # (core.cache.hold) — dataframes_jl_spark.release(result) frees it;
+    # an evicted block recomputes THE SAME plan
     # from the same shuffle output, which Spark replays deterministically
     # only within one job — hence the persist rather than relying on it.
     from pyspark import StorageLevel
@@ -337,7 +338,9 @@ def with_running(
             e = _lag_combine(op, c, prev)
         out = out.withColumn(name, e)
     drop = ["__pid__"] + (list(carry_series) if big else [])
-    return out.drop(*drop)
+    from ..core.cache import hold
+
+    return hold(out.drop(*drop), parted, df)  # df: upstream handles
 
 
 def _nan_max(a, b):
