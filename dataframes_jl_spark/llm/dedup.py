@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hof import let1
@@ -378,11 +378,16 @@ def containment_pairs_lsh(
     candidate probability is 1−(1−j^{r})^{b}. On near-dup corpora
     (the driver gate's regime: every containment-0.8 pair also has
     jaccard ≥ 0.8, measured at sf0.01/sf0.1) recall is 1−6e−15;
-    for true subset mining at scale, shrink rows-per-band (more
-    bands) or use an asymmetric scheme. The gate's oracle is the
-    EXACT containment pair set, so the check demonstrates recall=1
-    at the tested scale, exactly like the q_dedup_minhash_lsh
-    precedent.
+    for true subset mining (containment ≥ 0.8, Jaccard ≤ 0.3 — the
+    quoted-paragraph / decontamination case) use
+    :func:`containment_pairs_prefix`, whose prefix-filter candidate
+    generation is deterministically recall-1 at ANY Jaccard, or
+    shrink rows-per-band here (at j the candidate probability is
+    1−(1−j^r)^b: r = 1, b = 64 reaches recall ≥ 0.99 down to
+    j ≈ 0.07, at the cost of ~j·|corpus| collision pairs per band).
+    The gate's oracle is the EXACT containment pair set, so the
+    check demonstrates recall=1 at the tested scale, exactly like
+    the q_dedup_minhash_lsh precedent.
     """
     assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
     par = num_partitions or _auto_partitions(df, rows)
@@ -395,6 +400,125 @@ def containment_pairs_lsh(
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")),
+        on="id_a",
+    ).join(
+        sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")),
+        on="id_b",
+    )
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    m = F.lit(float(10**out_scale))
+
+    def _q(x):
+        return F.floor(x * m + F.lit(0.5)) / m
+
+    ca = _q(common.cast("double") / F.size("sa").cast("double"))
+    cb = _q(common.cast("double") / F.size("sb").cast("double"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+    ).filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= F.lit(float(threshold))
+    )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    out_scale: int = 6,
+    num_partitions: int | None = None,
+    rows: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs with DETERMINISTIC recall 1 — the
+    subset-mining lane :func:`containment_pairs_lsh`'s docstring
+    concedes MinHash cannot give: a paragraph quoted inside a much
+    longer article has containment ~1 from the paragraph's side but
+    Jaccard ≈ |A|/|B| → 0, so Jaccard-targeted band collisions miss it
+    with probability → 1. This lane replaces the probabilistic sketch
+    with the prefix filter of the set-similarity-join literature
+    (Chaudhuri et al. 2006's SSJoin primitive; Xiao et al. 2008
+    PPJoin), whose guarantee is combinatorial, not probabilistic:
+
+    pigeonhole: if ``c(A→B) = |A∩B|/|A| ≥ t`` then A has at most
+    ``m = |A| − ceil(t·|A|)`` shingles outside B, so among ANY m+1 of
+    A's shingles at least one is in B. Fix ONE global canonical order
+    — document frequency ascending, shingle string tiebreak (rare
+    first, the PPJoin ordering that minimizes candidate fan-out) —
+    and have every doc PROBE with only its first m+1 canonical
+    shingles while the index side posts all of its shingles. Every
+    pair with a qualifying direction collides on ≥ 1 probe shingle:
+    recall is exactly 1 by construction, at every scale, for every
+    Jaccard. Candidates then verify exactly (one array_intersect per
+    pair) and quantize BEFORE the threshold filter (the
+    containment_pairs ulp contract).
+
+    The generation budget uses ``t − 10^−out_scale`` in EXACT rational
+    arithmetic (Fraction; the stratified_sample discipline — never
+    floor(frac·n) in doubles): verification accepts quantized scores
+    that ROUND up to t, so generation must cover c ≥ t − ulp/2; the
+    one-resolution-step slack strictly contains that set.
+
+    Scale shape vs the exact baseline (:func:`containment_pairs`):
+    the index side is the same full posting table, but the join's
+    probe side shrinks to ⌈(1−t)·|A|⌉+1 rows per doc (~20% + 1 at
+    t = 0.8) concentrated on RARE shingles — candidate volume is
+    Σ_s df(s)·probe_df(s) with probe_df biased to df ≈ 1, not
+    Σ_s df(s)², and the verify stage is |candidates|, not |pairs|.
+    Both posting joins take ``hint("merge")`` (the round-13
+    BytesToBytesMap lesson: SMJ spills its per-key buffer under
+    posting-list skew; a misestimated broadcast of an exploded table
+    does not). The df table and per-doc rank window are one extra
+    aggregate + one bounded-group window over the SAME exploded
+    exchange. 100 TB posture: linear in corpus + candidate-bounded,
+    never all-pairs; skew rides SMJ spill + AQE.
+    """
+    from fractions import Fraction
+
+    par = num_partitions or _auto_partitions(df, rows)
+    # generation threshold t' = t − 10^−out_scale, exact rational
+    tq = Fraction(str(threshold)) - Fraction(1, 10**out_scale)
+    num, den = tq.numerator, tq.denominator
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
+    ).repartition(par, "id")
+    sh_tab = base.select("id", shingles("__text__", n).alias("sh"))
+    ex = (
+        sh_tab.select(
+            "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        )
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df__"))
+    ranked = ex.hint("merge").join(dfreq.hint("merge"), on="shingle")
+    w = Window.partitionBy("id").orderBy("__df__", "shingle")
+    # keep rank r iff (r−1) ≤ (1−t')·n  ⇔  (r−1)·den ≤ (den−num)·n,
+    # exact in int64 (n bounded by doc length, den by 10^out_scale·den(t))
+    probes = (
+        ranked.withColumn("__r__", F.row_number().over(w))
+        .filter(
+            (F.col("__r__") - F.lit(1)).cast("long") * F.lit(den)
+            <= F.lit(den - num) * F.col("n_sh").cast("long")
+        )
+        .select(F.col("id").alias("id_p"), "shingle")
+    )
+    index = ex.select(F.col("id").alias("id_i"), "shingle")
+    cand = (
+        probes.hint("merge")
+        .join(index.hint("merge"), on="shingle")
+        .filter(F.col("id_p") != F.col("id_i"))
+        .select(
+            F.least("id_p", "id_i").alias("id_a"),
+            F.greatest("id_p", "id_i").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(

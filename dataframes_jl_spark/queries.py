@@ -14265,6 +14265,84 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_containment_subsets",
+    oracle=r"""
+    WITH dtok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), quotes AS (
+      -- planted low-Jaccard subsets: every 7th long doc contributes a
+      -- "quote" of its first max(3, floor(words/4)) words — containment
+      -- from the quote side is exactly 1.0 while Jaccard ~ 0.25
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(
+               t[1:GREATEST(3, CAST(FLOOR(len(t) / 4) AS BIGINT))], ' '
+             ) AS text
+      FROM dtok WHERE doc_id % 7 = 0 AND len(t) >= 16
+    ), corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM quotes
+    ), tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)]) AS shl
+      FROM tok WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM sh
+    ), cpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(ANY_VALUE(a.n_sh) AS BIGINT) AS na,
+             CAST(ANY_VALUE(b.n_sh) AS BIGINT) AS nb
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT id_a, id_b,
+             FLOOR(CAST(common AS DOUBLE) / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS containment_a,
+             FLOOR(CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS containment_b
+      FROM cpairs
+    )
+    SELECT id_a, id_b, containment_a, containment_b
+    FROM scored
+    WHERE GREATEST(containment_a, containment_b) >= 0.8
+    """,
+)
+def q_containment_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE subset mining — the asymmetric containment lane
+    (llm.dedup.containment_pairs_prefix) on a corpus with PLANTED
+    high-containment / low-Jaccard pairs: every 7th document (with
+    >= 16 words) contributes a "quote" of its first quarter, giving
+    pairs with containment 1.0 from the quote side and Jaccard ~0.25
+    — exactly the quoted-paragraph/decontamination case the MinHash
+    lane's docstring concedes it can miss (round-14 verdict ask #6).
+    The oracle is the EXACT containment pair set over the identical
+    derived corpus, so a hash match certifies deterministic
+    prefix-filter recall = 1 at any Jaccard (pigeonhole on the
+    rare-first shingle prefix), with the exact verify stage giving
+    precision 1."""
+    from .llm.dedup import containment_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    k = F.greatest(
+        F.lit(3), F.floor(F.size(t) / F.lit(4)).cast("int")
+    )
+    quotes = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.size(t) >= 16)
+    ).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, F.lit(1), k)).alias("text"),
+    )
+    corpus = docs.unionByName(quotes)
+    return containment_pairs_prefix(
+        corpus, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
 
 @register(
     "q_dsir_weights",
@@ -14534,7 +14612,8 @@ _PRIORITY = [
     "q_by_apply_topn",
     "q_ann_ivf",
     "q_sessionize",
-    "q08_market_share",
+    # --- round-15 additions (certify at introduction) ---------------
+    "q_containment_subsets",
 ]
 
 

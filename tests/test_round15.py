@@ -141,3 +141,74 @@ def test_hold_dedupes_and_propagates(spark):
     out.collect()
     release(out)
     assert _n_cached_rdds(spark) == 0
+
+
+def test_containment_prefix_low_jaccard_subsets(spark):
+    """The round-14 verdict ask #6 fixture in miniature: planted pairs
+    with containment >= 0.8 but Jaccard <= 0.3 (a short doc quoted in
+    a much longer one) that Jaccard-targeted MinHash banding misses.
+    The prefix-filter lane must find every one (deterministic
+    recall 1) and agree exactly with the quadratic baseline."""
+    from dataframes_jl_spark.llm.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    words = [f"w{i:03d}" for i in range(60)]
+    long_doc = " ".join(words)                       # 58 shingles
+    quote = " ".join(words[:14])                     # 12 shingles, all in long
+    other = " ".join(f"x{i:03d}" for i in range(40)) # disjoint
+    quote2 = " ".join(f"x{i:03d}" for i in range(8, 20))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, other), (4, quote2)],
+        "doc_id int, text string",
+    )
+    got = containment_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in got.collect()}
+    assert set(rows) == {(1, 2), (3, 4)}
+    # quote side containment exactly 1.0; Jaccard would be 12/58 ~ 0.21
+    assert rows[(1, 2)]["containment_b"] == 1.0
+    assert rows[(3, 4)]["containment_b"] == 1.0
+    # agrees exactly with the quadratic baseline
+    base = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert base == {
+        k: (v["containment_a"], v["containment_b"]) for k, v in rows.items()
+    }
+
+
+def test_containment_prefix_matches_exact_on_neardups(spark):
+    """On the ordinary near-dup regime the prefix lane returns the
+    identical pair set as the exact baseline (recall 1 AND precision 1
+    - verification is exact)."""
+    from dataframes_jl_spark.llm.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+
+    base_words = [f"t{i:03d}" for i in range(30)]
+    variants = []
+    for d in range(6):
+        w = list(base_words)
+        if d % 2 == 1:
+            w[7] = f"mut{d}"
+        variants.append((d, " ".join(w)))
+    docs = spark.createDataFrame(variants, "doc_id int, text string")
+
+    def key(df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["containment_a"], r["containment_b"])
+            for r in df.collect()
+        )
+
+    exact = key(containment_pairs(docs, "doc_id", "text", threshold=0.8))
+    pref = key(
+        containment_pairs_prefix(docs, "doc_id", "text", threshold=0.8)
+    )
+    assert exact == pref and len(exact) > 0
