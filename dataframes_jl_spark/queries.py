@@ -1351,7 +1351,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_score",
     oracle=r"""
     WITH q AS (
-      SELECT source, n_chars,
+      -- n_chars DERIVED from text (len(text)), never the table's
+      -- n_chars metadata column: the engine's quality_score is a
+      -- text-only function, and the sf1 replica corpus (suffixed
+      -- tokens, stale n_chars column) showed the column diverging
+      -- from the text (round-15 sf1 gate catch)
+      SELECT source, len(text) AS n_chars,
              len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
              len(string_split_regex(trim(text), '\s+')) AS n_tok
@@ -2753,7 +2758,11 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_quality_deciles",
     oracle=r"""
-    WITH q AS (
+    WITH d AS (
+      -- n_chars derived from text, not the table column (the engine's
+      -- quality_score reads only text; round-15 sf1 gate catch)
+      SELECT doc_id, text, len(text) AS n_chars FROM documents
+    ), q AS (
       SELECT doc_id,
         CAST(FLOOR((
           0.4 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
@@ -2768,7 +2777,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.1 * (CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                         / n_chars <= 0.1 THEN 1.0 ELSE 0.5 END)
         ) * 1e6 + 0.5) AS BIGINT) / 1e6 AS score
-      FROM documents
+      FROM d
     )
     SELECT doc_id, score,
            NTILE(10) OVER (ORDER BY score, doc_id) AS decile
