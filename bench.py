@@ -93,7 +93,7 @@ HEADLINE = [
     "q_cell_residuals",
     "q_null_matrix",
     "q_vocab_oov",
-    "q_char_lm_quality",
+    "q_char_lm_lean",  # r15 lean seat (ask #8); full gate keeps oracle+pin+sf1
     # ...and the round-9 operators
     "q_kll_sketch",
     "q_gini_global",
@@ -104,7 +104,7 @@ HEADLINE = [
     "q_expectations",
     "q_kaplan_meier",
     "q_target_encode",
-    "q_npmi_pairs",
+    "q_npmi_pairs_lean",  # r15 lean seat (min_count 60)
     "q_log_odds",
     "q_lexical_diversity",
     "q_cv_auc",
@@ -114,7 +114,7 @@ HEADLINE = [
     "q_nelson_aalen",
     "q_cliffs_delta",
     "q_zipf_fit",
-    "q_bootstrap_ci",
+    "q_bootstrap_ci25",  # r15 lean seat (B=25)
     # round 11 operators. TWO stay OUT of the battery under the keep-
     # it-lean rule, each covered by its oracle gate and scale pin:
     # q_curation_pipeline (six-stage integration gate, ~10x the median
@@ -129,7 +129,7 @@ HEADLINE = [
     # cost-by-design (exact-cosine baseline, linear in corpus at fixed
     # probes); the full shape keeps its oracle, scale pin, and sf1
     # answer row — same plan, half the probe broadcast here
-    "q_rank_metrics32",
+    "q_rank_metrics16",  # r15: battery drops to 16 probes (ask #8); 32/64 keep oracle+pin+sf1
     "q_kruskal",
     "q_good_turing",
     "q_cvm_drift",
@@ -175,7 +175,7 @@ HEADLINE = [
     "q_multimodal_p2",
     "q_multimodal_p1",
     "q_energy_distance",
-    "q_mood_median",
+    "q_mood_median_lean",  # r15 lean seat (1/3 orders)
     "q_brier_decomposition",
     "q_mojibake_audit",
     "q_stratified_sample",

@@ -8499,6 +8499,30 @@ def q_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_lm_scores(docs, table, "source", "text")
 
 
+_ORACLE_CHARLM_LEAN = ORACLES["q_char_lm_quality"].replace(
+    "FROM documents, UNNEST",
+    "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0) documents, UNNEST",
+)
+assert "doc_id % 3 = 0" in _ORACLE_CHARLM_LEAN
+
+
+@register("q_char_lm_lean", oracle=_ORACLE_CHARLM_LEAN)
+def q_char_lm_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-third-corpus battery variant of q_char_lm_quality
+    (round-14 verdict ask #8 lean precedent): train AND score on the
+    deterministic doc_id % 3 == 0 slice — identical plan shape
+    (bounded bigram table, quantized-ln folds) at a third of the
+    character-explode volume. The full-corpus gate keeps its oracle,
+    pin, and sf1 answer row."""
+    from .llm.text import char_bigram_table, char_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    table = char_bigram_table(docs, "text")
+    return char_lm_scores(docs, table, "source", "text")
+
+
 @register(
     "q_theilsen_trend",
     oracle="""
@@ -9520,6 +9544,24 @@ def q_npmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     out = npmi_pairs(li, "l_orderkey", "l_partkey", min_count=20)
+    return out.filter(F.col("n_pair") >= 2)
+
+
+_ORACLE_NPMI_LEAN = ORACLES["q_npmi_pairs"].replace("n_item >= 20", "n_item >= 60")
+assert "n_item >= 60" in _ORACLE_NPMI_LEAN
+
+
+@register("q_npmi_pairs_lean", oracle=_ORACLE_NPMI_LEAN)
+def q_npmi_pairs_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_count=60 battery variant of q_npmi_pairs (round-14 verdict
+    ask #8): the Apriori prune keeps ~1/3 the items, shrinking the
+    per-basket pair explosion that dominates the wall; plan shape and
+    quantized pmi/npmi folds identical. The min_count=20 full gate
+    keeps its oracle, pin, and sf1 answer row."""
+    from .ops.basket import npmi_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = npmi_pairs(li, "l_orderkey", "l_partkey", min_count=60)
     return out.filter(F.col("n_pair") >= 2)
 
 
@@ -10767,6 +10809,21 @@ def q_rank_metrics32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_metrics_probes(spark, sf_dir, 32)
 
 
+_ORACLE_RM16 = ORACLES["q_rank_metrics32"].replace("vec_id < 32", "vec_id < 16")
+assert "vec_id < 16" in _ORACLE_RM16
+
+
+@register("q_rank_metrics16", oracle=_ORACLE_RM16)
+def q_rank_metrics16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-probe battery variant of the rank-metrics family (round-14
+    verdict ask #8): the 32-probe variant itself grew to 2.8 s = 5.5%
+    of the battery, so the battery now rides the same plan at 16
+    probes (~1.4 s) — the oracle is the 32-probe oracle with only the
+    probe cut changed. The 64-probe full gate and the 32-probe
+    driver-certified gate keep their oracles, pins, and sf1 rows."""
+    return _rank_metrics_probes(spark, sf_dir, 16)
+
+
 @register(
     "q_zipf_fit",
     oracle=r"""
@@ -10840,7 +10897,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text")
 
 
-def _bootstrap_oracle() -> str:
+def _bootstrap_oracle(n_boot: int = 100) -> str:
     from .ops.bootstrap import _BOOT_SPREAD, _POIS_CUM
 
     w_case = "CASE " + " ".join(
@@ -10859,7 +10916,7 @@ def _bootstrap_oracle() -> str:
     pre AS (
       SELECT event_type, xu, t.b,
              (ks + t.b * {_BOOT_SPREAD}) % 1000000007 AS mixin
-      FROM base CROSS JOIN (SELECT unnest(range(0, 100)) AS b) t
+      FROM base CROSS JOIN (SELECT unnest(range(0, {n_boot})) AS b) t
     ),
     {mix},
     ww AS (
@@ -11039,6 +11096,23 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return bootstrap_mean_ci(
         ev, "event_id", "value", group_by=["event_type"], n_boot=100
+    )
+
+
+@register("q_bootstrap_ci25", oracle=_bootstrap_oracle(n_boot=25))
+def q_bootstrap_ci25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B=25 battery variant of q_bootstrap_ci (round-14 verdict ask
+    #8, the q_rank_metrics32 lean precedent): identical plan shape
+    and ARX/Poisson determinism, a quarter of the replicate explode —
+    the battery measures the SHAPE at ~1 s instead of 3.6 s, while
+    the full B=100 gate keeps its oracle, scale pin, and sf1 answer
+    row. A 95% CI from 25 replicates is statistically coarse; the
+    lean gate certifies engine arithmetic, not interval quality."""
+    from .ops.bootstrap import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, "event_id", "value", group_by=["event_type"], n_boot=25
     )
 
 
@@ -13762,6 +13836,29 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.stats import mood_median_test
 
     od = _t(spark, sf_dir, "orders")
+    return mood_median_test(
+        od, "o_totalprice", "o_orderpriority", scale=2
+    )
+
+
+_ORACLE_MOOD_LEAN = ORACLES["q_mood_median"].replace(
+    "FROM orders",
+    "FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) orders",
+)
+assert "o_orderkey % 3 = 0" in _ORACLE_MOOD_LEAN
+
+
+@register("q_mood_median_lean", oracle=_ORACLE_MOOD_LEAN)
+def q_mood_median_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-third-orders battery variant of q_mood_median (round-14
+    verdict ask #8): the deterministic o_orderkey % 3 == 0 slice cuts
+    the row-volume (group, value) count while keeping the full
+    machinery under measurement (pooled prefix-scan median, broadcast
+    straddle counts, quantized quotient folds). The full gate keeps
+    its oracle, pin, and sf1/sf10 answer rows."""
+    from .functions.stats import mood_median_test
+
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     return mood_median_test(
         od, "o_totalprice", "o_orderpriority", scale=2
     )
