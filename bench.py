@@ -188,6 +188,8 @@ HEADLINE = [
     "q_dsir_weights",
     "q_theils_u",
     "q_krippendorff",
+    "q_multimodal_png",
+    "q_multimodal_bmp",
     # round 15 operators: q_containment_subsets is EXCLUDED from the
     # battery (keep-lean rule: ~7.8 s at sf0.1 — a recall-1 subset-mining
     # certification lane, pinned + sf1/sf10-gated instead; see

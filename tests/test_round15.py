@@ -212,3 +212,145 @@ def test_containment_prefix_matches_exact_on_neardups(spark):
         containment_pairs_prefix(docs, "doc_id", "text", threshold=0.8)
     )
     assert exact == pref and len(exact) > 0
+
+
+# ---------------------------------------------------------------- PNG/BMP
+
+
+def _png_of(ctype, w, h, raw_px, extra=b"", depth=8):
+    """Hand-build a PNG with filter 0 rows from raw sample bytes."""
+    import struct
+    import zlib
+
+    from dataframes_jl_spark.llm.multimodal import _PNG_SIG, _png_chunk
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * ch
+    stream = b"".join(
+        b"\x00" + raw_px[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_color_types():
+    from dataframes_jl_spark.llm.multimodal import _decode_png, _png_chunk
+
+    # gray (type 0): 2x2 values 0,85,170,255 -> mean 127.5/255 = 0.5
+    w, h, ch, luma = _decode_png(_png_of(0, 2, 2, bytes([0, 85, 170, 255])))
+    assert (w, h, ch) == (2, 2, 1) and luma == pytest.approx(0.5)
+    # RGBA (type 6): alpha ignored in luma
+    px = bytes([255, 0, 0, 7, 0, 255, 0, 9])  # red + green, odd alphas
+    w, h, ch, luma = _decode_png(_png_of(6, 2, 1, px))
+    assert (w, h, ch) == (2, 1, 4)
+    assert luma == pytest.approx((0.299 * 255 + 0.587 * 255) / 2 / 255.0)
+    # gray+alpha (type 4)
+    w, h, ch, luma = _decode_png(_png_of(4, 2, 1, bytes([100, 3, 200, 250])))
+    assert (w, h, ch) == (2, 1, 2) and luma == pytest.approx(150 / 255.0)
+    # palette (type 3): 2 entries, indices 0/1 -> decodes to RGB
+    plte = _png_chunk(b"PLTE", bytes([255, 255, 255, 0, 0, 0]))
+    w, h, ch, luma = _decode_png(_png_of(3, 2, 1, bytes([0, 1]), extra=plte))
+    assert (w, h, ch) == (2, 1, 3) and luma == pytest.approx(0.5)
+
+
+def test_png_rejections():
+    from dataframes_jl_spark.llm.multimodal import _decode_png
+
+    assert _decode_png(b"definitely not a png") is None
+    with pytest.raises(NotImplementedError):
+        _decode_png(_png_of(0, 2, 2, bytes(8), depth=16))
+    # corrupt a CRC byte -> ValueError, not silent garbage
+    good = bytearray(_png_of(0, 2, 2, bytes([0, 85, 170, 255])))
+    good[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError):
+        _decode_png(bytes(good))
+
+
+def test_png_filters_roundtrip_nonuniform():
+    """Every filter type over a raster where each filter's prediction
+    is non-trivial (random-ish bytes), encoder/decoder must invert."""
+    from dataframes_jl_spark.llm.multimodal import (
+        _decode_png,
+        _encode_png_rgb8,
+    )
+
+    w, h = 7, 5
+    rows = [
+        bytes(((x * 37 + y * 91 + (x * y) % 13) * 17) % 256
+              for x in range(3 * w))
+        for y in range(h)
+    ]
+    payload = _encode_png_rgb8(rows, w, h)
+    import numpy as np
+
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, 3)
+    sums = flat.sum(axis=0, dtype=np.int64)
+    exp = (
+        0.299 * float(sums[0]) + 0.587 * float(sums[1]) + 0.114 * float(sums[2])
+    ) / (w * h) / 255.0
+    got = _decode_png(payload)
+    assert got[0] == w and got[1] == h and got[2] == 3
+    assert got[3] == pytest.approx(exp, abs=1e-12)
+
+
+def test_bmp_variants():
+    import struct
+
+    from dataframes_jl_spark.llm.multimodal import (
+        _decode_bmp,
+        _encode_bmp_rgb8,
+    )
+
+    assert _decode_bmp(b"not a bmp") is None
+    # odd width exercises row padding
+    w, h = 3, 2
+    rows = [bytes([10, 20, 30] * w), bytes([200, 100, 50] * w)]
+    payload = _encode_bmp_rgb8(rows, w, h)
+    got = _decode_bmp(payload)
+    import numpy as np
+
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, 3)
+    sums = flat.sum(axis=0, dtype=np.int64)
+    exp = (
+        0.299 * float(sums[0]) + 0.587 * float(sums[1]) + 0.114 * float(sums[2])
+    ) / (w * h) / 255.0
+    assert got == (w, h, 3, pytest.approx(exp))
+    # 8-bit BMP -> NotImplementedError, honest gap
+    bad = bytearray(payload)
+    bad[28:30] = struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bad))
+
+
+def test_decode_images_mixed_formats(spark):
+    """One frame mixing netpbm, PNG, and BMP payloads through the real
+    mapInPandas kernel — the dispatch order must route each format to
+    its parser."""
+    from dataframes_jl_spark.llm.multimodal import (
+        _encode_bmp_rgb8,
+        _encode_png_rgb8,
+        decode_images,
+    )
+
+    red_row = bytes([255, 0, 0] * 4)
+    png = _encode_png_rgb8([red_row] * 3, 4, 3)
+    bmp = _encode_bmp_rgb8([red_row] * 3, 4, 3)
+    ppm = b"P6\n4 3\n255\n" + bytes([255, 0, 0]) * 12
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(ppm))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r for r in decode_images(df, "payload").collect()
+    }
+    exp = 0.299  # pure red
+    for mid in (1, 2, 3):
+        r = rows[mid]
+        assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
+        assert r["mean_luma"] == pytest.approx(exp)
