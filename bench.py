@@ -190,6 +190,10 @@ HEADLINE = [
     "q_krippendorff",
     "q_multimodal_png",
     "q_multimodal_bmp",
+    # q_dedup_weighted_minhash is EXCLUDED from the battery (keep-lean:
+    # ~3.5 s warm at sf0.1 — the synthetic corpus's 50-word vocabulary
+    # makes bigram-count profiles band-collide broadly even though only
+    # 256 pairs verify; covered by oracle gate + pin + sf1 row)
     # round 15 operators: q_containment_subsets is EXCLUDED from the
     # battery (keep-lean rule: ~7.8 s at sf0.1 — a recall-1 subset-mining
     # certification lane, pinned + sf1/sf10-gated instead; see

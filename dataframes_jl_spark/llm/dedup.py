@@ -547,6 +547,194 @@ def containment_pairs_prefix(
     )
 
 
+def weighted_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_weight: int = 64,
+    n: int = 1,
+    out_scale: int = 6,
+    num_partitions: int | None = None,
+    rows: int | None = None,
+) -> DataFrame:
+    """Token-frequency-aware near-dup pairs under WEIGHTED Jaccard
+    J_w(A,B) = Σ_t min(w_A(t), w_B(t)) / Σ_t max(w_A(t), w_B(t)) —
+    the multiset companion to :func:`minhash_lsh_pairs`: unweighted
+    shingle Jaccard treats "the the the the spam spam" and one "the
+    spam" as identical sets, so boilerplate/keyword-stuffed documents
+    collapse wrongly; weighted Jaccard keeps repetition mass.
+
+    Sketch: the EXPANDED-SET reduction (Chum, Philbin & Zisserman,
+    BMVC 2008 — public, predates consistent weighted sampling): each
+    term contributes min(count, max_weight) distinct elements
+    (term, 0..k-1), and ordinary MinHash over the expansion estimates
+    the weighted Jaccard of the CAPPED counts exactly (min/max of
+    counts = intersection/union of expansions). Candidates come from
+    the same banded machinery as every LSH lane here (band buckets,
+    never all-pairs); verification computes the EXACT UNCAPPED J_w
+    per candidate via one map_zip_with fold over the two term-count
+    maps, quantized BEFORE the threshold filter (the ulp contract).
+    The cap's ONLY job is bounding pathological repetition (one term
+    a million times): total expansion is Σ_t min(count, cap) ≤ token
+    count, so cost is linear in the corpus at ANY cap — but a LOW cap
+    saturates: on a small-vocabulary corpus every doc's capped
+    profile converges to (vocab × cap) and ALL pairs band-collide
+    (measured: cap 8 on the sf0.1 synthetic corpus produced 11M
+    candidates from 5k docs, 88% of all pairs — a quadratic-candidate
+    trap with the exact verify as the cost amplifier). The default 64
+    sits above real natural-text per-doc term counts, making capped
+    J_w = true J_w in practice while still flooring spam; the gate
+    certifies recall 1 at the tested scale against the exact oracle.
+
+    Scale shape: one (id, term) count aggregate (map-side combining)
+    is the only row-volume job; the expansion explode is bounded by
+    max_weight·distinct-terms; the signature is ONE groupBy(id) with
+    num_hashes min() aggregates (combining, no per-doc state beyond
+    64 longs); banding/candidates/verify are collision-bounded. 100 TB
+    posture matches minhash_lsh_pairs.
+    """
+    assert num_hashes % bands == 0 and num_hashes <= _MAX_HASHES
+    par = num_partitions or _auto_partitions(df, rows)
+    rows_per_band = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text__")
+    ).repartition(par, "id")
+    # term unit: word unigrams (n=1) or word n-grams WITH multiplicity
+    # (no array_distinct — counts are the whole point). n > 1 is the
+    # discriminative choice on small-vocabulary text, where unigram
+    # count profiles of unrelated documents already overlap heavily
+    # (dense J_w — measured: unigrams on the sf0.1 synthetic corpus
+    # make most pairs genuinely similar; bigrams restore sparsity).
+    if n <= 1:
+        term_arr = tokens("__text__")
+    else:
+        def _grams(t: Column) -> Column:
+            n_g = F.size(t) - (n - 1)
+            return F.when(
+                n_g <= 0, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_g - 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                )
+            )
+
+        term_arr = let1(tokens("__text__"), _grams)
+    tc = (
+        base.select("id", F.explode_outer(term_arr).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # expanded-set element hash: (term, k) for k < min(cnt, cap); the
+    # 31-bit fold keeps the affine permutations int64-exact (ANSI-safe)
+    eh = tc.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.least(F.col("cnt"), F.lit(int(max_weight))) - F.lit(1),
+            )
+        ).alias("k"),
+        "term",
+    ).select(
+        "id",
+        F.shiftrightunsigned(
+            F.xxhash64(F.concat_ws("#", F.col("term"), F.col("k"))), 33
+        ).alias("h"),
+    )
+    hp = F.col("h")
+    sig = eh.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    hp * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i]),
+                    F.lit(_SIG_P),
+                )
+            ).alias(f"__s{i}__")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"__s{i}__")
+                                for i in range(
+                                    b * rows_per_band,
+                                    (b + 1) * rows_per_band,
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    tmap = tc.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "cnt"))
+        ).alias("m"),
+        F.sum("cnt").alias("tot"),
+    )
+    pairs = cand.join(
+        tmap.select(
+            F.col("id").alias("id_a"),
+            F.col("m").alias("ma"),
+            F.col("tot").alias("ta"),
+        ),
+        on="id_a",
+    ).join(
+        tmap.select(
+            F.col("id").alias("id_b"),
+            F.col("m").alias("mb"),
+            F.col("tot").alias("tb"),
+        ),
+        on="id_b",
+    )
+    cmin = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                F.col("ma"),
+                F.col("mb"),
+                lambda _, va, vb: F.least(
+                    F.coalesce(va, F.lit(0)), F.coalesce(vb, F.lit(0))
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = F.lit(float(10**out_scale))
+    wj = F.floor(
+        cmin.cast("double")
+        / (F.col("ta") + F.col("tb") - cmin).cast("double")
+        * m
+        + F.lit(0.5)
+    ) / m
+    return pairs.select(
+        "id_a", "id_b", wj.alias("wjaccard")
+    ).filter(F.col("wjaccard") >= F.lit(float(threshold)))
+
+
 _TARGET_ROWS_PER_PARTITION = 100_000
 _TARGET_BAND_ROWS_PER_PARTITION = 250_000
 

@@ -14471,6 +14471,60 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_weighted_minhash",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), tok AS (
+      -- word BIGRAMS with multiplicity (NOT distinct): the term unit
+      -- of the weighted lane at n=2
+      SELECT doc_id,
+             unnest([array_to_string(t[i+1:i+2], ' ')
+                     for i in range(0, len(t)-1)]) AS term
+      FROM w WHERE len(t) >= 2
+    ), tc AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot FROM tc GROUP BY 1
+    ), pc AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS cmin
+      FROM tc a JOIN tc b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT pc.id_a, pc.id_b,
+             FLOOR(CAST(cmin AS DOUBLE)
+                   / CAST(ta.tot + tb.tot - cmin AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS wjaccard
+      FROM pc
+      JOIN tot ta ON ta.doc_id = pc.id_a
+      JOIN tot tb ON tb.doc_id = pc.id_b
+    )
+    SELECT id_a, id_b, wjaccard FROM scored WHERE wjaccard >= 0.8
+    """,
+)
+def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency-aware near-dup pairs under WEIGHTED Jaccard
+    (llm.dedup.weighted_minhash_pairs; round-14 verdict ask #7's
+    second named candidate): the expanded-set MinHash sketch (Chum
+    et al. 2008) bands capped term-count expansions for candidates,
+    then the exact uncapped J_w = Σmin/Σmax verifies per pair via one
+    map_zip_with fold, quantized before the threshold. The oracle is
+    the EXACT weighted-Jaccard pair set over (doc, term) counts, so a
+    hash match certifies sketch recall 1 at the tested scale — the
+    q_dedup_minhash_lsh precedent, with multiset semantics unweighted
+    shingle Jaccard cannot express."""
+    from .llm.dedup import weighted_minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.8, n=2
+    )
+
+
+@register(
     "q_containment_subsets",
     oracle=r"""
     WITH dtok AS (
@@ -14814,11 +14868,11 @@ _PRIORITY = [
     "q_quality_deciles",
     "q_model_matrix",
     "q_scalar_math",
-    "q_by_apply_topn",
     # --- round-15 additions (certify at introduction) ---------------
     "q_containment_subsets",
     "q_multimodal_png",
     "q_multimodal_bmp",
+    "q_dedup_weighted_minhash",
 ]
 
 

@@ -354,3 +354,49 @@ def test_decode_images_mixed_formats(spark):
         r = rows[mid]
         assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
         assert r["mean_luma"] == pytest.approx(exp)
+
+
+def test_weighted_minhash_pairs_exact(spark):
+    """Weighted vs unweighted Jaccard semantics: repetition mass must
+    count. Verified against hand-computed exact values."""
+    from dataframes_jl_spark.llm.dedup import weighted_minhash_pairs
+
+    docs = [
+        (1, "a a a b c"),        # counts {a:3,b:1,c:1}
+        (2, "a a a b d"),        # J_w(1,2) = 4/6 = 0.666667
+        (3, "x y z"),
+        (4, "x y z z"),          # J_w(3,4) = 3/4 = 0.75
+        (5, ""),                 # empty doc pairs with nothing
+        (6, "a b c"),            # unweighted J(1,6)=3/4=0.75 but
+                                 # J_w(1,6) = 3/(5+3-3) = 0.6
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in weighted_minhash_pairs(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(0.666667)
+    assert got[(3, 4)] == pytest.approx(0.75)
+    assert got[(1, 6)] == pytest.approx(0.6)
+    assert (1, 5) not in got and (5, 6) not in got
+
+
+def test_weighted_minhash_cap_distortion(spark):
+    """Counts above max_weight stop influencing the SKETCH but the
+    exact verify still scores them: a pair whose similarity is pure
+    high-count mass still verifies with the true J_w."""
+    from dataframes_jl_spark.llm.dedup import weighted_minhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 40 + ["x"])),
+         (2, " ".join(["spam"] * 38 + ["y"]))],
+        "doc_id int, text string",
+    )
+    got = weighted_minhash_pairs(
+        df, "doc_id", "text", threshold=0.5, max_weight=8
+    ).collect()
+    # exact: min 38 / (41 + 39 - 38) = 38/42 = 0.904762
+    assert len(got) == 1
+    assert got[0]["wjaccard"] == pytest.approx(0.904762)

@@ -166,6 +166,7 @@ NAMES = [
     "q_containment_subsets",  # prefix-filter recall-1 at 10x docs+quotes
     "q_multimodal_png",    # real zlib-inflate PNG decode at 10x ids
     "q_multimodal_bmp",    # real 24-bit BMP decode at 10x ids
+    "q_dedup_weighted_minhash",  # weighted-Jaccard LSH at 10x docs
     "q_dsir_weights",      # quantized log-ratio folds at 10x tokens
     "q_fuzzy_match",       # FastSS blocked-exact replay (see override)
     "q_theils_u",          # quantized entropy/MI folds at 10x orders
