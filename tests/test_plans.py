@@ -361,3 +361,33 @@ def test_shingle_self_join_is_sort_merge_never_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin [shingle" in plan
         assert "BroadcastHashJoin [shingle" not in plan
+
+
+def test_containment_prefix_posting_joins_sort_merge(spark):
+    """Round-15 prefix-filter lane: BOTH posting joins (df-rank join
+    and probe-vs-index) must be SortMergeJoin on the shingle key —
+    the same exploded-table broadcast trap as the round-13 incident
+    applies to each."""
+    from dataframes_jl_spark.llm.dedup import containment_pairs_prefix
+    from dataframes_jl_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = containment_pairs_prefix(docs, "doc_id", "text", threshold=0.8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin [shingle") >= 2
+    assert "BroadcastHashJoin [shingle" not in plan
+
+
+def test_weighted_minhash_signature_is_single_aggregate(spark):
+    """The weighted-minhash signature must be ONE hash aggregate over
+    the expansion (64 min() columns, map-side combining) — no window,
+    no per-doc collect."""
+    from dataframes_jl_spark.llm.dedup import weighted_minhash_pairs
+    from dataframes_jl_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = weighted_minhash_pairs(docs, "doc_id", "text", threshold=0.8, n=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the signature aggregate exists and no Window sneaks in
+    assert "min(pmod" in plan or "min(" in plan
+    assert "Window" not in plan
