@@ -35,6 +35,22 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to cluster parallelism ONLY when its plan
+    currently yields fewer partitions (a single-file scan, a collapsed
+    post-AQE exchange) — the CPU-bound kernels downstream must never
+    serialize onto one core, but an input that is already spread must
+    not pay a second exchange. Called on NARROW projections (ids) by
+    the synthesizers and on payload frames by the decoders; the
+    synth→decode composition therefore exchanges 8-byte id rows once
+    and never shuffles payload bytes (guide §8: move heavy bytes
+    exactly once — here, zero times)."""
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def attach_media_meta(
     df: DataFrame, id_col: str, payload_col: str, kind: str, mime: str
 ) -> DataFrame:
@@ -639,11 +655,13 @@ def decode_images(
     Batch shape matters at scale: media payloads are large, so the
     iterator yields small slices (``batch_rows``) to bound executor
     memory instead of one huge Arrow batch per partition. The decode is
-    CPU-bound, so the input is repartitioned to at least the cluster
-    parallelism — a single-file source must not serialize the kernel
-    onto one core.
+    CPU-bound, so an under-partitioned input (single file, collapsed
+    exchange) is spread to cluster parallelism — but an input that is
+    already parallel is NOT re-shuffled: payload bytes are the heavy
+    column, and the synth→decode composition must never move them
+    (guide §2.4/§8; the exchange this used to force was pure overhead
+    and serialized the whole payload set through the shuffle).
     """
-    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -662,9 +680,9 @@ def decode_images(
                     }
                 )
 
-    return df.select(id_col, payload_col).repartition(par).mapInPandas(
-        run, schema=IMAGE_FEATURES_SCHEMA
-    )
+    return _spread(
+        df.select(id_col, payload_col), num_partitions
+    ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(
@@ -728,9 +746,9 @@ def resize_images(
     """Image resize over mapInPandas — same scale contract as
     decode_images: small Arrow slices bound executor memory (both the
     input and the resized output payloads are in flight per batch), and
-    the CPU-bound kernel runs behind a repartition to cluster
-    parallelism."""
-    par = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    an under-partitioned input is spread to cluster parallelism without
+    re-shuffling an already-parallel payload frame (see
+    :func:`decode_images`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -748,9 +766,9 @@ def resize_images(
                     }
                 )
 
-    return df.select(id_col, payload_col).repartition(par).mapInPandas(
-        run, schema=RESIZED_SCHEMA
-    )
+    return _spread(
+        df.select(id_col, payload_col), num_partitions
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def synth_ppm_images(
@@ -783,9 +801,9 @@ def synth_ppm_images(
             ]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def synth_pgm_images(
@@ -815,9 +833,9 @@ def synth_pgm_images(
             ]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def synth_pbm_images(
@@ -851,9 +869,9 @@ def synth_pbm_images(
                 payloads.append(header + row * height)
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def synth_ppm_ascii_images(
@@ -887,9 +905,9 @@ def synth_ppm_ascii_images(
                 payloads.append(header + raster + b"\n")
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def synth_pgm_ascii_images(
@@ -921,9 +939,9 @@ def synth_pgm_ascii_images(
                 )
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def synth_pbm_ascii_images(
@@ -952,9 +970,9 @@ def synth_pbm_ascii_images(
                 )
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def _gradient_rows(i: int, width: int, height: int) -> list[bytes]:
@@ -1001,9 +1019,9 @@ def synth_png_images(
             ]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
 
 
 def synth_bmp_images(
@@ -1028,6 +1046,6 @@ def synth_bmp_images(
             ]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
-    return df.select(F.col(id_col).cast("bigint").alias(id_col)).mapInPandas(
-        run, schema="media_id bigint, payload binary"
-    )
+    return _spread(
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+    ).mapInPandas(run, schema="media_id bigint, payload binary")
