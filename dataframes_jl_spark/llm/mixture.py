@@ -240,6 +240,20 @@ def dsir_weights(
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
+    def tok_total(df: DataFrame, alias: str) -> DataFrame:
+        # total token count WITHOUT the explode+shuffle of tok_counts:
+        # sum of per-doc token-array sizes over one map-side pass —
+        # identical to SUM(c) over the count table (every exploded
+        # token is counted exactly once either way), at a scan +
+        # 1-row aggregate instead of a corpus-wide re-aggregation
+        return (
+            df.filter(
+                F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+            )
+            .select(F.size(tokens(text_col)).alias("__n__"))
+            .agg(F.sum("__n__").cast("long").alias(alias))
+        )
+
     ct = tok_counts(target)
     cr = tok_counts(raw)
     from ..ops.sorting import order, top_k
@@ -251,17 +265,27 @@ def dsir_weights(
     ).select(F.col("tok").alias("v_tok"), F.col("c").alias("cr_v"))
     # vocab rows with target counts attached; OOV mass = totals minus
     # in-vocab mass (no second pass over the token tables)
-    vt = vocab.join(
-        ct.select(F.col("tok").alias("v_tok"), F.col("c").alias("ct_v")),
-        "v_tok",
-        "left",
-    ).select(
-        "v_tok",
-        F.coalesce("ct_v", F.lit(0)).alias("ct_v"),
-        "cr_v",
+    # vt feeds BOTH the ratio table and the in-vocab-mass aggregate;
+    # unpersisted, each consumer re-runs the two corpus-wide
+    # tokenize+explode+count subtrees beneath it. The table is exactly
+    # ``vocab_size`` rows, so the cache is a few KB at ANY corpus
+    # scale — persist it (handle rides the result per the core.cache
+    # contract).
+    vt = (
+        vocab.join(
+            ct.select(F.col("tok").alias("v_tok"), F.col("c").alias("ct_v")),
+            "v_tok",
+            "left",
+        )
+        .select(
+            "v_tok",
+            F.coalesce("ct_v", F.lit(0)).alias("ct_v"),
+            "cr_v",
+        )
+        .persist()
     )
-    tot_t = ct.agg(F.sum("c").alias("n_t"))
-    tot_r = cr.agg(F.sum("c").alias("n_r"))
+    tot_t = tok_total(target, "n_t")
+    tot_r = tok_total(raw, "n_r")
     invoc = vt.agg(
         F.coalesce(F.sum("ct_v"), F.lit(0)).alias("ct_in"),
         F.coalesce(F.sum("cr_v"), F.lit(0)).alias("cr_in"),
@@ -326,7 +350,7 @@ def dsir_weights(
             .alias("__w__"),
         )
     )
-    return (
+    out = (
         scored.groupBy("id")
         .agg(
             F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0)).alias(
@@ -345,3 +369,6 @@ def dsir_weights(
             ).alias("log_weight"),
         )
     )
+    from ..core.cache import hold
+
+    return hold(out, vt)

@@ -400,3 +400,39 @@ def test_weighted_minhash_cap_distortion(spark):
     # exact: min 38 / (41 + 39 - 38) = 38/42 = 0.904762
     assert len(got) == 1
     assert got[0]["wjaccard"] == pytest.approx(0.904762)
+
+
+def test_dsir_weights_cache_contract_and_totals(spark):
+    """r15 optimization: dsir_weights derives corpus totals from one
+    map-side size() pass (not a re-aggregation of the count table) and
+    persists the vocab-sized vt table. The VALUES must be unchanged vs
+    the naive formulation, and the cache must ride the result as a
+    release()-able handle (core.cache contract)."""
+    from dataframes_jl_spark import release
+    from dataframes_jl_spark.llm.mixture import dsir_weights
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc", "t"),
+            (2, "bb bb dd", "t"),
+            (3, "aa zz zz qq rr", "r"),
+            (4, "   ", "r"),
+            (5, None, "r"),
+        ],
+        "doc_id int, text string, src string",
+    )
+    target = df.filter(F.col("src") == "t")
+    out = dsir_weights(target, df, "doc_id", "text", vocab_size=3)
+    rows = {r["id"]: r for r in out.collect()}
+    # n_tok: exact whitespace token counts; blank/NULL docs -> 0 tokens
+    assert rows[1]["n_tok"] == 4 and rows[3]["n_tok"] == 5
+    assert rows[4]["n_tok"] == 0 and rows[4]["log_weight"] == 0.0
+    assert rows[5]["n_tok"] == 0 and rows[5]["log_weight"] == 0.0
+    # hand-checked smoothed log-ratio for doc 1 (all tokens in vocab
+    # or OOV against n_t=7, n_r=12, V=3): target-like docs score > 0
+    assert rows[1]["log_weight"] > 0 > rows[3]["log_weight"]
+    # structural persist contract: vt cache attached, release() clears
+    handles = getattr(out, "unpersist_handles", ())
+    assert len(handles) == 1 and handles[0].is_cached
+    release(out)
+    assert not handles[0].is_cached
