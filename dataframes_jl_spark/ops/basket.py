@@ -75,8 +75,16 @@ def frequent_pairs(
     n_baskets_df = pairs_src.select(
         F.count_distinct("basket").alias("n_baskets")
     )
-    item_counts = pairs_src.groupBy("item").agg(
-        F.count(F.lit(1)).alias("n_item")
+    # item_counts feeds THREE branches (the prune list and both metric
+    # join sides); unpersisted, each re-runs the distinct shuffle AND
+    # the count aggregate above it (7 source scans in the physical
+    # plan). The table is |items|-bounded — one row per distinct item,
+    # a vocabulary at any corpus scale — so persist it; the handle
+    # rides the result per the core.cache contract.
+    item_counts = (
+        pairs_src.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .persist()
     )
     frequent = item_counts.filter(F.col("n_item") >= min_count)
 
@@ -129,7 +137,7 @@ def frequent_pairs(
         .crossJoin(F.broadcast(n_baskets_df))
     )
     nb = F.col("n_baskets").cast("double")
-    return out.select(
+    final = out.select(
         "item_a",
         "item_b",
         # guard folded as when(isnull(assert), x) WITHOUT otherwise —
@@ -147,6 +155,9 @@ def frequent_pairs(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("lift"),
     )
+    from ..core.cache import hold
+
+    return hold(final, item_counts)
 
 
 def npmi_pairs(
@@ -181,13 +192,17 @@ def npmi_pairs(
 
     pmi = F.log(F.col("lift"))
     npmi = pmi / (-F.log(F.col("support")))
-    return base.select(
+    out = base.select(
         "*",
         F.when(F.col("lift") > 0, _q(pmi)).alias("pmi"),
         F.when(
             (F.col("lift") > 0) & (F.col("support") < 1.0), _q(npmi)
         ).alias("npmi"),
     )
+    from ..core.cache import hold
+
+    # propagate frequent_pairs' cache handles through the projection
+    return hold(out, base)
 
 
 def audience_overlap(

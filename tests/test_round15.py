@@ -436,3 +436,24 @@ def test_dsir_weights_cache_contract_and_totals(spark):
     assert len(handles) == 1 and handles[0].is_cached
     release(out)
     assert not handles[0].is_cached
+
+
+def test_frequent_pairs_cache_contract(spark):
+    """r15 optimization: frequent_pairs persists the |items|-bounded
+    item_counts table (3 consumers) and npmi_pairs propagates the
+    handle through its projection; release() must clear it."""
+    from dataframes_jl_spark import release
+    from dataframes_jl_spark.ops.basket import npmi_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+        "basket int, item string",
+    )
+    out = npmi_pairs(df, "basket", "item", min_count=2)
+    rows = {(r["item_a"], r["item_b"]): r for r in out.collect()}
+    assert rows[("a", "b")]["n_pair"] == 2
+    assert rows[("a", "b")]["n_a"] == 3 and rows[("a", "b")]["n_b"] == 2
+    handles = getattr(out, "unpersist_handles", ())
+    assert len(handles) == 1 and handles[0].is_cached
+    release(out)
+    assert not handles[0].is_cached
