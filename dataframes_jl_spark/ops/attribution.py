@@ -70,13 +70,24 @@ def attribute_conversions(
         F.unix_timestamp(ts).cast("long").alias("tt"),
         F.col(uid).cast("long").alias("tid"),
         F.col(channel).alias("ch"),
+        F.lit(1).alias("__m__"),  # match marker: NULL after a left miss
     )
     lb = F.lit(int(lookback_days) * 86400)
+    # LEFT join: a conversion with no in-window touch survives as ONE
+    # row with a NULL match marker and becomes its own (direct) credit
+    # below — the previous inner-join + distinct + anti-join "direct"
+    # branch re-executed the whole user-join subtree a second time (5
+    # source scans in the physical plan). For the unmatched single row
+    # the window formulas degenerate to exactly full credit (ra = rd =
+    # n = 1 -> first_u = last_u = lin_u = cents*100, is_last = 1),
+    # which IS the (direct) contract, so the union branch is redundant
+    # by construction, not approximately.
     joined = conv.join(
         touch,
         (F.col("cu") == F.col("tu"))
         & (F.col("tt") < F.col("ct"))
         & (F.col("tt") >= F.col("ct") - lb),
+        "left",
     )
     wa = Window.partitionBy("cid").orderBy("tt", "tid")
     wd = Window.partitionBy("cid").orderBy(F.col("tt").desc(), F.col("tid").desc())
@@ -84,7 +95,11 @@ def attribute_conversions(
     ranked = joined.select(
         "cid",
         "cents",
-        "ch",
+        # the marker (not ch) distinguishes a left-miss from a touch
+        # whose channel value is legitimately NULL
+        F.when(F.col("__m__").isNull(), F.lit(DIRECT)).otherwise(
+            F.col("ch")
+        ).alias("ch"),
         F.row_number().over(wa).alias("ra"),
         F.row_number().over(wd).alias("rd"),
         F.count(F.lit(1)).over(wn).alias("n"),
@@ -106,27 +121,13 @@ def attribute_conversions(
         F.when(F.col("rd") == 1, F.lit(1)).otherwise(F.lit(0)).alias("is_last"),
         lin_units.alias("lin_u"),
     )
-    # conversions with no in-window touch -> full credit to (direct)
-    touched = joined.select("cid").distinct().select(
-        F.col("cid").alias("jcid")
-    )
-    direct = (
-        conv.join(touched, F.col("cid") == F.col("jcid"), "left_anti")
-        .select(
-            F.lit(DIRECT).alias("ch"),
-            (F.col("cents") * F.lit(100)).alias("first_u"),
-            (F.col("cents") * F.lit(100)).alias("last_u"),
-            F.lit(1).alias("is_last"),
-            (F.col("cents") * F.lit(100)).alias("lin_u"),
-        )
-    )
     om = float(10**out_scale)
     q = lambda c: (  # noqa: E731
         F.floor(F.col(c).cast("double") / F.lit(10000.0) * F.lit(om) + F.lit(0.5))
         / F.lit(om)
     )
     return (
-        credits.unionByName(direct)
+        credits
         .groupBy(F.col("ch").alias(channel))
         .agg(
             F.sum("is_last").cast("long").alias("n_last"),

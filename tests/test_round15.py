@@ -457,3 +457,44 @@ def test_frequent_pairs_cache_contract(spark):
     assert len(handles) == 1 and handles[0].is_cached
     release(out)
     assert not handles[0].is_cached
+
+
+def test_attribution_left_join_direct_and_null_channel(spark):
+    """r15 optimization: attribute_conversions computes the (direct)
+    fallback from the SAME left join that produces the credits (the
+    inner-join + anti-join branch re-executed the user join). Edge
+    cases the marker must keep exact: a conversion with no in-window
+    touch gets FULL (direct) credit in every model, and a touch whose
+    channel value is legitimately NULL stays a NULL-channel credit,
+    never (direct)."""
+    from dataframes_jl_spark.ops.attribution import attribute_conversions
+
+    df = spark.createDataFrame(
+        [
+            # user 1: touch (ch A) then conversion of 10.00
+            (1, 100, 1, "A", 0.0, 0),
+            (1, 200, 2, None, 10.0, 1),
+            # user 2: conversion with NO touch -> (direct) 5.00
+            (2, 300, 3, None, 5.0, 1),
+            # user 3: touch with NULL channel then conversion of 2.00
+            (3, 100, 4, None, 0.0, 0),
+            (3, 150, 5, None, 2.0, 1),
+        ],
+        "u int, t long, uid int, ch string, v double, conv int",
+    )
+    ev = df.select(
+        "u", F.timestamp_seconds("t").alias("ts"), "uid", "ch", "v", "conv"
+    )
+    out = {
+        r["ch"]: r
+        for r in attribute_conversions(
+            ev, "u", "ts", "uid", "ch", "v",
+            is_conversion=F.col("conv") == 1,
+        ).collect()
+    }
+    assert out["A"]["credit_first"] == 10.0 and out["A"]["n_last"] == 1
+    assert out["(direct)"]["credit_first"] == 5.0
+    assert out["(direct)"]["credit_last"] == 5.0
+    assert out["(direct)"]["credit_linear"] == 5.0
+    # NULL-channel touch is a real channel value, not (direct)
+    assert out[None]["credit_first"] == 2.0 and out[None]["n_last"] == 1
