@@ -73,12 +73,21 @@ def rank_metrics(
         F.col(id_col).alias("__i__"),
         rchk.alias("__r__"),
     )
-    totals = base.groupBy("__q__").agg(F.sum("__r__").alias("n_rel"))
+    # n_rel rides the SAME partitioning as the rank window instead of a
+    # separate groupBy branch: the scored input is typically the
+    # expensive part (a cosine cross-join in the rank-metrics gates),
+    # and a second consumer re-executes its whole subtree. One window
+    # pass computes the per-query total and the ranks off one exchange;
+    # every query keeps >= 1 row after the rank filter (rank starts at
+    # 1), so the old totals-left-join is redundant by construction.
+    wq = Window.partitionBy("__q__")
     w = Window.partitionBy("__q__").orderBy(
         F.col("__s__").desc(), F.col("__i__")
     )
-    ranked = base.withColumn("__rank__", F.row_number().over(w)).filter(
-        F.col("__rank__") <= k
+    ranked = (
+        base.withColumn("__nrel__", F.sum("__r__").over(wq))
+        .withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= k)
     )
     dm = F.lit(float(10**dcg_scale))
     dcg_term = F.floor(
@@ -86,20 +95,14 @@ def rank_metrics(
         * dm
         + F.lit(0.5)
     ).cast("long")
-    top = ranked.groupBy("__q__").agg(
+    joined = ranked.groupBy("__q__").agg(
+        F.max("__nrel__").alias("n_rel"),
         F.sum("__r__").alias("hits_k"),
         F.min(F.when(F.col("__r__") == 1, F.col("__rank__"))).alias(
             "__first__"
         ),
         F.sum(F.when(F.col("__r__") == 1, dcg_term).otherwise(F.lit(0)))
         .alias("__dcg__"),
-    )
-    joined = totals.join(top, "__q__", "left").select(
-        "__q__",
-        "n_rel",
-        F.coalesce(F.col("hits_k"), F.lit(0)).alias("hits_k"),
-        "__first__",
-        F.coalesce(F.col("__dcg__"), F.lit(0)).alias("__dcg__"),
     )
     # ideal DCG: the first min(k, n_rel) ranks all relevant — a bounded
     # closed-form fold (<= k codegen'd terms), no second ranking pass
