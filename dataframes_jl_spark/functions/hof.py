@@ -26,3 +26,25 @@ def let1(value: Column, body: Callable[[Column], Column]) -> Column:
     it into a column first. Use whenever a HOF lambda would otherwise
     close over an expensive outer expression."""
     return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def unpack_once(df, passthrough: list[str], struct_col: Column, fields: list[str]):
+    """Evaluate ``struct_col`` ONCE per row and return ``df`` projected
+    to the passthrough columns plus every named struct field as a
+    top-level column.
+
+    The naive ``select(s["a"], s["b"], …)`` is NOT equivalent in cost:
+    CollapseProject + SimplifyExtractValueOps re-inline the whole
+    struct expression into every extracted field, multiplying the
+    struct's work by its field count — and cross-COLUMN subexpression
+    elimination does not rescue lambda-bearing expressions (they fall
+    out of whole-stage codegen and lambda-variable IDs defeat
+    canonical matching; q_gopher_rules measured 15 re-evaluations of
+    one tokenization). ``explode(array(struct))`` places a Generate
+    attribute boundary the optimizer cannot collapse through, so the
+    struct is computed exactly once per row. Row count is unchanged
+    (the generated array always has exactly one element; a NULL struct
+    yields one all-NULL-fields row, matching field-extraction
+    semantics on a NULL struct)."""
+    gen = df.select(*passthrough, F.explode(F.array(struct_col)).alias("__s__"))
+    return gen.select(*passthrough, *[F.col("__s__")[f].alias(f) for f in fields])

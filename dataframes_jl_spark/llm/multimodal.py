@@ -35,20 +35,11 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ``df`` up to cluster parallelism ONLY when its plan
-    currently yields fewer partitions (a single-file scan, a collapsed
-    post-AQE exchange) — the CPU-bound kernels downstream must never
-    serialize onto one core, but an input that is already spread must
-    not pay a second exchange. Called on NARROW projections (ids) by
-    the synthesizers and on payload frames by the decoders; the
-    synth→decode composition therefore exchanges 8-byte id rows once
-    and never shuffles payload bytes (guide §8: move heavy bytes
-    exactly once — here, zero times)."""
-    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+# _spread: called on NARROW projections (ids) by the synthesizers and
+# on payload frames by the decoders; the synth->decode composition
+# therefore exchanges 8-byte id rows once and never shuffles payload
+# bytes (guide §8: move heavy bytes exactly once — here, zero times).
+from ..core.partition import spread as _spread  # noqa: E402
 
 
 def attach_media_meta(

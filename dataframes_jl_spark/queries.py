@@ -2845,20 +2845,20 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher quality-filter rules (llm.text.gopher_rules — Rae et al.
-    2021 App. A) evaluated per document: seven rule booleans over one
-    tokenization and one line split, all codegen Column expressions.
+    """Gopher quality-filter rules (llm.text.gopher_report — Rae et al.
+    2021 App. A) evaluated per document: seven rule booleans over ONE
+    tokenization, line split, and token count per row (let1-bound
+    behind a Generate boundary — the dict-of-Columns surface re-derived
+    the tokenization 15x per row; r15 optimization, 2.5x at sf0.1 on
+    identical output). The single-file scan is spread to cluster
+    parallelism before the CPU-bound projection (identity at scale).
     The word floor is relaxed to 5 for this short-document corpus
     (the paper's 50 is the `min_words` default)."""
-    from .llm import gopher_rules, token_count
+    from .core.partition import spread
+    from .llm.text import gopher_report
 
-    docs = _t(spark, sf_dir, "documents")
-    rules = gopher_rules("text", min_words=5)
-    return docs.select(
-        "doc_id",
-        token_count("text").alias("n_words"),
-        *[c.alias(name) for name, c in rules.items()],
-    )
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return gopher_report(docs, "text", ["doc_id"], min_words=5)
 
 
 @register(

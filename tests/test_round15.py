@@ -498,3 +498,32 @@ def test_attribution_left_join_direct_and_null_channel(spark):
     assert out["(direct)"]["credit_linear"] == 5.0
     # NULL-channel touch is a real channel value, not (direct)
     assert out[None]["credit_first"] == 2.0 and out[None]["n_last"] == 1
+
+
+def test_gopher_report_matches_rule_columns(spark):
+    """r15 optimization: gopher_report (let1-bound struct behind a
+    Generate boundary, one tokenization per row) must equal the
+    dict-of-Columns surface field for field, including NULL/blank
+    text edge rows."""
+    from dataframes_jl_spark.llm import gopher_rules, token_count
+    from dataframes_jl_spark.llm.text import gopher_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat and that"),
+            (2, ""),
+            (3, None),
+            (4, "- a\n- b\n- c"),
+            (5, "####### lots of symbols #### here ..."),
+        ],
+        "doc_id int, text string",
+    )
+    rules = gopher_rules("text", min_words=5)
+    ref = df.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        *[c.alias(k) for k, c in rules.items()],
+    )
+    got = gopher_report(df, "text", ["doc_id"], min_words=5)
+    assert got.columns == ref.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
