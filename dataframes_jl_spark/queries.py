@@ -39,6 +39,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _td(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
+    """Text-corpus scan spread to cluster parallelism (core.partition.
+    spread — guide §2.5's input-skew fix): the corpus parquet is one
+    row group, so a CPU-bound tokenize/regex stage over a plain ``_t``
+    scan serializes onto ONE core; ``spread`` is the identity whenever
+    the source already has enough splits (always at scale). Column
+    pruning pushes each query's projection below the added exchange, so
+    only consumed columns shuffle. Used by the text-quality lanes whose
+    first exchange otherwise comes after the heavy per-row work; the
+    dedup lanes already repartition internally. Applied ONLY where the
+    paired A/B showed a win (tfidf, readability, char-LM, ngram, zipf,
+    mojibake, deciles); light-aggregate lanes (text_stats) measured
+    slower with the extra exchange and keep the plain scan."""
+    from .core.partition import spread
+
+    return spread(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # Order-independent floating-point aggregation
 # ---------------------------------------------------------------------------
@@ -2795,7 +2813,7 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import quality_score
     from .ops.sorting import global_ntile, order
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _td(spark, sf_dir).select(
         "doc_id", quality_score("text").alias("score")
     )
     out = global_ntile(
@@ -6750,7 +6768,7 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree exactly."""
     from .llm.text import ngram_counts
 
-    return ngram_counts(_t(spark, sf_dir, "documents"), "text", n=3, min_count=2)
+    return ngram_counts(_td(spark, sf_dir), "text", n=3, min_count=2)
 
 
 # ---------------------------------------------------------------------------
@@ -8494,7 +8512,7 @@ def q_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4e9 bigram occurrences)."""
     from .llm.text import char_bigram_table, char_lm_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     table = char_bigram_table(docs, "text")
     return char_lm_scores(docs, table, "source", "text")
 
@@ -8516,7 +8534,7 @@ def q_char_lm_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin, and sf1 answer row."""
     from .llm.text import char_bigram_table, char_lm_scores
 
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _td(spark, sf_dir).filter(
         F.col("doc_id") % 3 == 0
     )
     table = char_bigram_table(docs, "text")
@@ -10893,7 +10911,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, quantization, and the exact final arithmetic."""
     from .llm.lexical import zipf_fit
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     return zipf_fit(docs, "text")
 
 
@@ -12244,7 +12262,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus statistics."""
     from .llm.relevance import tf_idf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     scored = tf_idf(docs, "doc_id", "text").filter(
         F.pmod(F.col("id"), F.lit(20)) == 0
     )
@@ -12330,7 +12348,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, so the group means are order-independent integer sums."""
     from .llm.text import readability_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     return readability_report(docs, "text", group_by=["lang"])
 
 
@@ -13763,7 +13781,7 @@ def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers end-to-end."""
     from .llm.text import mojibake_audit
 
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     t = F.coalesce(F.col("text"), F.lit(""))
     t = F.when(
         F.pmod(F.col("doc_id"), F.lit(7)) == 0,
