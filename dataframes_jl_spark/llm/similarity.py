@@ -72,11 +72,18 @@ def brute_force_topk(
     Self-search convention: a row never matches itself (query_id !=
     neighbor_id). Ties broken by neighbor id for determinism.
     """
+    from ..core.partition import spread
+
     q = queries.select(
         F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
     )
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    # the corpus side streams the broadcast-nested-loop cosine: a
+    # single-file corpus scan would run every dot product on one core
+    # (guide §2.5 input-skew fix; spread is the identity at scale)
+    c = spread(
+        corpus.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        )
     )
     if broadcast_queries:
         q = F.broadcast(q)

@@ -4335,16 +4335,32 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "is_late", late
     )
-    ostats = fact.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    from pyspark.sql import Window
+
+    # per-order distinct-supplier stats as WINDOW collect_sets over the
+    # same orderkey exchange, not a groupBy + join-back: the aggregate
+    # branch re-executed the whole lineitem x orders fact subtree (its
+    # exchange is not canonically identical to the filtered join-back
+    # side, so AQE stage reuse cannot deduplicate it) — one fact pass,
+    # one exchange, zero self-joins. collect_set drops NULLs exactly
+    # like countDistinct, so n_supps/n_late are value-identical.
+    wo = Window.partitionBy("l_orderkey")
+    stats = fact.withColumn(
+        "n_supps", F.size(F.collect_set("l_suppkey").over(wo))
+    ).withColumn(
+        "n_late",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(wo)
+        ),
     )
     return (
-        fact.filter(F.col("is_late"))
+        stats.filter(
+            F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(ostats, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -10727,10 +10743,17 @@ def _rank_metrics_probes(
         _as_double(F.col("embedding")).alias("qv"),
         F.col("label").alias("ql"),
     )
-    c = emb.select(
-        F.col("vec_id").alias("nid"),
-        _as_double(F.col("embedding")).alias("cv"),
-        F.col("label").alias("cl"),
+    from .core.partition import spread
+
+    # spread the streamed side of the broadcast cross join: the
+    # single-file embeddings scan would otherwise run every cosine on
+    # one core (identity at scale)
+    c = spread(
+        emb.select(
+            F.col("vec_id").alias("nid"),
+            _as_double(F.col("embedding")).alias("cv"),
+            F.col("label").alias("cl"),
+        )
     )
     scored = (
         F.broadcast(q)
