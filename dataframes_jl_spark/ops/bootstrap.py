@@ -68,7 +68,17 @@ def poisson_weight(u: Column) -> Column:
 def _poisson_weights(base: DataFrame, gb: list, n_boot: int, carry: list):
     """Explode each base row into ``n_boot`` (row, replicate) pairs with
     the int64 Poisson(1) weight ``w`` (module doc). ``base`` must carry
-    ``ks`` (the seeded mod-P row key); ``carry`` columns ride along."""
+    ``ks`` (the seeded mod-P row key); ``carry`` columns ride along.
+
+    The base is spread to cluster parallelism first (identity when the
+    source already has enough splits): the explode multiplies rows
+    n_boot-fold and the map-side partial aggregation above it is the
+    heavy stage — on a one-row-group source scan all of that would run
+    on a single core. Weights depend only on (ks, b), so partitioning
+    cannot change them."""
+    from ..core.partition import spread
+
+    base = spread(base)
     ex = base.select(
         *gb,
         "ks",
