@@ -1154,7 +1154,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash-compare loudly, never flakily)."""
     from .llm import duplicated_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     out = duplicated_spans(
         docs, "doc_id", "text",
         n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
@@ -1221,7 +1221,7 @@ def q_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_spans)."""
     from .llm import span_dup_fraction
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     out = span_dup_fraction(
         docs, "doc_id", "text",
         n=_SPANS_N, min_len=_SPANS_MINLEN, max_df=_SPANS_MAXDF,
@@ -1403,7 +1403,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per source (decimal-exact mean — order-independent)."""
     from .llm import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     return docs.groupBy("source").agg(
         F.round(davg(quality_score("text"), 8), 4).alias("avg_quality"),
         F.count(F.lit(1)).alias("n"),
