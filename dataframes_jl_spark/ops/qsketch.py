@@ -193,11 +193,15 @@ def quantile_sketch(
         _mix_col(F.col(uid)).alias("h"),
         F.col(uid).cast("long").alias("uid"),
     )
-    base = base.select(
-        *gb, "q", "h", "uid",
-        F.lit(1).cast("long").alias("w"),
-        F.pmod(F.col("h"), F.lit(B)).cast("long").alias("blk"),
-    ).withColumn("sup", F.expr("blk DIV " + str(B // S)).cast("long"))
+    # ship ONLY (gb, q, h, uid) + the grouping key through the stage-1
+    # exchange: w is the constant 1 and blk = h mod B — both are
+    # rebuilt inside the kernel from h (the mix output is non-negative,
+    # so numpy mod == pmod), saving 16 bytes/row of shuffle at any
+    # scale with bit-identical tree state
+    base = base.withColumn(
+        "sup",
+        F.expr(f"pmod(h, {B}) DIV " + str(B // S)).cast("long"),
+    )
 
     out_schema = ", ".join(
         [f"`{g}` {t}" for g, t in zip(gb, _gb_types(df, gb))]
@@ -208,8 +212,8 @@ def quantile_sketch(
         q = pdf["q"].to_numpy(np.int64)
         h = pdf["h"].to_numpy(np.int64)
         u = pdf["uid"].to_numpy(np.int64)
-        w = pdf["w"].to_numpy(np.int64)
-        blk = pdf["blk"].to_numpy(np.int64)
+        w = np.ones(len(q), dtype=np.int64)
+        blk = np.mod(h, B)
         q, h, u, w, blk = _tree_levels(q, h, u, w, blk, 0, t_local, k)
         out = pd.DataFrame({"q": q, "h": h, "uid": u, "w": w, "blk": blk})
         for g in gb:
