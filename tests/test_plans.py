@@ -391,3 +391,30 @@ def test_weighted_minhash_signature_is_single_aggregate(spark):
     # the signature aggregate exists and no Window sneaks in
     assert "min(pmod" in plan or "min(" in plan
     assert "Window" not in plan
+
+
+def test_multimodal_synth_decode_no_payload_exchange(spark):
+    """r15 optimization: the synth->decode composition must exchange
+    only the narrow id projection BELOW the synthesizer — payload
+    bytes never shuffle (the old shape round-robin-repartitioned the
+    payload frame between the two Python stages)."""
+    import re
+
+    plan = plan_of(QUERIES["q_multimodal_ppm"](spark, SF_DIR))
+    # every Exchange node's input schema must be payload-free
+    ex_blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert ex_blocks, plan
+    for inputs in ex_blocks:
+        assert "payload" not in inputs, inputs
+
+
+def test_q21_single_fact_pass(spark):
+    """r15 optimization: q21's per-order stats ride window collect_sets
+    over ONE orderkey exchange — the groupBy + join-back shape scanned
+    lineitem twice and re-executed the fact join per branch."""
+    plan = plan_of(QUERIES["q21_waiting_supplier"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
