@@ -331,14 +331,22 @@ def main() -> None:
     # Truncation-proof in-repo record (round-9 lesson: the driver's
     # capture clipped BENCH_r09.json to the tail, losing the head of
     # the per-query map). Write the full sorted map to
-    # BENCH_LOCAL_r{N}.json — N inferred as latest recorded round + 1 —
-    # so the round record survives even if the driver's copy clips.
+    # BENCH_LOCAL_r{N}.json — N inferred as latest recorded round + 1.
+    # NON-DESTRUCTIVE since r16 (r15 verdict #3: the driver's own run
+    # overwrote the committed round record): when the name is taken,
+    # fall to BENCH_LOCAL_r{N}_{k}.json for the first free k, so no
+    # bench invocation ever erases an earlier record.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         nxt = _latest_bench_round() + 1
         local = dict(out)
         local["queries"] = dict(sorted(timings.items()))
-        with open(os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json"), "w") as fh:
+        path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}.json")
+        k = 0
+        while os.path.exists(path):
+            k += 1
+            path = os.path.join(here, f"BENCH_LOCAL_r{nxt:02d}_{k}.json")
+        with open(path, "w") as fh:
             json.dump(local, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
@@ -368,9 +376,19 @@ def _fit_for_capture(out: dict) -> dict:
     qs = dict(out["queries"])
     slim["nq_total"] = len(qs)
     slim["full_map"] = "BENCH_LOCAL (in-repo)"
-    # drop cheapest non-core queries until the line fits the capture
+    # Drop queries until the line fits the capture. Droppable order is
+    # DETERMINISTIC ACROSS ROUNDS (r15 verdict #3/#4: by-cheapness alone
+    # re-shuffled the printed set every round, shrinking the driver's
+    # round-over-round comparison to the intersection): queries that
+    # survived into the PREVIOUS round's printed record are dropped
+    # last, so consecutive rounds print a superset-stable set; within
+    # each tier, cheapest first (never a baseline-core query).
+    prev_printed = frozenset(
+        (_latest_recorded_bench() or {}).get("queries", {})
+    )
     droppable = sorted(
-        (n for n in qs if n not in _BASELINE_CORE), key=lambda n: qs[n]
+        (n for n in qs if n not in _BASELINE_CORE),
+        key=lambda n: (n in prev_printed, qs[n]),
     )
     while (
         len(json.dumps({**slim, "queries": qs}, separators=(",", ":")))
@@ -387,9 +405,9 @@ def _latest_local_bench() -> dict | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    best, best_key = None, (-1, -1)
     for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
-        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        m = re.search(r"BENCH_LOCAL_r(\d+)(?:_(\d+))?\.json$", p)
         if not m:
             continue
         try:
@@ -397,8 +415,9 @@ def _latest_local_bench() -> dict | None:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict) and "value" in data and int(m.group(1)) > best_n:
-            best, best_n = data, int(m.group(1))
+        key = (int(m.group(1)), int(m.group(2) or 0))
+        if isinstance(data, dict) and "value" in data and key > best_key:
+            best, best_key = data, key
     return best
 
 
