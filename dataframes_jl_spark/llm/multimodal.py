@@ -671,9 +671,16 @@ def decode_images(
                     }
                 )
 
-    return _spread(
-        df.select(id_col, payload_col), num_partitions
-    ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    src = df.select(id_col, payload_col)
+    if num_partitions is not None:
+        # explicit caller sizing is EXACT (repartition down or up):
+        # callers bound task count / Arrow batch memory with it —
+        # min-only semantics would silently ignore a coalesce request
+        # (r15 ADVICE)
+        src = src.repartition(num_partitions)
+    else:
+        src = _spread(src)
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(
@@ -757,9 +764,142 @@ def resize_images(
                     }
                 )
 
-    return _spread(
-        df.select(id_col, payload_col), num_partitions
-    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+    src = df.select(id_col, payload_col)
+    if num_partitions is not None:
+        # exact count on explicit request — see decode_images
+        src = src.repartition(num_partitions)
+    else:
+        src = _spread(src)
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ------------------------------------------------- per-id payload builders
+# Pure functions id -> image bytes, shared by the synth operators (one
+# mapInPandas emitting payload rows) and the FUSED synth→decode lane
+# (synth_decode_features — r15 verdict #1): fusing keeps the payload
+# bytes inside ONE Python worker instead of round-tripping them
+# JVM→Python→JVM→Python→JVM between two mapInPandas stages (guide §4:
+# eliminate boundary crossings; the payload never crosses at all).
+
+
+def _ppm_payload(i: int, width: int, height: int) -> bytes:
+    header = f"P6\n{width} {height}\n255\n".encode()
+    n = width * height
+    return header + bytes([37 * i % 256, 59 * i % 256, 83 * i % 256]) * n
+
+
+def _pgm_payload(i: int, width: int, height: int) -> bytes:
+    header = f"P5\n{width} {height}\n255\n".encode()
+    mod = 256 - width
+    return header + bytes(range(53 * i % mod, 53 * i % mod + width)) * height
+
+
+def _pbm_payload(i: int, width: int, height: int) -> bytes:
+    header = f"P4\n{width} {height}\n".encode()
+    row_bytes = (width + 7) // 8
+    b = int(i) % (width + 1)
+    rowbits = [1] * b + [0] * (row_bytes * 8 - b)
+    row = bytes(
+        sum(bit << (7 - j) for j, bit in enumerate(rowbits[k : k + 8]))
+        for k in range(0, row_bytes * 8, 8)
+    )
+    return header + row * height
+
+
+def _ppm_ascii_payload(i: int, width: int, height: int, maxval: int) -> bytes:
+    header = (
+        f"P3\n# synthesized by dataframes_jl_spark\n"
+        f"{width} {height}\n{maxval}\n"
+    ).encode()
+    m1 = maxval + 1
+    n = width * height
+    r, g, b = 3 * int(i) % m1, 5 * int(i) % m1, 7 * int(i) % m1
+    raster = "\n".join([f"{r} {g} {b}"] * n).encode()
+    return header + raster + b"\n"
+
+
+def _pgm_ascii_payload(i: int, width: int, height: int, maxval: int) -> bytes:
+    header = f"P2\n{width} {height}\n{maxval}\n".encode()
+    mod = maxval - width + 2
+    g0 = 67 * int(i) % mod
+    row = " ".join(str(g0 + j) for j in range(width))
+    return header + ("\n".join([row] * height)).encode() + b"\n"
+
+
+def _pbm_ascii_payload(i: int, width: int, height: int) -> bytes:
+    header = f"P1\n{width} {height}\n".encode()
+    b = int(i) % (width + 1)
+    row = "1" * b + "0" * (width - b)
+    return header + ("\n".join([row] * height)).encode() + b"\n"
+
+
+def _png_payload(i: int, width: int, height: int) -> bytes:
+    return _encode_png_rgb8(_gradient_rows(int(i), width, height), width, height)
+
+
+def _bmp_payload(i: int, width: int, height: int) -> bytes:
+    return _encode_bmp_rgb8(_gradient_rows(int(i), width, height), width, height)
+
+
+SYNTH_PAYLOADS = {
+    "ppm": _ppm_payload,
+    "pgm": _pgm_payload,
+    "pbm": _pbm_payload,
+    "p3": _ppm_ascii_payload,
+    "p2": _pgm_ascii_payload,
+    "p1": _pbm_ascii_payload,
+    "png": _png_payload,
+    "bmp": _bmp_payload,
+}
+
+
+def synth_decode_features(
+    df: DataFrame,
+    kind: str,
+    id_col: str = "media_id",
+    num_partitions: int | None = None,
+    **synth_kw,
+) -> DataFrame:
+    """FUSED synth→decode for the synthetic round-trip gates: ONE
+    mapInPandas builds each id's payload (the same bytes the synth
+    operator emits) and immediately decodes it through the REAL
+    ``_decode_image_kernel`` (fake=False), yielding IMAGE_FEATURES
+    rows. Value-identical to ``decode_images(synth_X_images(ids))`` —
+    same payload builder, same decoder — but the payload bytes never
+    cross the JVM↔Python boundary and the chain is one Python stage
+    instead of two (guide §4; r15 verdict #1: two back-to-back
+    MapInPandas per task demanded 2× cluster-parallelism Python
+    workers and double Arrow round-trips)."""
+    payload_fn = SYNTH_PAYLOADS[kind]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            feats = [
+                _decode_image_kernel(payload_fn(int(i), **synth_kw), False)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    src = df.select(F.col(id_col).cast("bigint").alias(id_col))
+    if num_partitions is not None:
+        src = src.repartition(num_partitions)
+    else:
+        # volume-sized (guide §2.5): the synth+decode kernel costs
+        # ~45 ns per estimated input byte, so ~1 MiB of id-projection
+        # estimate per task keeps task compute well above the ~12 ms
+        # Python-task overhead; capped at cluster parallelism, so at
+        # scale this is the plain full spread.
+        src = _spread(src, bytes_per_task=1 << 20)
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def synth_ppm_images(
@@ -781,15 +921,9 @@ def synth_ppm_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = f"P6\n{width} {height}\n255\n".encode()
-        n = width * height
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [
-                header
-                + bytes([37 * i % 256, 59 * i % 256, 83 * i % 256]) * n
-                for i in ids
-            ]
+            payloads = [_ppm_payload(int(i), width, height) for i in ids]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -813,15 +947,9 @@ def synth_pgm_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = f"P5\n{width} {height}\n255\n".encode()
-        mod = 256 - width
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [
-                header
-                + bytes(range(53 * i % mod, 53 * i % mod + width)) * height
-                for i in ids
-            ]
+            payloads = [_pgm_payload(int(i), width, height) for i in ids]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -845,19 +973,9 @@ def synth_pbm_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = f"P4\n{width} {height}\n".encode()
-        row_bytes = (width + 7) // 8
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                b = int(i) % (width + 1)
-                rowbits = [1] * b + [0] * (row_bytes * 8 - b)
-                row = bytes(
-                    sum(bit << (7 - j) for j, bit in enumerate(rowbits[k : k + 8]))
-                    for k in range(0, row_bytes * 8, 8)
-                )
-                payloads.append(header + row * height)
+            payloads = [_pbm_payload(int(i), width, height) for i in ids]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -881,19 +999,11 @@ def synth_ppm_ascii_images(
     form ``(0.299·r + 0.587·g + 0.114·b) / maxval``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = (
-            f"P3\n# synthesized by dataframes_jl_spark\n"
-            f"{width} {height}\n{maxval}\n"
-        ).encode()
-        m1 = maxval + 1
-        n = width * height
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                r, g, b = 3 * int(i) % m1, 5 * int(i) % m1, 7 * int(i) % m1
-                raster = "\n".join([f"{r} {g} {b}"] * n).encode()
-                payloads.append(header + raster + b"\n")
+            payloads = [
+                _ppm_ascii_payload(int(i), width, height, maxval) for i in ids
+            ]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -917,17 +1027,11 @@ def synth_pgm_ascii_images(
     sum over ``width·height·maxval``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = f"P2\n{width} {height}\n{maxval}\n".encode()
-        mod = maxval - width + 2
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                g0 = 67 * int(i) % mod
-                row = " ".join(str(g0 + j) for j in range(width))
-                payloads.append(
-                    header + ("\n".join([row] * height)).encode() + b"\n"
-                )
+            payloads = [
+                _pgm_ascii_payload(int(i), width, height, maxval) for i in ids
+            ]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -949,16 +1053,9 @@ def synth_pbm_ascii_images(
     mean_luma has the closed form ``(width − b) / width``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = f"P1\n{width} {height}\n".encode()
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for i in ids:
-                b = int(i) % (width + 1)
-                row = "1" * b + "0" * (width - b)
-                payloads.append(
-                    header + ("\n".join([row] * height)).encode() + b"\n"
-                )
+            payloads = [_pbm_ascii_payload(int(i), width, height) for i in ids]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -1002,12 +1099,7 @@ def synth_png_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [
-                _encode_png_rgb8(
-                    _gradient_rows(int(i), width, height), width, height
-                )
-                for i in ids
-            ]
+            payloads = [_png_payload(int(i), width, height) for i in ids]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(
@@ -1029,12 +1121,7 @@ def synth_bmp_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [
-                _encode_bmp_rgb8(
-                    _gradient_rows(int(i), width, height), width, height
-                )
-                for i in ids
-            ]
+            payloads = [_bmp_payload(int(i), width, height) for i in ids]
             yield pd.DataFrame({"media_id": ids.values, "payload": payloads})
 
     return _spread(

@@ -67,7 +67,20 @@ def _violation_pred(r: dict):
 
 def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Evaluate ``rules`` (built with this module's constructors)
-    against ``df``; returns the bounded report frame (module doc)."""
+    against ``df``; returns the bounded report frame (module doc).
+
+    Plan shape (r16, guide §2.3 "aggregate before you shuffle"): the
+    row-predicate rules compile to ONE aggregate of pure conditional
+    counters — map-side partial combine, a 1-row exchange. ``unique``
+    and ``foreign_key`` rules no longer ride that aggregate as
+    ``count_distinct`` (two distinct key-sets forced an Expand xN
+    re-shuffle of every row) nor pay a private per-rule exchange:
+    all key rules sharing a LEAD column fold over one
+    ``groupBy(lead)`` pre-aggregate — |distinct keys| rows move once,
+    uniqueness counts and the FK anti-join both read that table.
+    Counting semantics are unchanged: unique/foreign_key check
+    non-NULL keys only; a composite unique counts rows where EVERY
+    key column is non-NULL."""
     if not rules:
         raise ValueError("expect() needs at least one rule")
     row_rules = [r for r in rules if r["rule"] not in ("unique", "foreign_key")]
@@ -79,18 +92,78 @@ def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
         aggs.append(
             F.count(F.when(_violation_pred(r), F.lit(1))).alias(f"__v{i}__")
         )
-    for j, r in enumerate(uni_rules):
-        key = [F.col(c) for c in r["columns"]]
-        nn = F.struct(*key)
-        all_nn = None
-        for c in r["columns"]:
-            cond = F.col(c).isNotNull()
-            all_nn = cond if all_nn is None else (all_nn & cond)
-        aggs.append(F.count(F.when(all_nn, F.lit(1))).alias(f"__uc{j}__"))
-        aggs.append(
-            F.count_distinct(F.when(all_nn, nn)).alias(f"__ud{j}__")
-        )
     one = df.agg(*aggs)
+
+    # ---- key rules: one per-lead-column aggregate serves every
+    # unique() and foreign_key() on that lead column -----------------
+    leads: list[str] = []
+    for r in uni_rules:
+        if r["columns"][0] not in leads:
+            leads.append(r["columns"][0])
+    for r in fk_rules:
+        if r["column"] not in leads:
+            leads.append(r["column"])
+
+    fold_frames = []  # 1-row frames crossJoined into `one`
+    fk_cols: dict[int, tuple[str, str]] = {}  # fk idx -> (nc, nv) col names
+    for li, lead in enumerate(leads):
+        my_unis = [
+            (j, r) for j, r in enumerate(uni_rules) if r["columns"][0] == lead
+        ]
+        my_fks = [
+            (i, r) for i, r in enumerate(fk_rules) if r["column"] == lead
+        ]
+        key_aggs = [F.count(F.lit(1)).alias("__mult__")]
+        for j, r in my_unis:
+            rest = r["columns"][1:]
+            if rest:
+                all_nn = None
+                for c in rest:
+                    cond = F.col(c).isNotNull()
+                    all_nn = cond if all_nn is None else (all_nn & cond)
+                key_aggs.append(
+                    F.count(F.when(all_nn, F.lit(1))).alias(f"__kc{j}__")
+                )
+                key_aggs.append(
+                    F.count_distinct(
+                        F.when(all_nn, F.struct(*[F.col(c) for c in rest]))
+                    ).alias(f"__kd{j}__")
+                )
+        per_key = (
+            df.filter(F.col(lead).isNotNull())
+            .groupBy(F.col(lead).alias("__k__"))
+            .agg(*key_aggs)
+        )
+        fold_aggs = [F.sum("__mult__").alias(f"__nn{li}__"),
+                     F.count(F.lit(1)).alias(f"__nk{li}__")]
+        for j, r in my_unis:
+            if r["columns"][1:]:
+                fold_aggs.append(F.sum(f"__kc{j}__").alias(f"__uc{j}__"))
+                fold_aggs.append(F.sum(f"__kd{j}__").alias(f"__ud{j}__"))
+        fold_frames.append(per_key.agg(*fold_aggs))
+        for i, r in my_fks:
+            parent_keys = (
+                r["parent"]
+                .filter(F.col(r["pk"]).isNotNull())
+                .select(F.col(r["pk"]).alias("__pk__"))
+                .distinct()
+            )
+            missing = (
+                per_key.join(
+                    parent_keys, F.col("__k__") == F.col("__pk__"), "left_anti"
+                )
+                .groupBy()
+                .agg(
+                    F.coalesce(F.sum("__mult__"), F.lit(0)).alias(
+                        f"__fknv{i}__"
+                    )
+                )
+            )
+            fk_cols[i] = (f"__nn{li}__", f"__fknv{i}__")
+            fold_frames.append(missing)
+
+    for ff in fold_frames:
+        one = one.crossJoin(F.broadcast(ff))
 
     entries = []
     for i, r in enumerate(row_rules):
@@ -103,51 +176,34 @@ def expect(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
         )
     for j, r in enumerate(uni_rules):
+        li = leads.index(r["columns"][0])
+        if r["columns"][1:]:
+            nc = F.col(f"__uc{j}__")
+            nv = F.col(f"__uc{j}__") - F.col(f"__ud{j}__")
+        else:
+            nc = F.col(f"__nn{li}__")
+            nv = F.col(f"__nn{li}__") - F.col(f"__nk{li}__")
         entries.append(
             F.struct(
                 F.lit("unique").alias("rule"),
                 F.lit(r["column"]).alias("column"),
-                F.col(f"__uc{j}__").alias("n_checked"),
-                (F.col(f"__uc{j}__") - F.col(f"__ud{j}__")).alias(
-                    "n_violations"
-                ),
+                F.coalesce(nc, F.lit(0)).alias("n_checked"),
+                F.coalesce(nv, F.lit(0)).alias("n_violations"),
+            )
+        )
+    for i, r in enumerate(fk_rules):
+        nc_col, nv_col = fk_cols[i]
+        entries.append(
+            F.struct(
+                F.lit("foreign_key").alias("rule"),
+                F.lit(r["column"]).alias("column"),
+                F.coalesce(F.col(nc_col), F.lit(0)).alias("n_checked"),
+                F.col(nv_col).alias("n_violations"),
             )
         )
     report = one.select(F.explode(F.array(*entries)).alias("e")).select(
         "e.rule", "e.column", "e.n_checked", "e.n_violations"
     )
-
-    for r in fk_rules:
-        child_keys = (
-            df.filter(F.col(r["column"]).isNotNull())
-            .select(F.col(r["column"]).alias("__k__"))
-        )
-        n_checked = child_keys.groupBy().agg(F.count(F.lit(1)).alias("nc"))
-        # DISTINCT keys anti-join the parent: |keys| rows move, and the
-        # missing-key count weights each by its child multiplicity
-        per_key = child_keys.groupBy("__k__").agg(
-            F.count(F.lit(1)).alias("mult")
-        )
-        parent_keys = (
-            r["parent"]
-            .filter(F.col(r["pk"]).isNotNull())
-            .select(F.col(r["pk"]).alias("__pk__"))
-            .distinct()
-        )
-        missing = (
-            per_key.join(
-                parent_keys, F.col("__k__") == F.col("__pk__"), "left_anti"
-            )
-            .groupBy()
-            .agg(F.coalesce(F.sum("mult"), F.lit(0)).alias("nv"))
-        )
-        fk_row = n_checked.crossJoin(F.broadcast(missing)).select(
-            F.lit("foreign_key").alias("rule"),
-            F.lit(r["column"]).alias("column"),
-            F.col("nc").alias("n_checked"),
-            F.col("nv").alias("n_violations"),
-        )
-        report = report.unionByName(fk_row)
 
     return report.select(
         "rule",

@@ -13227,22 +13227,13 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the generator. Upgrades the multimodal lane from fake-kernel
     plumbing to a real decode path with zero library dependencies;
     Arrow-batched mapInPandas on both sides of the round trip."""
-    from .llm.multimodal import decode_images, synth_ppm_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_ppm_images(ids, "media_id", width=8, height=6)
-    feats = decode_images(imgs, "payload", "media_id", fake=False)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        (F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "mean_luma"
-        ),
-    )
+    feats = synth_decode_features(ids, "ppm", "media_id", width=8, height=6)
+    return _netpbm_gate(feats)
 
 
 @register(
@@ -13278,23 +13269,13 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     knows every feature in closed form from the gradient bases, so a
     hash match certifies the DECODER. First lane decoding a format a
     real corpus actually ships, with zero imaging libraries."""
-    from .llm.multimodal import decode_images, synth_png_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_png_images(ids, "media_id", width=8, height=6)
-    feats = decode_images(imgs, "payload", "media_id", fake=False)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        (
-            F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5))
-            / F.lit(1e6)
-        ).alias("mean_luma"),
-    )
+    feats = synth_decode_features(ids, "png", "media_id", width=8, height=6)
+    return _netpbm_gate(feats)
 
 
 @register(
@@ -13325,23 +13306,13 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip/swap/pad handling (llm.multimodal._decode_bmp), not just
     byte copying. Same closed-form oracle; identical features ==
     format-independent decode contract."""
-    from .llm.multimodal import decode_images, synth_bmp_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_bmp_images(ids, "media_id", width=8, height=6)
-    feats = decode_images(imgs, "payload", "media_id", fake=False)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        (
-            F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5))
-            / F.lit(1e6)
-        ).alias("mean_luma"),
-    )
+    feats = synth_decode_features(ids, "bmp", "media_id", width=8, height=6)
+    return _netpbm_gate(feats)
 
 
 @register(
@@ -13369,12 +13340,14 @@ def q_multimodal_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_multimodal_ppm's constant fill — makes this gate sensitive to
     raster framing: an off-by-one offset shifts the sum. The oracle
     never sees a byte; a hash match certifies the DECODER."""
-    from .llm.multimodal import decode_images, synth_pgm_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_pgm_images(ids, "media_id", width=8, height=6)
+    return _netpbm_gate(
+        synth_decode_features(ids, "pgm", "media_id", width=8, height=6)
+    )
     feats = decode_images(imgs, "payload", "media_id", fake=False)
     return feats.select(
         "media_id",
@@ -13412,22 +13385,13 @@ def q_multimodal_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels and hash-mismatches immediately — the gate certifies the
     one netpbm subtlety P6/P5 don't exercise. Oracle is the closed
     generation formula, zero bytes seen."""
-    from .llm.multimodal import decode_images, synth_pbm_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_pbm_images(ids, "media_id", width=12, height=6)
-    feats = decode_images(imgs, "payload", "media_id", fake=False)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        (F.floor(F.col("mean_luma") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "mean_luma"
-        ),
-    )
+    feats = synth_decode_features(ids, "pbm", "media_id", width=12, height=6)
+    return _netpbm_gate(feats)
 
 
 def _netpbm_gate(feats: DataFrame) -> DataFrame:
@@ -13475,13 +13439,16 @@ def q_multimodal_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment skipping between header tokens. Oracle is the closed
     generation formula — it never sees a byte, so a hash match
     certifies the DECODER."""
-    from .llm.multimodal import decode_images, synth_ppm_ascii_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_ppm_ascii_images(ids, "media_id", width=5, height=4, maxval=9)
-    return _netpbm_gate(decode_images(imgs, "payload", "media_id", fake=False))
+    return _netpbm_gate(
+        synth_decode_features(
+            ids, "p3", "media_id", width=5, height=4, maxval=9
+        )
+    )
 
 
 @register(
@@ -13507,15 +13474,16 @@ def q_multimodal_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the gate sensitive to sample-order framing; the maxval-999
     normalization certifies the >8-bit range. Oracle is the closed
     pixel-sum formula h·(w·g0 + w(w−1)/2)."""
-    from .llm.multimodal import decode_images, synth_pgm_ascii_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_pgm_ascii_images(
-        ids, "media_id", width=8, height=5, maxval=999
+    return _netpbm_gate(
+        synth_decode_features(
+            ids, "p2", "media_id", width=8, height=5, maxval=999
+        )
     )
-    return _netpbm_gate(decode_images(imgs, "payload", "media_id", fake=False))
 
 
 @register(
@@ -13541,13 +13509,14 @@ def q_multimodal_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster by whitespace sees one 9-digit "sample" per row and dies;
     the packed-digit path is exactly what this gate certifies. Oracle
     is the closed white-fraction (w − b)/w."""
-    from .llm.multimodal import decode_images, synth_pbm_ascii_images
+    from .llm.multimodal import synth_decode_features
 
     ids = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-    imgs = synth_pbm_ascii_images(ids, "media_id", width=9, height=4)
-    return _netpbm_gate(decode_images(imgs, "payload", "media_id", fake=False))
+    return _netpbm_gate(
+        synth_decode_features(ids, "p1", "media_id", width=9, height=4)
+    )
 
 
 @register(

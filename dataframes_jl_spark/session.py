@@ -20,6 +20,21 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize (and coalesce) the plan fragments UNDER a
+    # persist() too (default false only to keep cached output
+    # partitioning stable for zip-style consumers, which this engine
+    # has none of — every pid-dependent operator freezes
+    # spark_partition_id() INTO the cached rows and derives its carry
+    # maps from that same materialization, so a re-coalesced cache is
+    # value-identical). Without it, every bounded persisted table
+    # (with_running's parted, mood/HL per-value counts, dedup shingle
+    # tables) caches at the full shuffle partition count and every
+    # branch over it schedules that many near-empty tasks: measured at
+    # local[32], q_mood_median_lean 1.78 -> 0.78 s (1113 -> 90 tasks),
+    # q_hodges_lehmann 0.43 -> 0.26 s. At cluster scale the same
+    # setting right-sizes cached-fragment partitions by data volume
+    # (AQE advisory sizes) instead of pinning tiny reduce tasks.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Broadcast joins for small dimension tables (region/nation/supplier).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for every pandas_udf / applyInPandas / toPandas crossing.

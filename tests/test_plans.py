@@ -401,13 +401,20 @@ def test_multimodal_synth_decode_no_payload_exchange(spark):
     import re
 
     plan = plan_of(QUERIES["q_multimodal_ppm"](spark, SF_DIR))
-    # every Exchange node's input schema must be payload-free
+    # every Exchange node's input schema must be payload-free. r16
+    # tightened the lane further (fused synth+decode kernel + volume-
+    # sized spread): at small SF the plan may now have ZERO exchanges —
+    # payload bytes not only never shuffle, they never leave the Python
+    # worker that synthesized them.
     ex_blocks = re.findall(
         r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
     )
-    assert ex_blocks, plan
     for inputs in ex_blocks:
         assert "payload" not in inputs, inputs
+    # exactly ONE Python stage: the fused kernel (two back-to-back
+    # MapInPandas would demand 2x cluster-parallelism Python workers).
+    # Count tree nodes ("MapInPandas (n)"), not detail-section echoes.
+    assert plan.count("MapInPandas (") == 1, plan
 
 
 def test_q21_single_fact_pass(spark):
