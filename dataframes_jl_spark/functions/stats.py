@@ -3821,32 +3821,48 @@ def mood_median_test(
         )
     )
     tm = F.lit(float(10**term_scale))
-    agd = F.col("ag").cast("double")
-    ngd = F.col("ng").cast("double")
-    bgd = (F.col("ng") - F.col("ag")).cast("double")
-    # per-group quotient terms need the grand totals — attach the
-    # bounded 1-row totals frame, then quantize each term to int64
-    # units BEFORE summing so the fold is order-independent
-    gt = per_g.agg(
+    # per-group quotient terms need the grand totals. r15 attached
+    # them by crossJoin(broadcast(totals)) and re-aggregated — two
+    # 1-row aggregates and a broadcast join in sequence (guide §2.1:
+    # fewest stages). r16 folds ONCE: the totals AND the k-bounded
+    # (ng, ag) rows ride the same aggregate (collect_list over k =
+    # |group levels| rows — bounded small by the test's contract), and
+    # the quantized quotient terms fold in a projection via
+    # F.aggregate. Arithmetic per term is bit-identical (same doubles,
+    # same floor-to-int64 before the order-independent integer sum).
+    ad = F.col("a_tot").cast("double")
+    nd = F.col("n").cast("double")
+
+    def _term_sum(num_fn):
+        zero = F.lit(0).cast("long")
+        return F.aggregate(
+            F.col("rows"),
+            zero,
+            lambda acc, x: acc
+            + F.floor(num_fn(x) * tm + F.lit(0.5)).cast("long"),
+        )
+
+    def _t1(x):
+        agx = x["ag"].cast("double")
+        ngx = x["ng"].cast("double")
+        return agx * agx / (ngx * ad)
+
+    def _t2(x):
+        bgx = (x["ng"] - x["ag"]).cast("double")
+        ngx = x["ng"].cast("double")
+        return bgx * bgx / (ngx * (nd - ad))
+
+    folded = per_g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("ng").alias("n"),
         F.sum("ag").alias("a_tot"),
-    )
-    ad = F.col("a_tot").cast("double")
-    nd = F.col("n").cast("double")
-    t1 = F.floor(agd * agd / (ngd * ad) * tm + F.lit(0.5)).cast("long")
-    t2 = F.floor(bgd * bgd / (ngd * (nd - ad)) * tm + F.lit(0.5)).cast(
-        "long"
-    )
-    folded = (
-        per_g.crossJoin(F.broadcast(gt))
-        .agg(
-            F.sum(t1).alias("s1"),
-            F.sum(t2).alias("s2"),
-            F.max("k").alias("k"),
-            F.max("n").alias("n"),
-            F.max("a_tot").alias("a_tot"),
-        )
+        F.collect_list(F.struct(F.col("ng"), F.col("ag"))).alias("rows"),
+    ).select(
+        "k",
+        "n",
+        "a_tot",
+        _term_sum(_t1).alias("s1"),
+        _term_sum(_t2).alias("s2"),
     )
     chi2 = (
         F.col("n").cast("double")

@@ -340,6 +340,21 @@ def minhash_lsh_pairs(
     if pre_partition:
         banded = banded.repartition(join_par, "band", "bucket")
 
+    # Persist the (id, shingles) verify table: it feeds BOTH verify
+    # joins (by id_a and id_b — different keys, so exchange reuse never
+    # covers them) and each un-persisted read re-shingled the corpus.
+    # The r15 experiment measured this persist 2x SLOWER; re-tested in
+    # r16 (verdict ask #6) under AQE-recoalesced cached plans
+    # (session.py canChangeCachedPlanOutputPartitioning) it WINS
+    # (interleaved A/B 0.79 -> 0.75 s minhash, 0.83 -> 0.75 s
+    # containment at sf0.1) — the cache no longer fans every consumer
+    # into shuffle-partition-count near-empty tasks. Handle rides the
+    # result via the hold/release contract.
+    from pyspark import StorageLevel
+
+    from ..core.cache import hold
+
+    sh_tab = sh_tab.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select("band", "bucket", F.col("id").alias("id_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
@@ -348,7 +363,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_pairs(cand, sh_tab, sh_tab, threshold)
+    return hold(_verify_pairs(cand, sh_tab, sh_tab, threshold), sh_tab)
 
 
 def containment_pairs_lsh(
@@ -394,6 +409,14 @@ def containment_pairs_lsh(
     banded, sh_tab = _lsh_tables(
         df, id_col, text_col, num_hashes, bands, n, par
     )
+    # persist the verify table — same rationale and A/B evidence as
+    # minhash_lsh_pairs (both verify joins re-shingled the corpus);
+    # handle rides the result via hold/release
+    from pyspark import StorageLevel
+
+    from ..core.cache import hold
+
+    sh_tab = sh_tab.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select("band", "bucket", F.col("id").alias("id_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
@@ -417,7 +440,7 @@ def containment_pairs_lsh(
 
     ca = _q(common.cast("double") / F.size("sa").cast("double"))
     cb = _q(common.cast("double") / F.size("sb").cast("double"))
-    return pairs.select(
+    out = pairs.select(
         "id_a",
         "id_b",
         ca.alias("containment_a"),
@@ -426,6 +449,7 @@ def containment_pairs_lsh(
         F.greatest(F.col("containment_a"), F.col("containment_b"))
         >= F.lit(float(threshold))
     )
+    return hold(out, sh_tab)
 
 
 def containment_pairs_prefix(

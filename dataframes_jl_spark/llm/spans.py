@@ -131,19 +131,27 @@ def duplicated_spans(
         a.join(b, on="gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pos_a", "pos_b")
-        # a gram repeated inside one doc yields duplicate (pos_a, pos_b)
-        # rows only via distinct gram strings at the same positions —
-        # impossible — but the SAME diagonal can be hit at one position
-        # by two different grams only if gram strings collide; with
-        # hash_grams a 64-bit collision could duplicate a row, so dedup
-        # defensively before run-length logic (row_number double-counts
-        # duplicates and would split runs).
-        .dropDuplicates(["id_a", "id_b", "pos_a", "pos_b"])
     )
 
+    # a gram repeated inside one doc yields duplicate (pos_a, pos_b)
+    # rows only via distinct gram strings at the same positions —
+    # impossible — but the SAME diagonal can be hit at one position
+    # by two different grams only if gram strings collide; with
+    # hash_grams a 64-bit collision could duplicate a row, and
+    # row_number double-counts duplicates and would split runs. The
+    # dedup rides the diagonal window's OWN exchange (duplicates share
+    # (id_a, id_b, offset) and sort adjacently on pos_a, so a lag
+    # filter keeps exactly one) — r15's dropDuplicates paid a full
+    # extra exchange of the match table for the same guarantee.
     diag = m.withColumn("offset", F.col("pos_a") - F.col("pos_b"))
     w = Window.partitionBy("id_a", "id_b", "offset").orderBy("pos_a")
-    runs = diag.withColumn("__run__", F.col("pos_a") - F.row_number().over(w))
+    prev = F.lag("pos_a").over(w)
+    deduped = diag.withColumn("__prev__", prev).filter(
+        F.col("__prev__").isNull() | (F.col("pos_a") != F.col("__prev__"))
+    )
+    runs = deduped.withColumn(
+        "__run__", F.col("pos_a") - F.row_number().over(w)
+    )
     spans = (
         runs.groupBy("id_a", "id_b", "offset", "__run__")
         .agg(
