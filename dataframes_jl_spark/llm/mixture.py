@@ -227,6 +227,13 @@ def dsir_weights(
     Returns one row per raw document: ``(id, n_tok, log_weight)``;
     empty/whitespace-only docs get log_weight 0.0 (no evidence either
     way), n_tok 0.
+
+    Caching contract: persists the V+1-row log-ratio table (a few KB
+    at any corpus scale; it feeds the broadcast scorer AND the OOV
+    mass) and attaches the handle to the result as
+    ``unpersist_handles`` — release with
+    ``dataframes_jl_spark.release(result)`` once consumed (or
+    session-wide ``spark.catalog.clearCache()``).
     """
     if vocab_size < 1:
         raise ValueError("dsir_weights: vocab_size must be >= 1")

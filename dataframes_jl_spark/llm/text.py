@@ -364,11 +364,17 @@ def gopher_pass(col: str | Column, **kw) -> Column:
 
 
 def _kw_defaults(kw: dict) -> dict:
-    return {
-        "min_words": kw.get("min_words", 50),
-        "max_words": kw.get("max_words", 100_000),
-        "min_stopwords": kw.get("min_stopwords", 2),
-    }
+    out = {"min_words": 50, "max_words": 100_000, "min_stopwords": 2}
+    unknown = set(kw) - set(out)
+    if unknown:
+        # a misspelled threshold silently reverting to its default is a
+        # curation bug factory — fail like the old **kw forwarding did
+        raise TypeError(
+            f"gopher_pass: unknown keyword arguments {sorted(unknown)}; "
+            f"accepted: {sorted(out)}"
+        )
+    out.update(kw)
+    return out
 
 
 def c4_clean_lines(col: str | Column, min_words: int = 5) -> Column:

@@ -62,6 +62,14 @@ def frequent_pairs(
     ``item_a < item_b`` under the column's natural ordering; items must
     be non-NULL (NULL items are dropped — a NULL co-occurrence is
     meaningless).
+
+    Caching contract: persists the vocabulary-bounded item-count table
+    (it feeds the prune list and both metric join sides) and attaches
+    the handle to the result as ``unpersist_handles`` — release with
+    ``dataframes_jl_spark.release(result)`` once consumed (or
+    session-wide ``spark.catalog.clearCache()``); pre-contract callers
+    that never release simply accumulate one bounded cached table per
+    call, exactly like the r14 operators that pioneered the contract.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")

@@ -425,3 +425,42 @@ def test_q21_single_fact_pass(spark):
     assert plan.count("lineitem.parquet") == 1
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_gopher_single_tokenization_per_row(spark):
+    """r15 optimization (kept by r16 plan gate): the gopher rule battery
+    computes its tokenization ONCE per row behind a Generate boundary —
+    the dict-of-Columns surface re-derived split(trim(text)) 15x per
+    row (lambda exprs escape codegen CSE; CollapseProject re-inlines
+    the struct)."""
+    plan = plan_of(QUERIES["q_gopher_rules"](spark, SF_DIR))
+    assert "Generate" in plan, plan
+    # the tokenizing split survives at most twice in the whole plan
+    # (once inside the let1-bound struct, once for any independent
+    # consumer) — 15 copies is the regression this test pins against
+    assert plan.count("split(trim(") <= 2, plan.count("split(trim(")
+
+
+def test_dsir_persist_shape(spark):
+    """r15 optimization (kept by r16 plan gate): dsir's V+1-row
+    log-ratio table is persisted (InMemoryRelation) and the corpus
+    totals come from a size(tokens())-sum pass, not a re-run of the
+    tokenize+explode+groupBy subtree — the before-plan had 9 documents
+    scans and 13 exchanges."""
+    plan = plan_of(QUERIES["q_dsir_weights"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert plan.count("documents.parquet") <= 7, plan.count(
+        "documents.parquet"
+    )
+
+
+def test_frequent_pairs_persist_shape(spark):
+    """r15 optimization (kept by r16 plan gate): the vocabulary-bounded
+    item-count table persists once and feeds the prune list + both
+    metric join sides — unpersisted, each branch re-ran the distinct
+    shuffle (7 scans in the before-plan)."""
+    plan = plan_of(QUERIES["q_npmi_pairs_lean"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert plan.count("lineitem.parquet") <= 4, plan.count(
+        "lineitem.parquet"
+    )
