@@ -670,7 +670,19 @@ def char_lm_scores(
     weighted by occurrence counts, divided once.
 
     Returns ``(group, n_bigrams, avg_logp)``.
+
+    Caching contract: persists the |alphabet|²-bounded model table (it
+    feeds the broadcast scorer AND the unseen-bigram floor aggregate —
+    unpersisted, each consumer re-ran the full training explode+count
+    over the corpus); the handle rides the result as
+    ``unpersist_handles`` — release with
+    ``dataframes_jl_spark.release(result)`` once consumed.
     """
+    from pyspark import StorageLevel
+
+    from ..core.cache import hold
+
+    table = table.persist(StorageLevel.MEMORY_AND_DISK)
     c = F.col(text_col)
     bgs = F.transform(
         F.sequence(F.lit(1), F.length(c) - 1),
@@ -723,10 +735,13 @@ def char_lm_scores(
     avg = (
         F.col("__su__").cast("double") / m / F.col("n_bigrams").cast("double")
     )
-    return agg.select(
-        F.col("g").alias(group_by),
-        "n_bigrams",
-        (F.floor(avg * om + F.lit(0.5)) / om).alias("avg_logp"),
+    return hold(
+        agg.select(
+            F.col("g").alias(group_by),
+            "n_bigrams",
+            (F.floor(avg * om + F.lit(0.5)) / om).alias("avg_logp"),
+        ),
+        table,
     )
 
 
