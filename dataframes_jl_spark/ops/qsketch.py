@@ -220,16 +220,7 @@ def quantile_sketch(
             out[g] = pdf[g].iloc[0]
         return out[gb + ["q", "h", "uid", "w", "blk"]]
 
-    # r16 (guide §4): both tree stages run as repartition-by-key +
-    # mapInPandas with an IN-KERNEL group loop instead of
-    # groupBy().applyInPandas — FlatMapGroupsInPandas invokes Python
-    # once per GROUP (|gb| x S invocations, each paying pandas frame
-    # construction + an Arrow batch), which dominated the wall at small
-    # group sizes; one invocation per TASK amortizes it. Hash
-    # repartition co-locates whole groups exactly like groupBy, each
-    # group's kernel input is the same row set, and the kernel is a
-    # pure function of that set — bit-identical sketch rows.
-    stage1 = _grouped_map(base, gb + ["sup"], local_stage, out_schema)
+    stage1 = base.groupBy(*gb, "sup").applyInPandas(local_stage, out_schema)
 
     def final_stage(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf["q"].to_numpy(np.int64)
@@ -249,37 +240,9 @@ def quantile_sketch(
             out[g] = pdf[g].iloc[0]
         return out[gb + ["q", "h", "uid", "w", "blk"]]
 
-    final = _grouped_map(stage1, gb, final_stage, out_schema)
+    key2 = gb if gb else [F.lit(0).alias("__one__")]
+    final = stage1.groupBy(*key2).applyInPandas(final_stage, out_schema)
     return final.select(*gb, "q", "h", "uid", "w")
-
-
-def _grouped_map(df: DataFrame, keys: list, kernel, out_schema: str):
-    """groupBy(keys).applyInPandas(kernel) semantics at one Python
-    invocation per TASK: hash-repartition by ``keys`` (whole groups
-    co-located, AQE-coalescible since no explicit count), then
-    mapInPandas concatenates the partition's Arrow batches (a group
-    may span batches) and loops ``kernel`` over the groups. With no
-    keys, everything folds into one partition (the ungrouped
-    applyInPandas shape)."""
-
-    def run(batches):
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        if len(pdf) == 0:
-            return
-        if not keys:
-            yield kernel(pdf)
-            return
-        for _, grp in pdf.groupby(keys, sort=False, dropna=False):
-            yield kernel(grp.reset_index(drop=True))
-
-    parted = (
-        df.repartition(*[F.col(c) for c in keys]) if keys
-        else df.repartition(1)
-    )
-    return parted.mapInPandas(run, out_schema)
 
 
 def _gb_types(df: DataFrame, gb: list[str]) -> list[str]:
@@ -316,7 +279,8 @@ def merge_quantile_sketches(
             out[g] = pdf[g].iloc[0]
         return out[gb + ["q", "h", "uid", "w"]]
 
-    return _grouped_map(sketches, gb, merge, schema)
+    key = gb if gb else [F.lit(0).alias("__one__")]
+    return sketches.groupBy(*key).applyInPandas(merge, schema)
 
 
 def sketch_quantiles(
